@@ -1,0 +1,105 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumn
+import org.apache.spark.sql.types._
+
+/** Vector kernels over `array<float>` embedding columns.
+  *
+  * The north-star similarity-search surface (SURVEY.md §2.12) needs a dense
+  * dot-product/cosine in the scan loop. `functions.zip_with` +
+  * `functions.aggregate` express this with builtins, but higher-order
+  * functions evaluate one lambda call per element outside whole-stage
+  * codegen; a tight primitive loop in a custom expression is the
+  * 100 TB-friendly form (no per-element boxing, stays in codegen).
+  *
+  * Static kernels are shared by interpreted eval and generated code.
+  */
+object VectorKernels {
+  /** Cosine similarity; null on length mismatch or zero norm. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / math.sqrt(na * nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  def cosine_sim(l: Column, r: Column): Column =
+    GraftColumn.column(
+      CosineSimilarity(GraftColumn.expression(l), GraftColumn.expression(r)))
+
+  def dot_product(l: Column, r: Column): Column =
+    GraftColumn.column(
+      DotProduct(GraftColumn.expression(l), GraftColumn.expression(r)))
+}
+
+abstract class FloatVecBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  protected def kernel: String // static method name on VectorKernels
+
+  override protected def nullSafeEval(a: Any, b: Any): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecRes")
+      s"""
+         |java.lang.Double $r = graft.expr.VectorKernels.$kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends FloatVecBinary {
+  override protected def kernel: String = "cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimilarity = copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends FloatVecBinary {
+  override protected def kernel: String = "dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}

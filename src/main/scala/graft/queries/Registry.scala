@@ -1,0 +1,15 @@
+package graft.queries
+
+/** Aggregates every registered query group. SparkEntry derives its
+  * `queries`/`oracleSql` maps from here; ScalaTest and Bench iterate it. */
+object Registry {
+  lazy val all: Seq[Q] =
+    ParityQueries.all ++ AnalyticsQueries.all
+
+  lazy val byName: Map[String, Q] = {
+    val names = all.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    all.map(q => q.name -> q).toMap
+  }
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Smoke + structural checks over every registered query on sf0.001.
+  * Exact value correctness is the driver's DuckDB oracle (t2) plus
+  * tools/check_oracle.py locally; here we pin schema/determinism basics. */
+class RegistrySpec extends SparkTestBase {
+
+  test("no duplicate names; every oracle key exists in queries") {
+    assert(Registry.byName.size == Registry.all.size)
+    val qnames = graft.SparkEntry.queries.keySet
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qnames))
+  }
+
+  test("entry returns rows on sf0.001 (t1 smoke)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name}: runs on sf0.001, deterministic across two runs") {
+      val a = q.fn(spark, sf()).collect()
+      val b = q.fn(spark, sf()).collect()
+      assert(a.toSeq == b.toSeq, s"${q.name} nondeterministic")
+    }
+  }
+
+  test("q20_approx_distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = Registry.byName("q20_approx_distinct").fn(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.util.Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+}
