@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorKernels.cosine_sim
+
+/** Similarity search over an `array<float>` embedding column
+  * (builder north star; SURVEY.md §2.12).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force baseline — broadcast the (small) query
+  *    set against the full collection; exact, one scan, no shuffle of the
+  *    big side except the final per-query top-k.
+  *  - [[ivfTopK]]: IVF-style scale path — assign every vector to its
+  *    nearest coarse centroid (the "inverted file"), then search only the
+  *    `nprobe` cells closest to each query. At 100 TB the assignment is a
+  *    one-off bucketing write (partition by cell id); queries touch
+  *    nprobe/k of the data instead of all of it.
+  *
+  * All ranking tie-breaks are pinned (id ascending) so results are
+  * deterministic and oracle-checkable.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query row, the k nearest non-self
+    * vectors. `queries` is expected to be small (broadcast side). */
+  def cosineTopK(collection: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    collection
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(q, col("neighbor_id") =!= col("q_id"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("neighbor_id"),
+        round(col("sim"), 9).as("sim_r"))
+  }
+
+  /** Cell assignment: nearest centroid per vector (ties → lowest
+    * centroid id). Centroids are broadcast; one pass over the data. */
+  def assignCells(collection: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    collection.crossJoin(c)
+      .withColumn("csim", cosine_sim(col("embedding"), col("c_emb")))
+      .filter(col("csim").isNotNull)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
+    * exact-rank inside them. */
+  def ivfTopK(collection: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignCells(collection, centroids)
+    val c = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    // cells to probe per query
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcsim").desc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(c)
+      .withColumn("qcsim", cosine_sim(col("q_emb"), col("c_emb")))
+      .filter(col("qcsim").isNotNull)
+      .withColumn("qcrn", row_number().over(wq))
+      .filter(col("qcrn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 9).as("sim_r"))
+  }
+}

@@ -4,7 +4,8 @@ package graft.queries
   * `queries`/`oracleSql` maps from here; ScalaTest and Bench iterate it. */
 object Registry {
   lazy val all: Seq[Q] =
-    ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all
+    ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

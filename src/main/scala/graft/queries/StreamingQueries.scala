@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+import graft.streaming.Streams
+import graft.util.Tables._
+
+/** Temporal surface: incremental streaming windows (Trigger.AvailableNow —
+  * the reference's daily-batch cadence, SURVEY.md §2.10), batch session
+  * windows, and the as-of join.
+  */
+object StreamingQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Structured Streaming tumbling window ≡ batch time_bucket (1h divides
+    // the epoch alignment of both engines).
+    Q("q35_stream_tumbling",
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             | event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Streams.tumblingAgg(s, d, "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    // Sliding windows: every event lands in width/slide buckets. Oracle
+    // reproduces via a generate_series of slide starts.
+    Q("q36_stream_sliding",
+      Some("""WITH slid AS (
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+             |           - (g.i * INTERVAL '30 minutes') AS window_start,
+             |    event_type
+             |  FROM events, unnest(generate_series(0, 1)) AS g(i))
+             |SELECT window_start, event_type, count(*) AS n
+             |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Streams.slidingAgg(s, d, "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
+    // Streaming dropDuplicates (O4's streaming mirror).
+    Q("q37_stream_dedup_counts",
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Streams.streamingDedupCounts(s, d).orderBy("event_type")),
+
+    // Batch session windows (5-minute gap) vs gaps-and-islands oracle.
+    Q("q38_session_window",
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // As-of join: each purchase sees the latest signup at or before it.
+    Q("q39_asof_join",
+      Some("""SELECT p.event_id, p.user_id, s.ts AS signup_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id AND s.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("sig_id"),
+            col("ts").as("signup_ts"))
+        AsOf.backward(purchases, signups, "user_id", "ts", "sig_id",
+          Seq("signup_ts" -> "signup_ts"))
+          .select("event_id", "user_id", "signup_ts")
+          .orderBy("event_id")
+      }),
+
+    // Day-over-day event-count deltas (lag over a daily rollup — the
+    // analytics any consumer of the reference's tables runs).
+    Q("q40_daily_deltas",
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT day, event_type, n,
+             |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+             |FROM daily ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        daily.withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+          .orderBy("event_type", "day")
+      })
+  )
+}

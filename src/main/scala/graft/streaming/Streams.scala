@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming surface (SURVEY.md §2.10). The reference's whole
+  * pipeline is a daily incremental micro-batch
+  * (/root/reference/.github/workflows/daily_etl.yml:5-6 cron + sink-state
+  * anti-join); `Trigger.AvailableNow` is the exact Spark analog: process
+  * everything new, then stop — state lives in the checkpoint/sink.
+  *
+  * For the oracle-checkable queries we run the stream to a named memory
+  * sink synchronously; in production the same plans write to a durable
+  * sink with a checkpoint dir.
+  */
+object Streams {
+
+  private val counter = new AtomicLong(0)
+
+  /** Read the events table as a file stream (schema pinned from the batch
+    * reader, ns→µs conversion identical to Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    // file stream sources want a directory; select the one table file via
+    // a glob filter over the sf dir
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling event-time window aggregation, executed incrementally with
+    * AvailableNow and returned as a batch DataFrame (memory sink,
+    * complete mode). */
+  def tumblingAgg(spark: SparkSession, dir: String, width: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    runToMemory(spark, agg)
+  }
+
+  /** Sliding window variant (windows overlap; rows multiply by
+    * width/slide). */
+  def slidingAgg(spark: SparkSession, dir: String, width: String,
+      slide: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    runToMemory(spark, agg)
+  }
+
+  /** Streaming dedup mirror of O4/O8 (dropDuplicates on the id within the
+    * stream), counted per type. */
+  def streamingDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    runToMemory(spark, dd)
+  }
+
+  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.util.Tables
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  test("brute-force topk: k rows per query, self excluded, sims descending") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.cosineTopK(emb, queries, 5).collect()
+    assert(got.length == 15)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == qid))
+      val sims = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim_r"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall: nprobe=all cells reproduces brute force exactly") {
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val nCells = centroids.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfAll = Similarity.ivfTopK(emb, centroids, queries, 5, nCells)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfAll == brute)
+  }
+
+  test("IVF with nprobe=2 achieves reasonable recall vs brute force") {
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, centroids, queries, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall") // random vectors: cells are weak
+  }
+}
