@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder north star): media as opaque
+  * `binary` columns + typed metadata, with decode/feature-extraction as
+  * partition-local batch functions.
+  *
+  * The Spark-side shape is the real deliverable here — schema, partition
+  * batching, null handling — while the actual codec is pluggable: this
+  * container has no image/audio libraries, so [[stubDecoder]] is a
+  * deterministic fake (clearly marked) with the same signature a real
+  * JNI/FFI decoder would have. `mapPartitions` is the Scala analog of
+  * `mapInPandas`: one decoder init per partition, batch iteration, no
+  * per-row setup cost.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("content_hash", StringType)))
+
+  /** Wrap a text column as a binary media column with metadata — the
+    * ingestion step a real pipeline does on image/audio bytes. Pure
+    * expressions (codegen'd): encode, length, md5. */
+  def ingestAsMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String): DataFrame = df.select(
+    col(idCol).cast("long").as("media_id"),
+    encode(col(payloadCol), "UTF-8").as("content"),
+    lit(mediaType).as("media_type"),
+    octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"),
+    md5(encode(col(payloadCol), "UTF-8")).as("content_hash"))
+
+  /** A decoder turns raw bytes into a fixed-size feature vector.
+    * STUB: deterministic fake features derived from the bytes (length,
+    * byte histogram moments) standing in for a real image/audio decode —
+    * the real implementation would link a codec here. */
+  type Decoder = Array[Byte] => Array[Float]
+
+  val FeatureDim = 8
+  val stubDecoder: Decoder = bytes => {
+    if (bytes == null) null
+    else {
+      var sum = 0L; var sumSq = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b; sumSq += b.toLong * b
+        i += 1
+      }
+      val n = math.max(bytes.length, 1)
+      Array[Float](
+        bytes.length.toFloat,
+        sum.toFloat / n,
+        sumSq.toFloat / n,
+        (if (bytes.isEmpty) 0 else bytes.head & 0xff).toFloat,
+        (if (bytes.isEmpty) 0 else bytes.last & 0xff).toFloat,
+        (sum % 251).toFloat,
+        (sumSq % 509).toFloat,
+        n.toFloat % 127)
+    }
+  }
+
+  /** Partition-batched decode: binary column → feature vector column.
+    * Decoder is initialized once per partition (the expensive-codec-setup
+    * pattern); rows stream through without materializing the partition. */
+  def decodeFeatures(df: DataFrame, binCol: String,
+      decoder: Decoder = stubDecoder): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val d = decoder // per-partition init point for a real codec
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else d(bytes).toSeq))
+      }
+    }(enc)
+  }
+
+  /** Deterministic fake "image dimensions" from the content hash — the
+    * metadata-extraction shape (real pipelines read codec headers). */
+  def fakeDimensions(df: DataFrame): DataFrame = df
+    .withColumn("width",
+      (conv(substring(col("content_hash"), 1, 4), 16, 10).cast("long") % 1920)
+        .cast("int"))
+    .withColumn("height",
+      (conv(substring(col("content_hash"), 5, 4), 16, 10).cast("long") % 1080)
+        .cast("int"))
+}
