@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-off JVM/codegen/scan-init cost so per-query numbers
+    // reflect steady state rather than whichever query runs first
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -53,13 +53,17 @@ object Dedup {
   }
 
   /** MinHash signatures: one hash-agg pass computing all NumHashes minima. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashFromShingles(shingleTable(df, idCol, textCol), idCol)
+
+  /** Signature aggregation over an existing shingle table — lets pipelines
+    * that need both shingles and signatures (LSH + Jaccard verify) compute
+    * the shingle stage once and reuse it. */
+  def minhashFromShingles(shingles: DataFrame, idCol: String): DataFrame = {
     val aggs = seeds.zipWithIndex.map { case (k, j) =>
       min(expr(s"h ^ ${k}L")).as(s"m$j")
     }
-    shingleTable(df, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (band, band_key) rows → self-join on band

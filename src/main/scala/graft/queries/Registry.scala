@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all
+      VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all ++
+      BreadthQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

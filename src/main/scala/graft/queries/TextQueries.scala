@@ -149,8 +149,9 @@ object TextQueries {
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => {
         val docs = documents(s, d)
-        val shingles = Dedup.shingleTable(docs, "doc_id", "text")
-        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        // one shingle pass feeds both the signature agg and the verify join
+        val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
+        val sig = Dedup.minhashFromShingles(shingles, "doc_id")
         val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
         Dedup.jaccardForPairs(shingles, pairs, "doc_id")
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")

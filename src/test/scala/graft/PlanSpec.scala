@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+import graft.util.Tables
+
+/** Physical-plan assertions — the SURVEY.md §4 scale posture, pinned as
+  * tests so regressions in pushdown/broadcast/co-location are caught, not
+  * just observed in .explain output.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, sf())
+      .queryExecution.explainString(FormattedMode)
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual"),
+      "shipdate filter must be pushed to the scan")
+    assert(!p.contains("l_partkey"), "unused columns must be pruned")
+    assert(p.contains("partial_sum"), "aggregation must be partial+final")
+  }
+
+  test("q02: small dimension joins broadcast; agg is partial+final") {
+    val p = plan("q02_mktsegment_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_"), "map-side combine expected")
+  }
+
+  test("q12 top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q12_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("custom expressions evaluate under CODEGEN_ONLY factory mode") {
+    // forces doGenCode paths (no interpreted fallback): a broken generated
+    // code template fails here, not silently in production
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val iso = Registry.byName("q22_iso8601_duration").fn(spark, sf())
+        .limit(5).collect()
+      assert(iso.nonEmpty && iso.forall(!_.isNullAt(1)))
+      val cos = Registry.byName("q32_cosine_topk").fn(spark, sf())
+        .limit(5).collect()
+      assert(cos.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val o = Tables.orders(spark, sf())
+    val l = Tables.lineitem(spark, sf())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a dropped in-memory catalog entry can leave the directory behind
+    // from a previous JVM — clear it so CREATE TABLE AS can reuse the path
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"/root/repo/target/spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("b_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n$p")
+      assert(j.count() == l.count()) // FK join preserves fact rows
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val big = Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val small = Tables.orders(spark, sf())
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = big.join(small, Seq("l_orderkey"))
+    val salted = graft.ops.Skew.saltedJoin(big, small, "l_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain.select(salted.columns.map(col): _*)).isEmpty)
+  }
+}
