@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorKernels.cosine_sim
+import graft.util.Tables._
+
+/** Remaining surface: embedding-cosine near-dup, theta/range join, and the
+  * SQL front-end (spark.sql over registered views — proving the engine's
+  * queries are reachable from SQL text, not just the DataFrame DSL).
+  */
+object ExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Embedding-cosine near-duplicate pairs (threshold form of the dedup
+    // family). Brute-force all-pairs here; the LSH/IVF path in
+    // ops.Similarity is the 100 TB candidate-generation route.
+    Q("q48_embedding_neardup",
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             | round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |   b.embedding::DOUBLE[]), 9) AS cos_sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             |   b.embedding::DOUBLE[]) > 0.5
+             |ORDER BY vec_a, vec_b""".stripMargin),
+      (s, d) => {
+        val a = embeddings(s, d)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = embeddings(s, d)
+          .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+          .filter(col("sim") > 0.5)
+          .select(col("vec_a"), col("vec_b"), round(col("sim"), 9).as("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      }),
+
+    // Theta/range join: orders binned into price bands via a BETWEEN
+    // condition against a small band dimension (broadcast nested-loop).
+    Q("q49_range_join_bands",
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('low', 0.0, 100000.0),
+             |  ('mid', 100000.0, 300000.0),
+             |  ('high', 300000.0, 1000000.0))
+             |SELECT band, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN bands
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 100000.0),
+          ("mid", 100000.0, 300000.0),
+          ("high", 300000.0, 1000000.0)).toDF("band", "lo", "hi")
+        orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("band")
+      }),
+
+    // SQL front-end: TPC-H Q3-shaped text query over temp views.
+    Q("q50_sql_text",
+      Some("""SELECT o_orderkey,
+             | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             | o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             | JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin),
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderkey,
+                | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                | o_orderpriority
+                |FROM customer JOIN orders ON c_custkey = o_custkey
+                | JOIN lineitem ON l_orderkey = o_orderkey
+                |WHERE c_mktsegment = 'BUILDING'
+                |GROUP BY o_orderkey, o_orderpriority
+                |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+      })
+  )
+}
