@@ -36,20 +36,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle, h): distinct word-3-shingles per doc with 60-bit hash. */
+  /** (id, h): distinct word-3-shingles per doc as 60-bit hashes. Shingle
+    * dedup is PER-DOCUMENT, so it's done row-locally with array_distinct
+    * before the explode — zero shuffle (a global `.distinct()` here would
+    * shuffle the whole shingle corpus for no semantic gain). The shingle
+    * string is hashed and dropped map-side; all downstream set logic
+    * (minhash, Jaccard) operates on the 16-byte h. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     // CASE-guard: Spark's sequence(1, 0) steps DOWNWARD, so short docs
     // must map to an empty array explicitly.
     val shingleExpr =
       s"""CASE WHEN size(_toks) >= $k THEN
-         |  transform(sequence(1, size(_toks) - ${k - 1}),
-         |    i -> concat_ws(' ', ${(0 until k).map(o => s"_toks[i - 1 + $o]").mkString(", ")}))
+         |  array_distinct(transform(sequence(1, size(_toks) - ${k - 1}),
+         |    i -> concat_ws(' ', ${(0 until k).map(o => s"_toks[i - 1 + $o]").mkString(", ")})))
          |ELSE array() END""".stripMargin
     df.select(col(idCol), TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
       .select(col(idCol), explode(expr(shingleExpr)).as("shingle"))
-      .distinct()
-      .withColumn("h", TextOps.hash60(col("shingle")))
+      .select(col(idCol), TextOps.hash60(col("shingle")).as("h"))
   }
 
   /** MinHash signatures: one hash-agg pass computing all NumHashes minima. */
@@ -87,14 +91,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs: inverted-index join on the
-    * shingle table (never materializes the cross product). */
+    * shingle-hash table, never the cross product. The shingle table is
+    * first semi-filtered to candidate docs (broadcast — candidates are a
+    * vanishing fraction of the corpus after LSH), so the verify joins
+    * touch candidate shingles only instead of shuffling the whole corpus. */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
-    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val candIds = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    val sh = shingles.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(shingles.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(shingles.select(col(idCol).as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(sh.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.select(col(idCol).as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -108,10 +117,11 @@ object Dedup {
     * per-bit signed sums), then bit reassembly — no row explosion. */
   val SimhashBits = 60
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per-doc token dedup is row-local (array_distinct) — no shuffle
     val tok = df
       .select(col(idCol),
-        explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("tok"))
-      .distinct()
+        explode(array_distinct(TextOps.tokens(TextOps.normalize(col(textCol)))))
+          .as("tok"))
       .withColumn("h", TextOps.hash60(col("tok")))
     val bitSums = (0 until SimhashBits).map { i =>
       sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$i")

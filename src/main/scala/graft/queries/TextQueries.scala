@@ -16,7 +16,9 @@ object TextQueries {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private def hash60Sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Shingle CTE: distinct word-3-shingles per doc with 60-bit hashes. */
+  /** Shingle CTE: distinct word-3-shingle HASHES per doc (the engine
+    * dedups/joins on the 60-bit hash, not the string — see
+    * Dedup.shingleTable). */
   private val shingleCte =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
@@ -24,7 +26,7 @@ object TextQueries {
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
        |), hashed AS (
-       |  SELECT doc_id, shingle, ${hash60Sql("shingle")} AS h FROM sh
+       |  SELECT doc_id, ${hash60Sql("shingle")} AS h FROM sh
        |)""".stripMargin
 
   private val sigCte = {
@@ -139,7 +141,7 @@ object TextQueries {
               |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
               |  FROM cand c
               |  JOIN hashed ha ON ha.doc_id = c.doc_a
-              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.shingle = ha.shingle
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
               |  GROUP BY c.doc_a, c.doc_b)
               |SELECT i.doc_a, i.doc_b,
               |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
@@ -149,10 +151,14 @@ object TextQueries {
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => {
         val docs = documents(s, d)
-        // one shingle pass feeds both the signature agg and the verify join
+        // one shingle pass feeds both the signature agg and the verify
+        // join; the candidate pairs are consumed three times downstream
+        // (broadcast id-filter, intersect probe, final join) so both
+        // stages are cached — at cluster scale these would be the
+        // materialized intermediate tables of the dedup pipeline
         val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
         val sig = Dedup.minhashFromShingles(shingles, "doc_id")
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id").cache()
         Dedup.jaccardForPairs(shingles, pairs, "doc_id")
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
