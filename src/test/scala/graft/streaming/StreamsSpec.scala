@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.SparkTestBase
+
+/** Streaming semantics beyond the oracle-checkable queries (SURVEY.md
+  * §2.10): durable-checkpoint incremental processing (the reference's
+  * daily-cron contract), custom state via flatMapGroupsWithState, and
+  * watermarked dedup.
+  */
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AvailableNow + checkpoint: a second run processes ONLY new files") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream_inc_").toString
+    val srcDir = s"$base/src"; val sinkDir = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val batch1 = graft.util.Tables.events(spark, sf())
+      .filter(col("event_id") < 100)
+    batch1.write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(batch1.schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() == 100)
+
+    // new data arrives between "daily" runs
+    graft.util.Tables.events(spark, sf())
+      .filter(col("event_id") >= 100 && col("event_id") < 150)
+      .write.mode("append").parquet(srcDir)
+
+    runOnce()
+    val after = spark.read.parquet(sinkDir)
+    assert(after.count() == 150, "second run must append only the new file")
+    assert(after.select("event_id").distinct().count() == 150, "no dups")
+
+    // third run with nothing new is a no-op — the :152-165 invariant,
+    // state living in the checkpoint instead of an anti-join
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() == 150)
+  }
+
+  test("flatMapGroupsWithState: running per-key session counts") {
+    val input = MemoryStream[(Long, Double)](spark)
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sum = sum0
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          Iterator((user, n, sum))
+      }
+    val q = counted.toDF("user_id", "n", "total").writeStream
+      .format("memory").queryName("fmgws_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      val r1 = spark.table("fmgws_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(r1(1L) == ((2L, 15.0)) && r1(2L) == ((1L, 1.0)))
+
+      input.addData((1L, 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table("fmgws_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(r2(1L) == ((3L, 16.0)), "state must carry across batches")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes dups inside the watermark") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val deduped = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:01:00")
+      input.addData(("a", t0), ("a", t1), ("b", t0))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").select("id").as[String]
+        .collect().sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}
