@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Predicate surface, outer joins, window extras, and the generator
+  * (UDTF) surface — the SURVEY.md §2.3/§2.4/§2.6/§2.11 lines not already
+  * exercised by earlier queries.
+  */
+object PredicateQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // IN-list, LIKE, BETWEEN, null-safe equality (<=> ≡ IS NOT DISTINCT
+    // FROM), boolean composition.
+    Q("q51_predicates",
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  AND o_orderstatus LIKE 'F%'
+             |  AND o_totalprice BETWEEN 50000 AND 200000
+             |  AND (o_orderstatus IS NOT DISTINCT FROM 'F')
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_orderstatus").like("F%")
+          && col("o_totalprice").between(50000, 200000)
+          && (col("o_orderstatus") <=> lit("F")))
+        .select("o_orderkey").orderBy("o_orderkey")),
+
+    // FULL OUTER join: customers vs a filtered order aggregate — both
+    // unmatched sides survive with nulls (nulls-first ordering pinned).
+    Q("q52_full_outer_join",
+      Some("""SELECT c_custkey, n_big
+             |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0) c
+             |FULL OUTER JOIN (
+             |  SELECT o_custkey, count(*) AS n_big FROM orders
+             |  WHERE o_totalprice > 250000 GROUP BY o_custkey) o
+             | ON c_custkey = o_custkey
+             |ORDER BY c_custkey NULLS FIRST, n_big NULLS FIRST""".stripMargin),
+      (s, d) => {
+        val c = customer(s, d).filter(col("c_custkey") % 7 === 0)
+          .select("c_custkey")
+        val o = orders(s, d).filter(col("o_totalprice") > 250000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("n_big"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("n_big").asc_nulls_first)
+      }),
+
+    // Window extras: ntile / percent_rank / cume_dist / first+last value.
+    Q("q53_window_extras",
+      Some("""SELECT o_orderkey,
+             | ntile(4) OVER w AS quartile,
+             | percent_rank() OVER w AS pr,
+             | cume_dist() OVER w AS cd,
+             | first_value(o_orderkey) OVER w AS first_key,
+             | last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+             |   ORDER BY o_totalprice, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |   AS last_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        orders(s, d).select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(wFull).as("last_key"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Generator (UDTF) surface: posexplode ≡ unnest with position.
+    Q("q54_posexplode",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |           FROM documents WHERE doc_id < 10)
+             |SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+             |FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+             |ORDER BY doc_id, pos""".stripMargin),
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .select("doc_id", "pos", "tok")
+        .orderBy("doc_id", "pos"))
+  )
+}

@@ -6,7 +6,7 @@ object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all ++
-      BreadthQueries.all ++ ExtraQueries.all
+      BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
