@@ -78,6 +78,26 @@ object PredicateQueries {
           .orderBy("o_orderkey")
       }),
 
+    // MapType surface (§2.9: events.props → from_json map): parse, key
+    // access, cardinality, key listing.
+    Q("q55_map_funcs",
+      Some("""SELECT event_id,
+             | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             | CAST(len(json_keys(props)) AS INT) AS n_keys,
+             | array_to_string(list_sort(json_keys(props)::VARCHAR[]), ',')
+             |   AS keys_sorted
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_keys"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"))
+        .orderBy("event_id")),
+
     // Generator (UDTF) surface: posexplode ≡ unnest with position.
     Q("q54_posexplode",
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
