@@ -62,6 +62,25 @@ object ExtraQueries {
           .orderBy("band")
       }),
 
+    // Custom typed Aggregator: bounded top-k per group (map-side combine,
+    // k-row buffers — see ops.TopKByScore scaladoc); oracle via ordered
+    // list slice.
+    Q("q56_topk_aggregator",
+      Some("""SELECT o_orderpriority,
+             | array_to_string(
+             |   (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+             |   ',') AS ids
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val agg = udaf(new graft.ops.TopKByScore(3))
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(array_join(agg(col("o_totalprice"), col("o_orderkey")), ",")
+            .as("ids"))
+          .orderBy("o_orderpriority")
+      }),
+
     // SQL front-end: TPC-H Q3-shaped text query over temp views.
     Q("q50_sql_text",
       Some("""SELECT o_orderkey,

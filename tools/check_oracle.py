@@ -53,6 +53,13 @@ def compare(got, want):
         for i, (x, y) in enumerate(zip(a, b)):
             if x is None and y is None:
                 continue
+            if hasattr(x, "__len__") and not isinstance(x, str):
+                # array/list cell: compare element lists
+                xs = list(x) if x is not None else None
+                ys = list(y) if y is not None else None
+                if xs != ys:
+                    return False, f"col {c} row {i}: {xs!r} != {ys!r}"
+                continue
             fx = isinstance(x, float) and math.isnan(x)
             fy = isinstance(y, float) and math.isnan(y)
             if fx or fy:
