@@ -78,6 +78,23 @@ object PredicateQueries {
           .orderBy("o_orderkey")
       }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): independent grouping
+    // combinations in one pass (expand + single shuffle).
+    Q("q58_grouping_sets",
+      Some("""SELECT c_mktsegment, n_name, count(*) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+             |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        nation(s, d).createOrReplaceTempView("nation")
+        s.sql("""SELECT c_mktsegment, n_name, count(*) AS n
+                |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                |GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+                |ORDER BY c_mktsegment ASC NULLS FIRST,
+                |  n_name ASC NULLS FIRST""".stripMargin)
+      }),
+
     // MapType surface (§2.9: events.props → from_json map): parse, key
     // access, cardinality, key listing.
     Q("q55_map_funcs",

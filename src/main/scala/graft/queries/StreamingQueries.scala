@@ -37,6 +37,20 @@ object StreamingQueries {
       (s, d) => Streams.slidingAgg(s, d, "1 hour", "30 minutes")
         .orderBy("window_start", "event_type")),
 
+    // Watermark + append mode: only closed windows are emitted — the
+    // late-data policy the reference lacks (SURVEY §2.10); oracle filters
+    // to windows whose end precedes the final watermark.
+    Q("q57_stream_watermark_append",
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             | event_type, count(*) AS n
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             |   <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+             |ORDER BY 1, 2""".stripMargin),
+      (s, d) => Streams.tumblingAggAppend(s, d, "1 hour", "2 hours")
+        .orderBy("window_start", "event_type")),
+
     // Streaming dropDuplicates (O4's streaming mirror).
     Q("q37_stream_dedup_counts",
       Some("""SELECT event_type, count(DISTINCT event_id) AS n

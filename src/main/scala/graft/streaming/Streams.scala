@@ -46,6 +46,22 @@ object Streams {
     runToMemory(spark, agg)
   }
 
+  /** Watermarked tumbling aggregation in APPEND mode: only windows the
+    * watermark has closed are emitted (late-data policy surface). With
+    * AvailableNow the final no-data micro-batch advances the watermark to
+    * max(ts) - delay, so the emitted set is exactly the windows with
+    * end <= max(ts) - delay — batch-reproducible for the oracle. */
+  def tumblingAggAppend(spark: SparkSession, dir: String, width: String,
+      delay: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    runToMemory(spark, agg, org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Sliding window variant (windows overlap; rows multiply by
     * width/slide). */
   def slidingAgg(spark: SparkSession, dir: String, width: String,
@@ -66,10 +82,12 @@ object Streams {
     runToMemory(spark, dd)
   }
 
-  private def runToMemory(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
