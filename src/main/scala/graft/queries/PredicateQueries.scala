@@ -115,6 +115,59 @@ object PredicateQueries {
           array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"))
         .orderBy("event_id")),
 
+    // Multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities — counts aggregated for deterministic output.
+    Q("q59_multiset_ops",
+      Some("""WITH a AS (SELECT l_returnflag AS flag FROM lineitem
+             |          WHERE l_orderkey % 2 = 0),
+             |b AS (SELECT l_returnflag AS flag FROM lineitem
+             |      WHERE l_orderkey % 3 = 0)
+             |SELECT op, flag, n FROM (
+             |  SELECT 'except' AS op, flag, count(*) AS n
+             |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY flag
+             |  UNION ALL
+             |  SELECT 'intersect' AS op, flag, count(*) AS n
+             |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY flag)
+             |ORDER BY op, flag""".stripMargin),
+      (s, d) => {
+        val li = lineitem(s, d)
+        val a = li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_returnflag").as("flag"))
+        val b = li.filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_returnflag").as("flag"))
+        val ex = a.exceptAll(b).groupBy(col("flag"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        val in = a.intersectAll(b).groupBy(col("flag"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        ex.unionByName(in).select("op", "flag", "n").orderBy("op", "flag")
+      }),
+
+    // Date arithmetic breadth: add_months (end-of-month clamped the same
+    // way by both engines), datediff, trunc, quarter, ISO week, last_day,
+    // day-of-week (DuckDB is 0-based Sunday; Spark 1-based — aligned).
+    Q("q60_date_arith",
+      Some("""SELECT o_orderkey,
+             | CAST(o_orderdate + INTERVAL 1 month AS DATE) AS next_month,
+             | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             | date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+             |   AS days_to_98,
+             | CAST(quarter(o_orderdate) AS INT) AS qtr,
+             | CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 1).as("next_month"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+            .as("days_to_98"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")),
+
     // Generator (UDTF) surface: posexplode ≡ unnest with position.
     Q("q54_posexplode",
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
