@@ -136,4 +136,45 @@ object Dedup {
 
   /** Hamming distance between two simhash values (for near-dup grouping). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup components from verified pairs: bounded min-label
+    * propagation (iters rounds of join-and-min over the undirected edge
+    * set). Duplicate clusters are tiny (2–5 docs), so a small fixed
+    * iteration count reaches the fixpoint; a fixed count also keeps the
+    * computation reproducible in any engine without recursion support.
+    * Returns (node, label) where label = min doc id reachable within
+    * iters hops — the cluster keeper. */
+  def nearDupComponents(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels
+  }
+
+  /** The end-to-end corpus dedup: LSH candidates → Jaccard verify at
+    * `threshold` → components → drop every non-keeper member. Returns the
+    * ids of REMOVED docs (kept = corpus minus these). */
+  def nearDupRemovals(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val shingles = shingleTable(docs, idCol, textCol).cache()
+    val sig = minhashFromShingles(shingles, idCol)
+    val cand = lshCandidatePairs(sig, idCol).cache()
+    val verified = jaccardForPairs(shingles, cand, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b").cache()
+    nearDupComponents(verified)
+      .filter(col("label") < col("node"))
+      .select(col("node").as(idCol))
+  }
 }

@@ -163,6 +163,46 @@ object TextQueries {
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
 
+    // End-to-end corpus dedup: LSH → Jaccard ≥ 0.5 → near-dup components
+    // (5 rounds of min-label propagation, same fixed count both engines)
+    // → removed = non-keeper members. The complete "dedup the corpus"
+    // pipeline deliverable.
+    Q("q61_neardup_removals", {
+      val props = (1 to 5).map { k =>
+        s"""l$k AS (
+           |  SELECT l.node,
+           |    least(l.label, coalesce(min(r.label), l.label)) AS label
+           |  FROM l${k - 1} l
+           |  LEFT JOIN edges e ON e.src = l.node
+           |  LEFT JOIN l${k - 1} r ON r.node = e.dst
+           |  GROUP BY l.node, l.label)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""$bandsCte,
+              |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY c.doc_a, c.doc_b),
+              |verified AS (
+              |  SELECT i.doc_a, i.doc_b
+              |  FROM inter i
+              |   JOIN counts ca ON ca.doc_id = i.doc_a
+              |   JOIN counts cb ON cb.doc_id = i.doc_b
+              |  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM verified
+              |  UNION ALL SELECT doc_b, doc_a FROM verified),
+              |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+              |$props
+              |SELECT node AS doc_id FROM l5 WHERE label < node
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => graft.ops.Dedup
+        .nearDupRemovals(documents(s, d), "doc_id", "text", 0.5)
+        .orderBy("doc_id")),
+
     // 60-bit SimHash (wide per-bit agg, no row explosion).
     Q("q31_simhash", {
       val bitSums = (0 until Dedup.SimhashBits)

@@ -70,6 +70,25 @@ class DedupSpec extends SparkTestBase {
       "near-dup should be closer than disjoint doc")
   }
 
+  test("near-dup components: chains collapse to the min-id keeper") {
+    // chain 1-2-3 plus isolated pair 7-9: labels converge to component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupRemovals drops non-keeper dups, keeps keeper + uniques") {
+    val removed = Dedup.nearDupRemovals(docs, "doc_id", "text", 0.5)
+      .as[Long].collect().toSet
+    assert(removed.contains(2L), "exact dup of doc 1 must be removed")
+    // doc 3 (jaccard 5/9 ≈ 0.56 vs doc 1) is only probabilistically
+    // caught by 4×4-band LSH (~34% for s=0.56 — the designed recall
+    // curve targets higher similarity), so no assertion on it
+    assert(!removed.contains(1L), "keeper stays")
+    assert(!removed.contains(4L) && !removed.contains(5L), "unique docs stay")
+  }
+
   test("hammingDist column matches Long.bitCount") {
     val df = Seq((0x0FL, 0x00L), (0xFFL, 0xF0L)).toDF("a", "b")
     val got = df.select(Dedup.hammingDist(col("a"), col("b"))).as[Int].collect()
