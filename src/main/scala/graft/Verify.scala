@@ -23,7 +23,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any partial/stale output so a failure can't be masked
+        // by a previous run's parquet in the same outDir
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+          dir.delete()
+        }
       }
+      // release any caches built by shared-stage pipelines
+      spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

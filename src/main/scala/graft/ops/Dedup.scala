@@ -147,10 +147,17 @@ object Dedup {
   def nearDupComponents(pairs: DataFrame, iters: Int = 5): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
+    // Iterative algorithms MUST truncate lineage each round: every
+    // generation references the previous one twice, so the LOGICAL plan
+    // (not just the computation) doubles per iteration — 2^iters copies
+    // of the whole upstream pipeline sent through the analyzer. cache()
+    // does not cut lineage; localCheckpoint() does (eager, plan replaced
+    // by the materialized blocks).
+    val edgesCk = edges.localCheckpoint()
+    val nodes = edgesCk.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val neighborMin = edges
+      val neighborMin = edgesCk
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nlabel"))
@@ -158,6 +165,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .localCheckpoint()
     }
     labels
   }

@@ -57,6 +57,18 @@ object StreamingQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, d) => Streams.streamingDedupCounts(s, d).orderBy("event_type")),
 
+    // Stream-stream inner join with event-time bounds (state bounded by
+    // watermarks); equals the batch conditional join over finite input.
+    Q("q62_stream_stream_join",
+      Some("""SELECT p.event_id AS p_id, s.event_id AS s_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id
+             | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '1 day'
+             |ORDER BY p_id, s_id""".stripMargin),
+      (s, d) => Streams.streamStreamJoin(s, d, "1 DAY")
+        .orderBy("p_id", "s_id")),
+
     // Batch session windows (5-minute gap) vs gaps-and-islands oracle.
     Q("q38_session_window",
       Some("""WITH marked AS (

@@ -168,8 +168,12 @@ object TextQueries {
     // → removed = non-keeper members. The complete "dedup the corpus"
     // pipeline deliverable.
     Q("q61_neardup_removals", {
+      // every lK is referenced twice by l{K+1}; MATERIALIZED stops DuckDB
+      // inlining the chain (2^iters re-evaluation of the whole LSH
+      // pipeline otherwise — the same blowup the Spark side avoids by
+      // caching each labels generation)
       val props = (1 to 5).map { k =>
-        s"""l$k AS (
+        s"""l$k AS MATERIALIZED (
            |  SELECT l.node,
            |    least(l.label, coalesce(min(r.label), l.label)) AS label
            |  FROM l${k - 1} l
@@ -185,16 +189,16 @@ object TextQueries {
               |  JOIN hashed ha ON ha.doc_id = c.doc_a
               |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
               |  GROUP BY c.doc_a, c.doc_b),
-              |verified AS (
+              |verified AS MATERIALIZED (
               |  SELECT i.doc_a, i.doc_b
               |  FROM inter i
               |   JOIN counts ca ON ca.doc_id = i.doc_a
               |   JOIN counts cb ON cb.doc_id = i.doc_b
               |  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT doc_a AS src, doc_b AS dst FROM verified
               |  UNION ALL SELECT doc_b, doc_a FROM verified),
-              |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+              |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
               |$props
               |SELECT node AS doc_id FROM l5 WHERE label < node
               |ORDER BY doc_id""".stripMargin)

@@ -62,6 +62,34 @@ object Streams {
     runToMemory(spark, agg, org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Stream-stream inner join with event-time bounds: purchases matched
+    * to same-user signups within `lookback` before the purchase.
+    * Watermarks bound the join state (inner-join emission itself is
+    * complete for AvailableNow over finite input, so the result equals
+    * the batch conditional join — oracle-checkable). */
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      lookback: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("p_id"), col("s_id"))
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sliding window variant (windows overlap; rows multiply by
     * width/slide). */
   def slidingAgg(spark: SparkSession, dir: String, width: String,
