@@ -16,6 +16,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # keep any spill inside target/ (a runaway query once wrote 60 GB of
+    # duckdb_temp_storage into the repo cwd) and bound memory
+    con.execute("SET temp_directory='/root/repo/target/duckdb_tmp'")
+    con.execute("SET max_temp_directory_size='5GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
