@@ -58,7 +58,7 @@ object AsOf {
         last(when(col("_isRight") === 1, col("_rpayload")), ignoreNulls = true)
           .over(w))
     carried.filter(col("_isRight") === 0)
-      .select(lCols.map(col) ++
+      .select(lCols.toIndexedSeq.map(col) ++
         pick.map { case (rn, out) => col(s"_asof.$rn").as(out) }: _*)
   }
 }

@@ -25,7 +25,7 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts > 0)
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val smallExploded = small.withColumn("_salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
