@@ -114,13 +114,21 @@ object Streams {
       mode: org.apache.spark.sql.streaming.OutputMode =
         org.apache.spark.sql.streaming.OutputMode.Complete()): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store overhead (checkpoint file I/O per partition per batch)
+    // scales with shuffle partitions, not data; bound it for these
+    // bounded-cardinality aggregations. The partition count is baked into
+    // each query's fresh checkpoint, so this is safe per-query.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
