@@ -13,10 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-off JVM/codegen/scan-init cost so per-query numbers
-    // reflect steady state rather than whichever query runs first
+    // reflect steady state rather than whichever query runs first. The
+    // warmup query is a FIXED name (an unordered Map's headOption would
+    // shadow a different query per JVM, adding run-to-run noise).
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+      SparkEntry.queries.get("q01_pricing_summary")
+        .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -25,12 +28,18 @@ object Bench {
       // drop caches a query may have built (dedup pipelines cache shared
       // stages) so later queries aren't squeezed by stale blocks
       spark.sqlContext.clearCache()
+      System.err.println(f"[bench] $name%-28s $t%8.3f s")
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line SHORT (ms-rounded values) and print it before
+    // spark.stop(): the driver captures the output tail, and a long line
+    // risks having its head truncated off the capture window.
+    def r(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

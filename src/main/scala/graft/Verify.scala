@@ -24,12 +24,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any partial/stale output so a failure can't be masked
-        // by a previous run's parquet in the same outDir
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-          dir.delete()
+        // by a previous run's parquet in the same outDir; recursive — a
+        // partial write can leave a _temporary subtree that a flat delete
+        // would miss, keeping the stale directory alive
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // release any caches built by shared-stage pipelines
       spark.sqlContext.clearCache()

@@ -52,10 +52,16 @@ object Pipeline {
         // (the API-quota saving of :152-168: only new ids are fetched)
         val stats = YouTubeSource.videoStats(spark, videoPages)
           .join(newIds, Seq("videoId"), "left_semi")
-        // O12-O21 + O22
-        val enriched = Transforms.enrichVideoStats(stats)
-        enriched.write.mode(SaveMode.Append).parquet(videoSinkPath)
-        enriched.count()
+        // O12-O21 + O22. The row count rides the write itself via
+        // observe() — a count() after the append would re-execute the
+        // whole plan (parse, joins, anti-join) AND re-read the sink path
+        // it just appended to, relying on a stale file listing for
+        // correctness.
+        val obs = new org.apache.spark.sql.Observation()
+        Transforms.enrichVideoStats(stats)
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Append).parquet(videoSinkPath)
+        obs.get("n").asInstanceOf[Long]
       }
       .getOrElse(0L)
 

@@ -137,14 +137,17 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup grouping). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup components from verified pairs: bounded min-label
-    * propagation (iters rounds of join-and-min over the undirected edge
-    * set). Duplicate clusters are tiny (2–5 docs), so a small fixed
-    * iteration count reaches the fixpoint; a fixed count also keeps the
-    * computation reproducible in any engine without recursion support.
-    * Returns (node, label) where label = min doc id reachable within
-    * iters hops — the cluster keeper. */
-  def nearDupComponents(pairs: DataFrame, iters: Int = 5): DataFrame = {
+  /** Near-dup components from verified pairs: min-label propagation run
+    * TO THE FIXPOINT — each round takes the min label over direct
+    * neighbors; the loop stops when a round lowers zero labels, so every
+    * node ends with the true component minimum no matter how long the
+    * duplicate chain is (a fixed round count would split a chain longer
+    * than its iteration budget into multiple "keepers" and silently
+    * under-remove). Rounds needed = graph diameter; dup clusters are
+    * small in practice, so this converges in 2–3 rounds, and `maxIters`
+    * is only a runaway guard.
+    * Returns (node, label) where label = min doc id in the component. */
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Iterative algorithms MUST truncate lineage each round: every
@@ -154,25 +157,37 @@ object Dedup {
     // does not cut lineage; localCheckpoint() does (eager, plan replaced
     // by the materialized blocks).
     val edgesCk = edges.localCheckpoint()
-    val nodes = edgesCk.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var labels = edgesCk.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
       val neighborMin = edgesCk
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nlabel"))
-      labels = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+      val stepped = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
         .localCheckpoint()
+      // convergence check is a cheap count over the just-materialized
+      // blocks — min-label propagation is monotone, so zero lowered
+      // labels means the fixpoint is reached
+      changed = stepped.filter(col("label") < col("prev")).count()
+      labels = stepped.select("node", "label")
+      round += 1
     }
+    require(changed == 0,
+      s"nearDupComponents did not converge within $maxIters rounds")
     labels
   }
 
   /** The end-to-end corpus dedup: LSH candidates → Jaccard verify at
     * `threshold` → components → drop every non-keeper member. Returns the
-    * ids of REMOVED docs (kept = corpus minus these). */
+    * ids of REMOVED docs (kept = corpus minus these). The verified edge
+    * set is materialized once (localCheckpoint) and propagation is
+    * skipped entirely when it is empty. */
   def nearDupRemovals(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val shingles = shingleTable(docs, idCol, textCol).cache()
@@ -180,9 +195,14 @@ object Dedup {
     val cand = lshCandidatePairs(sig, idCol).cache()
     val verified = jaccardForPairs(shingles, cand, idCol)
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b").cache()
-    nearDupComponents(verified)
-      .filter(col("label") < col("node"))
-      .select(col("node").as(idCol))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val removed =
+      if (verified.isEmpty) verified.select(col("doc_a").as(idCol)).limit(0)
+      else nearDupComponents(verified)
+        .filter(col("label") < col("node"))
+        .select(col("node").as(idCol))
+    shingles.unpersist()
+    cand.unpersist()
+    removed
   }
 }

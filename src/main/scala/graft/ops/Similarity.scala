@@ -42,6 +42,36 @@ object Similarity {
         round(col("sim"), 9).as("sim_r"))
   }
 
+  /** Mean pairwise cosine similarity within each label — computed via the
+    * normalized-sum identity, NOT a pairwise join:
+    *
+    *   Σ_{i<j} cos(v_i, v_j) = (‖Σ v̂‖² − Σ‖v̂‖²) / 2 = (‖Σ v̂‖² − n) / 2
+    *
+    * for unit-normalized v̂, so mean = (‖Σ v̂‖² − n) / (n(n−1)). One O(n·d)
+    * hash-aggregate (d per-dimension sums + a count per label), no join at
+    * all — exact, and it scales to any corpus size where an all-pairs join
+    * (O(n²) within each label) cannot.
+    *
+    * Norms are computed as left-associated fold chains so they are
+    * bit-identical across engines; the per-label dimension sums are the
+    * only order-sensitive float reductions (≈1e-15 relative), absorbed by
+    * the final round(6).
+    */
+  def labelCohesion(emb: DataFrame, labelCol: String, embCol: String,
+      dim: Int): DataFrame = {
+    val nv = emb
+      .select(col(labelCol), col(embCol).cast("array<double>").as("ed"))
+      .withColumn("nrm", expr("sqrt(aggregate(ed, 0D, (a, y) -> a + y * y))"))
+      .select(col(labelCol), expr("transform(ed, x -> x / nrm)").as("v"))
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until dim).map(i => sum(expr(s"v[$i]")).as(s"s$i"))
+    val g = nv.groupBy(col(labelCol)).agg(aggCols.head, aggCols.tail: _*)
+    val sumSq = (0 until dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _)
+    g.select(col(labelCol),
+      ((col("n") * (col("n") - 1)) / 2).cast("long").as("n_pairs"),
+      round((sumSq - col("n")) / (col("n") * (col("n") - 1)), 6).as("mean_sim"))
+  }
+
   /** Cell assignment: nearest centroid per vector (ties → lowest
     * centroid id). Centroids are broadcast; one pass over the data. */
   def assignCells(collection: DataFrame, centroids: DataFrame): DataFrame = {

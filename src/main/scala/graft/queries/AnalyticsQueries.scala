@@ -62,18 +62,39 @@ object AnalyticsQueries {
           .orderBy("event_id")
       }),
 
-    // Running cumulative count per user + global rank.
+    // Global rank + dense_rank — WITHOUT a global window. A plain
+    // `Window.orderBy(...)` (no partitionBy) moves every row into ONE
+    // partition; at scale that is a single-task sort of the whole table.
+    // Instead: two-phase rank. Phase 1 ranks within each o_orderpriority
+    // partition (row_number over a partitioned window — (priority,
+    // orderkey) is unique, so rank ≡ row_number). Phase 2 adds the count
+    // of all rows in strictly-smaller priorities, computed from a 5-row
+    // priority dimension via a broadcast theta self-join (no Window at
+    // all on that path). dense_rank over priority = #smaller priorities
+    // + 1 from the same dimension. The oracle keeps the declarative
+    // global-window SQL — same result, different plan.
     Q("q16_window_rank_dense",
       Some("""SELECT o_orderkey,
              | rank() OVER (ORDER BY o_orderpriority, o_orderkey) AS rnk,
              | dense_rank() OVER (ORDER BY o_orderpriority) AS drnk
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       (s, d) => {
-        val w1 = Window.orderBy(col("o_orderpriority"), col("o_orderkey"))
-        val w2 = Window.orderBy(col("o_orderpriority"))
+        val counts = orders(s, d).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+        val dims = counts.as("a")
+          .join(broadcast(counts.as("b")),
+            col("b.o_orderpriority") < col("a.o_orderpriority"), "left")
+          .groupBy(col("a.o_orderpriority").as("o_orderpriority"))
+          .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("offset"),
+            (count(col("b.o_orderpriority")) + 1).cast("int").as("drnk"))
+        val wIn = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
         orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("rn", row_number().over(wIn))
+          .join(broadcast(dims), Seq("o_orderpriority"))
           .select(col("o_orderkey"),
-            rank().over(w1).as("rnk"), dense_rank().over(w2).as("drnk"))
+            (col("offset") + col("rn")).cast("int").as("rnk"), col("drnk"))
           .orderBy("o_orderkey")
       }),
 

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.expr.VectorKernels.cosine_sim
 import graft.util.Tables._
 
 /** Remaining surface: embedding-cosine near-dup, theta/range join, and the
@@ -13,28 +12,20 @@ object ExtraQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Embedding-cosine near-duplicate pairs (threshold form of the dedup
-    // family). Brute-force all-pairs here; the LSH/IVF path in
-    // ops.Similarity is the 100 TB candidate-generation route.
+    // Embedding near-dup pairs: sign-bit LSH candidate generation (8 bands
+    // × 8 bits, band-key equi-join — no all-pairs join anywhere in the
+    // plan) + exact cosine verify; the strongest 20 candidate pairs are
+    // reported. Both engines derive identical signatures from the shared
+    // Rademacher sign matrix, so results hash-match by construction; see
+    // ops.EmbeddingLsh for the recall/efficiency contract.
     Q("q48_embedding_neardup",
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             | round(list_cosine_similarity(a.embedding::DOUBLE[],
-             |   b.embedding::DOUBLE[]), 9) AS cos_sim
-             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-             |   b.embedding::DOUBLE[]) > 0.5
-             |ORDER BY vec_a, vec_b""".stripMargin),
-      (s, d) => {
-        val a = embeddings(s, d)
-          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = embeddings(s, d)
-          .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("sim", cosine_sim(col("ea"), col("eb")))
-          .filter(col("sim") > 0.5)
-          .select(col("vec_a"), col("vec_b"), round(col("sim"), 9).as("cos_sim"))
-          .orderBy("vec_a", "vec_b")
-      }),
+      Some(graft.ops.EmbeddingLsh
+        .duckdbPairsSql("embeddings", "vec_id", "embedding", 64, 0.35) +
+        "\nORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20"),
+      (s, d) => graft.ops.EmbeddingLsh
+        .nearDupPairs(embeddings(s, d), "vec_id", "embedding", 64, 0.35)
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)),
 
     // Theta/range join: orders binned into price bands via a BETWEEN
     // condition against a small band dimension (broadcast nested-loop).

@@ -23,7 +23,7 @@ object FormatQueries {
     // dimensions (codegen expressions only; the mapPartitions decode path
     // is spec-tested — sketchy to oracle a stub codec).
     Q("q41_multimodal_meta",
-      Some("""SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes,
+      Some("""SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
              | md5(text) AS content_hash,
              | CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS INT)
              |   AS width,

@@ -163,25 +163,14 @@ object TextQueries {
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
 
-    // End-to-end corpus dedup: LSH → Jaccard ≥ 0.5 → near-dup components
-    // (5 rounds of min-label propagation, same fixed count both engines)
-    // → removed = non-keeper members. The complete "dedup the corpus"
-    // pipeline deliverable.
+    // End-to-end corpus dedup: LSH → Jaccard ≥ 0.5 → connected components
+    // → removed = non-keeper members. The Spark side runs min-label
+    // propagation TO THE FIXPOINT (Dedup.nearDupComponents), i.e. exact
+    // connected components; the oracle computes the same thing directly
+    // via a recursive transitive closure, so the two agree for any chain
+    // length — no shared iteration count to keep in sync.
     Q("q61_neardup_removals", {
-      // every lK is referenced twice by l{K+1}; MATERIALIZED stops DuckDB
-      // inlining the chain (2^iters re-evaluation of the whole LSH
-      // pipeline otherwise — the same blowup the Spark side avoids by
-      // caching each labels generation)
-      val props = (1 to 5).map { k =>
-        s"""l$k AS MATERIALIZED (
-           |  SELECT l.node,
-           |    least(l.label, coalesce(min(r.label), l.label)) AS label
-           |  FROM l${k - 1} l
-           |  LEFT JOIN edges e ON e.src = l.node
-           |  LEFT JOIN l${k - 1} r ON r.node = e.dst
-           |  GROUP BY l.node, l.label)""".stripMargin
-      }.mkString(",\n")
-      Some(s"""$bandsCte,
+      Some(s"""${bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
               |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
               |inter AS (
               |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -198,9 +187,13 @@ object TextQueries {
               |edges AS MATERIALIZED (
               |  SELECT doc_a AS src, doc_b AS dst FROM verified
               |  UNION ALL SELECT doc_b, doc_a FROM verified),
-              |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
-              |$props
-              |SELECT node AS doc_id FROM l5 WHERE label < node
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+              |SELECT node AS doc_id FROM (
+              |  SELECT node, min(r) AS label FROM reach GROUP BY node)
+              |WHERE label < node
               |ORDER BY doc_id""".stripMargin)
     },
       (s, d) => graft.ops.Dedup

@@ -89,32 +89,31 @@ object VectorQueries {
           .orderBy("q_id", "rn")
       }),
 
-    // Pairwise label-blocked similarity stats: mean cosine within each
-    // label (sums are order-sensitive at 1e-16 → round aggressively after
-    // stable per-pair rounding).
-    Q("q34_label_cohesion",
-      Some("""WITH pairs AS (
-             |  SELECT a.label,
-             |    round(list_cosine_similarity(a.embedding::DOUBLE[],
-             |      b.embedding::DOUBLE[]), 9) AS sim
-             |  FROM embeddings a JOIN embeddings b
-             |    ON a.label = b.label AND a.vec_id < b.vec_id)
-             |SELECT label, count(*) AS n_pairs, round(avg(sim), 6) AS mean_sim
-             |FROM pairs WHERE sim IS NOT NULL
-             |GROUP BY label ORDER BY label""".stripMargin),
-      (s, d) => {
-        import graft.expr.VectorKernels.cosine_sim
-        val a = embeddings(s, d)
-          .select(col("vec_id").as("ida"), col("label"), col("embedding").as("ea"))
-        val b = embeddings(s, d)
-          .select(col("vec_id").as("idb"), col("label").as("label_b"),
-            col("embedding").as("eb"))
-        a.join(b, col("label") === col("label_b") && col("ida") < col("idb"))
-          .withColumn("sim", round(cosine_sim(col("ea"), col("eb")), 9))
-          .filter(col("sim").isNotNull)
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_pairs"), round(avg(col("sim")), 6).as("mean_sim"))
-          .orderBy("label")
-      })
+    // Mean pairwise cosine within each label via the normalized-sum
+    // identity (Σ_{i<j} cos = (‖Σv̂‖² − n)/2) — one O(n·d) hash-agg, no
+    // join; see Similarity.labelCohesion. The oracle computes the same
+    // closed form with the same left-associated norm folds.
+    Q("q34_label_cohesion", {
+      val dim = 64
+      val sums = (0 until dim).map(i => s"sum(v[${i + 1}]) AS s$i")
+        .mkString(",\n             |    ")
+      val sumSq = (0 until dim).map(i => s"s$i * s$i").mkString(" + ")
+      Some(s"""WITH nv AS (
+              |  SELECT label,
+              |    list_transform(embedding::DOUBLE[], x -> x /
+              |      sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+              |        y -> y * y), (a, b) -> a + b))) AS v
+              |  FROM embeddings),
+              |g AS (
+              |  SELECT label, count(*) AS n,
+              |    $sums
+              |  FROM nv GROUP BY label)
+              |SELECT label, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+              |  round(($sumSq - n) / (n * (n - 1)), 6) AS mean_sim
+              |FROM g ORDER BY label""".stripMargin)
+    },
+      (s, d) => graft.ops.Similarity
+        .labelCohesion(embeddings(s, d), "label", "embedding", 64)
+        .orderBy("label"))
   )
 }

@@ -14,27 +14,38 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.source.v2.PagedFetch.{Fetchers, PageRequest}
+
 /** DataSourceV2 for paginated API responses (SURVEY.md §2.1 O1/O3/O10).
   *
   * The reference pages through the YouTube API driver-side, one HTTP call
   * per page (/root/reference/fetch_youtube_data.py:83-100) and one call
   * per 50-id chunk (:113-119). The scale-correct architecture is a V2
-  * source whose InputPartitions each own one page/chunk: fetches run on
-  * executors in parallel, and the 50-id batching lives inside the
-  * partition reader.
+  * source whose InputPartitions each own one page-stream/chunk: fetches
+  * run on executors in parallel, with the pagination loop and the 50-id
+  * batching inside the partition readers ([[PagedFetch]]).
   *
-  * Offline (zero-egress sandbox), a "page" is a JSON file under `path`;
-  * the partition reader's `fetch()` seam is where the HTTP call would go.
+  * Three modes, by option:
+  *  - `path` (no `fetcher`): offline — a "page" is a JSON file under
+  *    `path`, one partition per page;
+  *  - `fetcher` + `mode=pages`: live pagination — ONE partition whose
+  *    reader follows `nextPageToken` until absent (sequential by nature:
+  *    each token comes from the previous response), one output row per
+  *    page;
+  *  - `fetcher` + `mode=chunks` + `ids=a,b,...`: batched id lookups — one
+  *    partition per `chunkSize`-id chunk (default 50), fetched in
+  *    parallel.
+  * `retries`/`backoffMs` wrap the fetch in [[PagedFetch.withRetry]].
+  *
   * Register: spark.read.format("graft.source.v2.JsonPagesSource")
-  *   .option("path", dir).load() → one `value: STRING` row per page, one
-  * partition per page.
+  *   .option(...).load() → `value: STRING` rows.
   */
 class JsonPagesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JsonPagesSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagesTable(properties.get("path"))
+    new PagesTable(properties.asScala.toMap)
 }
 
 object JsonPagesSource {
@@ -42,50 +53,85 @@ object JsonPagesSource {
   val Name = "graft.source.v2.JsonPagesSource"
 }
 
-private[v2] class PagesTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"json_pages($path)"
+private[v2] class PagesTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"json_pages(${props.getOrElse("fetcher", props.getOrElse("path", "?"))})"
   override def schema(): StructType = JsonPagesSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(path)
+    new PagesScanBuilder(props)
 }
 
-private[v2] class PagesScanBuilder(path: String) extends ScanBuilder with Scan
-    with Batch {
+private[v2] class PagesScanBuilder(props: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = JsonPagesSource.schema
   override def toBatch: Batch = this
 
-  /** One InputPartition per page file — the pagination unit becomes the
-    * parallelism unit (at scale: per page-token / per 50-id chunk). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .toArray.sortBy(_.getFileName.toString)
-      .map(p => PagePartition(p.toString): InputPartition)
-  }
+  /** The pagination unit becomes the parallelism unit: one partition per
+    * page file (offline), per id-chunk (parallel lookups), or per
+    * page-token STREAM (the sequential token loop is one partition; many
+    * streams would be many partitions). */
+  override def planInputPartitions(): Array[InputPartition] =
+    props.get("fetcher") match {
+      case Some(f) =>
+        val retries = props.getOrElse("retries", "3").toInt
+        val backoff = props.getOrElse("backoffms", "500").toLong
+        props.getOrElse("mode", "pages") match {
+          case "chunks" =>
+            val ids = props.getOrElse("ids", "")
+              .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val size = props.getOrElse("chunksize", "50").toInt
+            PagedFetch.chunks(ids, size)
+              .map(c => ChunkPartition(f, c, retries, backoff): InputPartition)
+              .toArray
+          case "pages" =>
+            val maxPages = props.getOrElse("maxpages", "10000").toInt
+            Array(TokenStreamPartition(f, maxPages, retries, backoff))
+          case other =>
+            throw new IllegalArgumentException(s"unknown mode: $other")
+        }
+      case None =>
+        val dir = Paths.get(props.getOrElse("path", ""))
+        if (!Files.isDirectory(dir)) Array.empty
+        else Files.list(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".json"))
+          .toArray.sortBy(_.getFileName.toString)
+          .map(p => PagePartition(p.toString): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagesReaderFactory
 }
 
 private[v2] case class PagePartition(file: String) extends InputPartition
+private[v2] case class TokenStreamPartition(fetcher: String, maxPages: Int,
+    retries: Int, backoffMs: Long) extends InputPartition
+private[v2] case class ChunkPartition(fetcher: String, ids: Seq[String],
+    retries: Int, backoffMs: Long) extends InputPartition
 
 private[v2] class PagesReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].file)
+    partition match {
+      case PagePartition(file) => new PageReader(file)
+      case TokenStreamPartition(f, maxPages, retries, backoff) =>
+        new IteratorReader(PagedFetch.followPages(
+          PagedFetch.withRetry(Fetchers(f), retries, backoff), maxPages))
+      case ChunkPartition(f, ids, retries, backoff) =>
+        new IteratorReader(Iterator(
+          PagedFetch.withRetry(Fetchers(f), retries, backoff)(
+            PageRequest(None, ids))))
+    }
 }
 
+/** Offline reader: the fetch seam is a file read (one page per file). */
 private[v2] class PageReader(file: String)
     extends PartitionReader[InternalRow] {
   private var consumed = false
   private var page: String = _
 
-  /** The fetch seam: offline it reads a file; live it would execute the
-    * HTTP request for this partition's page token / id chunk. */
   private def fetch(): String =
     new String(Files.readAllBytes(Paths.get(file)), StandardCharsets.UTF_8)
 
@@ -96,5 +142,18 @@ private[v2] class PageReader(file: String)
   override def get(): InternalRow =
     InternalRow(UTF8String.fromString(page))
 
+  override def close(): Unit = ()
+}
+
+/** Live reader: one row per fetched page/chunk; the iterator is lazy, so
+  * each next() performs (at most) one fetch — pages stream through rather
+  * than buffering the whole pagination in memory. */
+private[v2] class IteratorReader(pages: Iterator[String])
+    extends PartitionReader[InternalRow] {
+  private var page: String = _
+  override def next(): Boolean =
+    if (pages.hasNext) { page = pages.next(); true } else false
+  override def get(): InternalRow =
+    InternalRow(UTF8String.fromString(page))
   override def close(): Unit = ()
 }

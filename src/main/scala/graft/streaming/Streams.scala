@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -50,7 +51,8 @@ object Streams {
     * watermark has closed are emitted (late-data policy surface). With
     * AvailableNow the final no-data micro-batch advances the watermark to
     * max(ts) - delay, so the emitted set is exactly the windows with
-    * end <= max(ts) - delay — batch-reproducible for the oracle. */
+    * end <= max(ts) - delay — batch-reproducible for the oracle.
+    * Append mode → durable file sink (the scale-safe path). */
   def tumblingAggAppend(spark: SparkSession, dir: String, width: String,
       delay: String): DataFrame = {
     val agg = eventsStream(spark, dir)
@@ -59,14 +61,20 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
-    runToMemory(spark, agg, org.apache.spark.sql.streaming.OutputMode.Append())
+    runToFiles(spark, agg)
   }
 
   /** Stream-stream inner join with event-time bounds: purchases matched
     * to same-user signups within `lookback` before the purchase.
     * Watermarks bound the join state (inner-join emission itself is
     * complete for AvailableNow over finite input, so the result equals
-    * the batch conditional join — oracle-checkable). */
+    * the batch conditional join — oracle-checkable).
+    *
+    * The joined append stream is UNBOUNDED in the input size, so it goes
+    * to a durable parquet file sink (executors write their own partitions;
+    * nothing is materialized on the driver) and is read back as a batch
+    * relation. A memory sink here would collect every joined pair into
+    * driver memory — a driver OOM at scale. */
   def streamStreamJoin(spark: SparkSession, dir: String,
       lookback: String): DataFrame = {
     val ev = eventsStream(spark, dir)
@@ -82,12 +90,7 @@ object Streams {
         col("s_ts") <= col("p_ts") &&
         col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
       .select(col("p_id"), col("s_id"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    runToFiles(spark, joined)
   }
 
   /** Sliding window variant (windows overlap; rows multiply by
@@ -130,5 +133,33 @@ object Streams {
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+  }
+
+  /** Append-mode queries whose output is unbounded in the input size go
+    * through a durable parquet FILE sink (+ checkpoint) and are read back
+    * as a batch relation via the sink's `_spark_metadata` commit log —
+    * executors write their own partitions, the driver never materializes
+    * rows. This is the production path; the memory sink above is reserved
+    * for complete-mode aggregations whose cardinality is bounded by the
+    * group-by domain (file sinks cannot run complete mode). */
+  private def runToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
+    val base = Files.createTempDirectory(
+      s"graft_stream_${counter.incrementAndGet()}_").toString
+    val out = s"$base/out"
+    val ck = s"$base/checkpoint"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // pin the schema so an empty result (zero emitted files) still reads
+    spark.read.schema(df.schema).parquet(out)
   }
 }

@@ -78,6 +78,17 @@ class DedupSpec extends SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("near-dup components: a 10-hop chain converges to ONE keeper") {
+    // 1-2-3-...-11: diameter 10 — a fixed 5-round propagation would split
+    // this into multiple keepers; the fixpoint loop must not.
+    val pairs = (1L to 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 11)
+    assert(labels.values.toSet == Set(1L),
+      s"every node must carry the chain minimum, got $labels")
+  }
+
   test("nearDupRemovals drops non-keeper dups, keeps keeper + uniques") {
     val removed = Dedup.nearDupRemovals(docs, "doc_id", "text", 0.5)
       .as[Long].collect().toSet

@@ -3,7 +3,7 @@ package graft.source
 import java.nio.file.{Files, Paths}
 
 import graft.SparkTestBase
-import graft.source.v2.JsonPagesSource
+import graft.source.v2.{JsonPagesSource, PagedFetch}
 
 class JsonPagesSourceSpec extends SparkTestBase {
 
@@ -40,5 +40,57 @@ class JsonPagesSourceSpec extends SparkTestBase {
     val df = spark.read.format(JsonPagesSource.Name)
       .option("path", s"$dir/nonexistent").load()
     assert(df.isEmpty)
+  }
+
+  // --- live modes: the pagination loop + chunking THROUGH the DSv2 seam --
+
+  test("mode=pages: reader follows nextPageToken across a fake fetcher") {
+    PagedFetch.Fetchers.register("spec-pages", {
+      case PagedFetch.PageRequest(None, Nil) =>
+        """{"items": [{"contentDetails": {"videoId": "v1"}}],
+          | "nextPageToken": "t2"}""".stripMargin
+      case PagedFetch.PageRequest(Some("t2"), Nil) =>
+        """{"items": [{"contentDetails": {"videoId": "v2"}}]}"""
+      case other => fail(s"unexpected request: $other")
+    })
+    import spark.implicits._
+    val pages = spark.read.format(JsonPagesSource.Name)
+      .option("fetcher", "spec-pages").option("mode", "pages").load()
+    assert(pages.rdd.getNumPartitions == 1,
+      "a token stream is sequential: exactly one partition")
+    val ids = YouTubeSource.playlistVideoIds(spark, pages.as[String])
+      .as[String].collect().sorted.toSeq
+    assert(ids == Seq("v1", "v2"))
+  }
+
+  test("mode=chunks: one partition per 50-id chunk, ids batched correctly") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    PagedFetch.Fetchers.register("spec-chunks", { req =>
+      seen.add(req.ids)
+      s"""{"n": ${req.ids.size}}"""
+    })
+    val ids = (1 to 120).map(i => s"v$i")
+    val df = spark.read.format(JsonPagesSource.Name)
+      .option("fetcher", "spec-chunks").option("mode", "chunks")
+      .option("ids", ids.mkString(",")).load()
+    assert(df.rdd.getNumPartitions == 3, "120 ids -> 50/50/20 partitions")
+    assert(df.count() == 3)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sortBy(-_.size).map(_.size) == Seq(50, 50, 20))
+    assert(seen.asScala.flatten.toSeq.sorted == ids.sorted)
+  }
+
+  test("retry path: a flaky fetcher succeeds through the source") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    PagedFetch.Fetchers.register("spec-flaky", { _ =>
+      if (attempts.incrementAndGet() < 2)
+        throw new RuntimeException("transient")
+      """{"items": []}"""
+    })
+    val df = spark.read.format(JsonPagesSource.Name)
+      .option("fetcher", "spec-flaky").option("mode", "pages")
+      .option("retries", "3").option("backoffMs", "1").load()
+    assert(df.count() == 1)
+    assert(attempts.get() == 2)
   }
 }
