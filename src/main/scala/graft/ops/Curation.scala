@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * splits, per-key quota capping, and benchmark decontamination. All are
+  * shuffle-partitioned relational plans keyed on uniform md5-derived
+  * values — no driver state, no sampling nondeterminism (a `rand()` split
+  * would re-deal on every task retry; a content/id HASH split is stable
+  * across engines, runs, and cluster sizes, which is what makes dataset
+  * versioning reproducible).
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment: md5 of the id's string form
+    * → bucket 0–99 → split by percentile boundaries. Adding data never
+    * reshuffles existing assignments (each row's split depends only on its
+    * own id) — the property that keeps eval sets stable as a 100 TB corpus
+    * grows. Pure projection: no shuffle at all. */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Per-key quota: keep at most `k` rows per key, preferring by
+    * `orderCols` (callers pass a deterministic total order). One shuffle
+    * by key; per-partition heap via the rank window — the standard
+    * "cap documents per domain" curation step. */
+  def capPerKey(df: DataFrame, keyCol: String, k: Int,
+      orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Benchmark decontamination: for every doc in the eval set (selected by
+    * `evalPred`), the number of its word-3-shingle hashes that appear
+    * ANYWHERE in the train remainder, plus the contamination ratio
+    * n_shared / n_shingles. Join is keyed on the uniform 60-bit shingle
+    * hash (never text), the train side is reduced to DISTINCT hashes
+    * before the join, and the eval side is typically tiny relative to the
+    * corpus — Catalyst broadcasts it; at 100 TB the train-hash distinct
+    * is the dominant (and inherent) shuffle, uniform by construction. */
+  def contaminationOverlap(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column): DataFrame = {
+    val sh = Dedup.shingleTable(docs, idCol, textCol)
+    val evalIds = docs.filter(evalPred).select(idCol)
+    val evalSh = sh.join(evalIds, Seq(idCol), "left_semi")
+    val trainH = sh.join(evalIds, Seq(idCol), "left_anti")
+      .select("h").distinct()
+    // shingle hashes are already distinct per doc (Dedup.shingleTable), so
+    // a plain count after the semi-join is the distinct shared count
+    val nShingles = evalSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val nShared = evalSh.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    evalIds
+      .join(nShingles, Seq(idCol), "left")
+      .join(nShared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_shared") / col("n_shingles"), 6)))
+  }
+}

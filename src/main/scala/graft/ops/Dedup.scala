@@ -137,17 +137,28 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup grouping). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup components from verified pairs: min-label propagation run
-    * TO THE FIXPOINT — each round takes the min label over direct
-    * neighbors; the loop stops when a round lowers zero labels, so every
-    * node ends with the true component minimum no matter how long the
-    * duplicate chain is (a fixed round count would split a chain longer
-    * than its iteration budget into multiple "keepers" and silently
-    * under-remove). Rounds needed = graph diameter; dup clusters are
-    * small in practice, so this converges in 2–3 rounds, and `maxIters`
-    * is only a runaway guard.
+  /** Near-dup components from verified pairs — ADAPTIVE on the edge
+    * count (known for free: the edge set is checkpointed either way):
+    *
+    *  - small graphs (≤ `smallGraphMaxEdges` directed edges, i.e. what
+    *    LSH+verify yields on anything but a pathologically duplicated
+    *    corpus — verified near-dup pairs are sparse by construction): an
+    *    exact single-pass union-find on ONE executor partition. One
+    *    narrow job, no iteration, no per-round checkpoint/count jobs.
+    *  - large graphs: min-label propagation run TO THE FIXPOINT — each
+    *    round takes the min label over direct neighbors; the loop stops
+    *    when a round lowers zero labels, so every node ends with the
+    *    true component minimum no matter how long the duplicate chain is
+    *    (a fixed round count would split a chain longer than its
+    *    iteration budget into multiple "keepers" and silently
+    *    under-remove). Rounds needed = graph diameter; `maxIters` is
+    *    only a runaway guard.
+    *
+    * Both paths return (node, label), label = min doc id in the
+    * component, and are asserted identical in DedupSpec.
     * Returns (node, label) where label = min doc id in the component. */
-  def nearDupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 50,
+      smallGraphMaxEdges: Long = 1L << 21): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Iterative algorithms MUST truncate lineage each round: every
@@ -157,6 +168,8 @@ object Dedup {
     // does not cut lineage; localCheckpoint() does (eager, plan replaced
     // by the materialized blocks).
     val edgesCk = edges.localCheckpoint()
+    if (edgesCk.count() <= smallGraphMaxEdges)
+      return smallGraphComponents(edgesCk)
     var labels = edgesCk.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
@@ -181,6 +194,44 @@ object Dedup {
     require(changed == 0,
       s"nearDupComponents did not converge within $maxIters rounds")
     labels
+  }
+
+  /** Exact connected components via union-find over a checkpointed edge
+    * set small enough for one partition (≤ ~2M directed edges ≈ tens of
+    * MB). Runs executor-side as a single narrow task — NOT a driver
+    * collect — with union-by-min (attach the larger root under the
+    * smaller), so each root IS the component minimum, plus path
+    * compression. Key type stays generic: anything with a Comparable
+    * runtime value (long ids, md5 strings) works, matching the
+    * propagation path's `min` semantics. */
+  private def smallGraphComponents(edgesCk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edgesCk.schema("src").dataType
+    val schema = StructType(Seq(
+      StructField("node", idType), StructField("label", idType)))
+    val rows = edgesCk.rdd.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def cmp(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { row =>
+        val s = row.get(0); val d = row.get(1)
+        parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (cmp(rs, rd) <= 0) parent(rd) = rs else parent(rs) = rd
+        }
+      }
+      parent.keysIterator.map(n => Row(n, find(n)))
+    }
+    edgesCk.sparkSession.createDataFrame(rows, schema)
   }
 
   /** The end-to-end corpus dedup: LSH candidates → Jaccard verify at

@@ -69,15 +69,30 @@ object EmbeddingLsh {
 
   /** (id, band, bk): LSH band keys per vector — Bands rows per input row.
     * One narrow map-side pass; the heavy embedding column is dropped before
-    * the explode. */
+    * the explode.
+    *
+    * The 64 dot products run through the codegen [[graft.expr.VectorExprs
+    * DotProduct]] kernel against constant ±1 float hyperplanes — a tight
+    * primitive loop per product, instead of 64 hand-built 64-term SQL sum
+    * chains (a 4096-node projection that blows past whole-stage-codegen
+    * method limits). Bit-parity with the oracle's explicit chain holds
+    * because the kernel accumulates left-to-right from 0.0 (0.0 + t0 ≡ t0)
+    * and multiplying by ±1.0 is exact, so each d_j is the identical
+    * float64. Band keys are bits packed into an int — only key EQUALITY
+    * matters for the candidate join, and bit-pattern equality is the same
+    * relation as the oracle's '0'/'1'-string equality. */
   def bandedSignatures(emb: DataFrame, idCol: String, embCol: String,
       dim: Int): DataFrame = {
-    val vd = emb.select(col(idCol), col(embCol).cast("array<double>").as("v"))
-    val dots = (0 until Bits).map(j =>
-      expr(dotSql("v", j, dim, oneBased = false)).as(s"d$j"))
-    val withDots = vd.select(col(idCol) +: dots: _*)
+    import graft.expr.VectorKernels.dot_product
+    val dots = (0 until Bits).map { j =>
+      val plane = array((0 until dim).map(i => lit(sign(j, i).toFloat)): _*)
+      dot_product(col(embCol), plane).as(s"d$j")
+    }
+    val withDots = emb.select(col(idCol) +: dots: _*)
     val bandStructs = (0 until Bands).map { b =>
-      val key = bandKeySql(b, bits => s"concat(${bits.mkString(", ")})")
+      val key = (0 until RowsPerBand).map { r =>
+        s"(CASE WHEN d${b * RowsPerBand + r} >= 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
       s"struct($b AS band, $key AS bk)"
     }
     withDots

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+import graft.util.Tables._
+
+/** Corpus-curation surface over `documents` (training-data pipeline
+  * operators beyond the reference): deterministic hash splits, per-source
+  * quotas, benchmark decontamination. Oracle SQL mirrors the same
+  * md5-derived arithmetic, so both engines assign identical rows.
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic train/val/test split: md5(id) → bucket 0-99 →
+    // 80/10/10. A pure projection (no shuffle); assignments never move as
+    // the corpus grows.
+    Q("q63_hash_split",
+      Some("""SELECT doc_id, bucket,
+             | CASE WHEN bucket < 80 THEN 'train'
+             |      WHEN bucket < 90 THEN 'val'
+             |      ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+             |          % 100 AS bucket
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => Curation.hashSplit(documents(s, d), "doc_id")
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
+
+    // Per-source quota: keep the 5 longest docs per source (ties by id) —
+    // the "cap documents per domain" curation step as a partitioned
+    // window, one shuffle by source.
+    Q("q64_per_source_cap",
+      Some("""SELECT source, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin),
+      (s, d) => Curation.capPerKey(documents(s, d), "source", 5,
+          col("n_chars").desc, col("doc_id"))
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")),
+
+    // Benchmark decontamination: eval set = doc_id % 97 = 0; for each eval
+    // doc, how many of its word-3-shingle hashes appear anywhere in the
+    // train remainder (hash-keyed semi-join against the distinct train
+    // shingle set, never an all-pairs comparison).
+    Q("q65_decontam_overlap",
+      Some(s"""${TextQueries.shingleCte},
+              |ev AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+              |evsh AS (
+              |  SELECT h.doc_id, h.h FROM hashed h JOIN ev USING (doc_id)),
+              |trainh AS (
+              |  SELECT DISTINCT h FROM hashed
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+              |nsh AS (
+              |  SELECT doc_id, count(*) AS n_shingles FROM evsh GROUP BY doc_id),
+              |shared AS (
+              |  SELECT doc_id, count(*) AS n_shared FROM evsh
+              |  WHERE h IN (SELECT h FROM trainh) GROUP BY doc_id)
+              |SELECT e.doc_id,
+              |  coalesce(n.n_shingles, 0) AS n_shingles,
+              |  coalesce(s.n_shared, 0) AS n_shared,
+              |  CASE WHEN coalesce(n.n_shingles, 0) = 0 THEN 0.0
+              |       ELSE round(coalesce(s.n_shared, 0) / n.n_shingles, 6)
+              |  END AS contamination
+              |FROM ev e
+              |LEFT JOIN nsh n USING (doc_id)
+              |LEFT JOIN shared s USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => Curation.contaminationOverlap(documents(s, d), "doc_id",
+          "text", col("doc_id") % 97 === 0)
+        .orderBy("doc_id"))
+  )
+}

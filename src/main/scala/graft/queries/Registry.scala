@@ -6,7 +6,8 @@ object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all ++
-      BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all
+      BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all ++
+      CurationQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

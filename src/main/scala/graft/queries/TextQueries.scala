@@ -18,8 +18,9 @@ object TextQueries {
 
   /** Shingle CTE: distinct word-3-shingle HASHES per doc (the engine
     * dedups/joins on the 60-bit hash, not the string — see
-    * Dedup.shingleTable). */
-  private val shingleCte =
+    * Dedup.shingleTable). Shared with CurationQueries (decontamination
+    * runs over the same shingle table). */
+  private[queries] val shingleCte =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents
        |), sh AS (

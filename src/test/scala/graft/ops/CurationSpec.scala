@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, stable under corpus growth, ~80/10/10") {
+    val small = Seq.range(0L, 200L).toDF("id")
+    val big = Seq.range(0L, 2000L).toDF("id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.hashSplit(df, "id").select("id", "split")
+        .as[(Long, String)].collect().toMap
+    val s1 = splits(small)
+    val s2 = splits(big)
+    // growth never reassigns an existing row
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    // rerun is identical (no rand() anywhere)
+    assert(splits(small) == s1)
+  }
+
+  test("capPerKey keeps at most k per key with the given preference") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 1L)
+    ).toDF("key", "id", "score")
+    val kept = Curation.capPerKey(df, "key", 2, col("score").desc, col("id"))
+      .select("id").as[Long].collect().toSet
+    // a: prefers score 30 (ids 2,4 — tie by id) → {2,4}; b: everything
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("contaminationOverlap: duplicated eval doc is fully contaminated, " +
+      "unique eval doc is clean") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // eval (0 % 2 == 0)
+      (1L, "alpha beta gamma delta epsilon zeta"),  // train dup of 0
+      (2L, "one two three four five six"),          // eval, unique
+      (3L, "seven eight nine ten eleven twelve")    // train, unrelated
+    ).toDF("doc_id", "text")
+    val got = Curation
+      .contaminationOverlap(docs, "doc_id", "text", col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L)._3 == 1.0, "full dup in train => contamination 1.0")
+    assert(got(0L)._1 == got(0L)._2)
+    assert(got(2L) == ((4L, 0L, 0.0)), "no shared shingles => clean")
+  }
+
+  test("contaminationOverlap: short eval doc (no shingles) reports 0.0") {
+    val docs = Seq((0L, "xy"), (1L, "some train text here")).toDF("doc_id", "text")
+    val got = Curation
+      .contaminationOverlap(docs, "doc_id", "text", col("doc_id") === 0)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 0L && got.head.getDouble(3) == 0.0)
+  }
+}

@@ -78,15 +78,40 @@ class DedupSpec extends SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("near-dup components: a 10-hop chain converges to ONE keeper") {
+  test("near-dup components: a 10-hop chain converges to ONE keeper " +
+      "(fixpoint loop path)") {
     // 1-2-3-...-11: diameter 10 — a fixed 5-round propagation would split
     // this into multiple keepers; the fixpoint loop must not.
+    // smallGraphMaxEdges=0 forces the large-graph propagation path.
     val pairs = (1L to 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.nearDupComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Dedup.nearDupComponents(pairs, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 11)
     assert(labels.values.toSet == Set(1L),
       s"every node must carry the chain minimum, got $labels")
+  }
+
+  test("union-find path and propagation path produce identical labels") {
+    // chains, a cycle, a star, and isolated pairs in one graph
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 20L), (20L, 30L),
+      (30L, 40L), (100L, 7L), (100L, 8L), (100L, 9L), (55L, 44L)))
+      .toDF("doc_a", "doc_b")
+    def run(small: Long) =
+      Dedup.nearDupComponents(pairs, smallGraphMaxEdges = small)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unionFind = run(Long.MaxValue)
+    val propagation = run(0)
+    assert(unionFind == propagation)
+    assert(unionFind(40L) == 10L && unionFind(100L) == 7L &&
+      unionFind(55L) == 44L && unionFind(3L) == 1L)
+  }
+
+  test("union-find path handles string ids (generic Comparable keys)") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "z")).toDF("doc_a", "doc_b")
+    val labels = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "z" -> "x"))
   }
 
   test("nearDupRemovals drops non-keeper dups, keeps keeper + uniques") {
