@@ -85,6 +85,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: stride-downsample the payload bytes by `factor` —
+    * standing in for an image resample kernel (no codecs in this
+    * container); the partition-batched shape (one codec init per
+    * partition, rows streamed) is the real deliverable and is identical
+    * for the real kernel. Replaces `binCol` in place; metadata columns
+    * are the caller's to recompute (expressions). */
+  def resize(df: DataFrame, binCol: String, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      // per-partition init point for a real resample kernel
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val out =
+          if (bytes == null) null
+          else {
+            val n = (bytes.length + factor - 1) / factor
+            val o = new Array[Byte](n)
+            var i = 0
+            while (i < n) { o(i) = bytes(i * factor); i += 1 }
+            o
+          }
+        Row.fromSeq(r.toSeq.updated(binIdx, out))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling as a DECLARATIVE generator: payload → up to
+    * `maxFrames` fixed-width frames via sequence + explode + substring —
+    * fully codegen'd, no mapPartitions, because slicing is expressible.
+    * Frames here are character ranges of the text payload (the sandbox's
+    * media stand-in, and what the DuckDB oracle can slice too); a real
+    * video pipeline swaps the substring for a byte-range/keyframe slice —
+    * the one-to-many plan shape (generate frame indices, slice, hash) is
+    * unchanged. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      frameWidth: Int, maxFrames: Int): DataFrame = {
+    require(frameWidth >= 1 && maxFrames >= 1)
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("_p"))
+      .withColumn("n_frames",
+        least(ceil(length(col("_p")) / lit(frameWidth.toDouble)).cast("int"),
+          lit(maxFrames)))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1)))
+      .withColumn("frame",
+        expr(s"substring(_p, frame_idx * $frameWidth + 1, $frameWidth)"))
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_chars"),
+        md5(encode(col("frame"), "UTF-8")).as("frame_hash"))
+  }
+
   /** Deterministic fake "image dimensions" from the content hash — the
     * metadata-extraction shape (real pipelines read codec headers). */
   def fakeDimensions(df: DataFrame): DataFrame = df

@@ -80,6 +80,40 @@ object TextOps {
         + (lit(1.0) - col("punct_ratio")) * lit(0.3)
         + least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3))
 
+  /** TF-IDF: per-(doc, term) term frequency × ln(n_docs / doc_freq),
+    * rounded to 6 decimals BEFORE any ranking so engines rank identical
+    * values. Three hash-aggregates (tf by (doc, term), df by term, corpus
+    * count) + one equi-join on term — the classic two-pass formulation;
+    * the one-row corpus count is a broadcast cross join, and nothing is
+    * ever collected to the driver. At 100 TB the term-keyed shuffle is
+    * uniform (natural-language term distribution is skewed, but the tf
+    * pre-aggregation caps any term's row count at n_docs). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(normalize(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Top-n terms per doc by [[tfidf]] (ties broken by term — total order,
+    * deterministic). One extra shuffle by doc for the rank window. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tfidf(df, idCol, textCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Content fingerprints: full-content md5 of the normalized text, plus a
     * winnowing-style min-shingle-hash (robust to local edits). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -35,6 +35,24 @@ object FormatQueries {
         .select("media_id", "n_bytes", "content_hash", "width", "height")
         .orderBy("media_id")),
 
+    // Frame sampling (the video-pipeline one-to-many): up to 8 32-char
+    // frames per payload via sequence+explode+substring — declarative,
+    // codegen'd, oracle-sliceable (DuckDB 1.0 can't slice BLOBs, so both
+    // engines slice CHARACTER frames and hash their UTF-8 bytes; a real
+    // codec swaps the slice kernel, the plan shape is identical).
+    Q("q67_frame_sample",
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, i - 1 AS frame_idx,
+             |    substring(text, (i - 1) * 32 + 1, 32) AS frame
+             |  FROM documents, unnest(generate_series(1,
+             |    least(CAST(ceil(length(text) / 32.0) AS INT), 8))) AS g(i))
+             |SELECT media_id, frame_idx, length(frame) AS frame_chars,
+             |  md5(frame) AS frame_hash
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin),
+      (s, d) => Multimodal.sampleFrames(documents(s, d), "doc_id", "text",
+          frameWidth = 32, maxFrames = 8)
+        .orderBy("media_id", "frame_idx")),
+
     // CSV sink → CSV scan (explicit schema, header) → agg.
     Q("q42_csv_roundtrip",
       Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2)

@@ -222,6 +222,30 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin)
     },
       (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TF-IDF top terms per doc (SURVEY §2.12's tf-idf): tf × ln(N/df),
+    // rounded before ranking so both engines rank identical values; top-5
+    // per doc with term tie-break.
+    Q("q66_tfidf_top_terms",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+              |  FROM documents),
+              |tf AS (
+              |  SELECT doc_id, term, count(*) AS tf
+              |  FROM toks GROUP BY doc_id, term),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |nd AS (SELECT count(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT t.doc_id, t.term, t.tf,
+              |    round(t.tf * ln(n_docs::DOUBLE / d.df), 6) AS tfidf
+              |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+              |SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 5
+              |ORDER BY doc_id, term""".stripMargin),
+      (s, d) => TextOps.topTerms(documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id", "term"))
   )
 }

@@ -34,6 +34,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows == again)
   }
 
+  test("resize: stride-downsample shrinks payload, updates in place") {
+    val media = Multimodal.ingestAsMedia(docs, "doc_id", "text", "text/plain")
+    val resized = Multimodal.resize(media, "content", 2).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[Array[Byte]]("content")).toMap
+    assert(new String(resized(1L), "UTF-8") == "hlowrd") // every 2nd byte
+    assert(resized(2L).length == 0)
+    assert(new String(resized(3L), "UTF-8") == "ac")
+    // schema unchanged; other columns intact
+    val full = Multimodal.resize(media, "content", 2)
+    assert(full.schema == media.schema)
+    assert(full.filter("media_id = 1").head.getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("sampleFrames: fixed-width frames, capped, hashed; empty docs drop") {
+    val long = Seq((1L, "a" * 100), (2L, ""), (3L, "short"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(long, "doc_id", "text", 32, 8)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Int]("frame_chars")).toMap
+    // 100 chars / 32 → 4 frames of 32,32,32,4; doc 2 empty → none
+    assert(frames.keys.count(_._1 == 1L) == 4)
+    assert(frames((1L, 0)) == 32 && frames((1L, 3)) == 4)
+    assert(!frames.keys.exists(_._1 == 2L))
+    assert(frames((3L, 0)) == 5)
+    // cap: maxFrames 2 truncates
+    val capped = Multimodal.sampleFrames(long, "doc_id", "text", 32, 2)
+      .filter("media_id = 1").count()
+    assert(capped == 2)
+  }
+
   test("fakeDimensions: md5-derived width/height in range") {
     val m = Multimodal.fakeDimensions(
       Multimodal.ingestAsMedia(docs, "doc_id", "text", "text/plain"))

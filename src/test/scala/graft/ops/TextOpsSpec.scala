@@ -51,4 +51,25 @@ class TextOpsSpec extends SparkTestBase {
       .toMap
     assert(fp(1L) == fp(2L)) // normalization makes them identical
   }
+
+  test("tfidf: tf * ln(N/df), corpus-wide terms score 0") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tfidf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "apple")) == ((2L, r6(2 * math.log(2.0)))))
+    assert(got((1L, "banana")) == ((1L, 0.0)), "df == N => idf 0")
+    assert(got((2L, "cherry")) == ((1L, r6(math.log(2.0)))))
+  }
+
+  test("topTerms keeps n best per doc, ties broken by term") {
+    val df = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("doc_id", "text")
+    // doc1: cc/dd unique (ln2 each), aa/bb shared (0) — top-2 must be the
+    // unique terms in term order; top-3 adds 'aa' before 'bb'
+    val top3 = TextOps.topTerms(df, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1).select("term").as[String].collect().toSet
+    assert(top3 == Set("cc", "dd", "aa"))
+  }
 }
