@@ -44,7 +44,10 @@ object Bench {
     // keep the JSON line SHORT (ms-rounded values) and print it before
     // spark.stop(): the driver captures the output tail, and a long line
     // risks having its head truncated off the capture window.
-    def r(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would otherwise turn
+    // 0.123 into "0,123" and break the JSON consumer
+    def r(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

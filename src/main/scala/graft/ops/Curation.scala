@@ -53,7 +53,10 @@ object Curation {
     * is the dominant (and inherent) shuffle, uniform by construction. */
   def contaminationOverlap(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column): DataFrame = {
-    val sh = Dedup.shingleTable(docs, idCol, textCol)
+    // the shingle table feeds three branches (eval side twice, train
+    // distinct once) — cache it so the corpus tokenize/shingle/hash pass
+    // runs once, not three times (callers/harnesses clearCache after)
+    val sh = Dedup.shingleTable(docs, idCol, textCol).cache()
     val evalIds = docs.filter(evalPred).select(idCol)
     val evalSh = sh.join(evalIds, Seq(idCol), "left_semi")
     val trainH = sh.join(evalIds, Seq(idCol), "left_anti")

@@ -83,11 +83,21 @@ object Dedup {
     val bandsDf = sig
       .select(col(idCol), explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
-    val a = bandsDf.select(col(idCol).as("doc_a"), col("band"), col("bk"))
-    val b = bandsDf.select(col(idCol).as("doc_b"), col("band"), col("bk"))
+    bandJoin(bandsDf, idCol, "doc_a", "doc_b")
+  }
+
+  /** The LSH candidate join shared by the MinHash (text) and sign-bit
+    * (embedding) families: (id, band, bk) rows self-joined on the band
+    * key — a hash equi-join, never a cross product — keeping ordered
+    * pairs, distinct across bands. Any future candidate-semantics change
+    * (e.g. hot-band skew handling) lands here once for both. */
+  def bandJoin(bands: DataFrame, idCol: String, outA: String,
+      outB: String): DataFrame = {
+    val a = bands.select(col(idCol).as(outA), col("band"), col("bk"))
+    val b = bands.select(col(idCol).as(outB), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .filter(col(outA) < col(outB))
+      .select(outA, outB).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: inverted-index join on the
@@ -158,7 +168,7 @@ object Dedup {
     * component, and are asserted identical in DedupSpec.
     * Returns (node, label) where label = min doc id in the component. */
   def nearDupComponents(pairs: DataFrame, maxIters: Int = 50,
-      smallGraphMaxEdges: Long = 1L << 21): DataFrame = {
+      smallGraphMaxEdges: Long = 1L << 19): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Iterative algorithms MUST truncate lineage each round: every
@@ -197,13 +207,14 @@ object Dedup {
   }
 
   /** Exact connected components via union-find over a checkpointed edge
-    * set small enough for one partition (≤ ~2M directed edges ≈ tens of
-    * MB). Runs executor-side as a single narrow task — NOT a driver
-    * collect — with union-by-min (attach the larger root under the
-    * smaller), so each root IS the component minimum, plus path
-    * compression. Key type stays generic: anything with a Comparable
-    * runtime value (long ids, md5 strings) works, matching the
-    * propagation path's `min` semantics. */
+    * set small enough for one partition (the ≤ 2^19-directed-edge default
+    * keeps the boxed hash map around ~100 MB even with string keys).
+    * Runs executor-side as a single narrow task — NOT a driver collect —
+    * with union-by-min (attach the larger root under the smaller), so
+    * each root IS the component minimum, plus path compression. Key type
+    * stays generic: anything with a Comparable runtime value (long ids,
+    * md5 strings) works, matching the propagation path's `min`
+    * semantics. */
   private def smallGraphComponents(edgesCk: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}

@@ -101,15 +101,10 @@ object EmbeddingLsh {
       .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
   }
 
-  /** Distinct candidate pairs (a < b) from a band-key equi-join — same
-    * shape as [[Dedup.lshCandidatePairs]]. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("vec_a"), col("band"), col("bk"))
-    val b = bands.select(col(idCol).as("vec_b"), col("band"), col("bk"))
-    a.join(b, Seq("band", "bk"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-  }
+  /** Distinct candidate pairs (a < b) via the shared band-key equi-join
+    * ([[Dedup.bandJoin]] — one implementation for both LSH families). */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    Dedup.bandJoin(bands, idCol, "vec_a", "vec_b")
 
   /** End-to-end: LSH candidates verified by exact cosine, keeping pairs
     * with rounded cos_sim > `threshold`. Output: (vec_a, vec_b, cos_sim). */

@@ -127,6 +127,9 @@ object Multimodal {
     require(frameWidth >= 1 && maxFrames >= 1)
     df.select(col(idCol).cast("long").as("media_id"),
         col(payloadCol).as("_p"))
+      // least() SKIPS nulls (both in Spark and DuckDB), so a null payload
+      // would otherwise score n_frames = maxFrames and emit phantom rows
+      .filter(col("_p").isNotNull)
       .withColumn("n_frames",
         least(ceil(length(col("_p")) / lit(frameWidth.toDouble)).cast("int"),
           lit(maxFrames)))

@@ -62,6 +62,10 @@ object Similarity {
     val nv = emb
       .select(col(labelCol), col(embCol).cast("array<double>").as("ed"))
       .withColumn("nrm", expr("sqrt(aggregate(ed, 0D, (a, y) -> a + y * y))"))
+      // zero-norm vectors have no direction — cosine with them is
+      // undefined; drop them (the pairwise formulation dropped those
+      // pairs via a null filter)
+      .filter(col("nrm") > 0)
       .select(col(labelCol), expr("transform(ed, x -> x / nrm)").as("v"))
     val aggCols = count(lit(1)).as("n") +:
       (0 until dim).map(i => sum(expr(s"v[$i]")).as(s"s$i"))
@@ -69,7 +73,10 @@ object Similarity {
     val sumSq = (0 until dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _)
     g.select(col(labelCol),
       ((col("n") * (col("n") - 1)) / 2).cast("long").as("n_pairs"),
-      round((sumSq - col("n")) / (col("n") * (col("n") - 1)), 6).as("mean_sim"))
+      // singleton labels have no pairs: mean is undefined, not 0/0
+      when(col("n") > 1,
+        round((sumSq - col("n")) / (col("n") * (col("n") - 1)), 6))
+        .as("mean_sim"))
   }
 
   /** Cell assignment: nearest centroid per vector (ties → lowest

@@ -45,7 +45,8 @@ object FormatQueries {
              |  SELECT doc_id AS media_id, i - 1 AS frame_idx,
              |    substring(text, (i - 1) * 32 + 1, 32) AS frame
              |  FROM documents, unnest(generate_series(1,
-             |    least(CAST(ceil(length(text) / 32.0) AS INT), 8))) AS g(i))
+             |    least(CAST(ceil(length(text) / 32.0) AS INT), 8))) AS g(i)
+             |  WHERE text IS NOT NULL)
              |SELECT media_id, frame_idx, length(frame) AS frame_chars,
              |  md5(frame) AS frame_hash
              |FROM f ORDER BY media_id, frame_idx""".stripMargin),

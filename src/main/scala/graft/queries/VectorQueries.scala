@@ -98,18 +98,22 @@ object VectorQueries {
       val sums = (0 until dim).map(i => s"sum(v[${i + 1}]) AS s$i")
         .mkString(",\n             |    ")
       val sumSq = (0 until dim).map(i => s"s$i * s$i").mkString(" + ")
-      Some(s"""WITH nv AS (
-              |  SELECT label,
-              |    list_transform(embedding::DOUBLE[], x -> x /
-              |      sqrt(list_reduce(list_transform(embedding::DOUBLE[],
-              |        y -> y * y), (a, b) -> a + b))) AS v
+      Some(s"""WITH pre AS (
+              |  SELECT label, embedding::DOUBLE[] AS e,
+              |    sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+              |      y -> y * y), (a, b) -> a + b)) AS nrm
               |  FROM embeddings),
+              |nv AS (
+              |  SELECT label, list_transform(e, x -> x / nrm) AS v
+              |  FROM pre WHERE nrm > 0),
               |g AS (
               |  SELECT label, count(*) AS n,
               |    $sums
               |  FROM nv GROUP BY label)
               |SELECT label, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
-              |  round(($sumSq - n) / (n * (n - 1)), 6) AS mean_sim
+              |  CASE WHEN n > 1
+              |       THEN round(($sumSq - n) / (n * (n - 1)), 6)
+              |  END AS mean_sim
               |FROM g ORDER BY label""".stripMargin)
     },
       (s, d) => graft.ops.Similarity

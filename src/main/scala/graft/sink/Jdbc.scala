@@ -41,11 +41,18 @@ object Jdbc {
     * and only a successful connection can answer "absent": a
     * connectivity/auth failure propagates instead of being misread as
     * "no table" (which, in the reference's incremental flow, would
-    * re-append the full fetch as duplicates). Name comparison is
-    * case-insensitive to absorb engines that fold unquoted identifiers
-    * (Derby/Postgres fold opposite directions). */
+    * re-append the full fetch as duplicates). A `schema.table` qualifier
+    * is honored (both parts compared); comparisons are case-insensitive
+    * to absorb engines that fold unquoted identifiers (Derby/Postgres
+    * fold opposite directions). Note: DriverManager resolves drivers from
+    * the application classloader — on a cluster, ship the JDBC driver on
+    * the driver classpath (--driver-class-path), not only --jars. */
   def tableExists(spark: SparkSession, url: String, table: String,
       props: Properties): Boolean = {
+    val (schemaOpt, name) = table.lastIndexOf('.') match {
+      case -1 => (None, table)
+      case i  => (Some(table.substring(0, i)), table.substring(i + 1))
+    }
     val conn = DriverManager.getConnection(url, props)
     try {
       val rs = conn.getMetaData.getTables(null, null, null,
@@ -53,7 +60,9 @@ object Jdbc {
       try {
         var found = false
         while (!found && rs.next())
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(name) &&
+            schemaOpt.forall(s =>
+              s.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
         found
       } finally rs.close()
     } finally conn.close()

@@ -45,7 +45,12 @@ class JsonPagesSource extends TableProvider {
     JsonPagesSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagesTable(properties.asScala.toMap)
+    // getTable receives the ORIGINAL-case map (asCaseSensitiveMap), so a
+    // caller's .option("backoffMs", ...) arrives camelCased — lowercase
+    // every key here so the scan builder's lowercase lookups match
+    new PagesTable(properties.asScala.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }.toMap)
 }
 
 object JsonPagesSource {

@@ -145,6 +145,16 @@ object Streams {
   private def runToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
     val base = Files.createTempDirectory(
       s"graft_stream_${counter.incrementAndGet()}_").toString
+    // sink + checkpoint are per-invocation scratch: reap them at JVM exit
+    // so repeated runs (best-of-2 bench, verify) don't accumulate state
+    // store files and parquet output in the temp dir
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
     val out = s"$base/out"
     val ck = s"$base/checkpoint"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -66,6 +66,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(capped == 2)
   }
 
+  test("sampleFrames: null payload emits NO rows (least() skips nulls)") {
+    val withNull = Seq((1L, "some text"), (2L, null))
+      .toDF("doc_id", "text")
+    val ids = Multimodal.sampleFrames(withNull, "doc_id", "text", 4, 8)
+      .select("media_id").as[Long].collect().toSet
+    assert(ids == Set(1L), "null payload must not produce phantom frames")
+  }
+
   test("fakeDimensions: md5-derived width/height in range") {
     val m = Multimodal.fakeDimensions(
       Multimodal.ingestAsMedia(docs, "doc_id", "text", "text/plain"))

@@ -42,4 +42,20 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall $recall") // random vectors: cells are weak
   }
+
+  test("labelCohesion: singleton label -> null mean; zero-norm dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(1f, 0f)), (1, Array(1f, 0f)),       // identical pair
+      (2, Array(0f, 1f)),                           // singleton label
+      (3, Array(0f, 0f)), (3, Array(1f, 1f))        // zero-norm + one real
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCohesion(df, "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1) == ((1L, Some(1.0))), "identical vectors: mean cos 1.0")
+    assert(got(2) == ((0L, None)), "singleton: no pairs, null mean")
+    assert(got(3) == ((0L, None)),
+      "zero-norm vector dropped -> label 3 degenerates to a singleton")
+  }
 }

@@ -27,6 +27,13 @@ class JdbcSpec extends SparkTestBase {
       "probe must absorb the engine's unquoted-identifier case folding")
   }
 
+  test("tableExists honors a schema qualifier") {
+    Jdbc.append(Seq(("x", 1L)).toDF("k", "n"), url, "qual_t", props)
+    // Derby puts unqualified tables in the APP schema
+    assert(Jdbc.tableExists(spark, url, "app.qual_t", props))
+    assert(!Jdbc.tableExists(spark, url, "nosuch.qual_t", props))
+  }
+
   test("tableExists: connectivity failure propagates, never reads as absent") {
     intercept[java.sql.SQLException] {
       Jdbc.tableExists(spark, "jdbc:derby:memory:noSuchDb", "t", props)

@@ -74,6 +74,12 @@ class JsonPagesSourceSpec extends SparkTestBase {
       .option("fetcher", "spec-chunks").option("mode", "chunks")
       .option("ids", ids.mkString(",")).load()
     assert(df.rdd.getNumPartitions == 3, "120 ids -> 50/50/20 partitions")
+    // camelCase options must be honored (getTable delivers original-case
+    // keys; a lowercase-only lookup would silently fall back to 50)
+    val sized = spark.read.format(JsonPagesSource.Name)
+      .option("fetcher", "spec-chunks").option("mode", "chunks")
+      .option("chunkSize", "60").option("ids", ids.mkString(",")).load()
+    assert(sized.rdd.getNumPartitions == 2, "chunkSize=60 -> 2 partitions")
     assert(df.count() == 3)
     import scala.jdk.CollectionConverters._
     assert(seen.asScala.toSeq.sortBy(-_.size).map(_.size) == Seq(50, 50, 20))
