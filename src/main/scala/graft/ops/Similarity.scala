@@ -94,6 +94,24 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** One k-means refinement step over cosine cells: E-step re-assigns
+    * every vector to its nearest centroid ([[assignCells]] — broadcast
+    * centroids, one pass), M-step emits each cell's per-dimension mean in
+    * LONG form (cid, dim, n, c) via posexplode + hash-agg. Long form
+    * keeps the shuffle rows narrow and the oracle comparison simple; the
+    * caller pivots back to vectors when feeding the next iteration. The
+    * per-(cell, dim) mean is the only order-sensitive float reduction
+    * (≈1e-15 relative) — absorbed by round(6), same tolerance posture as
+    * labelCohesion. */
+  def centroidUpdate(collection: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    assignCells(collection, centroids)
+      .select(col("cid"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 6).as("c"))
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
     * exact-rank inside them. */
   def ivfTopK(collection: DataFrame, centroids: DataFrame, queries: DataFrame,

@@ -144,6 +144,31 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // Batch sessionization (gap rule, 6h): the bounded-table counterpart
+    // of the streaming session_window — lag + running-sum + session agg
+    // share ONE shuffle by user; gaps compared in exact microseconds
+    // (unix_micros / epoch_us) so both engines break sessions identically.
+    Q("q68_batch_sessions",
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0
+             |    END AS news
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT *, sum(news) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  min(ts) AS sess_start, max(ts) AS sess_end
+             |FROM s GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      (s, d) => graft.ops.Sessionize
+        .sessions(events(s, d), "user_id", "ts", "event_id",
+          gapSeconds = 21600L)
+        .orderBy("user_id", "session_idx")),
+
     // Conditional aggregation (count_if / avg over filtered).
     Q("q21_conditional_agg",
       Some("""SELECT o_orderpriority,

@@ -118,6 +118,36 @@ object VectorQueries {
     },
       (s, d) => graft.ops.Similarity
         .labelCohesion(embeddings(s, d), "label", "embedding", 64)
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // One k-means step (IVF centroid training): E-step assignment to the
+    // nearest of the q33 seed centroids, M-step per-(cell, dim) means in
+    // long form. Assignment ranking reuses the q33-proven cosine order;
+    // the mean is round(6)-absorbed like labelCohesion.
+    Q("q69_kmeans_step",
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |assign AS (
+             |  SELECT cid, embedding FROM (
+             |    SELECT e.vec_id, c.cid, e.embedding,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+             |          DESC, c.cid) AS crn
+             |    FROM embeddings e, cent c
+             |    WHERE list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+             |      IS NOT NULL) t
+             |  WHERE crn = 1),
+             |ex AS (
+             |  SELECT cid, g.i - 1 AS dim, e[g.i] AS x
+             |  FROM (SELECT cid, embedding::DOUBLE[] AS e FROM assign) a,
+             |   unnest(generate_series(1, 64)) AS g(i))
+             |SELECT cid, dim, count(*) AS n, round(avg(x), 6) AS c
+             |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.centroidUpdate(emb, emb.filter(col("vec_id") % 50 === 0))
+          .orderBy("cid", "dim")
+      })
   )
 }

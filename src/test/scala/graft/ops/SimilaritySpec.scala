@@ -43,6 +43,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall") // random vectors: cells are weak
   }
 
+  test("centroidUpdate: per-cell dimension means over the assignment") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val coll = Seq(
+      (10L, Array(1f, 0.1f)), (11L, Array(1f, 0.3f)),  // cell 0
+      (12L, Array(0.1f, 1f))                           // cell 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidUpdate(coll, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, 0)) == ((2L, 1.0)))
+    assert(got((0L, 1))._2 == 0.2) // (0.1f + 0.3f) / 2, float-exact
+    assert(got((1L, 0)) == ((1L, BigDecimal(0.1f.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((1L, 1)) == ((1L, 1.0)))
+  }
+
   test("labelCohesion: singleton label -> null mean; zero-norm dropped") {
     import spark.implicits._
     val df = Seq(
