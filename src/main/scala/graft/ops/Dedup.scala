@@ -89,12 +89,25 @@ object Dedup {
   /** The LSH candidate join shared by the MinHash (text) and sign-bit
     * (embedding) families: (id, band, bk) rows self-joined on the band
     * key — a hash equi-join, never a cross product — keeping ordered
-    * pairs, distinct across bands. Any future candidate-semantics change
-    * (e.g. hot-band skew handling) lands here once for both. */
+    * pairs, distinct across bands.
+    *
+    * Skew valve: a degenerate band key (boilerplate signatures, constant
+    * vectors) makes its bucket's join output quadratic in the bucket
+    * size — the one way this join can blow up at 100 TB. Buckets larger
+    * than `maxBucket` are dropped before the self-join (standard LSH
+    * practice: an over-dense bucket carries ~no discriminative signal,
+    * and its members still pair through their other bands). The guard
+    * costs one narrow count-agg + semi-join; candidate semantics are
+    * unchanged while every bucket is under the cap. */
   def bandJoin(bands: DataFrame, idCol: String, outA: String,
-      outB: String): DataFrame = {
-    val a = bands.select(col(idCol).as(outA), col("band"), col("bk"))
-    val b = bands.select(col(idCol).as(outB), col("band"), col("bk"))
+      outB: String, maxBucket: Long = 100000L): DataFrame = {
+    val ok = bands.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("band", "bk")
+    val pruned = bands.join(ok, Seq("band", "bk"), "left_semi")
+    val a = pruned.select(col(idCol).as(outA), col("band"), col("bk"))
+    val b = pruned.select(col(idCol).as(outB), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
       .filter(col(outA) < col(outB))
       .select(outA, outB).distinct()

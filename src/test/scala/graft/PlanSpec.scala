@@ -84,6 +84,35 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q48: LSH candidate join is an equi-join, never a cross product") {
+    val p = plan("q48_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"all-pairs plan crept back into q48:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "band-key candidate join must be a hash-based equi-join")
+  }
+
+  test("q34: closed-form cohesion plans no join at all") {
+    val p = plan("q34_label_cohesion")
+    assert(!p.contains("Join"), s"q34 must be a pure aggregate:\n$p")
+    assert(p.contains("partial_"), "map-side combine expected")
+  }
+
+  test("q16: no single-partition window") {
+    val p = plan("q16_window_rank_dense")
+    assert(!p.contains("SinglePartition"),
+      s"global-window single-partition exchange crept back:\n$p")
+  }
+
+  test("q68: sessionization's windows and agg share one user shuffle") {
+    val p = plan("q68_batch_sessions")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"lag + running-sum + session agg must reuse ONE hash exchange " +
+        s"(got $hashExchanges):\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")

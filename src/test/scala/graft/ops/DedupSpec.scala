@@ -114,6 +114,22 @@ class DedupSpec extends SparkTestBase {
       "x" -> "x", "z" -> "x"))
   }
 
+  test("bandJoin skew valve: over-dense buckets are dropped, others kept") {
+    // hot bucket: 5 docs share (band 0, key "hot") -> C(5,2)=10 pairs;
+    // normal bucket: 2 docs share (band 1, key "ok") -> 1 pair
+    val hot = (1L to 5L).map(i => (i, 0, "hot"))
+    val ok = Seq((10L, 1, "ok"), (11L, 1, "ok"))
+    val bands = (hot ++ ok).toDF("doc_id", "band", "bk")
+    val unlimited = Dedup.bandJoin(bands, "doc_id", "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unlimited.size == 11)
+    val capped = Dedup.bandJoin(bands, "doc_id", "doc_a", "doc_b",
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)),
+      "the 5-member bucket must be dropped, the 2-member bucket kept")
+  }
+
   test("nearDupRemovals drops non-keeper dups, keeps keeper + uniques") {
     val removed = Dedup.nearDupRemovals(docs, "doc_id", "text", 0.5)
       .as[Long].collect().toSet
