@@ -96,16 +96,21 @@ object Dedup {
     * size — the one way this join can blow up at 100 TB. Buckets larger
     * than `maxBucket` are dropped before the self-join (standard LSH
     * practice: an over-dense bucket carries ~no discriminative signal,
-    * and its members still pair through their other bands). The guard
-    * costs one narrow count-agg + semi-join; candidate semantics are
-    * unchanged while every bucket is under the cap. */
+    * and its members still pair through their other bands). Bucket sizes
+    * come from a count window over the SAME (band, bk) shuffle the join
+    * needs — no second pass over the (possibly expensive) signature
+    * pipeline feeding `bands`. The cap is mirrored into every DuckDB
+    * oracle twin via [[MaxBucket]], so both engines prune identically if
+    * it ever fires — never a silent Spark-only recall drop. */
+  val MaxBucket = 100000L
   def bandJoin(bands: DataFrame, idCol: String, outA: String,
-      outB: String, maxBucket: Long = 100000L): DataFrame = {
-    val ok = bands.groupBy(col("band"), col("bk"))
-      .agg(count(lit(1)).as("_n"))
+      outB: String, maxBucket: Long = MaxBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk"))
+    val pruned = bands
+      .withColumn("_n", count(lit(1)).over(w))
       .filter(col("_n") <= maxBucket)
-      .select("band", "bk")
-    val pruned = bands.join(ok, Seq("band", "bk"), "left_semi")
+      .select(col(idCol), col("band"), col("bk"))
     val a = pruned.select(col(idCol).as(outA), col("band"), col("bk"))
     val b = pruned.select(col(idCol).as(outB), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))

@@ -139,9 +139,14 @@ object EmbeddingLsh {
        |  FROM vd),
        |bands AS (
        |  $bandSelects),
+       |okbands AS (
+       |  SELECT $idCol, band, bk FROM (
+       |    SELECT $idCol, band, bk,
+       |      count(*) OVER (PARTITION BY band, bk) AS n FROM bands) t
+       |  WHERE n <= ${Dedup.MaxBucket}),
        |cand AS (
        |  SELECT DISTINCT a.$idCol AS vec_a, b.$idCol AS vec_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  FROM okbands a JOIN okbands b ON a.band = b.band AND a.bk = b.bk
        |    AND a.$idCol < b.$idCol),
        |sims AS (
        |  SELECT vec_a, vec_b,

@@ -155,10 +155,12 @@ object AnalyticsQueries {
              |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
              |      OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0
              |    END AS news
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id)),
              |s AS (
              |  SELECT *, sum(news) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+             |    ORDER BY ts NULLS FIRST, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS session_idx
              |  FROM g)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |  min(ts) AS sess_start, max(ts) AS sess_end

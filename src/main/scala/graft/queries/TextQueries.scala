@@ -44,10 +44,17 @@ object TextQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bk FROM sig"
     }.mkString(" UNION ALL ")
+    // okbands mirrors Dedup.bandJoin's hot-bucket valve (same MaxBucket
+    // constant) so both engines prune identically if it ever fires
     s"""$sigCte, bands AS ($bandSelects),
+       |okbands AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT doc_id, band, bk,
+       |      count(*) OVER (PARTITION BY band, bk) AS n FROM bands) t
+       |  WHERE n <= ${Dedup.MaxBucket}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  FROM okbands a JOIN okbands b ON a.band = b.band AND a.bk = b.bk
        |   AND a.doc_id < b.doc_id
        |)""".stripMargin
   }

@@ -120,8 +120,7 @@ object Streams {
     * measured sweep at sf0.1 (8 → 4 partitions) cut every streaming query
     * 30-40% with zero result change. */
   private def streamPartitions(spark: SparkSession): String =
-    try spark.conf.get("spark.graft.stream.partitions")
-    catch { case _: Exception => "4" }
+    spark.conf.get("spark.graft.stream.partitions", "4")
 
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: org.apache.spark.sql.streaming.OutputMode =
