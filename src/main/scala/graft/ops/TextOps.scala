@@ -80,6 +80,51 @@ object TextOps {
         + (lit(1.0) - col("punct_ratio")) * lit(0.3)
         + least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3))
 
+  /** Max-bigram repetition ratio (Gopher/C4-style quality rule): the
+    * most frequent word bigram's share of all bigram instances —
+    * boilerplate and degenerate generations score high. Unlike
+    * [[Dedup.shingleTable]], bigram INSTANCES are kept (no per-doc
+    * dedup — the counts are the signal). Two hash-aggs keyed by doc;
+    * docs with fewer than two tokens have no bigrams and drop out. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigramExpr =
+      """CASE WHEN size(_toks) >= 2 THEN
+        |  transform(sequence(1, size(_toks) - 1),
+        |    i -> concat_ws(' ', _toks[i - 1], _toks[i]))
+        |ELSE array() END""".stripMargin
+    df.select(col(idCol), tokens(normalize(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(expr(bigramExpr)).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("max_bigram"), sum(col("n")).as("n_bigrams"))
+      .withColumn("rep_ratio",
+        round(col("max_bigram") / col("n_bigrams"), 6))
+  }
+
+  /** PII scrubbing: count and redact emails, URLs, and IPv4 addresses
+    * (plain regex surface — both Java and RE2 dialects accept these
+    * patterns, no lookaround/backrefs). Redaction order is email → URL →
+    * IP; per-row expressions only, no shuffle. The synthetic testdata
+    * contains no PII, so this op is spec-tested rather than
+    * oracle-queried. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://\\S+"
+  val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_emails",
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+    .withColumn("n_urls",
+      size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
+    .withColumn("n_ips",
+      size(regexp_extract_all(col(textCol), lit(IpRe), lit(0))))
+    .withColumn("scrubbed",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        IpRe, "<IP>"))
+
   /** TF-IDF: per-(doc, term) term frequency × ln(n_docs / doc_freq),
     * rounded to 6 decimals BEFORE any ranking so engines rank identical
     * values. Three hash-aggregates (tf by (doc, term), df by term, corpus

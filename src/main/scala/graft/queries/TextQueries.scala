@@ -254,5 +254,30 @@ object TextQueries {
               |ORDER BY doc_id, term""".stripMargin),
       (s, d) => TextOps.topTerms(documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id", "term"))
+  ,
+
+    // Max-bigram repetition ratio (Gopher/C4 quality rule): most frequent
+    // bigram's share of all bigram instances — no per-doc dedup, the
+    // counts ARE the signal.
+    Q("q70_repetition",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |bg AS (
+              |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+              |  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0)))
+              |    AS g(i)),
+              |c AS (
+              |  SELECT doc_id, bigram, count(*) AS n
+              |  FROM bg GROUP BY doc_id, bigram),
+              |a AS (
+              |  SELECT doc_id, max(n) AS max_bigram,
+              |    CAST(sum(n) AS BIGINT) AS n_bigrams
+              |  FROM c GROUP BY doc_id)
+              |SELECT doc_id, max_bigram, n_bigrams,
+              |  round(max_bigram / n_bigrams, 6) AS rep_ratio
+              |FROM a ORDER BY doc_id""".stripMargin),
+      (s, d) => TextOps.repetition(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 }

@@ -64,6 +64,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(got((2L, "cherry")) == ((1L, r6(math.log(2.0)))))
   }
 
+  test("repetition: max-bigram share; short docs drop out") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab -> max 3 of 5
+      (2L, "w x y z"),       // all distinct -> 1 of 3
+      (3L, "solo")           // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((3L, 5L, 0.6)))
+    assert(got(2L) == ((1L, 3L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!got.contains(3L))
+  }
+
+  test("scrubPii counts and redacts emails, URLs, IPs") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@example.co.uk or visit https://x.io/p?q=1 " +
+        "from 10.0.0.255 thanks"),
+      (2L, "no pii here, just 1.2 numbers and at signs @ alone")
+    ).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"),
+          r.getAs[Int]("n_ips"), r.getAs[String]("scrubbed"))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 ==
+      "mail me at <EMAIL> or visit <URL> from <IP> thanks")
+    assert(got(2L) == ((0, 0, 0,
+      "no pii here, just 1.2 numbers and at signs @ alone")))
+  }
+
   test("topTerms keeps n best per doc, ties broken by term") {
     val df = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("doc_id", "text")
     // doc1: cc/dd unique (ln2 each), aa/bb shared (0) — top-2 must be the
