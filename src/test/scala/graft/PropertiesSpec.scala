@@ -57,6 +57,58 @@ class PropertiesSpec extends SparkTestBase {
     assert(plain.exceptAll(salted.select(plain.columns.map(org.apache.spark.sql.functions.col): _*)).isEmpty)
   }
 
+  test("sessionize == brute-force gap model, on random event streams") {
+    val gen = for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 2000L)
+    } yield (user, t)
+    val raw = sample(gen, 200).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, new Timestamp(t * 1000)) }
+    val gapSec = 120L
+    val got = graft.ops.Sessionize
+      .sessions(raw.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", gapSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // brute force: per user, walk events in (ts, id) order and break on
+    // gap > threshold
+    val model = raw.groupBy(_._2).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+      var idx = 0L
+      var prev: Option[Long] = None
+      val counts = collection.mutable.Map.empty[(Long, Long), Long]
+      sorted.foreach { e =>
+        val t = e._3.getTime
+        if (prev.isEmpty || t - prev.get > gapSec * 1000) idx += 1
+        prev = Some(t)
+        counts((u, idx)) = counts.getOrElse((u, idx), 0L) + 1
+      }
+      counts
+    }
+    assert(got == model.toMap)
+    // sessions partition the events: counts sum to the input size
+    assert(got.values.sum == raw.size)
+  }
+
+  test("hashSplit is a pure function of the id, at any corpus size") {
+    val g = Gen.choose(0L, 100000L)
+    val ids = sample(g, 400).distinct
+    val assigned = graft.ops.Curation
+      .hashSplit(ids.toDF("id"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // model: same md5-prefix arithmetic, computed JVM-side
+    ids.foreach { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 100
+      val want = if (bucket < 80) "train" else if (bucket < 90) "val"
+        else "test"
+      assert(assigned(id) == want, s"id $id bucket $bucket")
+    }
+  }
+
   test("incremental newKeys == set difference, on random overlapping sets") {
     val g = Gen.choose(0L, 200L)
     val fetched = sample(g, 300)
