@@ -42,17 +42,25 @@ object Dedup {
     * shuffle the whole shingle corpus for no semantic gain). The shingle
     * string is hashed and dropped map-side; all downstream set logic
     * (minhash, Jaccard) operates on the 16-byte h. */
+  /** Word-k-gram SQL expression over a token-array column — the one
+    * shared builder for every n-gram consumer (shingles, repetition).
+    * CASE-guard: Spark's sequence(1, 0) steps DOWNWARD, so short docs
+    * must map to an empty array explicitly. `distinct` = per-row set
+    * semantics (shingles); without it, instances are kept (repetition
+    * counts). */
+  def kGramExpr(toksCol: String, k: Int, distinct: Boolean): String = {
+    val joined = (0 until k).map(o => s"$toksCol[i - 1 + $o]").mkString(", ")
+    val grams =
+      s"transform(sequence(1, size($toksCol) - ${k - 1}), i -> concat_ws(' ', $joined))"
+    val body = if (distinct) s"array_distinct($grams)" else grams
+    s"CASE WHEN size($toksCol) >= $k THEN $body ELSE array() END"
+  }
+
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    // CASE-guard: Spark's sequence(1, 0) steps DOWNWARD, so short docs
-    // must map to an empty array explicitly.
-    val shingleExpr =
-      s"""CASE WHEN size(_toks) >= $k THEN
-         |  array_distinct(transform(sequence(1, size(_toks) - ${k - 1}),
-         |    i -> concat_ws(' ', ${(0 until k).map(o => s"_toks[i - 1 + $o]").mkString(", ")})))
-         |ELSE array() END""".stripMargin
     df.select(col(idCol), TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
-      .select(col(idCol), explode(expr(shingleExpr)).as("shingle"))
+      .select(col(idCol),
+        explode(expr(kGramExpr("_toks", k, distinct = true))).as("shingle"))
       .select(col(idCol), TextOps.hash60(col("shingle")).as("h"))
   }
 

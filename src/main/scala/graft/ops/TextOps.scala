@@ -86,44 +86,48 @@ object TextOps {
     * [[Dedup.shingleTable]], bigram INSTANCES are kept (no per-doc
     * dedup — the counts are the signal). Two hash-aggs keyed by doc;
     * docs with fewer than two tokens have no bigrams and drop out. */
-  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bigramExpr =
-      """CASE WHEN size(_toks) >= 2 THEN
-        |  transform(sequence(1, size(_toks) - 1),
-        |    i -> concat_ws(' ', _toks[i - 1], _toks[i]))
-        |ELSE array() END""".stripMargin
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), tokens(normalize(col(textCol))).as("_toks"))
-      .select(col(idCol), explode(expr(bigramExpr)).as("bigram"))
+      .select(col(idCol),
+        explode(expr(Dedup.kGramExpr("_toks", 2, distinct = false)))
+          .as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol))
       .agg(max(col("n")).as("max_bigram"), sum(col("n")).as("n_bigrams"))
-      .withColumn("rep_ratio",
-        round(col("max_bigram") / col("n_bigrams"), 6))
-  }
+      // quotient of identical integer operands: bit-identical across
+      // engines — emit RAW (rounding would reintroduce the half-boundary
+      // divergence class the parity playbook documents)
+      .withColumn("rep_ratio", col("max_bigram") / col("n_bigrams"))
 
-  /** PII scrubbing: count and redact emails, URLs, and IPv4 addresses
+  /** PII scrubbing: count and redact URLs, emails, and IPv4 addresses
     * (plain regex surface — both Java and RE2 dialects accept these
-    * patterns, no lookaround/backrefs). Redaction order is email → URL →
-    * IP; per-row expressions only, no shuffle. The synthetic testdata
-    * contains no PII, so this op is spec-tested rather than
-    * oracle-queried. */
+    * patterns, no lookaround/backrefs). Redaction is sequential
+    * URL → email → IP (URLs first: they may CONTAIN emails/IPs), and
+    * each stage COUNTS on the previous stage's output, so counts always
+    * reconcile with the placeholders in `scrubbed` — an IP inside a URL
+    * is one <URL>, not a phantom n_ips. The URL pattern refuses to end
+    * on sentence punctuation ("(see https://x.io)." keeps the ")." );
+    * the IP pattern validates octet ranges (version strings like
+    * 4.0.0.1999 are not PII). Per-row expressions only, no shuffle. The
+    * synthetic testdata contains no PII, so this op is spec-tested
+    * rather than oracle-queried. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://\\S+"
-  val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val UrlRe = "https?://[^\\s]*[^\\s.,;:!?)\\]}>'\"]"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val IpRe = s"\\b$Octet(\\.$Octet){3}\\b"
 
-  def scrubPii(df: DataFrame, textCol: String): DataFrame = df
-    .withColumn("n_emails",
-      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
-    .withColumn("n_urls",
-      size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
-    .withColumn("n_ips",
-      size(regexp_extract_all(col(textCol), lit(IpRe), lit(0))))
-    .withColumn("scrubbed",
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-          UrlRe, "<URL>"),
-        IpRe, "<IP>"))
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val afterUrl = regexp_replace(col(textCol), UrlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
+    df
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
+      .withColumn("n_emails",
+        size(regexp_extract_all(afterUrl, lit(EmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(afterEmail, lit(IpRe), lit(0))))
+      .withColumn("scrubbed", regexp_replace(afterEmail, IpRe, "<IP>"))
+  }
 
   /** TF-IDF: per-(doc, term) term frequency × ln(n_docs / doc_freq),
     * rounded to 6 decimals BEFORE any ranking so engines rank identical

@@ -275,7 +275,7 @@ object TextQueries {
               |    CAST(sum(n) AS BIGINT) AS n_bigrams
               |  FROM c GROUP BY doc_id)
               |SELECT doc_id, max_bigram, n_bigrams,
-              |  round(max_bigram / n_bigrams, 6) AS rep_ratio
+              |  max_bigram / n_bigrams AS rep_ratio
               |FROM a ORDER BY doc_id""".stripMargin),
       (s, d) => TextOps.repetition(documents(s, d), "doc_id", "text")
         .orderBy("doc_id"))

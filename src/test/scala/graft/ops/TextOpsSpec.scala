@@ -73,9 +73,8 @@ class TextOpsSpec extends SparkTestBase {
     val got = TextOps.repetition(df, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(got(1L) == ((3L, 5L, 0.6)))
-    assert(got(2L) == ((1L, 3L, BigDecimal(1.0 / 3)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1L) == ((3L, 5L, 3.0 / 5)))
+    assert(got(2L) == ((1L, 3L, 1.0 / 3))) // raw quotient, no rounding
     assert(!got.contains(3L))
   }
 
@@ -94,6 +93,26 @@ class TextOpsSpec extends SparkTestBase {
       "mail me at <EMAIL> or visit <URL> from <IP> thanks")
     assert(got(2L) == ((0, 0, 0,
       "no pii here, just 1.2 numbers and at signs @ alone")))
+  }
+
+  test("scrubPii: counts reconcile with redactions on nested/edge matches") {
+    val df = Seq(
+      (1L, "visit http://10.0.0.1/home now"),      // IP inside URL
+      (2L, "docs (see https://x.io/guide)."),      // trailing punctuation
+      (3L, "upgrade to spark 4.0.0.1999 build"),   // not a valid IPv4
+      (4L, "peer at 256.1.1.1 vs 255.255.255.255") // octet range check
+    ).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"),
+          r.getAs[Int]("n_ips"), r.getAs[String]("scrubbed"))).toMap
+    // the URL consumes its embedded IP: ONE <URL>, zero phantom n_ips
+    assert(got(1L) == ((0, 1, 0, "visit <URL> now")))
+    // sentence punctuation stays outside the redaction
+    assert(got(2L) == ((0, 1, 0, "docs (see <URL>).")))
+    assert(got(3L) == ((0, 0, 0, "upgrade to spark 4.0.0.1999 build")))
+    assert(got(4L)._3 == 1)
+    assert(got(4L)._4 == "peer at 256.1.1.1 vs <IP>")
   }
 
   test("topTerms keeps n best per doc, ties broken by term") {
