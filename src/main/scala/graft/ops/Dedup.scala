@@ -128,14 +128,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard for candidate pairs: inverted-index join on the
     * shingle-hash table, never the cross product. The shingle table is
-    * first semi-filtered to candidate docs (broadcast — candidates are a
-    * vanishing fraction of the corpus after LSH), so the verify joins
-    * touch candidate shingles only instead of shuffling the whole corpus. */
+    * first semi-filtered to candidate docs, so the verify joins touch
+    * candidate shingles only instead of shuffling the whole corpus.
+    *
+    * No forced broadcast on the candidate-id set: candidates are usually a
+    * vanishing fraction of the corpus after LSH, but on a pathologically
+    * duplicated corpus they are unbounded, and a hard `broadcast()` hint
+    * there is a driver OOM at 100 TB. AQE sizes the built side at runtime
+    * and picks broadcast exactly when it actually fits. */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
     val candIds = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
-    val sh = shingles.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val sh = shingles.join(candIds, Seq(idCol), "left_semi")
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))
@@ -194,9 +199,19 @@ object Dedup {
     * component, and are asserted identical in DedupSpec.
     * Returns (node, label) where label = min doc id in the component. */
   def nearDupComponents(pairs: DataFrame, maxIters: Int = 50,
-      smallGraphMaxEdges: Long = 1L << 19): DataFrame = {
+      smallGraphMaxEdges: Long = 1L << 19,
+      knownPairCount: Option[Long] = None): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Path choice needs the edge count. When the caller already counted
+    // the pair set (nearDupRemovals counts its checkpointed pairs anyway
+    // for the emptiness gate), reuse it — directed edges = 2 × pairs —
+    // instead of running a checkpoint + count job pair just to decide.
+    // With a known-small count, union-find reads the edges exactly once
+    // off the caller's (checkpointed) pairs, so no extra checkpoint.
+    val nEdges = knownPairCount.map(_ * 2).getOrElse(-1L)
+    if (nEdges >= 0 && nEdges <= smallGraphMaxEdges)
+      return smallGraphComponents(edges)
     // Iterative algorithms MUST truncate lineage each round: every
     // generation references the previous one twice, so the LOGICAL plan
     // (not just the computation) doubles per iteration — 2^iters copies
@@ -204,7 +219,7 @@ object Dedup {
     // does not cut lineage; localCheckpoint() does (eager, plan replaced
     // by the materialized blocks).
     val edgesCk = edges.localCheckpoint()
-    if (edgesCk.count() <= smallGraphMaxEdges)
+    if (nEdges < 0 && edgesCk.count() <= smallGraphMaxEdges)
       return smallGraphComponents(edgesCk)
     var labels = edgesCk.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
@@ -232,22 +247,24 @@ object Dedup {
     labels
   }
 
-  /** Exact connected components via union-find over a checkpointed edge
-    * set small enough for one partition (the ≤ 2^19-directed-edge default
-    * keeps the boxed hash map around ~100 MB even with string keys).
+  /** Exact connected components via union-find over an edge set small
+    * enough for one partition (the ≤ 2^19-directed-edge default keeps
+    * the boxed hash map around ~100 MB even with string keys). The edges
+    * are read exactly once, so the caller may pass either a checkpointed
+    * frame or a short-lineage derivation.
     * Runs executor-side as a single narrow task — NOT a driver collect —
     * with union-by-min (attach the larger root under the smaller), so
     * each root IS the component minimum, plus path compression. Key type
     * stays generic: anything with a Comparable runtime value (long ids,
     * md5 strings) works, matching the propagation path's `min`
     * semantics. */
-  private def smallGraphComponents(edgesCk: DataFrame): DataFrame = {
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
-    val idType = edgesCk.schema("src").dataType
+    val idType = edges.schema("src").dataType
     val schema = StructType(Seq(
       StructField("node", idType), StructField("label", idType)))
-    val rows = edgesCk.rdd.coalesce(1).mapPartitions { it =>
+    val rows = edges.rdd.coalesce(1).mapPartitions { it =>
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def cmp(a: Any, b: Any): Int =
         a.asInstanceOf[Comparable[Any]].compareTo(b)
@@ -268,14 +285,16 @@ object Dedup {
       }
       parent.keysIterator.map(n => Row(n, find(n)))
     }
-    edgesCk.sparkSession.createDataFrame(rows, schema)
+    edges.sparkSession.createDataFrame(rows, schema)
   }
 
   /** The end-to-end corpus dedup: LSH candidates → Jaccard verify at
     * `threshold` → components → drop every non-keeper member. Returns the
     * ids of REMOVED docs (kept = corpus minus these). The verified edge
-    * set is materialized once (localCheckpoint) and propagation is
-    * skipped entirely when it is empty. */
+    * set is materialized once (localCheckpoint) and counted ONCE off the
+    * materialized blocks — that single count serves both the emptiness
+    * short-circuit and nearDupComponents' small-vs-large path choice, so
+    * no separate isEmpty job or second checkpoint/count pair runs. */
   def nearDupRemovals(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val shingles = shingleTable(docs, idCol, textCol).cache()
@@ -284,9 +303,10 @@ object Dedup {
     val verified = jaccardForPairs(shingles, cand, idCol)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b").localCheckpoint()
+    val nPairs = verified.count()
     val removed =
-      if (verified.isEmpty) verified.select(col("doc_a").as(idCol)).limit(0)
-      else nearDupComponents(verified)
+      if (nPairs == 0L) verified.select(col("doc_a").as(idCol)).limit(0)
+      else nearDupComponents(verified, knownPairCount = Some(nPairs))
         .filter(col("label") < col("node"))
         .select(col("node").as(idCol))
     shingles.unpersist()

@@ -158,9 +158,9 @@ object AnalyticsQueries {
              |  FROM e WINDOW w AS (PARTITION BY user_id
              |    ORDER BY ts NULLS FIRST, event_id)),
              |s AS (
-             |  SELECT *, sum(news) OVER (PARTITION BY user_id
+             |  SELECT *, CAST(sum(news) OVER (PARTITION BY user_id
              |    ORDER BY ts NULLS FIRST, event_id
-             |    ROWS UNBOUNDED PRECEDING) AS session_idx
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
              |  FROM g)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |  min(ts) AS sess_start, max(ts) AS sess_end

@@ -131,10 +131,14 @@ object PredicateQueries {
              |ORDER BY op, flag""".stripMargin),
       (s, d) => {
         val li = lineitem(s, d)
+        // Both branches (EXCEPT ALL and INTERSECT ALL) consume a AND b —
+        // uncached, lineitem would be scanned four times. Caching the two
+        // one-column filtered projections (tiny vs the table) halves the
+        // scans; Verify/Bench clear the cache after each query.
         val a = li.filter(col("l_orderkey") % 2 === 0)
-          .select(col("l_returnflag").as("flag"))
+          .select(col("l_returnflag").as("flag")).cache()
         val b = li.filter(col("l_orderkey") % 3 === 0)
-          .select(col("l_returnflag").as("flag"))
+          .select(col("l_returnflag").as("flag")).cache()
         val ex = a.exceptAll(b).groupBy(col("flag"))
           .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
         val in = a.intersectAll(b).groupBy(col("flag"))

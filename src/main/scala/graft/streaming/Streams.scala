@@ -152,18 +152,31 @@ object Streams {
     * for complete-mode aggregations whose cardinality is bounded by the
     * group-by domain (file sinks cannot run complete mode). */
   private def runToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
-    val base = Files.createTempDirectory(
-      s"graft_stream_${counter.incrementAndGet()}_").toString
-    // sink + checkpoint are per-invocation scratch: reap them at JVM exit
-    // so repeated runs (best-of-2 bench, verify) don't accumulate state
-    // store files and parquet output in the temp dir
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(base))
+    // Sink/checkpoint base: driver-local temp by default (right for
+    // local[*]), overridable via `spark.graft.stream.sinkDir` with a
+    // shared-filesystem path (HDFS/S3A/NFS) — on a real cluster every
+    // executor writes its own partitions, so the base MUST be a path all
+    // executors and the driver can reach; a driver-local temp dir is not.
+    val base = spark.conf.getOption("spark.graft.stream.sinkDir") match {
+      case Some(root) =>
+        s"${root.stripSuffix("/")}/graft_stream_${counter.incrementAndGet()}"
+      case None =>
+        Files.createTempDirectory(
+          s"graft_stream_${counter.incrementAndGet()}_").toString
     }
+    // The default temp sink + checkpoint are per-invocation scratch: reap
+    // them at JVM exit so repeated runs (best-of-2 bench, verify) don't
+    // accumulate state-store files and parquet output in the temp dir. A
+    // configured shared-FS sinkDir is operator-owned (and possibly a
+    // non-local URI) — leave its lifecycle to the operator.
+    if (spark.conf.getOption("spark.graft.stream.sinkDir").isEmpty)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(base))
+      }
     val out = s"$base/out"
     val ck = s"$base/checkpoint"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

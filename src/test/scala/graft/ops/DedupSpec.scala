@@ -141,6 +141,39 @@ class DedupSpec extends SparkTestBase {
     assert(!removed.contains(4L) && !removed.contains(5L), "unique docs stay")
   }
 
+  test("jaccardForPairs: no forced broadcast — a too-big candidate set " +
+      "plans a shuffle join, not a driver-OOM broadcast") {
+    // With the auto-broadcast threshold off, a hard broadcast() hint on
+    // the candidate-id set would still plan BroadcastHashJoin (hints
+    // override the threshold). The hint was removed so that AQE/planner
+    // sizing decides; below the planner must fall back to a shuffle join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+      val plan = Dedup.jaccardForPairs(sh, pairs, "doc_id")
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"candidate semi-filter must not force a broadcast:\n$plan")
+      assert(plan.contains("LeftSemi"), s"semi-filter missing:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("nearDupComponents with knownPairCount matches the counted paths") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // known count, small → union-find without the extra checkpoint/count
+    assert(labels(Dedup.nearDupComponents(pairs,
+      knownPairCount = Some(3L))) == expected)
+    // known count, above the small-graph gate → propagation path
+    assert(labels(Dedup.nearDupComponents(pairs, smallGraphMaxEdges = 0,
+      knownPairCount = Some(3L))) == expected)
+  }
+
   test("hammingDist column matches Long.bitCount") {
     val df = Seq((0x0FL, 0x00L), (0xFFL, 0xF0L)).toDF("a", "b")
     val got = df.select(Dedup.hammingDist(col("a"), col("b"))).as[Int].collect()

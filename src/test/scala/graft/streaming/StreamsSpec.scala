@@ -88,6 +88,21 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("spark.graft.stream.sinkDir: file-sink streams write under the " +
+      "configured (cluster-shared) base dir instead of driver-local tmp") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "stream_sinkdir_").toString
+    spark.conf.set("spark.graft.stream.sinkDir", base)
+    try {
+      val out = Streams.tumblingAggAppend(spark, sf(), "1 hour", "1 hour")
+      assert(out.count() > 0)
+      val children = new java.io.File(base).listFiles()
+      assert(children != null && children.exists(
+        _.getName.startsWith("graft_stream_")),
+        s"sink output must land under the configured base dir $base")
+    } finally spark.conf.unset("spark.graft.stream.sinkDir")
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside the watermark") {
     val input = MemoryStream[(String, Timestamp)](spark)
     val deduped = input.toDS().toDF("id", "ts")
