@@ -25,8 +25,8 @@ import graft.source.v2.PagedFetch.{Fetchers, PageRequest}
   * run on executors in parallel, with the pagination loop and the 50-id
   * batching inside the partition readers ([[PagedFetch]]).
   *
-  * Three modes, by option:
-  *  - `path` (no `fetcher`): offline — a "page" is a JSON file under
+  * Modes, by option:
+  *  - `path` (no fetch option): offline — a "page" is a JSON file under
   *    `path`, one partition per page;
   *  - `fetcher` + `mode=pages`: live pagination — ONE partition whose
   *    reader follows `nextPageToken` until absent (sequential by nature:
@@ -34,7 +34,13 @@ import graft.source.v2.PagedFetch.{Fetchers, PageRequest}
   *    page;
   *  - `fetcher` + `mode=chunks` + `ids=a,b,...`: batched id lookups — one
   *    partition per `chunkSize`-id chunk (default 50), fetched in
-  *    parallel.
+  *    parallel;
+  *  - `url` instead of `fetcher` (either mode): the PRODUCTION fetch —
+  *    a real HTTP GET client ([[HttpFetch]]) constructed executor-side
+  *    from serializable options: `params` (pre-encoded static query
+  *    string, e.g. "part=snippet&maxResults=50&key=..."), `tokenParam`
+  *    (default pageToken), `idsParam` (default id),
+  *    `connectTimeoutMs`/`readTimeoutMs`.
   * `retries`/`backoffMs` wrap the fetch in [[PagedFetch.withRetry]].
   *
   * Register: spark.read.format("graft.source.v2.JsonPagesSource")
@@ -61,7 +67,8 @@ object JsonPagesSource {
 private[v2] class PagesTable(props: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String =
-    s"json_pages(${props.getOrElse("fetcher", props.getOrElse("path", "?"))})"
+    s"json_pages(${props.getOrElse("fetcher",
+      props.getOrElse("url", props.getOrElse("path", "?")))})"
   override def schema(): StructType = JsonPagesSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -78,9 +85,26 @@ private[v2] class PagesScanBuilder(props: Map[String, String])
   /** The pagination unit becomes the parallelism unit: one partition per
     * page file (offline), per id-chunk (parallel lookups), or per
     * page-token STREAM (the sequential token loop is one partition; many
-    * streams would be many partitions). */
-  override def planInputPartitions(): Array[InputPartition] =
-    props.get("fetcher") match {
+    * streams would be many partitions).
+    *
+    * The fetch itself is described by a serializable [[FetchSpec]]:
+    * `fetcher` resolves a registered (test/local) fetch by name; `url`
+    * constructs the real HTTP client executor-side from serializable
+    * endpoint config ([[HttpFetch]]) — the production path on a cluster,
+    * where a registry or closure would not travel. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spec: Option[FetchSpec] = props.get("fetcher")
+      .map(RegistryFetch(_): FetchSpec)
+      .orElse(props.get("url").map { u =>
+        HttpFetchSpec(HttpEndpoint(
+          url = u,
+          staticQuery = props.getOrElse("params", ""),
+          tokenParam = props.getOrElse("tokenparam", "pageToken"),
+          idsParam = props.getOrElse("idsparam", "id"),
+          connectTimeoutMs = props.getOrElse("connecttimeoutms", "10000").toInt,
+          readTimeoutMs = props.getOrElse("readtimeoutms", "30000").toInt))
+      })
+    spec match {
       case Some(f) =>
         val retries = props.getOrElse("retries", "3").toInt
         val backoff = props.getOrElse("backoffms", "500").toLong
@@ -106,27 +130,41 @@ private[v2] class PagesScanBuilder(props: Map[String, String])
           .toArray.sortBy(_.getFileName.toString)
           .map(p => PagePartition(p.toString): InputPartition)
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagesReaderFactory
 }
 
+/** How a partition obtains its Fetch, resolved/constructed EXECUTOR-side:
+  * a JVM-local registry name (tests, local mode) or serializable HTTP
+  * endpoint config (production — the only state shipped is strings and
+  * ints, never a connection or closure). */
+private[v2] sealed trait FetchSpec extends Serializable {
+  def fetch: PagedFetch.Fetch = this match {
+    case RegistryFetch(name) => Fetchers(name)
+    case HttpFetchSpec(endpoint) => HttpFetch(endpoint)
+  }
+}
+private[v2] case class RegistryFetch(name: String) extends FetchSpec
+private[v2] case class HttpFetchSpec(endpoint: HttpEndpoint) extends FetchSpec
+
 private[v2] case class PagePartition(file: String) extends InputPartition
-private[v2] case class TokenStreamPartition(fetcher: String, maxPages: Int,
+private[v2] case class TokenStreamPartition(spec: FetchSpec, maxPages: Int,
     retries: Int, backoffMs: Long) extends InputPartition
-private[v2] case class ChunkPartition(fetcher: String, ids: Seq[String],
+private[v2] case class ChunkPartition(spec: FetchSpec, ids: Seq[String],
     retries: Int, backoffMs: Long) extends InputPartition
 
 private[v2] class PagesReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case PagePartition(file) => new PageReader(file)
-      case TokenStreamPartition(f, maxPages, retries, backoff) =>
+      case TokenStreamPartition(spec, maxPages, retries, backoff) =>
         new IteratorReader(PagedFetch.followPages(
-          PagedFetch.withRetry(Fetchers(f), retries, backoff), maxPages))
-      case ChunkPartition(f, ids, retries, backoff) =>
+          PagedFetch.withRetry(spec.fetch, retries, backoff), maxPages))
+      case ChunkPartition(spec, ids, retries, backoff) =>
         new IteratorReader(Iterator(
-          PagedFetch.withRetry(Fetchers(f), retries, backoff)(
+          PagedFetch.withRetry(spec.fetch, retries, backoff)(
             PageRequest(None, ids))))
     }
 }

@@ -65,6 +65,45 @@ class JdbcSpec extends SparkTestBase {
     assert(Jdbc.tableExists(spark, url, t, props))
   }
 
+  test("case folding: quoted mixed-case DDL — the reference's `SELECT " +
+      "videoid` bug is reproduced raw and absorbed by the engine's API") {
+    // The reference's latent bug (fetch_youtube_data.py:155): pandas
+    // to_sql quotes "videoId", so the raw lowercase `SELECT videoid`
+    // only works because Postgres folds unquoted identifiers DOWN.
+    // Derby folds UP — the same raw SQL breaks, proving the bug is
+    // fold-direction luck. The engine never writes raw identifiers:
+    // tableExists compares case-insensitively and the DataFrame API
+    // quotes through, so both directions survive.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE "CaseFold"("videoId" VARCHAR(50), "views" BIGINT)""")
+      // 1) raw unquoted SELECT against the quoted column fails here
+      //    (folds to VIDEOID), exactly as it would NOT in Postgres —
+      //    the regression the reference shipped
+      intercept[java.sql.SQLException] {
+        conn.createStatement().executeQuery(
+          """SELECT videoid FROM "CaseFold"""")
+      }
+    } finally conn.close()
+    // 2) the engine's probe absorbs folding in BOTH directions
+    assert(Jdbc.tableExists(spark, url, "CaseFold", props))
+    assert(Jdbc.tableExists(spark, url, "casefold", props))
+    assert(Jdbc.tableExists(spark, url, "CASEFOLD", props))
+    // 3) append + read-back + incremental key matching go through the
+    //    DataFrame API (quoted identifiers), surviving the mixed case.
+    //    Spark's writer resolves the dialect-quoted "CaseFold" table.
+    Jdbc.append(Seq(("v1", 1L)).toDF("videoId", "views"),
+      url, "\"CaseFold\"", props)
+    val sink = Jdbc.read(spark, url, "\"CaseFold\"", props)
+    assert(sink.columns.toSeq == Seq("videoId", "views"),
+      "exact-case column names must round-trip")
+    val fresh = Incremental.incrementalBatch(
+      Seq("v1", "v2").toDF("videoId"), sink.select("videoId"), "videoId")
+    assert(fresh.isDefined &&
+      fresh.get.as[String].collect().toSeq == Seq("v2"))
+  }
+
   test("incremental anti-join against a real JDBC sink (O6-O8 end-to-end)") {
     val t = "sink_t"
     Jdbc.append(Seq("v1", "v2").toDF("videoId"), url, t, props)
