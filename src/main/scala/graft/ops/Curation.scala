@@ -43,6 +43,36 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Deterministic STRATIFIED sampling: per-stratum keep-percentages
+    * applied through md5-bucket arithmetic (60-bit hash60 prefix % 100,
+    * same family as [[hashSplit]]) — every row's fate depends only on its
+    * own id, so the sample is
+    * reproducible across engines, runs, task retries, and corpus growth
+    * (none of which is true of `df.sample`/`sampleBy`, whose RNG re-deals
+    * per task attempt). Pure projection + filter: no shuffle, fully
+    * codegen'd, and the filter pushes to the scan where the format
+    * allows. The classic "rebalance sources/languages" curation step. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p =>
+      p >= 0 && p <= 100), "percentages must be 0-100")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val pct = pctByStratum.foldLeft(when(lit(false), lit(defaultPct))) {
+      case (c, (stratum, p)) => c.when(col(strataCol) === stratum, lit(p))
+    }.otherwise(lit(defaultPct))
+    df.filter(bucket < pct)
+  }
+
+  /** Latest-version-per-key compaction: keep each key's single newest row
+    * by the given DESCENDING order columns (callers pass a deterministic
+    * total order, e.g. ts DESC then id DESC) — the snapshot/CDC-compaction
+    * step every incremental training-data pipeline runs before exporting.
+    * One shuffle by key via [[capPerKey]] with k = 1; no global sort. */
+  def latestPerKey(df: DataFrame, keyCol: String,
+      orderCols: Column*): DataFrame =
+    capPerKey(df, keyCol, 1, orderCols: _*)
+
   /** Benchmark decontamination: for every doc in the eval set (selected by
     * `evalPred`), the number of its word-3-shingle hashes that appear
     * ANYWHERE in the train remainder, plus the contamination ratio

@@ -163,6 +163,32 @@ object TextOps {
       .drop("_rn")
   }
 
+  /** Corpus-unigram language-model score (KenLM-style quality signal,
+    * unigram order): per doc, the mean surprisal −ln(cf/N) of its token
+    * INSTANCES under the corpus unigram distribution — rare-token-heavy
+    * (or off-corpus) docs score high, boilerplate scores low. The classic
+    * perplexity-filter shape with the LM replaced by the corpus itself.
+    *
+    * Two hash-aggs (corpus term freq; per-doc sum) + one term-keyed join +
+    * a 1-row broadcast total — same plan skeleton as [[tfidf]], linear at
+    * 100 TB. The per-doc mean is a float sum whose addition order differs
+    * across engines/partitionings, so it is rounded to 9 decimals
+    * (~1e-14 reorder noise vs a 5e-10 grid — the parity playbook's
+    * round-above-the-noise rule). */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(normalize(col(textCol)))).as("term"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks.join(cf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cf").cast("double") / col("n_total"))), 9)
+          .as("avg_surprisal"))
+  }
+
   /** Content fingerprints: full-content md5 of the normalized text, plus a
     * winnowing-style min-shingle-hash (robust to local edits). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

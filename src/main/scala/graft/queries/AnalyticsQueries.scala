@@ -171,6 +171,28 @@ object AnalyticsQueries {
           gapSeconds = 21600L)
         .orderBy("user_id", "session_idx")),
 
+    // Exact interpolated percentiles (quantile_cont semantics) per group —
+    // the distributed order-statistics surface. Quartile fractions only:
+    // p·(n−1) has an exact binary fractional part {0, .25, .5, .75}, and
+    // l_quantity is integer-valued, so the linear interpolation is exact
+    // in double under EITHER association — bit-identical across engines
+    // with NO rounding (a .95 percentile would not be). approx_percentile
+    // is the sketch path at 100 TB; the exact version shuffles each
+    // group's values, fine for bounded group counts. Spec asserts the
+    // approx sketch lands within 1 of exact.
+    Q("q72_quantiles",
+      Some("""SELECT l_returnflag,
+             | quantile_cont(l_quantity, 0.25) AS q25,
+             | quantile_cont(l_quantity, 0.50) AS q50,
+             | quantile_cont(l_quantity, 0.75) AS q75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.50)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"))
+        .orderBy("l_returnflag")),
+
     // Conditional aggregation (count_if / avg over filtered).
     Q("q21_conditional_agg",
       Some("""SELECT o_orderpriority,

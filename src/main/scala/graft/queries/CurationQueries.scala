@@ -45,6 +45,34 @@ object CurationQueries {
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")),
 
+    // Deterministic stratified sampling: per-segment keep rates through
+    // md5-bucket arithmetic — reproducible across engines/retries/growth,
+    // unlike RNG sampling. Pure filter, no shuffle.
+    Q("q73_stratified_sample",
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT
+             |    % 100 <
+             |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 20
+             |       WHEN 'BUILDING' THEN 10 ELSE 5 END
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => Curation.stratifiedSample(customer(s, d), "c_custkey",
+          "c_mktsegment", Map("AUTOMOBILE" -> 20, "BUILDING" -> 10), 5)
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")),
+
+    // Latest-version-per-key compaction (snapshot/CDC step): each user's
+    // newest event by (ts, event_id) DESC — one shuffle, no global sort.
+    Q("q74_latest_per_key",
+      Some("""SELECT user_id, event_id, ts, event_type FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, d) => Curation.latestPerKey(events(s, d), "user_id",
+          col("ts").desc, col("event_id").desc)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")),
+
     // Benchmark decontamination: eval set = doc_id % 97 = 0; for each eval
     // doc, how many of its word-3-shingle hashes appear anywhere in the
     // train remainder (hash-keyed semi-join against the distinct train

@@ -93,6 +93,39 @@ object StreamingQueries {
           col("session_window.start").as("session_start"), col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // CUSTOM streaming state (flatMapGroupsWithState): gap-rule
+    // sessionization with a user-code accumulator, emission = closed
+    // sessions only (each user's still-open last session stays in state)
+    // — deterministic, so the oracle is the batch gaps-and-islands
+    // computation minus each user's final session. Gap 1h, exact
+    // microseconds, same total order as the batch twin (q68).
+    Q("q71_stream_stateful_sessions",
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0
+             |    END AS news
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id)),
+             |s AS (
+             |  SELECT *, CAST(sum(news) OVER (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, session_idx, count(*) AS n_events,
+             |    min(ts) AS sess_start, max(ts) AS sess_end
+             |  FROM s GROUP BY user_id, session_idx)
+             |SELECT user_id, session_idx, n_events, sess_start, sess_end
+             |FROM (SELECT sess.*, max(session_idx)
+             |        OVER (PARTITION BY user_id) AS mx FROM sess) t
+             |WHERE session_idx < mx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      (s, d) => graft.streaming.StatefulSessions
+        .closedSessions(s, d, gapSeconds = 3600L)
+        .orderBy("user_id", "session_idx")),
+
     // As-of join: each purchase sees the latest signup at or before it.
     Q("q39_asof_join",
       Some("""SELECT p.event_id, p.user_id, s.ts AS signup_ts

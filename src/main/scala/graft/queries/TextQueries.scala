@@ -256,6 +256,23 @@ object TextQueries {
         .orderBy("doc_id", "term"))
   ,
 
+    // Corpus-unigram LM score (perplexity-filter shape): per-doc mean
+    // surprisal −ln(cf/N) of token instances under the corpus unigram
+    // distribution. Mean is a float sum → round(9) (reorder noise ~1e-14).
+    Q("q75_unigram_surprisal",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+              |  FROM documents),
+              |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+              |nt AS (SELECT count(*) AS n_total FROM toks)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  round(avg(-ln(cf::DOUBLE / n_total)), 9) AS avg_surprisal
+              |FROM toks JOIN cf USING (term) CROSS JOIN nt
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.ops.TextOps
+        .unigramSurprisal(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Max-bigram repetition ratio (Gopher/C4 quality rule): most frequent
     // bigram's share of all bigram instances — no per-doc dedup, the
     // counts ARE the signal.

@@ -151,7 +151,8 @@ object Streams {
     * rows. This is the production path; the memory sink above is reserved
     * for complete-mode aggregations whose cardinality is bounded by the
     * group-by domain (file sinks cannot run complete mode). */
-  private def runToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[streaming] def runToFiles(spark: SparkSession,
+      df: DataFrame): DataFrame = {
     // Sink/checkpoint base: driver-local temp by default (right for
     // local[*]), overridable via `spark.graft.stream.sinkDir` with a
     // shared-filesystem path (HDFS/S3A/NFS) — on a real cluster every

@@ -36,6 +36,40 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(2L, 4L, 5L))
   }
 
+  test("stratifiedSample: per-stratum rates honored approximately, " +
+      "deterministic, and stable under corpus growth") {
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B")).toDF("id", "stratum")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(df, "id", "stratum",
+        Map("A" -> 50), 10).select("id").as[Long].collect().toSet
+    val s = sample(rows)
+    val nA = s.count(_ % 2 == 0); val nB = s.size - nA
+    assert(math.abs(nA / 1000.0 - 0.5) < 0.08, s"A rate ${nA / 1000.0}")
+    assert(math.abs(nB / 1000.0 - 0.1) < 0.05, s"B rate ${nB / 1000.0}")
+    // rerun identical; growth never changes an existing row's fate
+    assert(sample(rows) == s)
+    val grown = sample((0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B")).toDF("id", "stratum"))
+    assert(s.subsetOf(grown))
+    // no shuffle: a pure filter must plan no Exchange
+    val plan = Curation.stratifiedSample(rows, "id", "stratum",
+      Map("A" -> 50), 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+
+  test("latestPerKey keeps exactly each key's newest row") {
+    val df = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L),
+      ("u2", 4L, 5L)
+    ).toDF("key", "id", "ts")
+    val kept = Curation.latestPerKey(df, "key",
+        col("ts").desc, col("id").desc)
+      .select("id").as[Long].collect().toSet
+    // u1: ts 30 tie → higher id (3); u2: its only row
+    assert(kept == Set(3L, 4L))
+  }
+
   test("contaminationOverlap: duplicated eval doc is fully contaminated, " +
       "unique eval doc is clean") {
     val docs = Seq(

@@ -115,6 +115,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(4L)._4 == "peer at 256.1.1.1 vs <IP>")
   }
 
+  test("unigramSurprisal: rare-token docs score higher; values match a " +
+      "hand-computed corpus distribution") {
+    val df = Seq(
+      (1L, "aa aa aa aa"),     // only common tokens
+      (2L, "aa aa zz qq")      // half rare tokens
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_surprisal"))).toMap
+    // corpus: aa×6, zz×1, qq×1, N=8
+    val ln = (x: Double) => math.log(x)
+    val exp1 = -ln(6.0 / 8)
+    val exp2 = (2 * -ln(6.0 / 8) + -ln(1.0 / 8) + -ln(1.0 / 8)) / 4
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2 - exp1) < 1e-9)
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - exp2) < 1e-9)
+    assert(got(2L)._2 > got(1L)._2, "rare tokens must raise surprisal")
+  }
+
   test("topTerms keeps n best per doc, ties broken by term") {
     val df = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("doc_id", "text")
     // doc1: cc/dd unique (ln2 each), aa/bb shared (0) — top-2 must be the

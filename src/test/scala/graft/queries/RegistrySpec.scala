@@ -25,6 +25,25 @@ class RegistrySpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile (the 100 TB sketch path) lands within 1 of " +
+      "q72's exact quartiles") {
+    import org.apache.spark.sql.functions._
+    val exact = Registry.byName("q72_quantiles").fn(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.util.Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    exact.foreach { case (flag, ex) =>
+      ex.zip(approx(flag)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 1.0, s"$flag: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("q20_approx_distinct within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = Registry.byName("q20_approx_distinct").fn(spark, sf())
