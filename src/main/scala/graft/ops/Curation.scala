@@ -73,6 +73,23 @@ object Curation {
       orderCols: Column*): DataFrame =
     capPerKey(df, keyCol, 1, orderCols: _*)
 
+  /** MERGE/upsert over immutable-file storage (the Delta-style MERGE INTO
+    * re-expressed relationally): rows in `updates` replace same-key rows
+    * in `current`; new keys are inserted. Implemented as priority-tagged
+    * union + [[latestPerKey]] — one shuffle by key, no driver state, and
+    * (unlike row-level mutation) safe on plain parquet: write the result
+    * as the next snapshot version. Both inputs must carry the same
+    * columns (unionByName). Each input is assumed key-unique (a snapshot
+    * invariant); callers with multi-version updates should pre-compact
+    * via [[latestPerKey]]. */
+  def upsert(current: DataFrame, updates: DataFrame,
+      keyCol: String): DataFrame =
+    latestPerKey(
+      current.withColumn("_src", lit(0))
+        .unionByName(updates.withColumn("_src", lit(1))),
+      keyCol, col("_src").desc)
+      .drop("_src")
+
   /** Benchmark decontamination: for every doc in the eval set (selected by
     * `evalPred`), the number of its word-3-shingle hashes that appear
     * ANYWHERE in the train remainder, plus the contamination ratio

@@ -15,6 +15,36 @@ object BreadthQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Higher-order array functions (lambda surface, §2.9): filter /
+    // transform / aggregate over the token array — all codegen-adjacent
+    // per-row work, zero shuffle; DuckDB twins are the list_* lambdas.
+    // The aggregate() fold is the declarative form of "loop over the
+    // array" — no UDF, no explode+groupBy round trip.
+    Q("q76_higher_order",
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(t, x -> length(x) > 3)) AS INT)
+             |    AS n_long,
+             |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             |    AS n_tok_chars,
+             |  array_to_string(list_transform(t[1:3], x -> upper(x)), ' ')
+             |    AS head_upper
+             |FROM (SELECT doc_id,
+             |        string_split(lower(trim(regexp_replace(text, '\s+',
+             |          ' ', 'g'))), ' ') AS t
+             |      FROM documents) s
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => documents(s, d)
+        .withColumn("t",
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .select(col("doc_id"),
+          size(filter(col("t"),
+            x => length(x) > 3)).as("n_long"),
+          aggregate(col("t"), lit(0L),
+            (acc, x) => acc + length(x)).as("n_tok_chars"),
+          array_join(transform(slice(col("t"), 1, 3), x => upper(x)), " ")
+            .as("head_upper"))
+        .orderBy("doc_id")),
+
     // Statistical aggregates: stddev/percentile/corr/covar.
     Q("q44_stats_agg",
       Some("""SELECT l_returnflag,

@@ -73,6 +73,38 @@ object CurationQueries {
         .select("user_id", "event_id", "ts", "event_type")
         .orderBy("user_id")),
 
+    // MERGE/upsert (Delta-style MERGE INTO, relationally): updates win on
+    // key collision, new keys insert — priority-tagged union + one
+    // latest-per-key shuffle, snapshot-safe on plain parquet. Updates
+    // derived from the table itself so the oracle is self-contained:
+    // +1000 balance for custkey % 10 = 0, brand-new keys (+1e6) for % 97.
+    Q("q78_upsert_merge",
+      Some("""WITH cur AS (
+             |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |updates AS (
+             |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+             |  FROM customer WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_acctbal
+             |  FROM customer WHERE c_custkey % 97 = 0),
+             |merged AS (
+             |  SELECT *, 0 AS src FROM cur
+             |  UNION ALL SELECT *, 1 AS src FROM updates)
+             |SELECT c_custkey, c_name, c_acctbal FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |    ORDER BY src DESC) AS rn FROM merged) t
+             |WHERE rn = 1 ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val cur = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val updates = customer(s, d).filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 1000).as("c_acctbal"))
+          .unionByName(customer(s, d).filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_name"), col("c_acctbal")))
+        Curation.upsert(cur, updates, "c_custkey").orderBy("c_custkey")
+      }),
+
     // Benchmark decontamination: eval set = doc_id % 97 = 0; for each eval
     // doc, how many of its word-3-shingle hashes appear anywhere in the
     // train remainder (hash-keyed semi-join against the distinct train

@@ -69,6 +69,23 @@ object FormatQueries {
           .orderBy("s_nationkey")
       }),
 
+    // ORC sink → ORC scan → agg (the columnar alternative; predicate
+    // pushdown + column pruning work the same as parquet).
+    Q("q77_orc_roundtrip",
+      Some("""SELECT p_brand, count(*) AS n,
+             | round(sum(p_retailprice), 2) AS retail
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, d) => {
+        val path = tmpDir(d, "orc")
+        val src = part(s, d)
+        src.write.mode(SaveMode.Overwrite).orc(path)
+        s.read.schema(src.schema).orc(path)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("p_retailprice")), 2).as("retail"))
+          .orderBy("p_brand")
+      }),
+
     // JSON-lines sink → scan → agg (nested-free types round-trip).
     Q("q43_json_roundtrip",
       Some("""SELECT n_regionkey, count(*) AS n_nations

@@ -113,6 +113,41 @@ class PlanSpec extends SparkTestBase {
         s"(got $hashExchanges):\n$p")
   }
 
+  test("q74: latest-per-key compaction uses ONE hash exchange, no " +
+      "global sort before the final presentation orderBy") {
+    val p = plan("q74_latest_per_key")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"rank window must be the only shuffle (got $hashExchanges):\n$p")
+  }
+
+  test("q78: upsert plans a single latest-per-key shuffle over the " +
+      "union, no join") {
+    val p = plan("q78_upsert_merge")
+    assert(!p.contains("Join"), s"upsert must be union+window, not join:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"one rank-window shuffle expected:\n$p")
+  }
+
+  test("q72: exact percentiles aggregate with partial+final (map-side " +
+      "combine) — no single-point collection") {
+    val p = plan("q72_quantiles")
+    assert(p.contains("partial_percentile"),
+      s"percentile must run partial+final:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"percentile must stay group-partitioned:\n$p")
+  }
+
+  test("q76: higher-order functions stay in one projection — no shuffle " +
+      "before the presentation sort") {
+    val p = plan("q76_higher_order")
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"lambda surface must be per-row work:\n$p")
+    assert(!p.contains("Generate"),
+      s"no explode fallback — the fold must stay declarative:\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
