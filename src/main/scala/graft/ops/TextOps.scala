@@ -179,8 +179,14 @@ object TextOps {
       textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(normalize(col(textCol)))).as("term"))
-    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val total = toks.select(count(lit(1)).as("n_total"))
+    // cf feeds the per-instance join AND the corpus total — cached so the
+    // corpus tokenize+aggregate pass runs once (vocabulary-sized, the
+    // same footprint class as contaminationOverlap's shingle cache;
+    // Verify/Bench clearCache after each query)
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf")).cache()
+    // N = Σ cf — derived from the frequency table, NOT a third
+    // tokenize+scan of the corpus (the 1-row agg over cf is tiny)
+    val total = cf.agg(sum(col("cf")).as("n_total"))
     toks.join(cf, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
