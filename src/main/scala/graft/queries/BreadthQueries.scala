@@ -45,6 +45,31 @@ object BreadthQueries {
             .as("head_upper"))
         .orderBy("doc_id")),
 
+    // UNPIVOT (melt): wide measure columns → long (measure, value) rows —
+    // the inverse of q46's pivot; map-side expand, no shuffle before the
+    // presentation sort. Keyed subset so the long form stays bounded.
+    // val is the final sort tiebreak: this testdata does NOT keep
+    // (l_orderkey, l_linenumber) unique, so ordering needs the value to
+    // be total (identical full rows are interchangeable either way).
+    Q("q79_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+             |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+             |         l_extendedprice, l_discount, l_tax
+             |       FROM lineitem WHERE l_orderkey % 50 = 0)
+             |      ON l_quantity, l_extendedprice, l_discount, l_tax
+             |      INTO NAME measure VALUE val) t
+             |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin),
+      (s, d) => lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")),
+
     // Statistical aggregates: stddev/percentile/corr/covar.
     Q("q44_stats_agg",
       Some("""SELECT l_returnflag,

@@ -109,6 +109,91 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("upsert laws on random snapshots: identity, key union, updates win") {
+    import org.apache.spark.sql.functions.col
+    val g = for {
+      k <- Gen.choose(0L, 80L)
+      v <- Gen.choose(0, 1000)
+    } yield (k, v)
+    // key-unique snapshots (the documented input invariant)
+    val cur = sample(g, 120).groupBy(_._1).map(_._2.head).toList
+    val upd = sample(g, 60).groupBy(_._1).map { case (k, vs) =>
+      (k, vs.head._2 + 10000) }.toList
+    val curDf = cur.toDF("k", "v"); val updDf = upd.toDF("k", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, Int)].collect().toMap
+    // identity: empty updates change nothing
+    assert(toMap(graft.ops.Curation.upsert(curDf, curDf.limit(0), "k")) ==
+      cur.toMap)
+    // merge: updates win on collision, new keys insert, others survive
+    val merged = toMap(graft.ops.Curation.upsert(curDf, updDf, "k"))
+    assert(merged == cur.toMap ++ upd.toMap)
+    // idempotence: re-applying the same updates is a no-op
+    val again = toMap(graft.ops.Curation.upsert(
+      merged.toList.toDF("k", "v"), updDf, "k"))
+    assert(again == merged)
+  }
+
+  test("stratifiedSample == JVM-side md5-bucket model, on random strata") {
+    val g = for {
+      id <- Gen.choose(0L, 100000L)
+      s <- Gen.oneOf("en", "de", "fr")
+    } yield (id, s)
+    val rows = sample(g, 300).distinctBy(_._1)
+    val rates = Map("en" -> 30, "de" -> 70)
+    val kept = graft.ops.Curation
+      .stratifiedSample(rows.toDF("id", "stratum"), "id", "stratum",
+        rates, 5)
+      .select("id").as[Long].collect().toSet
+    rows.foreach { case (id, s) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 100
+      val want = bucket < rates.getOrElse(s, 5)
+      assert(kept.contains(id) == want, s"id $id stratum $s bucket $bucket")
+    }
+  }
+
+  test("latestPerKey == brute-force argmax, on random versioned rows") {
+    import org.apache.spark.sql.functions.col
+    val g = for {
+      k <- Gen.choose(1L, 20L)
+      ts <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0, 1000)
+    } yield (k, ts, v)
+    val raw = sample(g, 250).zipWithIndex
+      .map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+    val got = graft.ops.Curation
+      .latestPerKey(raw.toDF("k", "ts", "id", "v"), "k",
+        col("ts").desc, col("id").desc)
+      .select("k", "id").as[(Long, Long)].collect().toMap
+    val model = raw.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(r => (r._2, r._3))._3 }
+    assert(got == model)
+  }
+
+  test("unigramSurprisal == JVM brute force over a random mini-corpus") {
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = sample(docGen, 30).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val got = graft.ops.TextOps
+      .unigramSurprisal(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_surprisal"))).toMap
+    val all = docs.flatMap(_._2.split(" "))
+    val cf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toDouble
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val want = toks.map(t => -math.log(cf(t) / n)).sum / toks.length
+      assert(got(id)._1 == toks.length)
+      assert(math.abs(got(id)._2 - want) < 1e-8,
+        s"doc $id: got ${got(id)._2}, want $want")
+    }
+  }
+
   test("incremental newKeys == set difference, on random overlapping sets") {
     val g = Gen.choose(0L, 200L)
     val fetched = sample(g, 300)

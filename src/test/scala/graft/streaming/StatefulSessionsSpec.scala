@@ -47,6 +47,43 @@ class StatefulSessionsSpec extends SparkTestBase {
       s"expected user 1's closed 2-event first session, got ${r}")
   }
 
+  test("closedSessions == batch Sessionize minus each user's last " +
+      "session, on a random event stream (fixed seed)") {
+    val rnd = new scala.util.Random(7L)
+    val B = 1600000000L * 1000000L
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(5).toLong + 1L, i.toLong,
+        B + rnd.nextInt(200000) * 1000000L)
+    }
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sess_rand_")
+    val staging = s"$base/_staging"
+    rows.toDF("user_id", "event_id", "us")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "'e' AS event_type", "1.0 AS value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/events.parquet"))
+
+    val gap = 1800L
+    val streamed = StatefulSessions
+      .closedSessions(spark, base.toString, gap)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Sessionize
+      .sessions(graft.util.Tables.events(spark, base.toString),
+        "user_id", "ts", "event_id", gap)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect()
+    val lastIdx = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filter(s => s._2 < lastIdx(s._1)).toSet
+    assert(streamed == expected,
+      s"diff: ${(streamed diff expected) ++ (expected diff streamed)}")
+  }
+
   test("sessionsWithTimeout: state carries across batches, and the " +
       "watermark flushes idle open sessions") {
     val input = MemoryStream[Ev](spark)
