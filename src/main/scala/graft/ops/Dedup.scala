@@ -140,7 +140,13 @@ object Dedup {
       idCol: String): DataFrame = {
     val candIds = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
-    val sh = shingles.join(candIds, Seq(idCol), "left_semi")
+    // the candidate-shingle table feeds THREE consumers (per-doc counts,
+    // and both probe sides of the intersection join) — cache it so the
+    // semi-join against the corpus shingle table runs once, not three
+    // times. Post-LSH it is a small fraction of the corpus; harnesses
+    // clearCache per query, and nearDupRemovals unpersists via its own
+    // shingle cache lifecycle.
+    val sh = shingles.join(candIds, Seq(idCol), "left_semi").cache()
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))

@@ -152,8 +152,12 @@ class DedupSpec extends SparkTestBase {
     try {
       val sh = Dedup.shingleTable(docs, "doc_id", "text")
       val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
-      val plan = Dedup.jaccardForPairs(sh, pairs, "doc_id")
-        .queryExecution.sparkPlan.toString
+      val df = Dedup.jaccardForPairs(sh, pairs, "doc_id")
+      // drop the op's internal candidate-shingle cache BEFORE forcing the
+      // plan: cache substitution would wrap the semi-join inside an
+      // InMemoryRelation and hide it from the plan string
+      spark.sqlContext.clearCache()
+      val plan = df.queryExecution.sparkPlan.toString
       assert(!plan.contains("BroadcastHashJoin"),
         s"candidate semi-filter must not force a broadcast:\n$plan")
       assert(plan.contains("LeftSemi"), s"semi-filter missing:\n$plan")

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Empty-input behavior of the operator library: every op must return an
+  * empty (correctly-schemed) frame, never throw — the property that lets
+  * a scheduled 100 TB pipeline survive an empty daily increment (the
+  * reference's own O9 short-circuit, generalized). */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup pipeline on an empty corpus: empty at every stage") {
+    assert(Dedup.exactDupGroups(noDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.shingleTable(noDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.minhashSignatures(noDocs, "doc_id", "text").isEmpty)
+    val removed = Dedup.nearDupRemovals(noDocs, "doc_id", "text", 0.5)
+    assert(removed.isEmpty)
+    assert(removed.columns.toSeq == Seq("doc_id"))
+  }
+
+  test("simhash / fingerprints / text scoring on empty input") {
+    assert(Dedup.simhash(noDocs, "doc_id", "text").isEmpty)
+    assert(TextOps.fingerprints(noDocs, "doc_id", "text").isEmpty)
+    assert(TextOps.unigramSurprisal(noDocs, "doc_id", "text").isEmpty)
+    assert(TextOps.tfidf(noDocs, "doc_id", "text").isEmpty)
+    assert(TextOps.repetition(noDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("sessionize on an empty event table") {
+    val empty = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "ts")
+    val s = Sessionize.sessions(empty, "user_id", "ts", "event_id", 60L)
+    assert(s.isEmpty)
+    assert(s.columns.contains("session_idx"))
+  }
+
+  test("curation ops on empty inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "stratum")
+    assert(Curation.hashSplit(empty.select("id"), "id").isEmpty)
+    assert(Curation.stratifiedSample(empty, "id", "stratum",
+      Map("a" -> 50), 10).isEmpty)
+    assert(Curation.latestPerKey(empty, "stratum", col("id").desc).isEmpty)
+    // upsert: empty current + updates = updates; both empty = empty
+    val upd = Seq((1L, "x")).toDF("id", "stratum")
+    val merged = Curation.upsert(empty, upd, "id")
+    assert(merged.as[(Long, String)].collect().toSeq == Seq((1L, "x")))
+    assert(Curation.upsert(empty, empty, "id").isEmpty)
+    assert(Curation.contaminationOverlap(noDocs, "doc_id", "text",
+      col("doc_id") % 2 === 0).isEmpty)
+  }
+
+  test("similarity ops on empty embeddings") {
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((99L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(emb, queries, 5).isEmpty)
+    assert(EmbeddingLsh.nearDupPairs(emb, "vec_id", "embedding", 2, 0.5)
+      .isEmpty)
+  }
+}
