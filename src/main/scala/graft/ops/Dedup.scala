@@ -184,6 +184,41 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup grouping). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs with hamming distance ≤ `maxDist`, WITHOUT an
+    * all-pairs comparison: pigeonhole banding — split the 60-bit hash
+    * into maxDist+1 equal chunks; two hashes within distance maxDist
+    * differ in at most maxDist chunks, so they must agree EXACTLY on at
+    * least one → a chunk-keyed equi-join (through the shared
+    * [[bandJoin]], same hot-bucket valve) yields a candidate superset,
+    * then one exact bit_count verify prunes it. The classic
+    * Manku/Jain/Sarma web-dedup shape: linear in the corpus, shuffle
+    * keyed on uniform 15-bit chunks. The one-row-per-doc simhash table
+    * feeds three consumers (banding + both verify probes) — cached. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    require(SimhashBits % nBands == 0,
+      s"$SimhashBits bits must split evenly into $nBands chunks")
+    val bits = SimhashBits / nBands
+    val mask = (1L << bits) - 1
+    val sh = simhash(df, idCol, textCol).cache()
+    val bandStructs = (0 until nBands).map { b =>
+      s"struct($b AS band, CAST((simhash >> ${b * bits}) & ${mask}L AS STRING) AS bk)"
+    }
+    val bands = sh
+      .select(col(idCol),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    bandJoin(bands, idCol, "doc_a", "doc_b")
+      .join(sh.select(col(idCol).as("doc_a"), col("simhash").as("ha")),
+        Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("simhash").as("hb")),
+        Seq("doc_b"))
+      .withColumn("hamming", hammingDist(col("ha"), col("hb")).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Near-dup components from verified pairs — ADAPTIVE on the edge
     * count (known for free: the edge set is checkpointed either way):
     *

@@ -38,6 +38,29 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** SimHash CTE: sims(doc_id, simhash) — the 60-bit per-bit-majority
+    * hash from the same constants as Dedup.simhash; shared by q31
+    * (signatures) and q80 (pigeonhole near-dup join). */
+  private val simsCte = {
+    val bitSums = (0 until Dedup.SimhashBits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val assemble = (0 until Dedup.SimhashBits)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}::BIGINT ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t.tok FROM (
+       |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |    FROM documents) t
+       |), hashed AS (
+       |  SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok
+       |), sums AS (
+       |  SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums
+       |)""".stripMargin
+  }
+
   private val bandsCte = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
@@ -209,27 +232,41 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // 60-bit SimHash (wide per-bit agg, no row explosion).
-    Q("q31_simhash", {
-      val bitSums = (0 until Dedup.SimhashBits)
-        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
-        .mkString(", ")
-      val assemble = (0 until Dedup.SimhashBits)
-        .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i}::BIGINT ELSE 0 END")
-        .mkString(" + ")
-      Some(s"""WITH tok AS (
-              |  SELECT DISTINCT doc_id, t.tok FROM (
-              |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-              |    FROM documents) t
-              |), hashed AS (
-              |  SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok
-              |), sums AS (
-              |  SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id
-              |)
-              |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums
-              |ORDER BY doc_id""".stripMargin)
-    },
+    Q("q31_simhash",
+      Some(s"""$simsCte
+              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin),
       (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // SimHash near-dups (hamming ≤ 3) by pigeonhole banding: 60 bits →
+    // 4 × 15-bit chunks; pairs within distance 3 must share one exact
+    // chunk → chunk-keyed equi-join (with the shared hot-bucket valve),
+    // then exact bit_count verify — never an all-pairs scan.
+    Q("q80_simhash_neardup",
+      Some(s"""$simsCte,
+              |bands AS (
+              |  SELECT doc_id, g.b AS band,
+              |    CAST((simhash >> (15 * g.b)) & 32767 AS VARCHAR) AS bk
+              |  FROM sims, unnest(generate_series(0, 3)) AS g(b)),
+              |okbands AS (
+              |  SELECT doc_id, band, bk FROM (
+              |    SELECT doc_id, band, bk,
+              |      count(*) OVER (PARTITION BY band, bk) AS n FROM bands) t
+              |  WHERE n <= ${Dedup.MaxBucket}),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM okbands a JOIN okbands b ON a.band = b.band
+              |   AND a.bk = b.bk AND a.doc_id < b.doc_id)
+              |SELECT c.doc_a, c.doc_b,
+              |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT)
+              |    AS hamming
+              |FROM cand c
+              | JOIN sims sa ON sa.doc_id = c.doc_a
+              | JOIN sims sb ON sb.doc_id = c.doc_b
+              |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => Dedup.simhashNearDups(documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_a", "doc_b")),
 
     // TF-IDF top terms per doc (SURVEY §2.12's tf-idf): tf × ln(N/df),
     // rounded before ranking so both engines rank identical values; top-5
