@@ -138,15 +138,32 @@ object Dedup {
     * and picks broadcast exactly when it actually fits. */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
-    val candIds = pairs.select(col("doc_a").as(idCol))
-      .union(pairs.select(col("doc_b").as(idCol))).distinct()
     // the candidate-shingle table feeds THREE consumers (per-doc counts,
     // and both probe sides of the intersection join) — cache it so the
     // semi-join against the corpus shingle table runs once, not three
-    // times. Post-LSH it is a small fraction of the corpus; harnesses
-    // clearCache per query, and nearDupRemovals unpersists via its own
-    // shingle cache lifecycle.
-    val sh = shingles.join(candIds, Seq(idCol), "left_semi").cache()
+    // times. Post-LSH it is a small fraction of the corpus. LIFECYCLE:
+    // this cache entry lives until spark.sqlContext.clearCache() (which
+    // Verify/Bench call per query) — library callers who need
+    // deterministic cleanup should use candidateShingles +
+    // jaccardOnCandidates and own the cache, as nearDupRemovals does.
+    jaccardOnCandidates(candidateShingles(shingles, pairs, idCol).cache(),
+      pairs, idCol)
+  }
+
+  /** The shingle table semi-filtered to docs appearing in `pairs` — the
+    * only rows the Jaccard verify touches. Split out so callers can own
+    * (cache/unpersist) it explicitly. */
+  def candidateShingles(shingles: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val candIds = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    shingles.join(candIds, Seq(idCol), "left_semi")
+  }
+
+  /** Jaccard verify over a pre-filtered candidate-shingle table (see
+    * [[candidateShingles]]); the caller controls its caching. */
+  def jaccardOnCandidates(sh: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))
@@ -171,7 +188,7 @@ object Dedup {
           .as("tok"))
       .withColumn("h", TextOps.hash60(col("tok")))
     val bitSums = (0 until SimhashBits).map { i =>
-      sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+      sum(expr(s"CASE WHEN shiftright(h, $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$i")
     }
     val assembled = (0 until SimhashBits)
       .map(i => expr(s"CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END"))
@@ -193,7 +210,10 @@ object Dedup {
     * then one exact bit_count verify prunes it. The classic
     * Manku/Jain/Sarma web-dedup shape: linear in the corpus, shuffle
     * keyed on uniform 15-bit chunks. The one-row-per-doc simhash table
-    * feeds three consumers (banding + both verify probes) — cached. */
+    * feeds three consumers (banding + both verify probes) — cached;
+    * the cache entry lives until spark.sqlContext.clearCache() (which
+    * Verify/Bench call per query) — library callers composing many
+    * invocations should clearCache or unpersist between them. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
@@ -203,7 +223,9 @@ object Dedup {
     val mask = (1L << bits) - 1
     val sh = simhash(df, idCol, textCol).cache()
     val bandStructs = (0 until nBands).map { b =>
-      s"struct($b AS band, CAST((simhash >> ${b * bits}) & ${mask}L AS STRING) AS bk)"
+      // shiftright(), not the '>>' operator: Spark 4.1's SQL parser
+      // rejects '>>' (PARSE_SYNTAX_ERROR) — it is DuckDB/Postgres syntax
+      s"struct($b AS band, CAST(shiftright(simhash, ${b * bits}) & ${mask}L AS STRING) AS bk)"
     }
     val bands = sh
       .select(col(idCol),
@@ -341,7 +363,12 @@ object Dedup {
     val shingles = shingleTable(docs, idCol, textCol).cache()
     val sig = minhashFromShingles(shingles, idCol)
     val cand = lshCandidatePairs(sig, idCol).cache()
-    val verified = jaccardForPairs(shingles, cand, idCol)
+    // own the candidate-shingle cache (vs jaccardForPairs' internal one,
+    // which only a harness clearCache reclaims): the verified pairs are
+    // localCheckpoint-materialized by count() below, after which all
+    // three caches are dead weight and unpersisted deterministically.
+    val candSh = candidateShingles(shingles, cand, idCol).cache()
+    val verified = jaccardOnCandidates(candSh, cand, idCol)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b").localCheckpoint()
     val nPairs = verified.count()
@@ -352,6 +379,7 @@ object Dedup {
         .select(col("node").as(idCol))
     shingles.unpersist()
     cand.unpersist()
+    candSh.unpersist()
     removed
   }
 }

@@ -58,7 +58,14 @@ object StatefulSessions {
       else if (e.us - cur.endUs > gapUs) {
         closed += Sess(user, cur.idx, cur.n, cur.startUs, cur.endUs)
         cur = Open(cur.idx + 1L, e.us, e.us, 1L)
-      } else cur = Open(cur.idx, cur.startUs, e.us, cur.n + 1L)
+      } else cur = Open(cur.idx, math.min(cur.startUs, e.us),
+        // max, not overwrite: a batch may deliver an event OLDER than the
+        // open session's end (cross-batch disorder within the gap — e.g.
+        // a source replay, or files not in time order). Overwriting endUs
+        // backward would let the NEXT event's gap test fire spuriously
+        // and split one true session in two. min/max are no-ops on
+        // in-order input, so the oracle-checked path is unchanged.
+        math.max(cur.endUs, e.us), cur.n + 1L)
     }
     if (cur != null) state.update(cur)
     closed.result().iterator
@@ -72,10 +79,26 @@ object StatefulSessions {
   def closedSessions(spark: SparkSession, dir: String,
       gapSeconds: Long): DataFrame = {
     import spark.implicits._
+    val sessions = closedSessionsOf(
+      Streams.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[Ev],
+      gapSeconds)
+    Streams.runToFiles(spark, sessions.toDF()
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("sess_start"),
+        timestamp_micros(col("end_us")).as("sess_end")))
+  }
+
+  /** The closed-only state machine as a streaming Dataset transform —
+    * the core of [[closedSessions]], split out so specs can drive it
+    * with a MemoryStream across controlled micro-batches. */
+  def closedSessionsOf(events: org.apache.spark.sql.Dataset[Ev],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[Sess] = {
+    import events.sparkSession.implicits._
     val gapUs = gapSeconds * 1000000L
-    val sessions = Streams.eventsStream(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .as[Ev]
+    events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Open, Sess](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -83,10 +106,6 @@ object StatefulSessions {
           advance(user, rows.toSeq.sortBy(e => (e.us, e.event_id)),
             gapUs, state)
       }
-    Streams.runToFiles(spark, sessions.toDF()
-      .select(col("user_id"), col("session_idx"), col("n_events"),
-        timestamp_micros(col("start_us")).as("sess_start"),
-        timestamp_micros(col("end_us")).as("sess_end")))
   }
 
   /** The production liveness variant: same state machine, plus an

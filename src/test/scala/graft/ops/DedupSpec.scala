@@ -70,6 +70,20 @@ class DedupSpec extends SparkTestBase {
       "near-dup should be closer than disjoint doc")
   }
 
+  test("simhashNearDups: exact dup at hamming 0, disjoint doc absent " +
+      "(regression: Spark rejects the '>>' SQL operator)") {
+    // plans AND executes the banding expr — the round-3 '>>' version
+    // failed at parse time, so .collect() is the assertion that matters
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0, "exact dup must pair at hamming 0")
+    assert(pairs.forall { case (_, h) => h <= 3 })
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      "disjoint doc must not survive the bit_count verify")
+  }
+
   test("near-dup components: chains collapse to the min-id keeper") {
     // chain 1-2-3 plus isolated pair 7-9: labels converge to component min
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
