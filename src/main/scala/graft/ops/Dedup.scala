@@ -212,16 +212,29 @@ object Dedup {
     * keyed on uniform 15-bit chunks. The one-row-per-doc simhash table
     * feeds three consumers (banding + both verify probes) — cached;
     * the cache entry lives until spark.sqlContext.clearCache() (which
-    * Verify/Bench call per query) — library callers composing many
-    * invocations should clearCache or unpersist between them. */
+    * Verify/Bench call per query). Library callers composing many
+    * invocations should own the cache instead: compute [[simhash]] once,
+    * cache it, run [[simhashNearDupsOnTable]], and unpersist — exactly
+    * what [[simhashRemovals]] does. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashNearDupsOnTable(simhash(df, idCol, textCol).cache(), idCol,
+      maxDist)
+
+  /** The pigeonhole band join + exact hamming verify over an EXISTING
+    * (id, simhash) table — the owner-controlled variant of
+    * [[simhashNearDups]]: `sh` feeds three consumers (banding + both
+    * verify probes), so the caller decides whether/how long to cache it.
+    * Adds no cache or checkpoint of its own. Also the natural seam for
+    * property tests: feed synthetic hashes with known pairwise distances
+    * and assert the banding's exact-recall guarantee. */
+  def simhashNearDupsOnTable(sh: DataFrame, idCol: String,
       maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     require(SimhashBits % nBands == 0,
       s"$SimhashBits bits must split evenly into $nBands chunks")
     val bits = SimhashBits / nBands
     val mask = (1L << bits) - 1
-    val sh = simhash(df, idCol, textCol).cache()
     val bandStructs = (0 until nBands).map { b =>
       // shiftright(), not the '>>' operator: Spark 4.1's SQL parser
       // rejects '>>' (PARSE_SYNTAX_ERROR) — it is DuckDB/Postgres syntax
@@ -380,6 +393,34 @@ object Dedup {
     shingles.unpersist()
     cand.unpersist()
     candSh.unpersist()
+    removed
+  }
+
+  /** The SimHash end-to-end corpus dedup — the cheap alternative to the
+    * MinHash path of [[nearDupRemovals]] (one wide aggregate per doc, no
+    * shingle explosion): simhash → pigeonhole band join → exact hamming
+    * verify ≤ `maxDist` → connected components → drop every non-keeper
+    * member. Returns the ids of REMOVED docs.
+    *
+    * Same lifecycle discipline as [[nearDupRemovals]]: the simhash table
+    * is cached HERE (it feeds banding + both verify probes) and
+    * unpersisted deterministically; the verified edge set is
+    * localCheckpoint-materialized and counted ONCE, the count serving
+    * both the emptiness short-circuit and nearDupComponents'
+    * union-find-vs-propagation choice. The components machinery is
+    * family-agnostic — this path reuses [[nearDupComponents]] unchanged. */
+  def simhashRemovals(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).cache()
+    val pairs = simhashNearDupsOnTable(sh, idCol, maxDist)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val nPairs = pairs.count()
+    val removed =
+      if (nPairs == 0L) pairs.select(col("doc_a").as(idCol)).limit(0)
+      else nearDupComponents(pairs, knownPairCount = Some(nPairs))
+        .filter(col("label") < col("node"))
+        .select(col("node").as(idCol))
+    sh.unpersist()
     removed
   }
 }

@@ -61,6 +61,27 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** Pigeonhole-banded simhash candidates, verified at hamming ≤ 3:
+    * sims → 4 × 15-bit chunk bands (same hot-bucket valve as the MinHash
+    * path) → equi-join candidates — the twin of
+    * Dedup.simhashNearDupsOnTable, shared by q80 (pair listing) and q81
+    * (end-to-end removals). */
+  private val simhashCandCte =
+    s"""$simsCte,
+       |bands AS (
+       |  SELECT doc_id, g.b AS band,
+       |    CAST((simhash >> (15 * g.b)) & 32767 AS VARCHAR) AS bk
+       |  FROM sims, unnest(generate_series(0, 3)) AS g(b)),
+       |okbands AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT doc_id, band, bk,
+       |      count(*) OVER (PARTITION BY band, bk) AS n FROM bands) t
+       |  WHERE n <= ${Dedup.MaxBucket}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM okbands a JOIN okbands b ON a.band = b.band
+       |   AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
   private val bandsCte = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
@@ -243,20 +264,7 @@ object TextQueries {
     // chunk → chunk-keyed equi-join (with the shared hot-bucket valve),
     // then exact bit_count verify — never an all-pairs scan.
     Q("q80_simhash_neardup",
-      Some(s"""$simsCte,
-              |bands AS (
-              |  SELECT doc_id, g.b AS band,
-              |    CAST((simhash >> (15 * g.b)) & 32767 AS VARCHAR) AS bk
-              |  FROM sims, unnest(generate_series(0, 3)) AS g(b)),
-              |okbands AS (
-              |  SELECT doc_id, band, bk FROM (
-              |    SELECT doc_id, band, bk,
-              |      count(*) OVER (PARTITION BY band, bk) AS n FROM bands) t
-              |  WHERE n <= ${Dedup.MaxBucket}),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM okbands a JOIN okbands b ON a.band = b.band
-              |   AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      Some(s"""$simhashCandCte
               |SELECT c.doc_a, c.doc_b,
               |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT)
               |    AS hamming
@@ -267,6 +275,33 @@ object TextQueries {
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => Dedup.simhashNearDups(documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")),
+
+    // SimHash END-TO-END dedup (the cheap-dedup pipeline: one wide agg
+    // per doc instead of a shingle explosion): q80's verified pairs →
+    // connected components (Dedup.nearDupComponents, reused unchanged
+    // from the MinHash path) → removed = non-keeper members. The oracle
+    // computes components via a recursive transitive closure, exact for
+    // any chain length — same shape as q61's.
+    Q("q81_simhash_removals",
+      Some(s"""${simhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |verified AS MATERIALIZED (
+              |  SELECT c.doc_a, c.doc_b FROM cand c
+              |   JOIN sims sa ON sa.doc_id = c.doc_a
+              |   JOIN sims sb ON sb.doc_id = c.doc_b
+              |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+              |edges AS MATERIALIZED (
+              |  SELECT doc_a AS src, doc_b AS dst FROM verified
+              |  UNION ALL SELECT doc_b, doc_a FROM verified),
+              |reach(node, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+              |SELECT node AS doc_id FROM (
+              |  SELECT node, min(r) AS label FROM reach GROUP BY node)
+              |WHERE label < node
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => Dedup.simhashRemovals(documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")),
 
     // TF-IDF top terms per doc (SURVEY §2.12's tf-idf): tf × ln(N/df),
     // rounded before ranking so both engines rank identical values; top-5

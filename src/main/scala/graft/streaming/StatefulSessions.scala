@@ -29,9 +29,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: ONE shuffle by user (the groupByKey), state is one small
   * case class per user (not the event history), and each micro-batch
   * sorts only that batch's per-user events — the same state size class as
-  * Spark's own session_window. Event-time order across micro-batches is
-  * the source's responsibility (late events beyond the watermark would
-  * misassign, the standard streaming caveat).
+  * Spark's own session_window.
+  *
+  * Cross-batch disorder policy (in-order input is unaffected): an event
+  * arriving WITHIN the open session's span ± gap merges losslessly (the
+  * min/max advance in [[advance]]); an event more than gap OLDER than the
+  * open session's start is dropped as late data — the batch twin would
+  * give it a separate earlier session, which a closed-only stream cannot
+  * emit retroactively without renumbering already-emitted sessions.
   */
 object StatefulSessions {
 
@@ -58,6 +63,18 @@ object StatefulSessions {
       else if (e.us - cur.endUs > gapUs) {
         closed += Sess(user, cur.idx, cur.n, cur.startUs, cur.endUs)
         cur = Open(cur.idx + 1L, e.us, e.us, 1L)
+      } else if (cur.startUs - e.us > gapUs) {
+        // LATE DATA, dropped: an event more than gap OLDER than the open
+        // session's start (possible only across micro-batches — within a
+        // batch, `sorted` rules it out). The batch twin would put it in a
+        // SEPARATE earlier session, but emitting that retroactively would
+        // renumber sessions this stream has already emitted — closed-only
+        // streaming cannot represent it. Dropping bounds the divergence
+        // to the late event itself; merging instead would stretch
+        // start_us backward past a true session boundary AND inflate
+        // n_events. Standard watermark-style late-data policy; a no-op on
+        // in-order input (the oracle-checked path). Disorder WITHIN the
+        // gap is handled losslessly by the min/max advance below.
       } else cur = Open(cur.idx, math.min(cur.startUs, e.us),
         // max, not overwrite: a batch may deliver an event OLDER than the
         // open session's end (cross-batch disorder within the gap — e.g.

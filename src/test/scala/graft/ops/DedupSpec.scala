@@ -192,6 +192,70 @@ class DedupSpec extends SparkTestBase {
       knownPairCount = Some(3L))) == expected)
   }
 
+  test("simhashNearDups pigeonhole property (fixed seed): EVERY pair " +
+      "within maxDist is found, NONE beyond survives, hamming is exact") {
+    // The banding is exact-recall by pigeonhole: hashes within hamming
+    // maxDist differ in at most maxDist of the maxDist+1 chunks, so they
+    // agree exactly on at least one and must meet in its bucket. Feed
+    // synthetic 60-bit hashes with known pairwise distances through the
+    // owner-controlled seam and compare against the brute-force answer.
+    val rnd = new scala.util.Random(42L)
+    val mask60 = (1L << 60) - 1
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    (0 until 12).foreach { _ =>
+      val base = rnd.nextLong() & mask60
+      hashes += ((id, base)); id += 1
+      // five perturbed copies at 0..5 bit flips: straddles the maxDist=3
+      // boundary on both sides, plus cross-cluster pairs far apart
+      (1 to 5).foreach { _ =>
+        var h = base
+        rnd.shuffle((0 until 60).toList).take(rnd.nextInt(6))
+          .foreach(p => h ^= 1L << p)
+        hashes += ((id, h)); id += 1
+      }
+    }
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib) -> java.lang.Long.bitCount(ha ^ hb)).toMap
+    assert(expected.nonEmpty && expected.size < hashes.size * (hashes.size - 1) / 2,
+      "corpus must have both near and far pairs for the test to bite")
+    val got = Dedup
+      .simhashNearDupsOnTable(hashes.toSeq.toDF("doc_id", "simhash"),
+        "doc_id", maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(got == expected,
+      s"missed: ${expected.keySet diff got.keySet}; " +
+        s"spurious: ${got.keySet diff expected.keySet}")
+  }
+
+  test("simhashNearDupsOnTable leaves caching to the caller " +
+      "(adds no persistent RDDs of its own)") {
+    val sh = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "simhash")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.simhashNearDupsOnTable(sh, "doc_id").collect()
+    val added = spark.sparkContext.getPersistentRDDs.keySet diff before
+    assert(added.isEmpty, s"unexpected cache entries: $added")
+  }
+
+  test("simhashRemovals: exact dup removed, keeper + unique docs kept; " +
+      "removals equal non-keeper members of simhashNearDups components") {
+    val removed = Dedup.simhashRemovals(docs, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    assert(removed.contains(2L), "exact dup (hamming 0) must be removed")
+    assert(!removed.contains(1L), "the min-id keeper stays")
+    assert(!removed.contains(4L), "the disjoint doc stays")
+    // cross-check against composing the pieces by hand
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", 3)
+    val expected = Dedup.nearDupComponents(pairs)
+      .filter(col("label") < col("node"))
+      .select(col("node")).as[Long].collect().toSet
+    assert(removed == expected)
+  }
+
   test("hammingDist column matches Long.bitCount") {
     val df = Seq((0x0FL, 0x00L), (0xFFL, 0xF0L)).toDF("a", "b")
     val got = df.select(Dedup.hammingDist(col("a"), col("b"))).as[Int].collect()
