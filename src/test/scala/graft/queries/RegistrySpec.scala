@@ -13,6 +13,27 @@ class RegistrySpec extends SparkTestBase {
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qnames))
   }
 
+  test("README/COVERAGE query counts match the registry (stale-count " +
+      "docs once let a broken query slip the correctness gate)") {
+    val registered = Registry.all.size
+    val oracled = Registry.all.count(_.oracle.nonEmpty)
+    val claim = s"$registered registered queries, $oracled with DuckDB"
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/README.md"))
+    assert(readme.contains(claim),
+      s"README.md must say '$claim' (registry truth)")
+    val coverage = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/COVERAGE.md"))
+    assert(coverage.contains(s"$registered queries registered; " +
+      s"$oracled with DuckDB oracles"),
+      s"COVERAGE.md tail count must match the registry " +
+        s"($registered/$oracled)")
+    // every registered query appears in COVERAGE's queries column
+    val missing = Registry.all.map(_.name.takeWhile(_ != '_'))
+      .filterNot(qn => coverage.contains(qn))
+    assert(missing.isEmpty, s"COVERAGE.md has no row mentioning: $missing")
+  }
+
   test("entry returns rows on sf0.001 (t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
