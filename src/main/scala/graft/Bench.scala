@@ -28,7 +28,17 @@ object Bench {
     // over N runs is the steady-state per-query time; N is small enough
     // to keep the whole bench a few minutes.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for focused local
+    // timing (e.g. SPARK_GRAFT_BENCH_FILTER=q81,q61); unset = all
+    // queries, the driver contract
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = filter match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

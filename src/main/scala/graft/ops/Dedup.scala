@@ -275,7 +275,7 @@ object Dedup {
     * component, and are asserted identical in DedupSpec.
     * Returns (node, label) where label = min doc id in the component. */
   def nearDupComponents(pairs: DataFrame, maxIters: Int = 50,
-      smallGraphMaxEdges: Long = 1L << 19,
+      smallGraphMaxEdges: Long = 1L << 20,
       knownPairCount: Option[Long] = None): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -324,10 +324,14 @@ object Dedup {
   }
 
   /** Exact connected components via union-find over an edge set small
-    * enough for one partition (the ≤ 2^19-directed-edge default keeps
-    * the boxed hash map around ~100 MB even with string keys). The edges
-    * are read exactly once, so the caller may pass either a checkpointed
-    * frame or a short-lineage derivation.
+    * enough for one partition. Task memory is driven by the DISTINCT
+    * NODE count (the parent map), not the edge count — edges stream
+    * through the iterator once. Worst case (a perfect matching) is one
+    * node per directed edge, so the ≤ 2^20 default bounds the boxed map
+    * at ~1M entries (~100-200 MB even with md5-string keys); real dup
+    * graphs have far fewer nodes than edges, which is what makes them
+    * dup graphs. The edges are read exactly once, so the caller may pass
+    * either a checkpointed frame or a short-lineage derivation.
     * Runs executor-side as a single narrow task — NOT a driver collect —
     * with union-by-min (attach the larger root under the smaller), so
     * each root IS the component minimum, plus path compression. Key type
