@@ -18,7 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name-prefix filter for focused local runs
+    // (e.g. SPARK_GRAFT_VERIFY_FILTER=q82,q89); unset (the driver) = all
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = filter match {
+      case Some(ps) =>
+        SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

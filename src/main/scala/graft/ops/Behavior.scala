@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over event streams: ordered funnels, retention
+  * cohorts, event-transition matrices, rolling distinct reach. The
+  * reference stores raw per-video rows and leaves analysis to SQL
+  * consumers (/root/reference/fetch_youtube_data.py:143-200); these are
+  * the canonical product-analytics reductions a warehouse engine is
+  * expected to own.
+  *
+  * Scale posture (100 TB): every operator here reduces events to an
+  * entity- or day-grain intermediate in ONE hash shuffle on the entity
+  * key before anything widens. Funnel stage times are whole-partition
+  * window aggregates over the same `hashpartitioning(entity)` exchange
+  * (Catalyst reuses it across the chained selects), retention collapses
+  * to (user → cohort, active-week set) in a single agg, and rolling
+  * reach expands day-grain rows by a bounded factor (window length)
+  * map-side — never a range self-join over raw events.
+  */
+object Behavior {
+
+  /** Ordered funnel: the highest stage each entity reached, where stage
+    * k+1 must occur STRICTLY AFTER the entity's earliest qualifying
+    * stage-k event (the classic "did they view, then click, then buy"
+    * question — order matters, a purchase before the first view does not
+    * count).
+    *
+    * One shuffle: all stage times are whole-partition window mins over
+    * the same entity partitioning; the final per-entity collapse reuses
+    * the exchange.
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(entityCol)
+    // t0 = earliest stage-0 event; t_k = earliest stage-k event after
+    // t_{k-1}. Nulls propagate: a missing stage nulls all later stages.
+    val withTimes = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage && col(tsCol) > col(s"_t${i - 1}")
+        df.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    // fold ascending so the OUTERMOST when() tests the deepest stage —
+    // the highest non-null stage must win
+    val stageExpr = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withTimes
+      .groupBy(entityCol)
+      .agg(max(stageExpr).as("funnel_stage"))
+  }
+
+  /** Weekly retention cohorts: entities grouped by first-seen ISO week,
+    * counted in each later week they were active. Two shuffles total —
+    * one per-entity agg that yields BOTH the cohort week and the distinct
+    * active-week set (no join back to raw events), then the
+    * (cohort, offset) rollup over the exploded set, whose cardinality is
+    * entities × weeks-active, a tiny fraction of the input.
+    */
+  def weeklyRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val week = to_date(date_trunc("week", col(tsCol)))
+    events
+      .select(col(entityCol), week.as("_week"))
+      .groupBy(entityCol)
+      .agg(min(col("_week")).as("cohort_week"),
+        collect_set(col("_week")).as("_weeks"))
+      .select(col("cohort_week"), explode(col("_weeks")).as("_active"))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("_active"), col("cohort_week")) / 7)
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order transition matrix: counts of consecutive event-type
+    * pairs per entity, ordered by (ts, tiebreak). One shuffle + one
+    * per-partition sort for the lag window; the (from, to) rollup is a
+    * k² -row aggregate.
+    */
+  def transitions(events: DataFrame, entityCol: String, typeCol: String,
+      orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(orderBy: _*)
+    events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Rolling `windowDays`-day distinct reach per (day, group): how many
+    * distinct entities were active in the trailing window ending on each
+    * observed day.
+    *
+    * Scale path: reduce to day-grain distinct (entity, group, day) rows
+    * first (one shuffle, output ≤ entities × days), then each row
+    * contributes map-side to the ≤ `windowDays` window-end days it can
+    * reach — a bounded fan-out — and a semi-join against the observed-day
+    * dimension (broadcast; |days| is tiny) drops phantom trailing days.
+    * This is O(n·w) with no range self-join over the raw events, the
+    * shape that survives 100×: a day-range join against raw events would
+    * re-scan the fact table per window.
+    */
+  def rollingDistinct(events: DataFrame, entityCol: String,
+      groupCol: String, tsCol: String, windowDays: Int): DataFrame = {
+    val dayGrain = events
+      .select(to_date(col(tsCol)).as("day"), col(entityCol), col(groupCol))
+      .distinct()
+    val days = dayGrain.select(col("day").as("window_day")).distinct()
+    dayGrain
+      .withColumn("window_day",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .join(broadcast(days), Seq("window_day"), "left_semi")
+      .groupBy("window_day", groupCol)
+      .agg(countDistinct(col(entityCol)).as("n_entities"))
+  }
+}

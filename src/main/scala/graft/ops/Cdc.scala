@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between table snapshots: classify every key as
+  * insert / update / delete / unchanged by comparing an old and a new
+  * snapshot. The reference approximates this with a driver-side id-set
+  * anti-join that can only see inserts
+  * (/root/reference/fetch_youtube_data.py:115-119); a warehouse engine
+  * needs the full diff to drive incremental downstream refresh.
+  *
+  * Scale posture (100 TB): ONE co-partitioned full-outer sort-merge join
+  * on the key — both sides shuffle once on the same key (or zero times if
+  * the snapshots are bucketed on it, the layout a daily CDC pipeline
+  * would use). Column comparison happens post-join with null-safe
+  * equality on the value columns themselves — no row-serialization hash,
+  * so no cross-engine float-formatting hazard and no false "updates"
+  * from formatting drift.
+  */
+object Cdc {
+
+  /** Diff `oldSnap` → `newSnap` on `keyCol`, comparing `compareCols`.
+    * Emits one row per changed key: (key, change_type, old/new value
+    * columns); unchanged keys are dropped. change_type ∈
+    * {insert, update, delete}.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val o = oldSnap.select(keyCol, compareCols: _*).alias("o")
+    val n = newSnap.select(keyCol, compareCols: _*).alias("n")
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"),
+      "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    val changeType = when(col(s"o.$keyCol").isNull, lit("insert"))
+      .when(col(s"n.$keyCol").isNull, lit("delete"))
+      .when(differs, lit("update"))
+    val outCols =
+      coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol) +:
+        changeType.as("change_type") +:
+        compareCols.flatMap(c =>
+          Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c")))
+    joined
+      .where(changeType.isNotNull)
+      .select(outCols: _*)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: per-column statistics, fixed-width value
+  * histograms, and robust per-group outlier flagging — the inspection
+  * pass a curation pipeline runs before anything trains on a corpus.
+  *
+  * Scale posture (100 TB): [[profile]] is ONE scan — a single aggregate
+  * row (Catalyst plans the multiple DISTINCT aggregates via Expand, a
+  * deliberate exact-answer choice; swap in approx_count_distinct for the
+  * one-pass sketch when exactness isn't contractual — q19/q20 cover that
+  * trade), melted to rows driver-free with posexplode over an inline
+  * array. [[histogram]] buckets by constant-step floor division — a pure
+  * map + one agg whose output is |bins|, no sort of the data.
+  * [[zscoreOutliers]] aggregates the tiny per-group moment table and
+  * broadcast-joins it back: two scans of the fact, zero wide shuffles.
+  */
+object Profile {
+
+  /** One profiled column: `name` plus the expression rendering its
+    * min/max as a canonical string (explicit casts keep the rendering
+    * engine-portable — doubles go through DECIMAL, never float
+    * formatting). */
+  final case class ProfCol(name: String, asString: Column => Column)
+
+  object ProfCol {
+    def raw(name: String): ProfCol = ProfCol(name, c => c.cast("string"))
+    def dec2(name: String): ProfCol =
+      ProfCol(name, c => c.cast("decimal(18,2)").cast("string"))
+  }
+
+  /** Per-column profile: (column, n_rows, n_nulls, n_distinct, min_str,
+    * max_str) — one row per profiled column, one scan of the input. */
+  def profile(df: DataFrame, cols: Seq[ProfCol]): DataFrame = {
+    val aggs = cols.flatMap { pc =>
+      val c = col(pc.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nn_${pc.name}"),
+        countDistinct(c).as(s"_nd_${pc.name}"),
+        pc.asString(min(c)).as(s"_mn_${pc.name}"),
+        pc.asString(max(c)).as(s"_mx_${pc.name}"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    // melt the single wide row into per-column rows without collect():
+    // an inline array of structs + explode keeps it a pure projection
+    val entries = cols.map { pc =>
+      struct(lit(pc.name).as("col_name"),
+        col("_rows").as("n_rows"),
+        col(s"_nn_${pc.name}").as("n_nulls"),
+        col(s"_nd_${pc.name}").as("n_distinct"),
+        col(s"_mn_${pc.name}").as("min_str"),
+        col(s"_mx_${pc.name}").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Fixed-width histogram: bin = floor(value / step). Constant-step
+    * binning (vs min/max-derived widths) keeps bin edges independent of
+    * the data — stable across snapshots and engines, and a pure map. */
+  def histogram(df: DataFrame, valueCol: String, step: Double): DataFrame = {
+    require(step > 0, "histogram step must be positive")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / step).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
+  /** Rows whose value deviates from their group mean by more than
+    * `threshold` sample standard deviations. The per-group moment table
+    * is tiny (|groups| rows) and broadcast back onto the fact table. */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    val moments = df.groupBy(groupCol)
+      .agg(avg(col(valueCol)).as("_mean"),
+        stddev_samp(col(valueCol)).as("_sd"))
+    df.join(broadcast(moments), Seq(groupCol))
+      // zero/null sd (constant or single-row group) → null z → filtered;
+      // an unguarded divide would raise under ANSI mode
+      .withColumn("z", when(col("_sd") > 0,
+        (col(valueCol) - col("_mean")) / col("_sd")))
+      .where(abs(col("z")) > threshold)
+      .drop("_mean", "_sd")
+  }
+}

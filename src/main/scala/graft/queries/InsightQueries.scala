@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, Cdc, FuzzyJoin, Graphs, Profile}
+import graft.util.Tables._
+
+/** Behavioral analytics + data-quality surface (round 5): ordered
+  * funnels, retention cohorts, CDC snapshot diffs, fuzzy entity
+  * resolution, profiling, outliers, graph triangles, transition
+  * matrices, rolling reach. All oracle-checked; every operator reduces
+  * or blocks before it joins — see the scaladoc on each op for the
+  * 100 TB posture.
+  */
+object InsightQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Ordered funnel view → click → purchase: highest stage per user,
+    // later stages must occur strictly after the earliest qualifying
+    // prior stage. One shuffle on user_id.
+    Q("q82_funnel",
+      Some("""WITH t1s AS (
+             |  SELECT user_id, event_type, ts,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t1
+             |  FROM events),
+             |t2s AS (
+             |  SELECT user_id, event_type, ts, t1,
+             |    min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t2
+             |  FROM t1s),
+             |t3s AS (
+             |  SELECT user_id, t1, t2,
+             |    min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts
+             |        END) OVER (PARTITION BY user_id) AS t3
+             |  FROM t2s)
+             |SELECT user_id,
+             |  max(CASE WHEN t3 IS NOT NULL THEN 3
+             |           WHEN t2 IS NOT NULL THEN 2
+             |           WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage
+             |FROM t3s GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => Behavior.funnel(events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // Weekly retention cohorts: users bucketed by first-seen ISO week,
+    // counted per week offset they remained active.
+    Q("q83_retention_cohorts",
+      Some("""WITH wk AS (
+             |  SELECT user_id, date_trunc('week', ts)::DATE AS week
+             |  FROM events),
+             |coh AS (SELECT user_id, min(week) AS cohort_week
+             |        FROM wk GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, week FROM wk)
+             |SELECT c.cohort_week,
+             |  ((a.week - c.cohort_week) // 7)::BIGINT AS week_offset,
+             |  count(*) AS n_users
+             |FROM act a JOIN coh c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Behavior.weeklyRetention(events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // CDC diff between two deterministic snapshots of orders: keys
+    // divisible by 97 are missing from the old snapshot (→ insert), by
+    // 89 missing from the new (→ delete), by 13 repriced (→ update).
+    Q("q84_cdc_snapshot_diff",
+      Some("""WITH s_old AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000
+             |         ELSE o_totalprice END AS o_totalprice,
+             |    o_orderstatus
+             |  FROM orders WHERE o_orderkey % 97 != 0),
+             |s_new AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 89 != 0)
+             |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             |       WHEN n.o_orderkey IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change_type,
+             |  o.o_totalprice  AS old_o_totalprice,
+             |  n.o_totalprice  AS new_o_totalprice,
+             |  o.o_orderstatus AS old_o_orderstatus,
+             |  n.o_orderstatus AS new_o_orderstatus
+             |FROM s_old o FULL OUTER JOIN s_new n
+             |  ON o.o_orderkey = n.o_orderkey
+             |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+             |   OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+             |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val ord = orders(s, d)
+        val oldSnap = ord
+          .where(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1000)
+              .otherwise(col("o_totalprice")))
+        val newSnap = ord.where(col("o_orderkey") % 89 =!= 0)
+        Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Fuzzy entity resolution: part names with a deterministically
+    // corrupted head character matched back to the clean vocabulary via
+    // (length, interior-window) blocking + Levenshtein ≤ 1 — an
+    // equi-join, never a cross product.
+    Q("q85_fuzzy_match",
+      Some("""WITH dim AS (SELECT DISTINCT p_name FROM part),
+             |dirty AS (
+             |  SELECT p_partkey, 'z' || substr(p_name, 2) AS dirty_name
+             |  FROM part WHERE p_partkey % 7 = 0),
+             |cand AS (
+             |  SELECT d.p_partkey, d.dirty_name, m.p_name,
+             |    levenshtein(d.dirty_name, m.p_name) AS match_dist
+             |  FROM dirty d JOIN dim m
+             |    ON length(d.dirty_name) = length(m.p_name)
+             |   AND substr(d.dirty_name, 2, 3) = substr(m.p_name, 2, 3)
+             |  WHERE levenshtein(d.dirty_name, m.p_name) <= 1)
+             |SELECT p_partkey, dirty_name, p_name AS matched, match_dist
+             |FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+             |        ORDER BY match_dist, p_name) AS rn FROM cand)
+             |WHERE rn = 1 ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        val dirty = part(s, d)
+          .where(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"),
+            concat(lit("z"), expr("substring(p_name, 2)")).as("dirty_name"))
+        FuzzyJoin.bestMatch(dirty, "dirty_name", part(s, d), "p_name", 1)
+          .orderBy("p_partkey")
+      }),
+
+    // One-scan column profiler over orders: rows / nulls / exact
+    // distincts / canonical-string min+max per column.
+    Q("q87_column_profile",
+      Some(Seq(
+        ("o_orderkey", "o_orderkey::VARCHAR"),
+        ("o_custkey", "o_custkey::VARCHAR"),
+        ("o_totalprice", "o_totalprice::DECIMAL(18,2)::VARCHAR"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderdate", "o_orderdate::VARCHAR")).map { case (c, render) =>
+          val minR = render.replace(c, s"min($c)")
+          val maxR = render.replace(c, s"max($c)")
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             | count(DISTINCT $c) AS n_distinct,
+             | $minR AS min_str, $maxR AS max_str
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      (s, d) => Profile.profile(orders(s, d), Seq(
+          Profile.ProfCol.raw("o_orderkey"),
+          Profile.ProfCol.raw("o_custkey"),
+          Profile.ProfCol.dec2("o_totalprice"),
+          Profile.ProfCol.raw("o_orderstatus"),
+          Profile.ProfCol.raw("o_orderdate")))
+        .orderBy("col_name")),
+
+    // Per-type z-score outliers: events >3 sample stddevs from their
+    // type mean (threshold margin vs cross-engine float noise verified:
+    // min |z-3| ≥ 2e-4 at both sf). z rounded to 6 for display parity.
+    Q("q88_zscore_outliers",
+      Some("""WITH m AS (
+             |  SELECT event_type, avg(value) AS mean,
+             |    stddev_samp(value) AS sd
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, event_type, value,
+             |  round((value - mean) / sd, 6) AS z
+             |FROM events JOIN m USING (event_type)
+             |WHERE abs((value - mean) / sd) > 3
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => Profile.zscoreOutliers(events(s, d), "event_type", "value", 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id")),
+
+    // Per-supplier triangle counts on the order-co-occurrence graph
+    // (support ≥ 5 keeps hub degrees — and the wedge join — bounded).
+    Q("q89_triangle_counts",
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+             |  FROM lineitem),
+             |edges AS (
+             |  SELECT a.i AS src, b.i AS dst
+             |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |tri AS (
+             |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+             |  WHERE EXISTS (SELECT 1 FROM edges e3
+             |                WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+             |verts AS (
+             |  SELECT a AS vertex FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT vertex, count(*) AS n_triangles
+             |FROM verts GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Graphs.triangleCounts(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_suppkey", 5L))
+        .orderBy("vertex")),
+
+    // First-order event-transition matrix per user (Markov counts).
+    Q("q90_transition_matrix",
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT prev AS from_type, event_type AS to_type,
+             |  count(*) AS n
+             |FROM seq WHERE prev IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Behavior.transitions(events(s, d), "user_id", "event_type",
+          Seq(col("ts"), col("event_id")))
+        .orderBy("from_type", "to_type")),
+
+    // Fixed-width price histogram: constant-step floor binning — bin
+    // edges independent of the data, a pure map + |bins|-row agg.
+    Q("q91_histogram",
+      Some("""SELECT floor(l_extendedprice / 10000)::BIGINT AS bin,
+             | count(*) AS n, min(l_extendedprice) AS lo,
+             | max(l_extendedprice) AS hi
+             |FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Profile.histogram(lineitem(s, d), "l_extendedprice", 10000.0)
+        .orderBy("bin")),
+
+    // Rolling 7-day distinct users per event type: day-grain reduce,
+    // bounded map-side fan-out to window-end days, no range self-join.
+    Q("q92_rolling_distinct",
+      Some("""WITH du AS (
+             |  SELECT DISTINCT ts::DATE AS day, event_type, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT day AS window_day FROM du)
+             |SELECT d.window_day, du.event_type,
+             |  count(DISTINCT du.user_id) AS n_entities
+             |FROM days d JOIN du
+             |  ON du.day BETWEEN d.window_day - 6 AND d.window_day
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Behavior.rollingDistinct(events(s, d), "user_id",
+          "event_type", "ts", 7)
+        .orderBy("window_day", "event_type")))
+}

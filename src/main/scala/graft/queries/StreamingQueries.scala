@@ -126,6 +126,20 @@ object StreamingQueries {
         .closedSessions(s, d, gapSeconds = 3600L)
         .orderBy("user_id", "session_idx")),
 
+    // Stream-static join: the event stream enriched against the customer
+    // dimension (broadcast — no stream shuffle, no join state), then a
+    // daily tumbling count per segment. Fills the stream-static family:
+    // q62 covers stream-stream, this covers the dimension-enrichment
+    // topology a fact stream runs against every batch.
+    Q("q86_stream_static_join",
+      Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             | c_mktsegment, count(*) AS n
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Streams.streamStaticAgg(s, d, customer(s, d),
+          "c_custkey", "user_id", "c_mktsegment", "1 day")
+        .orderBy("window_start", "c_mktsegment")),
+
     // As-of join: each purchase sees the latest signup at or before it.
     Q("q39_asof_join",
       Some("""SELECT p.event_id, p.user_id, s.ts AS signup_ts

@@ -93,6 +93,26 @@ object Streams {
     runToFiles(spark, joined)
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (here customer segments), then windowed per segment. The
+    * static side is a plain batch DataFrame — Spark re-plans it per
+    * micro-batch and, broadcast, it never shuffles the stream; the
+    * stream side keeps its event-time semantics (this is the standard
+    * "enrich facts against a dimension" streaming topology, state-free
+    * on the join itself). */
+  def streamStaticAgg(spark: SparkSession, dir: String, dim: DataFrame,
+      dimKey: String, streamKey: String, tagCol: String,
+      width: String): DataFrame = {
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim.select(col(dimKey), col(tagCol))),
+        col(streamKey) === col(dimKey))
+    val agg = enriched
+      .groupBy(window(col("ts"), width), col(tagCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(tagCol), col("n"))
+    runToMemory(spark, agg)
+  }
+
   /** Sliding window variant (windows overlap; rows multiply by
     * width/slide). */
   def slidingAgg(spark: SparkSession, dir: String, width: String,

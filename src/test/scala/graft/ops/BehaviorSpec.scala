@@ -1,0 +1,97 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BehaviorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    // user 1: full ordered funnel view(1:00) → click(2:00) → purchase(3:00)
+    (1L, 101L, "view", t("2024-01-01 01:00:00")),
+    (1L, 102L, "click", t("2024-01-01 02:00:00")),
+    (1L, 103L, "purchase", t("2024-01-01 03:00:00")),
+    // user 2: purchase BEFORE the first view — order matters, stage stays 1
+    (2L, 201L, "purchase", t("2024-01-01 00:30:00")),
+    (2L, 202L, "view", t("2024-01-01 01:00:00")),
+    // user 3: view then click, no purchase → stage 2
+    (3L, 301L, "view", t("2024-01-02 01:00:00")),
+    (3L, 302L, "click", t("2024-01-02 01:05:00")),
+    // user 4: click only, never viewed → stage 0
+    (4L, 401L, "click", t("2024-01-03 01:00:00"))
+  ).toDF("user_id", "event_id", "event_type", "ts")
+
+  test("funnel: ordered stages, later events must follow earlier stages") {
+    val got = Behavior.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(got == Seq(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("funnel: same-timestamp stage event does NOT advance (strictly after)") {
+    val sameTs = Seq(
+      (9L, 1L, "view", t("2024-01-01 01:00:00")),
+      (9L, 2L, "click", t("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.funnel(sameTs, "user_id", "event_type", "ts",
+      Seq("view", "click")).collect()
+    assert(got.head.getInt(1) == 1)
+  }
+
+  test("weeklyRetention: cohort = first ISO week, offsets count active weeks") {
+    // user 1 active in weeks of Jan 1 (Mon) and Jan 15 → offsets 0 and 2;
+    // user 2 active only in week of Jan 8 → its own cohort, offset 0
+    val e = Seq(
+      (1L, t("2024-01-02 10:00:00")),
+      (1L, t("2024-01-03 10:00:00")), // same week, no extra row
+      (1L, t("2024-01-16 10:00:00")),
+      (2L, t("2024-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Behavior.weeklyRetention(e, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("transitions: consecutive pairs per user, ordered by (ts, id)") {
+    val got = Behavior.transitions(ev, "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // user1: view→click, click→purchase; user2: purchase→view; user3: view→click
+    assert(got == Seq(("click", "purchase", 1L), ("purchase", "view", 1L),
+      ("view", "click", 2L)))
+  }
+
+  test("rollingDistinct: trailing window, only observed days emitted") {
+    val e = Seq(
+      (1L, "a", t("2024-01-01 01:00:00")),
+      (2L, "a", t("2024-01-03 01:00:00")),
+      (1L, "a", t("2024-01-10 01:00:00")) // > 7 days after day 1
+    ).toDF("user_id", "grp", "ts")
+    val got = Behavior.rollingDistinct(e, "user_id", "grp", "ts", 7)
+      .orderBy("window_day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2))).toSeq
+    // Jan 1: {1}; Jan 3: {1,2}; Jan 10: {1} (Jan 3 is 7 days back —
+    // outside the 7-day window [Jan 4, Jan 10])
+    assert(got == Seq(("2024-01-01", 1L), ("2024-01-03", 2L),
+      ("2024-01-10", 1L)))
+  }
+
+  test("rollingDistinct window shorter than gap never bridges") {
+    val e = Seq(
+      (1L, "a", t("2024-01-01 01:00:00")),
+      (2L, "a", t("2024-01-02 01:00:00"))
+    ).toDF("user_id", "grp", "ts")
+    val got = Behavior.rollingDistinct(e, "user_id", "grp", "ts", 1)
+      .orderBy("window_day").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L)) // window of 1 day = the day itself only
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(10.125), "a"),
+    (2L, Some(20.5), "b"),
+    (3L, None, "a"),
+    (4L, Some(20.5), "c")
+  ).toDF("id", "v", "tag")
+
+  test("profile: one row per column with rows/nulls/distinct/min/max") {
+    val p = Profile.profile(df, Seq(Profile.ProfCol.raw("id"),
+        Profile.ProfCol.dec2("v"), Profile.ProfCol.raw("tag")))
+      .orderBy("col_name").collect()
+    val byName = p.map(r => r.getString(0) -> r).toMap
+    assert(p.forall(_.getLong(1) == 4L))
+    val id = byName("id")
+    assert((id.getLong(2), id.getLong(3), id.getString(4), id.getString(5))
+      == (0L, 4L, "1", "4"))
+    val v = byName("v")
+    // dec2 canonicalizes float rendering; nulls excluded from distinct
+    assert((v.getLong(2), v.getLong(3), v.getString(4), v.getString(5))
+      == (1L, 2L, "10.13", "20.50"))
+  }
+
+  test("histogram: constant-step floor bins with per-bin extrema") {
+    val d = Seq(0.5, 9.99, 10.0, 25.0).toDF("x")
+    val h = Profile.histogram(d, "x", 10.0).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(h.toSeq == Seq((0L, 2L, 0.5, 9.99), (1L, 1L, 10.0, 10.0),
+      (2L, 1L, 25.0, 25.0)))
+  }
+
+  test("histogram: nulls are excluded, not a bin") {
+    val d = Seq(Some(1.0), None).toDF("x")
+    assert(Profile.histogram(d, "x", 10.0).count() == 1L)
+  }
+
+  test("zscoreOutliers flags only far tails, keeps input columns + z") {
+    // group a: nine 10s and one 1000 → the 1000 is ~3σ out at threshold 2.8
+    val vals = Seq.fill(9)(10.0) :+ 1000.0
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "grp", "v")
+    val out = Profile.zscoreOutliers(d, "grp", "v", 2.8).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("id") == 9L)
+    assert(out.head.getAs[Double]("z") > 2.8)
+  }
+
+  test("zscoreOutliers: a zero-variance group emits nothing (NaN z)") {
+    val d = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("id", "grp", "v")
+    assert(Profile.zscoreOutliers(d, "grp", "v", 1.0).isEmpty)
+  }
+}
