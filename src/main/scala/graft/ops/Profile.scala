@@ -68,6 +68,28 @@ object Profile {
         max(col(valueCol)).as("hi"))
   }
 
+  /** Winsorization: clamp each row's value to its group's
+    * [pLo, pHi] exact interpolated percentiles (outlier clipping before
+    * training). The per-group bound table is tiny and broadcast back —
+    * same two-scan shape as [[zscoreOutliers]]. Adds `lo`, `hi`, and
+    * `<valueCol>_w` (the clamped value).
+    *
+    * Cross-engine parity note: interpolated percentiles are bit-portable
+    * only for binary-exact fractions (.25/.5/.75) over integer-valued
+    * columns (see q72); arbitrary fractions like .95 can differ in the
+    * last ulp between engines and flip boundary comparisons.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    val bounds = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(pLo)).as("lo"),
+        percentile(col(valueCol), lit(pHi)).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
   /** Rows whose value deviates from their group mean by more than
     * `threshold` sample standard deviations. The per-group moment table
     * is tiny (|groups| rows) and broadcast back onto the fact table. */

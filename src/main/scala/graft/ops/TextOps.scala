@@ -195,6 +195,47 @@ object TextOps {
           .as("avg_surprisal"))
   }
 
+  /** Bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs,
+    * keeping pairs seen ≥ `minCount` times — the classic collocation
+    * extractor ("new york" scores high, "of the" scores ~0).
+    *
+    * Scale shape: bigrams come from slicing each doc's own token array
+    * (zero-shuffle, no positional self-join); unigram and bigram counts
+    * are one hash-agg each; totals are 1-row aggs computed DIRECTLY from
+    * token-array sizes (Σ|t|, Σ(|t|−1)) so nothing is scanned twice and
+    * nothing needs caching. The PMI join keys on words — vocabulary-sized
+    * sides, AQE broadcasts when small. ln() combined in one fixed
+    * association and rounded to 6 (libm ulp noise ≪ grid).
+    */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = df.select(tokens(normalize(col(textCol))).as("t"))
+    val totals = toks.agg(
+      sum(size(col("t"))).cast("double").as("n_uni"),
+      sum(greatest(size(col("t")) - 1, lit(0))).cast("double").as("n_bi"))
+    // the unigram table feeds BOTH pmi joins (c_a, c_b) — cached so the
+    // corpus tokenize+aggregate runs once (vocabulary-sized; same
+    // documented lifecycle as unigramSurprisal's cf: harness clearCache)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).cache()
+    val bi = toks.select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"),
+        Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("n_ab")) + lit(2) * log(col("n_uni")) - log(col("n_bi")) -
+          log(col("c_a")) - log(col("c_b")), 6))
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
+  }
+
   /** Content fingerprints: full-content md5 of the normalized text, plus a
     * winnowing-style min-shingle-hash (robust to local edits). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -134,6 +134,33 @@ object CurationQueries {
               |ORDER BY doc_id""".stripMargin),
       (s, d) => Curation.contaminationOverlap(documents(s, d), "doc_id",
           "text", col("doc_id") % 97 === 0)
+        .orderBy("doc_id")),
+
+    // Token-budget sample packing (concatenate-and-slice shard layout):
+    // each doc's shard is where its cumulative start offset lands. The
+    // Spark side is the two-level distributed prefix sum (ops.Pack — no
+    // global single-task sort); the oracle is the plain global window it
+    // must equal. bucketSize 128 forces the multi-bucket path even at
+    // sf0.01. Weight = ceil(n_chars/4), the ~4-chars/token heuristic
+    // shared with TextOps.tokenStats; integer arithmetic end-to-end, so
+    // parity is exact.
+    Q("q96_token_packing",
+      Some("""WITH w AS (
+             |  SELECT doc_id, ceil(n_chars / 4)::BIGINT AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+             |  FROM w)
+             |SELECT doc_id, n_tokens, start_offset,
+             |  (start_offset // 8192)::BIGINT AS shard_id
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.ops.Pack.packByBudget(
+          documents(s, d).select(col("doc_id"),
+            ceil(col("n_chars") / 4).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 8192L, bucketSize = 128L)
+        .select("doc_id", "n_tokens", "start_offset", "shard_id")
         .orderBy("doc_id"))
   )
 }

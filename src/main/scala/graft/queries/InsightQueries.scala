@@ -239,5 +239,78 @@ object InsightQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, d) => Behavior.rollingDistinct(events(s, d), "user_id",
           "event_type", "ts", 7)
-        .orderBy("window_day", "event_type")))
+        .orderBy("window_day", "event_type")),
+
+    // Pairwise Pearson correlation matrix over lineitem measures: one
+    // scan, three co-moment aggregates, melted driver-free. Rounded to 6
+    // (co-moment merge order differs across engines at ~1e-12).
+    Q("q94_corr_matrix",
+      Some(Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount")).map { case (x, y) =>
+          s"""SELECT '$x' AS x_col, '$y' AS y_col,
+             | round(corr($x, $y), 6) AS r FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY x_col, y_col")),
+      (s, d) => {
+        val pairs = Seq(
+          ("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_discount"))
+        val aggs = pairs.map { case (x, y) =>
+          round(corr(col(x), col(y)), 6).as(s"_r_${x}_$y")
+        }
+        val entries = pairs.map { case (x, y) =>
+          struct(lit(x).as("x_col"), lit(y).as("y_col"),
+            col(s"_r_${x}_$y").as("r"))
+        }
+        lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(entries: _*)).as("p")).select("p.*")
+          .orderBy("x_col", "y_col")
+      }),
+
+    // IQR winsorization of l_quantity per return flag. Quartiles over an
+    // integer-valued column are bit-exact across engines (q72's
+    // argument), clamped values live on the 0.25 grid so their sums are
+    // order-independent — avg_w needs NO rounding.
+    Q("q95_winsorize",
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_quantity, 0.25) AS lo,
+             |    quantile_cont(l_quantity, 0.75) AS hi
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, min(b.lo) AS lo, min(b.hi) AS hi,
+             |  sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_lo,
+             |  sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_hi,
+             |  avg(least(greatest(l_quantity, lo), hi)) AS avg_w
+             |FROM lineitem l JOIN b USING (l_returnflag)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Profile.winsorize(lineitem(s, d), "l_returnflag",
+          "l_quantity", 0.25, 0.75)
+        .groupBy("l_returnflag")
+        .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          sum(when(col("l_quantity") < col("lo"), 1L).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("l_quantity") > col("hi"), 1L).otherwise(0L))
+            .as("n_hi"),
+          avg(col("l_quantity_w")).as("avg_w"))
+        .orderBy("l_returnflag")),
+
+    // Decile feature bucketing: ntile(10) per event type over a unique
+    // total order — the quantile-bucket transform feature pipelines use.
+    Q("q97_decile_bucket",
+      Some("""SELECT event_id, event_type,
+             |  ntile(10) OVER (PARTITION BY event_type
+             |    ORDER BY value, event_id) AS decile
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        events(s, d)
+          .select(col("event_id"), col("event_type"),
+            ntile(10).over(w).as("decile"))
+          .orderBy("event_id")
+      }))
 }

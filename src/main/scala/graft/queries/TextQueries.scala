@@ -367,6 +367,33 @@ object TextQueries {
               |  max_bigram / n_bigrams AS rep_ratio
               |FROM a ORDER BY doc_id""".stripMargin),
       (s, d) => TextOps.repetition(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Bigram collocations by PMI (min count 5): adjacent-pair extraction
+    // by slicing each doc's own token array — zero shuffle until the
+    // vocabulary-sized count aggs; ln terms combined in one fixed
+    // association in both engines, rounded to 6.
+    Q("q93_collocations_pmi",
+      Some(s"""WITH toks AS (
+              |  SELECT string_split($normSql, ' ') AS t FROM documents),
+              |tot AS (
+              |  SELECT sum(len(t))::DOUBLE AS n_uni,
+              |    sum(greatest(len(t) - 1, 0))::DOUBLE AS n_bi FROM toks),
+              |uc AS (
+              |  SELECT w, count(*) AS c
+              |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+              |bc AS (
+              |  SELECT w1, w2, count(*) AS n_ab FROM (
+              |    SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+              |    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i))
+              |  GROUP BY 1, 2 HAVING count(*) >= 5)
+              |SELECT b.w1, b.w2, b.n_ab,
+              |  round(ln(b.n_ab) + 2 * ln(tot.n_uni) - ln(tot.n_bi)
+              |    - ln(a.c) - ln(bb.c), 6) AS pmi
+              |FROM bc b JOIN uc a ON b.w1 = a.w
+              |JOIN uc bb ON b.w2 = bb.w CROSS JOIN tot
+              |ORDER BY w1, w2""".stripMargin),
+      (s, d) => TextOps.collocations(documents(s, d), "text", 5L)
+        .orderBy("w1", "w2"))
   )
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, 10L), (1L, 20L), (2L, 5L), (3L, 40L), (4L, 1L),
+    (5L, 99L), (6L, 3L), (7L, 7L), (8L, 30L), (9L, 2L)
+  ).toDF("id", "w")
+
+  /** The semantics Pack must equal: a plain global prefix-sum window. */
+  private def naive(budget: Long) = docs
+    .withColumn("start_offset",
+      sum(col("w")).over(Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("w"))
+    .withColumn("shard_id", floor(col("start_offset") / budget).cast("long"))
+    .select("id", "w", "start_offset", "shard_id")
+
+  test("two-level prefix sum equals the naive global window") {
+    for (bucketSize <- Seq(1L, 3L, 4L, 100L)) {
+      val got = Pack.packByBudget(docs, "id", "w", budget = 50L,
+          bucketSize = bucketSize)
+        .select("id", "w", "start_offset", "shard_id")
+        .orderBy("id").collect().toSeq
+      val want = naive(50L).orderBy("id").collect().toSeq
+      assert(got == want, s"bucketSize=$bucketSize")
+    }
+  }
+
+  test("shard boundaries: a doc STARTING at the budget line opens the " +
+      "next shard; one straddling it stays in its start shard") {
+    val d = Seq((1L, 10L), (2L, 6L), (3L, 4L), (4L, 8L))
+      .toDF("id", "w")
+    // offsets: 0, 10, 16, 20 with budget 16 → shards 0, 0, 1, 1;
+    // doc 2 (offset 10, w 6) ENDS exactly at 16 and stays in shard 0
+    val got = Pack.packByBudget(d, "id", "w", budget = 16L, bucketSize = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard_id"))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("sparse non-contiguous ids pack identically to their dense order") {
+    val sparse = Seq((100L, 10L), (2000L, 20L), (30000L, 5L))
+      .toDF("id", "w")
+    val got = Pack.packByBudget(sparse, "id", "w", budget = 25L,
+        bucketSize = 1000L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("start_offset"), r.getAs[Long]("shard_id")))
+      .toSeq
+    assert(got == Seq((0L, 0L), (10L, 0L), (30L, 1L)))
+  }
+}

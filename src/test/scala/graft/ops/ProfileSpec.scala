@@ -50,6 +50,24 @@ class ProfileSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("z") > 2.8)
   }
 
+  test("winsorize clamps to interpolated quartiles per group") {
+    val d = (1L to 8L).map(v => ("a", v.toDouble)).toDF("grp", "v")
+    // quantile_cont over 1..8: p25 = 2.75, p75 = 6.25
+    val w = Profile.winsorize(d, "grp", "v", 0.25, 0.75)
+      .orderBy("v").collect()
+    assert(w.head.getAs[Double]("lo") == 2.75)
+    assert(w.head.getAs[Double]("hi") == 6.25)
+    val clamped = w.map(_.getAs[Double]("v_w")).toSeq
+    assert(clamped == Seq(2.75, 2.75, 3.0, 4.0, 5.0, 6.0, 6.25, 6.25))
+  }
+
+  test("winsorize with p=[0,1] is the identity") {
+    val d = Seq(("a", 1.0), ("a", 9.0)).toDF("grp", "v")
+    val w = Profile.winsorize(d, "grp", "v", 0.0, 1.0).collect()
+    assert(w.map(r => r.getAs[Double]("v") == r.getAs[Double]("v_w"))
+      .forall(identity))
+  }
+
   test("zscoreOutliers: a zero-variance group emits nothing (NaN z)") {
     val d = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("id", "grp", "v")
     assert(Profile.zscoreOutliers(d, "grp", "v", 1.0).isEmpty)

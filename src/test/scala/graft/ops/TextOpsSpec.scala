@@ -141,4 +141,24 @@ class TextOpsSpec extends SparkTestBase {
       .filter(col("doc_id") === 1).select("term").as[String].collect().toSet
     assert(top3 == Set("cc", "dd", "aa"))
   }
+
+  test("collocations: PMI matches the hand-computed value; minCount filters") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: (a,b)×3, (b,a)×1, (b,c)×1; unigrams a×3 b×3 c×1;
+    // N_uni=7, N_bi=5 → PMI(a,b) = ln(3·7²/(5·3·3)) = ln(147/45)
+    val got = TextOps.collocations(df, "text", 2L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 3L))
+    val want = math.log(3.0) + 2 * math.log(7.0) - math.log(5.0) -
+      math.log(3.0) - math.log(3.0)
+    assert(math.abs(r.getDouble(3) - want) < 1e-6)
+  }
+
+  test("collocations: single-token and empty docs contribute no bigrams") {
+    val df = Seq((1L, "solo"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.collocations(df, "text", 2L).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("x", "y", 2L)))
+  }
 }
