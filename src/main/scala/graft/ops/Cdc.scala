@@ -47,4 +47,23 @@ object Cdc {
       .where(changeType.isNotNull)
       .select(outCols: _*)
   }
+
+  /** Apply a [[snapshotDiff]] back onto the old snapshot:
+    * `applyDiff(old, snapshotDiff(old, new)) == new` (the round-trip law
+    * PropertiesSpec asserts) — the consumer side of incremental sync: a
+    * replica holding `old` reaches `new` from the (much smaller) diff
+    * alone. One anti-join on the touched keys + a union of the diff's
+    * new-side rows; both shuffle on the key the snapshots are already
+    * keyed by.
+    */
+  def applyDiff(oldSnap: DataFrame, diff: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val touched = diff.select(col(keyCol))
+    val newRows = diff
+      .where(col("change_type").isin("insert", "update"))
+      .select(col(keyCol) +: compareCols.map(c => col(s"new_$c").as(c)): _*)
+    oldSnap.select(keyCol, compareCols: _*)
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(newRows)
+  }
 }

@@ -23,6 +23,40 @@ class AdaptiveSpec extends SparkTestBase {
       "AQE should re-read the tiny shuffle with coalesced partitions")
   }
 
+  test("runtime bloom-filter join pruning injects on a selective dim " +
+      "filter (the 100 TB semi-join-reduction path)") {
+    // Production thresholds gate injection on multi-GB scans; lower them
+    // so the optimization fires on local test data — what's under test is
+    // that the ENGINE's plans are eligible for runtime filtering, i.e.
+    // the join is a plain shuffle equi-join Catalyst can wrap.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf())
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sf())
+        .where(col("o_orderpriority") === "1-URGENT") // selective filter
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"runtime bloom filter should inject on the fact side:\n$p")
+      // and it must not change results
+      assert(joined.count() ==
+        fact.join(dim.hint("broadcast"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("observe() metrics surface through QueryExecutionListener") {
     @volatile var observed: Option[(Long, Long)] = None
     val listener = new QueryExecutionListener {

@@ -148,6 +148,48 @@ class PlanSpec extends SparkTestBase {
       s"no explode fallback — the fold must stay declarative:\n$p")
   }
 
+  test("q82: funnel's three stage windows and the per-user collapse " +
+      "share ONE hash shuffle") {
+    val p = plan("q82_funnel")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"chained whole-partition windows must reuse one exchange:\n$p")
+  }
+
+  test("q96: packing's data-path window is bucket-partitioned, never a " +
+      "global single-task sort over the input") {
+    val p = plan("q96_token_packing")
+    assert(p.contains("hashpartitioning(_bucket"),
+      s"intra-bucket running sum must partition by bucket:\n$p")
+    // the only SinglePartition exchange allowed is the tiny bucket-offset
+    // table (joined back via broadcast), whose window input is the
+    // |buckets|-row aggregate, not the documents
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must come back broadcast:\n$p")
+  }
+
+  test("q92: rolling reach semi-joins the observed-day dim broadcast") {
+    val p = plan("q92_rolling_distinct")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"phantom-day filter must be a broadcast semi-join:\n$p")
+  }
+
+  test("q85: fuzzy match is a block-key equi-join, never a cross product") {
+    val p = plan("q85_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the match an equi-join:\n$p")
+  }
+
+  test("q84: CDC diff is one co-partitioned join with no extra shuffle " +
+      "after it") {
+    val p = plan("q84_cdc_snapshot_diff")
+    // formatted plans print each node twice (tree + detail) — count the
+    // detail headers, which appear once per join node
+    assert("Join type: ".r.findAllIn(p).size == 1 &&
+      p.contains("Join type: FullOuter"),
+      s"exactly one full-outer join expected:\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")

@@ -203,4 +203,29 @@ class PropertiesSpec extends SparkTestBase {
       .as[Long].collect().toSet
     assert(got == (fetched.toSet -- sink.toSet))
   }
+
+  test("CDC round-trip law on random snapshots: applyDiff(old, " +
+      "snapshotDiff(old, new)) == new") {
+    val g = for {
+      k <- Gen.choose(0L, 60L)
+      v <- Gen.choose(0, 5)          // small domain → frequent collisions
+      s <- Gen.oneOf("A", "B")
+    } yield (k, v, s)
+    // key-unique snapshots with overlapping key ranges → all of
+    // insert/update/delete/unchanged occur
+    val rows = sample(g, 160)
+    val oldRows = rows.take(80).groupBy(_._1).map(_._2.head).toList
+    val newRows = rows.drop(80).groupBy(_._1).map(_._2.head).toList
+    val oldDf = oldRows.toDF("k", "v", "s")
+    val newDf = newRows.toDF("k", "v", "s")
+    val diff = graft.ops.Cdc.snapshotDiff(oldDf, newDf, "k", Seq("v", "s"))
+    // the diff itself is minimal: unchanged keys never appear
+    val unchanged = oldRows.toSet.intersect(newRows.toSet).map(_._1)
+    val diffKeys = diff.select("k").as[Long].collect().toSet
+    assert(diffKeys.intersect(unchanged).isEmpty)
+    // round trip
+    val applied = graft.ops.Cdc.applyDiff(oldDf, diff, "k", Seq("v", "s"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(applied == newRows.toSet)
+  }
 }
