@@ -194,10 +194,15 @@ object InsightQueries {
              |  UNION ALL SELECT c FROM tri)
              |SELECT vertex, count(*) AS n_triangles
              |FROM verts GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, d) => Graphs.triangleCounts(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_suppkey", 5L))
-        .orderBy("vertex")),
+      (s, d) => {
+        // the edge table feeds all three roles of the wedge join — cached
+        // so the lineitem self-join+rollup runs once, not three times
+        // (6 base scans → 2; same documented lifecycle as the LSH
+        // pipelines: harness clearCache reclaims)
+        val edges = Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+          "l_suppkey", 5L).cache()
+        Graphs.triangleCounts(edges).orderBy("vertex")
+      }),
 
     // First-order event-transition matrix per user (Markov counts).
     Q("q90_transition_matrix",
