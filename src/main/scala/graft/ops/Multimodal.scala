@@ -143,6 +143,80 @@ object Multimodal {
         md5(encode(col("frame"), "UTF-8")).as("frame_hash"))
   }
 
+  /** REAL image-header parsing — no codec library required, just the
+    * container formats' own byte layouts: PNG IHDR (big-endian dims at
+    * fixed offset), GIF logical screen descriptor (little-endian), BMP
+    * info header (little-endian, height may be negative for top-down),
+    * JPEG SOF marker scan (variable offsets — the reason this is
+    * imperative per-row code, not expressions). Unknown/truncated/corrupt
+    * payloads yield nulls, never throw — a 100 TB media crawl always
+    * contains garbage.
+    *
+    * Adds `format` (png/gif/bmp/jpeg or null) + `width`/`height` (null
+    * when unparseable). Partition-batched like the other kernels. */
+  def imageDimensions(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        val (fmt, w, h) = parseImageHeader(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(fmt, w, h))
+      }
+    }(enc)
+  }
+
+  /** (format, width, height) from magic bytes; nulls when unknown. */
+  private[ops] def parseImageHeader(
+      b: Array[Byte]): (String, Integer, Integer) = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b == null || b.length < 2) return (null, null, null)
+    // PNG: 8-byte signature, IHDR is always the first chunk → dims at 16
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      return ("png", be32(16), be32(20))
+    // GIF87a/89a: logical screen descriptor right after the signature
+    if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      return ("gif", le16(6), le16(8))
+    // BMP: BITMAPINFOHEADER at offset 14; height < 0 means top-down rows
+    if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      return ("bmp", le32(18), math.abs(le32(22)))
+    // JPEG: walk marker segments to the first frame header (SOFn).
+    // DHT/DNL/DAC share the SOF pattern but are not frames — skipped.
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill bytes before a marker
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (i + 8 < b.length) ("jpeg", be16(i + 7), be16(i + 5))
+            else ("jpeg", null, null)
+        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          if (i + 3 >= b.length) return ("jpeg", null, null)
+          i += 2 + be16(i + 2)
+        }
+      }
+      return ("jpeg", null, null) // truncated before any SOF
+    }
+    (null, null, null)
+  }
+
   /** Deterministic fake "image dimensions" from the content hash — the
     * metadata-extraction shape (real pipelines read codec headers). */
   def fakeDimensions(df: DataFrame): DataFrame = df

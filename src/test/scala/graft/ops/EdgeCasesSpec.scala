@@ -60,4 +60,35 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(EmbeddingLsh.nearDupPairs(emb, "vec_id", "embedding", 2, 0.5)
       .isEmpty)
   }
+
+  test("round-5 ops on empty inputs") {
+    val noEv = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "event_type", "ts")
+    assert(Behavior.funnel(noEv, "user_id", "event_type", "ts",
+      Seq("view", "click")).isEmpty)
+    assert(Behavior.weeklyRetention(noEv, "user_id", "ts").isEmpty)
+    assert(Behavior.transitions(noEv, "user_id", "event_type",
+      Seq(col("ts"), col("event_id"))).isEmpty)
+    assert(Behavior.rollingDistinct(noEv, "user_id", "event_type", "ts", 7)
+      .isEmpty)
+    val noSnap = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Cdc.snapshotDiff(noSnap, noSnap, "k", Seq("v")).isEmpty)
+    val emptyDiff = Cdc.snapshotDiff(noSnap, noSnap, "k", Seq("v"))
+    assert(Cdc.applyDiff(noSnap, emptyDiff, "k", Seq("v")).isEmpty)
+    val noStr = Seq.empty[(Long, String)].toDF("id", "s")
+    val vocab = Seq("abc").toDF("name")
+    assert(FuzzyJoin.bestMatch(noStr, "s", vocab, "name", 1).isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.coOccurrenceEdges(
+      Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i", 1L).isEmpty)
+    assert(Graphs.triangleCounts(noEdges).isEmpty)
+    assert(Profile.profile(noSnap, Seq(Profile.ProfCol.raw("k")))
+      .collect().map(_.getLong(1)).toSeq == Seq(0L)) // 0-row profile row
+    assert(Profile.histogram(noSnap, "v", 10.0).isEmpty)
+    assert(Profile.zscoreOutliers(noSnap, "k", "v", 3.0).isEmpty)
+    assert(Profile.winsorize(noSnap, "k", "v", 0.25, 0.75).isEmpty)
+    assert(Pack.packByBudget(Seq.empty[(Long, Long)].toDF("id", "w"),
+      "id", "w", 100L).isEmpty)
+    assert(graft.ops.TextOps.collocations(noDocs, "text", 1L).isEmpty)
+  }
 }
