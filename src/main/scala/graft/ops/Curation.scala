@@ -64,6 +64,43 @@ object Curation {
     df.filter(bucket < pct)
   }
 
+  /** Deterministic resampling to TARGET MIXTURE WEIGHTS: the "30% code,
+    * 20% web, …" knob of training-data assembly. Unlike
+    * [[stratifiedSample]] (fixed per-stratum keep rates), the keep rate
+    * here is DERIVED from the data: the largest feasible output size is
+    * T = min_d(n_d / w_d) (the scarcest domain relative to its weight
+    * saturates first), then domain d keeps fraction T·w_d / n_d of its
+    * rows through the same md5-hash60 uniform as [[hashSplit]]. Domains
+    * without a weight are dropped; weighted domains absent from the data
+    * are ignored (the remaining mixture is renormalized implicitly by
+    * feasibility — callers wanting hard failure should validate counts).
+    *
+    * Scale posture: one small groupBy(domain) count (|domains| rows), a
+    * broadcast join of those per-domain fractions back onto the corpus,
+    * and a codegen'd hash-threshold filter — the corpus itself is never
+    * shuffled. Keep decisions depend only on (id, domain counts), so
+    * the sample is reproducible across runs, engines, and retries. */
+  def mixtureResample(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val in = df.where(col(domainCol).isin(weights.keys.toSeq: _*))
+    val wCol = weights.foldLeft(when(lit(false), lit(0.0))) {
+      case (c, (d, w)) => c.when(col(domainCol) === d, lit(w))
+    }.otherwise(lit(0.0))
+    val counts = in.groupBy(domainCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wCol)
+    val t = counts.agg(min(col("_n") / col("_w")).as("_t"))
+    val frac = counts.crossJoin(broadcast(t))
+      .select(col(domainCol), (col("_t") * col("_w") / col("_n")).as("_frac"))
+    // uniform in [0,1): 60-bit md5 prefix / 2^60 — exact in the oracle
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    in.join(broadcast(frac), domainCol)
+      .where(u < col("_frac"))
+      .drop("_frac")
+  }
+
   /** Latest-version-per-key compaction: keep each key's single newest row
     * by the given DESCENDING order columns (callers pass a deterministic
     * total order, e.g. ts DESC then id DESC) — the snapshot/CDC-compaction

@@ -36,6 +36,51 @@ object Graphs {
       .where(col("support") >= minSupport)
   }
 
+  /** PageRank over an oriented undirected edge list (src < dst), run for
+    * a FIXED number of iterations so the result is a deterministic
+    * function of the graph (no convergence test → no data-dependent
+    * iteration count → oracle-reproducible). Vertices are the edge
+    * endpoints; the graph is symmetrized internally, so out-degree =
+    * degree and there are no dangling nodes by construction.
+    *
+    * Scale posture: each iteration is one co-partitioned join of the
+    * static (degree-annotated, cached) adjacency list with the current
+    * rank frame on the vertex key + one hash agg on the destination —
+    * the standard relational PageRank step. The adjacency is hash-
+    * partitioned once and reused every iteration; ranks are tiny
+    * (1 row/vertex). Iterations are few and fixed, so lineage stays
+    * shallow (no checkpoint needed at 3–10 iters; callers looping
+    * further should `localCheckpoint` every ~10 like
+    * [[Dedup.nearDupComponents]] does).
+    *
+    * Rank is rounded to 9 only at the end; cross-engine float-sum
+    * reorder noise is ~1e-16 per iteration and propagates linearly, far
+    * below the rounding grain. */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // static per-iteration join input: (src, dst, deg(src)) — cached so
+    // the edge rollup runs once, not once per iteration (caller-visible
+    // lifecycle: harness clearCache, same convention as the LSH caches)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src").cache()
+    val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("vertex"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adj
+        .join(ranks, adj("src") === ranks("vertex"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("_in"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("vertex"),
+          (lit(1.0 - damping) / col("n") + lit(damping) * col("_in")).as("pr"))
+    }
+    ranks.select(col("vertex"), round(col("pr"), 9).as("pagerank"))
+  }
+
   /** Per-vertex triangle counts over an oriented edge list (src < dst).
     * Returns (vertex, n_triangles) for vertices in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring: Okapi BM25 over the corpus, the standard
+  * first-stage ranker for retrieval-augmented pipelines and the lexical
+  * complement to the embedding ANN surface ([[Similarity]],
+  * [[EmbeddingLsh]]). Uses the same normalize/tokenize convention as
+  * every other text operator ([[TextOps.normalize]]/[[TextOps.tokens]])
+  * so document statistics agree across the engine.
+  *
+  * Scale posture (100 TB): one explode + two hash aggregations. Document
+  * length and per-(doc, term) term frequency come out of the same token
+  * table; the per-term document frequency is an aggregate over only the
+  * query's terms (the token table is filtered to the query vocabulary
+  * BEFORE the tf rollup, so the wide corpus never flows past the first
+  * filter). Corpus constants (N, avgdl) are a 1-row frame joined by
+  * broadcast. Scoring is a per-row expression; top-k is
+  * `TakeOrderedAndProject` — no global sort materializes.
+  */
+object Retrieval {
+
+  /** BM25 top-k: scores every document containing ≥1 query term and
+    * returns the `k` best as (id, n_terms_hit, bm25). Standard Okapi
+    * parameters k1=1.2, b=0.75; idf = ln(1 + (N−df+0.5)/(df+0.5)) —
+    * always positive. Score rounded to 6 before ranking so equal scores
+    * tie-break on id deterministically (same convention as TF-IDF). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("term"))
+    // per-doc length over ALL tokens (BM25's dl), before the query filter
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    // corpus constants: N and avgdl. Sum of longs is exact, so avgdl is
+    // the same double in any engine — no rounding needed.
+    val consts = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // from here on only query-term rows survive — the corpus-wide token
+    // table never reaches a join
+    val tf = tok.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf
+      .join(dl, idCol)
+      .join(broadcast(df_), "term")
+      .join(broadcast(consts))
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("term_score")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

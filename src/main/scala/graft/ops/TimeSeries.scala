@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series repair: per-key daily spines with gap rows
+  * materialized and values carried forward. Event tables are sparse in
+  * time (a user with no events on a day simply has no row); most
+  * downstream consumers — trend models, retention dashboards, feature
+  * stores — need a dense grid with an explicit "nothing happened"
+  * marker and a last-known-value column.
+  *
+  * Scale posture (100 TB): the spine is generated from each key's OWN
+  * [min, max] day bounds, so grid size is Σ_k span_k — never
+  * |keys| × global-span (a key active for one week contributes 7 rows
+  * regardless of the table's multi-year range). `sequence()` + `explode`
+  * expand map-side from the 1-row-per-key bounds frame; the daily
+  * rollup, the bounds, the spine join, and the forward-fill window all
+  * hash-partition on the key, so the whole plan is one key-shuffle
+  * deep. Forward fill is `last(ignoreNulls)` over an unbounded-preceding
+  * row frame — a single running-state pass per key, no self-join.
+  */
+object TimeSeries {
+
+  /** Dense daily series of `round(sum(valueCol), 6)` per key with
+    * forward fill. Output: key, `day`, `day_value` (null on gap days),
+    * `filled_value` (last non-null carried forward), `is_gap`. */
+  def fillDailyGaps(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    // day-grain rollup: the float sum crosses partitions, so round(6)
+    // before anything downstream copies the value (oracle twin rounds
+    // identically; reorder noise ~1e-13)
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sum(col(valueCol)), 6).as("day_value"))
+    // per-key bounds → exploded daily spine (map-side after the agg)
+    val spine = daily
+      .groupBy(keyCol)
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("day_value").isNull)
+  }
+}

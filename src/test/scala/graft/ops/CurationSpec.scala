@@ -95,4 +95,48 @@ class CurationSpec extends SparkTestBase {
     assert(got.length == 1)
     assert(got.head.getLong(1) == 0L && got.head.getDouble(3) == 0.0)
   }
+
+  private def mixCorpus = {
+    // 1000 a, 500 b, 100 c — c is scarce relative to its weight below
+    val rows = (1L to 1000L).map((_, "a")) ++
+      (1001L to 1500L).map((_, "b")) ++ (1501L to 1600L).map((_, "c"))
+    rows.toDF("id", "dom")
+  }
+
+  test("mixtureResample: scarcest-domain feasibility — c kept whole, " +
+    "a/b downsampled toward the 50/30/20 target") {
+    val w = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // T = min(1000/0.5, 500/0.3, 100/0.2) = 500 → targets 250/150/100
+    val got = Curation.mixtureResample(mixCorpus, "id", "dom", w)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("c") == 100L, "saturating domain keeps every row")
+    // hash-threshold keeps ≈ frac·n_d; ±20% slack at these sizes
+    assert(math.abs(got("a") - 250L) < 50, s"a: ${got("a")}")
+    assert(math.abs(got("b") - 150L) < 30, s"b: ${got("b")}")
+  }
+
+  test("mixtureResample: unweighted domains are dropped; deterministic " +
+    "across invocations") {
+    val w = Map("a" -> 0.7, "b" -> 0.3)
+    val r1 = Curation.mixtureResample(mixCorpus, "id", "dom", w)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val r2 = Curation.mixtureResample(mixCorpus, "id", "dom", w)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 == r2)
+    val doms = Curation.mixtureResample(mixCorpus, "id", "dom", w)
+      .select("dom").distinct().collect().map(_.getString(0)).toSet
+    assert(!doms.contains("c"))
+  }
+
+  test("mixtureResample: the corpus itself is never shuffled (only the " +
+    "tiny per-domain frame exchanges)") {
+    val plan = Curation.mixtureResample(mixCorpus, "id", "dom",
+        Map("a" -> 0.6, "b" -> 0.4))
+      .queryExecution.executedPlan.toString
+    // the only allowed exchanges feed the |domains|-row count/min frames
+    // and the broadcast of frac — the big side must join via broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus join must be broadcast:\n$plan")
+  }
 }

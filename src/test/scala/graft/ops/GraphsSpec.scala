@@ -36,4 +36,29 @@ class GraphsSpec extends SparkTestBase {
       .orderBy("vertex").collect().map(r => r.getLong(1)).toSeq
     assert(tri == Seq(1L, 1L, 1L))
   }
+
+  test("pageRank: mass is conserved (ranks sum to 1, no dangling nodes)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sum = Graphs.pageRank(edges, iters = 5).collect()
+      .map(_.getDouble(1)).sum
+    assert(math.abs(sum - 1.0) < 1e-6, s"ranks sum to $sum")
+  }
+
+  test("pageRank: a vertex-transitive graph stays exactly uniform") {
+    // triangle: every vertex has degree 2 → rank 1/3 at every iteration
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, iters = 3).collect()
+      .map(_.getDouble(1)).toSeq
+    assert(got.forall(r => math.abs(r - 1.0 / 3.0) < 1e-9))
+  }
+
+  test("pageRank: the hub of a star outranks its leaves") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val byV = Graphs.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((2L to 5L).forall(v => byV(1L) > byV(v)))
+    // leaves are symmetric → identical rank
+    assert((3L to 5L).forall(v => byV(v) == byV(2L)))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkTestBase
+
+class QuantizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("known vector: scale = max|x|/127, error bounded by scale/2") {
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Quantize.int8Diagnostics(df, "vec_id", "embedding")
+      .collect().head
+    assert(r.getLong(1) == 4L)
+    val scale = r.getDouble(2)
+    // scale is reported rounded to 9 decimals — compare at that grain
+    assert(math.abs(scale - 1.0 / 127.0) < 5e-10)
+    // -0.5 = -63.5·scale sits exactly on a half-step — the worst-case
+    // reconstruction error scale/2 (floor(+0.5) rounds it up to -63)
+    assert(math.abs(r.getDouble(3) - scale / 2.0) < 1e-9)
+    assert(r.getDouble(4) > 1.0 - 1e-4)
+  }
+
+  test("zero vector degenerates gracefully: err 0, cos 1") {
+    val df = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8Diagnostics(df, "vec_id", "embedding")
+      .collect().head
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 1.0)
+  }
+
+  test("random vectors: max_abs_err <= scale/2 and cos within 1e-4 of 1 " +
+    "(fixed-seed property)") {
+    val rnd = new Random(42)
+    val rows = (1L to 50L).map(i =>
+      (i, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 4.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Quantize.int8Diagnostics(df, "vec_id", "embedding").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val (scale, err, cos) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(err <= scale / 2.0 + 1e-9,
+        s"vec ${r.getLong(0)}: err $err > scale/2 ${scale / 2}")
+      assert(cos > 1.0 - 1e-4 && cos <= 1.0 + 1e-12)
+    }
+  }
+
+  test("quantization is per-row and shuffle-free (no Exchange in plan)") {
+    val df = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val plan = Quantize.int8Diagnostics(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

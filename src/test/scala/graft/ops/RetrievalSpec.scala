@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 docs, query = {apple}: doc 1 has tf=2/dl=4, doc 2 tf=1/dl=2,
+  // doc 3 no hit. N=3, avgdl=(4+2+3)/3=3, df(apple)=2.
+  private val docs = Seq(
+    (1L, "apple pie apple tart"),
+    (2L, "apple cake"),
+    (3L, "banana bread loaf")
+  ).toDF("doc_id", "text")
+
+  private def bm25(tf: Double, dl: Double, df: Double, n: Double,
+      avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+  }
+
+  test("scores match the hand-computed Okapi formula") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("apple"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expected1 = BigDecimal(bm25(2, 4, 2, 3, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected2 = BigDecimal(bm25(1, 2, 2, 3, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - expected1) < 1e-9)
+    assert(math.abs(got(2L) - expected2) < 1e-9)
+  }
+
+  test("documents without any query term never appear") {
+    val ids = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("banana"), 10).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L))
+  }
+
+  test("higher tf wins over longer length at equal df (ranking order)") {
+    val rows = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple"), 10).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("n_terms_hit counts distinct matched query terms") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple", "pie"), 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L && got(2L) == 1L)
+  }
+
+  test("k caps the result deterministically") {
+    val one = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple"), 1).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 1L)
+  }
+
+  test("empty corpus and empty-match query are empty, not errors") {
+    assert(Retrieval.bm25TopK(docs.limit(0), "doc_id", "text",
+      Seq("apple"), 5).count() == 0L)
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("zzz"), 5).count() == 0L)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // user 1: Jan 1, (gap 2-3), Jan 4 — two events on Jan 1
+    (1L, ts("2024-01-01 08:00:00"), 1.5),
+    (1L, ts("2024-01-01 09:00:00"), 2.5),
+    (1L, ts("2024-01-04 10:00:00"), 7.0),
+    // user 2: single active day
+    (2L, ts("2024-02-10 12:00:00"), 3.0)
+  ).toDF("user_id", "ts", "value")
+
+  private lazy val filled =
+    TimeSeries.fillDailyGaps(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+
+  test("spine spans each key's own [min,max] day range, nothing more") {
+    val u1 = filled.filter(_.getLong(0) == 1L).map(_.getDate(1).toString)
+    assert(u1.toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-04"))
+    val u2 = filled.filter(_.getLong(0) == 2L).map(_.getDate(1).toString)
+    assert(u2.toSeq == Seq("2024-02-10"))
+  }
+
+  test("gap days carry null day_value, is_gap=true, forward-filled value") {
+    val u1 = filled.filter(_.getLong(0) == 1L)
+    // day 1: 1.5+2.5 = 4.0; days 2-3: gaps carrying 4.0; day 4: 7.0
+    assert(u1.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(4.0), None, None, Some(7.0)))
+    assert(u1.map(_.getDouble(3)).toSeq == Seq(4.0, 4.0, 4.0, 7.0))
+    assert(u1.map(_.getBoolean(4)).toSeq ==
+      Seq(false, true, true, false))
+  }
+
+  test("single-day key has one non-gap row") {
+    val u2 = filled.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && !u2.head.getBoolean(4) &&
+      u2.head.getDouble(3) == 3.0)
+  }
+
+  test("row count is the sum of per-key spans") {
+    assert(filled.length == 4 + 1)
+  }
+}
