@@ -59,11 +59,15 @@ object Graphs {
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // the symmetrized edge list is the fan-in point: deg, the adjacency,
+    // N, and the initial ranks all derive from it — cache it so the
+    // (possibly expensive) upstream edge build runs ONCE, not once per
+    // consuming subtree (caller-visible lifecycle: harness clearCache,
+    // same convention as the LSH caches)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // static per-iteration join input: (src, dst, deg(src)) — cached so
-    // the edge rollup runs once, not once per iteration (caller-visible
-    // lifecycle: harness clearCache, same convention as the LSH caches)
+      .cache()
+    // static per-iteration join input: (src, dst, deg(src))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg, "src").cache()
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
