@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval analytics via the sweep line: max concurrent open intervals
+  * per key. The naive formulation is an interval self-join
+  * (O(n²) pairs under skew); the sweep line is the scale-correct shape —
+  * each interval contributes exactly two boundary events (+1 at start,
+  * −1 at end), and concurrency is a running sum over the per-key
+  * boundary stream.
+  *
+  * Scale posture (100 TB): one union (map-side), ONE hash shuffle on
+  * the key, one running-sum window and the max rollup on the same
+  * partitioning. 2n boundary rows regardless of overlap density — an
+  * interval join would materialize O(overlaps) rows.
+  *
+  * End boundaries are EXCLUSIVE: at an equal timestamp the −1 sorts
+  * before the +1 (delta ascending), so back-to-back intervals
+  * [a,b),[b,c) never count as concurrent. `tieCol` makes the boundary
+  * order total, so the running sum is deterministic.
+  */
+object Intervals {
+
+  /** (key, max_concurrent) over the given interval table. */
+  def maxConcurrent(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieCol: String): DataFrame = {
+    val starts = df.select(col(keyCol), col(startCol).as("_ts"),
+      lit(1).as("_delta"), col(tieCol).as("_tie"))
+    val ends = df.select(col(keyCol), col(endCol).as("_ts"),
+      lit(-1).as("_delta"), col(tieCol).as("_tie"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_ts"), col("_delta"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.union(ends)
+      .withColumn("_conc", sum(col("_delta")).over(w))
+      .groupBy(keyCol)
+      .agg(max(col("_conc")).as("max_concurrent"))
+  }
+}

@@ -48,4 +48,41 @@ object TimeSeries {
         last(col("day_value"), ignoreNulls = true).over(w))
       .withColumn("is_gap", col("day_value").isNull)
   }
+
+  /** Exponentially-weighted moving average of the daily series with
+    * DYADIC decay (weight 2^-offset, horizon `horizonDays`), evaluated
+    * at each observed day:
+    * ewma(d) = Σ_o 2^-o·v(d−o) / Σ_{o: v(d−o) exists} 2^-o.
+    *
+    * The decay base is fixed at 1/2 on purpose: every weight is a power
+    * of two, so the per-term products v·2^-o are EXACT in IEEE doubles
+    * (exponent shift only) and the weight-sum denominator is exactly
+    * representable — the whole smoother is bit-reproducible across
+    * engines up to the final ≤horizon-term sum order (absorbed by
+    * round(9), same convention as every float agg here).
+    *
+    * Scale posture: no range self-join — each day-grain row emits its
+    * `horizonDays` forward contributions map-side (`sequence`+`explode`,
+    * bounded fan-out), then one hash agg on (key, target day) and a
+    * semi-join back to observed days. Same bounded-fan-out shape as
+    * `Behavior.rollingDistinct`. */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, horizonDays: Int = 8): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62,
+      "horizon must be in [1,62] (dyadic weights underflow beyond)")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sum(col(valueCol)), 6).as("day_value"))
+    val contrib = daily
+      .select(col(keyCol), col("day"), col("day_value"),
+        explode(sequence(lit(0), lit(horizonDays - 1))).as("_o"))
+      .select(col(keyCol), date_add(col("day"), col("_o")).as("day"),
+        (col("day_value") * pow(lit(0.5), col("_o"))).as("_wv"),
+        pow(lit(0.5), col("_o")).as("_w"))
+    contrib
+      .groupBy(col(keyCol), col("day"))
+      .agg(round(sum(col("_wv")) / sum(col("_w")), 9).as("ewma"))
+      .join(daily.select(col(keyCol), col("day")), Seq(keyCol, "day"),
+        "left_semi")
+  }
 }

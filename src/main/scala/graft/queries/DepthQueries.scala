@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Graphs, Heavy, Quantize, Retrieval, Scd,
-  TimeSeries}
+import graft.ops.{Curation, Graphs, Heavy, Intervals, Quantize, Retrieval,
+  Scd, TimeSeries}
 import graft.util.Tables._
 
 /** Round-5 depth batch: warehouse temporal history (SCD2), time-series
@@ -50,6 +50,9 @@ object DepthQueries {
   // PageRank iteration count / damping
   private val PrIters = 3
   private val PrDamping = 0.85
+
+  // EWMA horizon minus one (generate_series upper bound is inclusive)
+  private val EwmaHorizonM1 = 7
 
   val all: Seq[Q] = Seq(
 
@@ -212,6 +215,66 @@ object DepthQueries {
             "l_suppkey", 5L),
           PrIters, PrDamping)
         .orderBy("vertex")),
+
+    // Max concurrent open orders per customer via the sweep line —
+    // 2 boundary rows per interval, one key shuffle, no interval
+    // self-join. Intervals are derived deterministically from orders
+    // (duration = o_orderkey % 7 + 1 days); ends are exclusive (the -1
+    // sorts before the +1 at an equal timestamp).
+    Q("q105_interval_concurrency",
+      Some("""WITH iv AS (
+             |  SELECT o_custkey, o_orderdate AS s,
+             |    o_orderdate + (o_orderkey % 7 + 1)::INTEGER
+             |      * INTERVAL 1 DAY AS e,
+             |    o_orderkey AS tie
+             |  FROM orders),
+             |b AS (
+             |  SELECT o_custkey, s AS ts, 1 AS delta, tie FROM iv
+             |  UNION ALL
+             |  SELECT o_custkey, e, -1, tie FROM iv),
+             |r AS (
+             |  SELECT o_custkey,
+             |    sum(delta) OVER (PARTITION BY o_custkey
+             |      ORDER BY ts, delta, tie
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS conc
+             |  FROM b)
+             |SELECT o_custkey, max(conc)::BIGINT AS max_concurrent
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val iv = orders(s, d).select(col("o_custkey"),
+          col("o_orderdate").as("s"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 7 + 1 AS INT), " +
+            "o_orderdate)").as("e"),
+          col("o_orderkey").as("tie"))
+        Intervals.maxConcurrent(iv, "o_custkey", "s", "e", "tie")
+          .orderBy("o_custkey")
+      }),
+
+    // Dyadic-decay EWMA (weight 2^-offset, horizon 8 days) of each
+    // user's daily value series, evaluated at observed days. Bounded
+    // map-side fan-out — no range self-join.
+    Q("q106_ewma_daily",
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, ts::DATE AS day,
+              |    round(sum(value), 6) AS v
+              |  FROM events GROUP BY 1, 2),
+              |contrib AS (
+              |  SELECT user_id, day + g.o::INTEGER AS day2,
+              |    v * pow(0.5::DOUBLE, g.o) AS wv,
+              |    pow(0.5::DOUBLE, g.o) AS w
+              |  FROM daily, unnest(generate_series(0, $EwmaHorizonM1))
+              |    AS g(o)),
+              |agg AS (
+              |  SELECT user_id, day2 AS day,
+              |    round(sum(wv) / sum(w), 9) AS ewma
+              |  FROM contrib GROUP BY 1, 2)
+              |SELECT a.user_id, a.day, a.ewma
+              |FROM agg a JOIN daily d USING (user_id, day)
+              |ORDER BY user_id, day""".stripMargin),
+      (s, d) => TimeSeries.ewmaDaily(events(s, d), "user_id", "ts",
+          "value", EwmaHorizonM1 + 1)
+        .orderBy("user_id", "day")),
 
     // Symmetric int8 quantization diagnostics per embedding: scale,
     // max reconstruction error, cosine(original, reconstructed).

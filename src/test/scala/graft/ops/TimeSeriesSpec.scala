@@ -49,4 +49,30 @@ class TimeSeriesSpec extends SparkTestBase {
   test("row count is the sum of per-key spans") {
     assert(filled.length == 4 + 1)
   }
+
+  test("ewmaDaily: dyadic weights — hand-computed smoother values") {
+    // user 1 daily values: Jan 1 → 4.0, Jan 4 → 7.0 (gap days 2-3)
+    // ewma(Jan 1) = 4.0 (only itself)
+    // ewma(Jan 4) = (7.0·1 + 4.0·2^-3) / (1 + 2^-3) = 7.5/1.125
+    val got = TimeSeries.ewmaDaily(events, "user_id", "ts", "value",
+        horizonDays = 8)
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(got.length == 3, "evaluated only at observed days")
+    assert(got(0) == ((1L, "2024-01-01", 4.0)))
+    val expected = BigDecimal((7.0 + 4.0 / 8.0) / (1.0 + 1.0 / 8.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1)._3 - expected) < 1e-12)
+    assert(got(2) == ((2L, "2024-02-10", 3.0)))
+  }
+
+  test("ewmaDaily: observations older than the horizon have no effect") {
+    val far = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100.0),
+      (1L, ts("2024-03-01 00:00:00"), 5.0) // > 8 days later
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.ewmaDaily(far, "user_id", "ts", "value", 8)
+      .orderBy("day").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(100.0, 5.0))
+  }
 }
