@@ -368,14 +368,18 @@ object Dedup {
     edges.sparkSession.createDataFrame(rows, schema)
   }
 
-  /** The end-to-end corpus dedup: LSH candidates → Jaccard verify at
-    * `threshold` → components → drop every non-keeper member. Returns the
-    * ids of REMOVED docs (kept = corpus minus these). The verified edge
-    * set is materialized once (localCheckpoint) and counted ONCE off the
+  /** The shared LSH-dedup trunk: candidates → Jaccard verify at
+    * `threshold` → connected components of the verified-pair graph,
+    * returned as (node, label). Docs in no verified pair are absent
+    * (singletons are not graph nodes). The verified edge set is
+    * materialized once (localCheckpoint) and counted ONCE off the
     * materialized blocks — that single count serves both the emptiness
     * short-circuit and nearDupComponents' small-vs-large path choice, so
-    * no separate isEmpty job or second checkpoint/count pair runs. */
-  def nearDupRemovals(docs: DataFrame, idCol: String, textCol: String,
+    * no separate isEmpty job or second checkpoint/count pair runs. All
+    * three pipeline caches are unpersisted deterministically before
+    * returning. [[nearDupRemovals]] and [[nearDupClusterHistogram]] are
+    * thin rollups over this. */
+  def nearDupComponentsOf(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val shingles = shingleTable(docs, idCol, textCol).cache()
     val sig = minhashFromShingles(shingles, idCol)
@@ -389,16 +393,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b").localCheckpoint()
     val nPairs = verified.count()
-    val removed =
-      if (nPairs == 0L) verified.select(col("doc_a").as(idCol)).limit(0)
+    val comps =
+      if (nPairs == 0L)
+        verified.select(col("doc_a").as("node"), col("doc_a").as("label"))
+          .limit(0)
       else nearDupComponents(verified, knownPairCount = Some(nPairs))
-        .filter(col("label") < col("node"))
-        .select(col("node").as(idCol))
     shingles.unpersist()
     cand.unpersist()
     candSh.unpersist()
-    removed
+    comps
   }
+
+  /** The end-to-end corpus dedup: [[nearDupComponentsOf]] → drop every
+    * non-keeper member (keeper = each cluster's min id). Returns the ids
+    * of REMOVED docs (kept = corpus minus these). */
+  def nearDupRemovals(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    nearDupComponentsOf(docs, idCol, textCol, threshold)
+      .filter(col("label") < col("node"))
+      .select(col("node").as(idCol))
+
+  /** Dedup REPORT: distribution of near-dup cluster sizes —
+    * (cluster_size, n_clusters) for clusters of size ≥ 2. The number a
+    * curation run actually reviews before committing to a removal list
+    * (a corpus whose mass sits in a few giant clusters wants a
+    * different threshold than one of scattered pairs). Two tiny rollups
+    * over the component labels; cost is [[nearDupComponentsOf]]. */
+  def nearDupClusterHistogram(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame =
+    nearDupComponentsOf(docs, idCol, textCol, threshold)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 
   /** The SimHash end-to-end corpus dedup — the cheap alternative to the
     * MinHash path of [[nearDupRemovals]] (one wide aggregate per doc, no

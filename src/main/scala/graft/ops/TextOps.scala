@@ -236,6 +236,47 @@ object TextOps {
       .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
   }
 
+  /** Fixed symbol alphabet for [[charEntropy]] — lowercase letters,
+    * digits, space. ORDER IS CONTRACT: the entropy sum folds terms in
+    * this order, and the oracle SQL is generated in the same order, so
+    * the two engines add the same doubles in the same sequence. */
+  val EntropyAlphabet: Seq[Char] =
+    ("abcdefghijklmnopqrstuvwxyz0123456789 ").toSeq
+
+  /** Character-distribution Shannon entropy of the normalized text (nats)
+    * — the compressibility proxy quality signal (low entropy ≈ repetitive
+    * /template text, the cheap stand-in for the gzip-ratio filter).
+    *
+    * Scale posture: SHUFFLE-FREE and explode-free — a char-level explode
+    * would multiply a 100 TB corpus by average doc length before its
+    * groupBy. Instead each alphabet symbol's count is
+    * `length(t) - length(replace(t, s, ''))` (all per-row codegen string
+    * ops); symbols outside the alphabet pool into one 'other' bucket, so
+    * probabilities sum to 1 over exactly length(t) characters. Empty
+    * text → entropy 0. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), normalize(col(textCol)).as("_t"))
+      .withColumn("_len", length(col("_t")))
+    val withCounts = EntropyAlphabet.zipWithIndex.foldLeft(base) {
+      case (d, (ch, i)) =>
+        d.withColumn(s"_c$i",
+          col("_len") - length(expr(s"replace(_t, '$ch', '')")))
+    }.withColumn("_cOther",
+      col("_len") -
+        EntropyAlphabet.indices.map(i => col(s"_c$i")).reduce(_ + _))
+    val terms =
+      (EntropyAlphabet.indices.map(i => col(s"_c$i")) :+ col("_cOther"))
+        .map { c =>
+          when(c > 0,
+            negate(c / col("_len")) * log(c / col("_len")))
+            .otherwise(lit(0.0))
+        }
+    withCounts
+      .withColumn("entropy", round(terms.reduce(_ + _), 6))
+      .select(col(idCol), col("_len").cast("long").as("n_chars"),
+        col("entropy"))
+  }
+
   /** Content fingerprints: full-content md5 of the normalized text, plus a
     * winnowing-style min-shingle-hash (robust to local edits). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -103,6 +103,33 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** q61's transitive-closure trunk (LSH candidates → Jaccard ≥ 0.5
+    * verify → symmetric edges → recursive reachability) — shared with
+    * q108's cluster-size histogram, which rolls the same components up
+    * instead of listing removals. Mirrors `Dedup.nearDupComponentsOf`. */
+  private val neardupReachCte =
+    s"""${bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hashed ha ON ha.doc_id = c.doc_a
+       |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY c.doc_a, c.doc_b),
+       |verified AS MATERIALIZED (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |   JOIN counts ca ON ca.doc_id = i.doc_a
+       |   JOIN counts cb ON cb.doc_id = i.doc_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL SELECT doc_b, doc_a FROM verified),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content (keeper = min id).
@@ -222,27 +249,7 @@ object TextQueries {
     // via a recursive transitive closure, so the two agree for any chain
     // length — no shared iteration count to keep in sync.
     Q("q61_neardup_removals", {
-      Some(s"""${bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-              |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              |  FROM cand c
-              |  JOIN hashed ha ON ha.doc_id = c.doc_a
-              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-              |  GROUP BY c.doc_a, c.doc_b),
-              |verified AS MATERIALIZED (
-              |  SELECT i.doc_a, i.doc_b
-              |  FROM inter i
-              |   JOIN counts ca ON ca.doc_id = i.doc_a
-              |   JOIN counts cb ON cb.doc_id = i.doc_b
-              |  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5),
-              |edges AS MATERIALIZED (
-              |  SELECT doc_a AS src, doc_b AS dst FROM verified
-              |  UNION ALL SELECT doc_b, doc_a FROM verified),
-              |reach(node, r) AS (
-              |  SELECT src, src FROM edges
-              |  UNION
-              |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+      Some(s"""$neardupReachCte
               |SELECT node AS doc_id FROM (
               |  SELECT node, min(r) AS label FROM reach GROUP BY node)
               |WHERE label < node
@@ -394,6 +401,52 @@ object TextQueries {
               |JOIN uc bb ON b.w2 = bb.w CROSS JOIN tot
               |ORDER BY w1, w2""".stripMargin),
       (s, d) => TextOps.collocations(documents(s, d), "text", 5L)
-        .orderBy("w1", "w2"))
+        .orderBy("w1", "w2")),
+
+    // Character-distribution entropy (compressibility-proxy quality
+    // signal) — shuffle-free, explode-free: per-symbol counts via
+    // length(replace()) over a fixed alphabet, mirrored symbol-for-
+    // symbol (same fold order) in SQL.
+    Q("q107_char_entropy", {
+      val alpha = graft.ops.TextOps.EntropyAlphabet
+      val countDefs = alpha.zipWithIndex.map { case (ch, i) =>
+        s"length(t) - length(replace(t, '$ch', '')) AS c$i"
+      }.mkString(",\n    ")
+      val otherDef = "len - (" +
+        alpha.indices.map(i => s"c$i").mkString(" + ") + ") AS cOther"
+      val terms = (alpha.indices.map(i => s"c$i") :+ "cOther").map { c =>
+        s"CASE WHEN $c > 0 THEN -($c / len) * ln($c / len) ELSE 0.0 END"
+      }.mkString("\n    + ")
+      Some(s"""WITH nt AS (
+              |  SELECT doc_id, $normSql AS t FROM documents),
+              |c AS (
+              |  SELECT doc_id, length(t) AS len,
+              |    $countDefs
+              |  FROM nt),
+              |c2 AS (SELECT *, $otherDef FROM c)
+              |SELECT doc_id, len AS n_chars,
+              |  round($terms, 6) AS entropy
+              |FROM c2 ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => graft.ops.TextOps
+        .charEntropy(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Near-dup cluster-size histogram — the dedup REPORT view: the q61
+    // components machinery rolled up to (cluster_size, n_clusters)
+    // instead of a removal list. Reuses Dedup.nearDupComponentsOf
+    // unchanged; the oracle reuses q61's recursive-closure trunk.
+    Q("q108_cluster_histogram",
+      Some(s"""$neardupReachCte,
+              |labels AS (
+              |  SELECT node, min(r) AS label FROM reach GROUP BY node),
+              |sizes AS (
+              |  SELECT label, count(*) AS cluster_size
+              |  FROM labels GROUP BY label)
+              |SELECT cluster_size, count(*) AS n_clusters
+              |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => graft.ops.Dedup
+        .nearDupClusterHistogram(documents(s, d), "doc_id", "text", 0.5)
+        .orderBy("cluster_size"))
   )
 }

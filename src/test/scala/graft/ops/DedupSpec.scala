@@ -261,4 +261,39 @@ class DedupSpec extends SparkTestBase {
     val got = df.select(Dedup.hammingDist(col("a"), col("b"))).as[Int].collect()
     assert(got.toSeq == Seq(4, 4))
   }
+
+  test("nearDupClusterHistogram: a 3-clique and a pair roll up to " +
+    "{3→1, 2→1}; singletons are not clusters") {
+    val shared =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other =
+      "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared),   // exact triplet
+      (10L, other), (11L, other),                 // exact pair
+      (20L, "completely different text with nothing shared here at all " +
+        "padding words continue for shingle coverage")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusterHistogram(docs, "doc_id", "text", 0.5)
+      .orderBy("cluster_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(2L -> 1L, 3L -> 1L))
+  }
+
+  test("nearDupRemovals ≡ componentsOf non-keepers (refactor identity)") {
+    val shared = "the quick brown fox jumps over the lazy dog again and " +
+      "again with extra words to make shingles"
+    val docs = Seq((1L, shared), (2L, shared),
+      (3L, "unrelated content that shares no shingles with the others " +
+        "and keeps going long enough")).toDF("doc_id", "text")
+    val viaRemovals = Dedup.nearDupRemovals(docs, "doc_id", "text", 0.5)
+      .as[Long].collect().toSet
+    val viaComponents = Dedup
+      .nearDupComponentsOf(docs, "doc_id", "text", 0.5)
+      .filter(col("label") < col("node"))
+      .select(col("node")).as[Long].collect().toSet
+    assert(viaRemovals == viaComponents && viaRemovals == Set(2L))
+  }
 }

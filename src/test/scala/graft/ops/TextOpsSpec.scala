@@ -161,4 +161,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq == Seq(("x", "y", 2L)))
   }
+
+  test("charEntropy: hand-computed values — uniform pair, constant, empty") {
+    val df = Seq(
+      (1L, "aabb"),       // two symbols, p=1/2 each → ln 2
+      (2L, "aaaa"),       // single symbol → 0
+      (3L, ""),           // empty → 0 (no NaN from 0/0)
+      (4L, "!!!!")        // all outside the alphabet → one 'other' bucket → 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0)._2 == 4L)
+    assert(math.abs(got(0)._3 - math.log(2.0)) < 1e-6)
+    assert(got(1)._3 == 0.0)
+    assert(got(2) == ((3L, 0L, 0.0)))
+    assert(got(3)._3 == 0.0, "non-alphabet chars pool into one bucket")
+  }
+
+  test("charEntropy: mixed alphabet + other matches the direct formula") {
+    // "ab!?" normalized: a, b, !, ? → counts a=1 b=1 other=2, L=4
+    val df = Seq((1L, "ab!?")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(df, "doc_id", "text").collect().head
+    val want = -(0.25 * math.log(0.25)) * 2 - 0.5 * math.log(0.5)
+    assert(math.abs(got.getDouble(2) - want) < 1e-6)
+  }
+
+  test("charEntropy is shuffle-free (no Exchange in the plan)") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val plan = TextOps.charEntropy(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
