@@ -448,5 +448,53 @@ object TextQueries {
       (s, d) => graft.ops.Dedup
         .nearDupClusterHistogram(documents(s, d), "doc_id", "text", 0.5)
         .orderBy("cluster_size"))
+  ,
+
+    // EXACT-recall set-similarity join via prefix filtering (AllPairs/
+    // SSJoin): Jaccard ≥ 0.5 pairs with no LSH misses. Prefixes under
+    // the (df, h) order, candidate equi-join through the shared bucket
+    // valve, inverted-index Jaccard verify — all mirrored in SQL.
+    Q("q109_prefix_filter_join",
+      Some(s"""$shingleCte,
+              |dfreq AS (SELECT h, count(*) AS df FROM hashed GROUP BY 1),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM hashed
+              |          GROUP BY 1),
+              |pref AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT s.doc_id, s.h, z.n,
+              |      row_number() OVER (PARTITION BY s.doc_id
+              |        ORDER BY d.df, s.h) AS rn
+              |    FROM hashed s JOIN dfreq d USING (h)
+              |      JOIN sizes z USING (doc_id)) t
+              |  WHERE rn <= n - ceil(0.5 * n) + 1),
+              |okpref AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT doc_id, h,
+              |      count(*) OVER (PARTITION BY h) AS bn FROM pref) t
+              |  WHERE bn <= ${graft.ops.Dedup.MaxBucket}),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM okpref a JOIN okpref b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2)
+              |SELECT i.doc_a, i.doc_b, i.n_inter,
+              |  sa.n AS n_a, sb.n AS n_b,
+              |  CAST(i.n_inter AS DOUBLE)
+              |    / (sa.n + sb.n - i.n_inter) AS jaccard
+              |FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b
+              |WHERE CAST(i.n_inter AS DOUBLE)
+              |    / (sa.n + sb.n - i.n_inter) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => graft.ops.Dedup
+        .prefixFilterPairs(documents(s, d), "doc_id", "text", 0.5)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b"))
   )
 }

@@ -282,6 +282,36 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq(2L -> 1L, 3L -> 1L))
   }
 
+  test("prefixFilterPairs: EXACT recall — equals brute-force all-pairs " +
+    "Jaccard on a fixed-seed random corpus (the lossless guarantee LSH " +
+    "lacks)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 'z').map(_.toString)
+    // 24 docs in 6 clusters of shared base text with per-doc edits →
+    // a mix of qualifying and near-miss pairs
+    val docs = (0 until 24).map { i =>
+      val base = new scala.util.Random(i / 4) // 4 docs share a base
+      val words = Seq.fill(12)(vocab(base.nextInt(26))) ++
+        Seq.fill(rnd.nextInt(4))(vocab(rnd.nextInt(26)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val threshold = 0.5
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over the same shingle sets
+    val sets = Dedup.shingleTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      if inter > 0 &&
+        inter.toDouble / (sets(a).size + sets(b).size - inter) >= threshold
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture must actually produce qualifying pairs")
+  }
+
   test("nearDupRemovals ≡ componentsOf non-keepers (refactor identity)") {
     val shared = "the quick brown fox jumps over the lazy dog again and " +
       "again with extra words to make shingles"
