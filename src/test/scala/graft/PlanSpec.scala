@@ -190,6 +190,40 @@ class PlanSpec extends SparkTestBase {
       s"exactly one full-outer join expected:\n$p")
   }
 
+  test("q100: BM25 corpus constants enter by broadcast; top-k is " +
+    "TakeOrderedAndProject, no global sort") {
+    val p = plan("q100_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row constants / df frames must broadcast")
+  }
+
+  test("q102: heavy-hitter recount semi-joins the broadcast candidate " +
+    "list (the wide groupBy over all distinct terms never happens)") {
+    val p = plan("q102_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join against candidates:\n$p")
+  }
+
+  test("q99: the gap-fill spine joins co-partitioned — no cartesian, no " +
+    "broadcast of the fact side") {
+    val p = plan("q99_gapfill_ffill")
+    assert(!p.contains("Cartesian"), "spine must never cross-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("q106: EWMA fan-out is a Generate (map-side explode), not a range " +
+    "self-join") {
+    val p = plan("q106_ewma_daily")
+    assert(p.contains("Generate"), "contributions must come from explode")
+    // exactly the joins the plan needs: the semi-join back to observed
+    // days — no range join over the fact table
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"no quadratic join shapes allowed:\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
