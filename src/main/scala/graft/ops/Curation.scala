@@ -161,4 +161,36 @@ object Curation {
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(round(col("n_shared") / col("n_shingles"), 6)))
   }
+
+  /** WEIGHTED sampling without replacement, top-k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
+    * u ∈ (0,1] from the md5-hash60 uniform (same family as [[hashSplit]];
+    * +1 so ln is never applied to 0) and is ranked by key = ln(u)/w,
+    * descending — the same order as u^(1/w), the classic A-ES key, without
+    * the pow. The top k rows per stratum are EXACTLY a weighted sample
+    * without replacement: heavier rows draw stochastically larger keys in
+    * proportion to weight.
+    *
+    * Distributed shape: one row_number window = one shuffle by stratum;
+    * at scale the window's sort is per-partition top-k via the rank filter
+    * (no global sort). Hash-determinism keeps the sample stable across
+    * engines, retries, and corpus growth — and lets the DuckDB oracle
+    * reproduce it exactly. The float key is COMPUTED but never emitted:
+    * output columns are all integers/strings, so cross-engine float
+    * parity only matters if two keys tie within 1 ulp (measure-zero on
+    * hashed input; id tie-break pins even that). */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_key").desc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_key", key)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(strataCol), col("rank"), col(idCol),
+        col(weightCol).cast("long").as("weight"))
+  }
 }

@@ -506,4 +506,36 @@ object Dedup {
     sh.unpersist()
     removed
   }
+
+  /** Cross-document duplicated word-k-grams — the exact SUBSTRING-level
+    * duplication signal (document-level dedup misses boilerplate repeated
+    * inside otherwise-distinct pages; repeated long n-grams are the unit
+    * the "dedup the training data" line of work removes). Emits every
+    * k-gram appearing in at least `minDocs` distinct documents with its
+    * document and occurrence counts.
+    *
+    * Shape: instance k-grams (NOT per-doc distinct — occurrence counts
+    * are part of the signal) → TWO stacked hash-aggs, both keyed on the
+    * gram: (gram, doc) partial counts first, then the per-gram rollup.
+    * Stacking keeps every reduction map-side-combinable — the (gram, doc)
+    * agg shrinks repeated-within-doc grams before the shuffle, and the
+    * second agg is a near-free regroup of the first's output (same key
+    * prefix). A single `countDistinct(doc)` agg would plan an Expand
+    * (2× the shuffle rows) for no benefit. At 100 TB the shuffle key
+    * would be `hash60(gram)` with `min(gram)` as exemplar to narrow the
+    * exchange rows; here the gram string stays the key so the oracle is
+    * exact (no collision caveat). */
+  def duplicatedNGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val perDoc = df
+      .select(col(idCol),
+        TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+      .select(col(idCol),
+        explode(expr(kGramExpr("_toks", k, distinct = false))).as("gram"))
+      .groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("n_in_doc"))
+    perDoc.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

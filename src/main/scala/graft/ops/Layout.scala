@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) interleaving for
+  * multi-dimensional clustering. At 100 TB the dominant cost of a scan
+  * with predicates on two independent columns is that a sort by either
+  * one scatters the other; interleaving their bits gives a single sort
+  * key under which BOTH columns are range-clustered, so per-file min/max
+  * stats prune on either predicate. This is the layout trick behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY` — here as a plain codegen'd column
+  * expression (`repartitionByRange(zOrderKey).sortWithinPartitions` is
+  * the full clustered-write recipe; the key is the whole algorithm).
+  *
+  * Pure bit arithmetic (`shiftright`/`shiftleft`/`&`/`|`) — shuffle-free,
+  * whole-stage-codegen'd, and reproducible bit-for-bit in any engine with
+  * integer bit ops (the DuckDB oracle interpolates the same terms).
+  */
+object Layout {
+
+  /** Morton/Z-order key: interleave the low `bits` bits of `x` and `y`
+    * (x gets even positions, y odd). Inputs must be non-negative; the
+    * result is a `2*bits`-bit non-negative long. */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1-31, got $bits")
+    val xi = x.cast("long")
+    val yi = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Clustering-effectiveness report: bucket rows by the top `bucketBits`
+    * of their Z-key (one bucket ≈ one file of a clustered write) and
+    * report each bucket's row count and per-dimension min/max span. Narrow
+    * spans on BOTH dimensions are the point — they are exactly the
+    * file-level min/max stats a scan with a predicate on either column
+    * prunes against. One hash-agg keyed on the bucket; the Z-key itself
+    * adds no shuffle. */
+  def zOrderBucketStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.select(zOrderKey(x, y, bits).as("z"), x.as("x"), y.as("y"))
+      .withColumn("bucket", shiftright(col("z"), 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  /** The DuckDB expression computing the identical Z-key — interpolated
+    * into oracles so both engines share one definition. */
+  def zOrderKeySql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+}

@@ -106,4 +106,28 @@ object Profile {
       .where(abs(col("z")) > threshold)
       .drop("_mean", "_sd")
   }
+
+  /** Per-DIMENSION statistics of an `array` column — the feature-scaling
+    * pass over an embedding corpus (per-dim mean/std are exactly the
+    * standardization constants; min/max the clipping bounds; a degenerate
+    * std flags a dead dimension). posexplode → one hash-agg keyed on the
+    * dimension index: |dims| keys regardless of corpus size, so partial
+    * aggregation absorbs nearly everything map-side and the shuffle is
+    * |partitions| × |dims| rows. Variance via the sum/sumsq identity —
+    * explicit, engine-portable reductions (both engines sum in arbitrary
+    * order; ~1e-15 relative drift absorbed by round(6), same posture as
+    * centroidUpdate). min/max are exact (no rounding). */
+  def arrayDimStats(df: DataFrame, arrCol: String): DataFrame = {
+    df.select(posexplode(col(arrCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("_s"),
+        sum(col("x") * col("x")).as("_ss"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+      .select(col("dim"), col("n"),
+        round(col("_s") / col("n"), 6).as("mean_r"),
+        round(sqrt(col("_ss") / col("n")
+          - (col("_s") / col("n")) * (col("_s") / col("n"))), 6).as("std_r"),
+        col("x_min"), col("x_max"))
+  }
 }

@@ -142,4 +142,36 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 9).as("sim_r"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster-partition the corpus
+    * ([[assignCells]] — broadcast centroids, one pass), then find
+    * near-duplicate pairs only WITHIN each cell — an equi-join on the
+    * cell id, never an all-pairs join. The scale contract is the centroid
+    * count: k ∝ n keeps the per-cell population constant, so total
+    * within-cell pair work stays linear in corpus size while recall loss
+    * is confined to pairs straddling a cell boundary (the published
+    * SemDeDup trade — near-identical vectors land in the same cell with
+    * overwhelming probability because assignment is by the same cosine
+    * geometry that makes them near-dups). Complements
+    * [[graft.ops.EmbeddingLsh]]: LSH buckets by random projections
+    * (tunable recall, no centroids); SemDeDup buckets by data geometry
+    * and yields the cluster structure for free.
+    *
+    * Tie-breaks pinned (pair oriented vec_a < vec_b; assignment ties →
+    * lowest cid); exact cosine verify, round(9) absorbing the ~1e-16
+    * fold-order difference vs the oracle. */
+  def semanticNearDupPairs(emb: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignCells(emb, centroids)
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("_ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("_eb"))
+    a.join(b, "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine_sim(col("_ea"), col("_eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        round(col("sim"), 9).as("cos_sim"))
+  }
 }

@@ -286,4 +286,33 @@ object TextOps {
     df.select(col(idCol), md5(normalize(col(textCol))).as("content_md5"))
       .join(minShingle, Seq(idCol), "left")
   }
+
+  /** Hashed-feature linear classifier scoring — the serving plumbing of a
+    * fastText/logistic-regression quality filter (the standard
+    * model-based curation step: score every document, keep above a
+    * threshold). Feature = unigram, weight = lookup by token hash; here
+    * the weight table is a deterministic hash-derived stand-in
+    * (w(t) = hash60(t) mod 2001 − 1000, an integer in [−1000, 1000];
+    * no trained model ships in this sandbox). Swapping in real weights is
+    * a broadcast map lookup at the same plan position — the shape is the
+    * part that matters at 100 TB: per-row `transform`+`aggregate` over
+    * the token array, fully codegen'd, shuffle-FREE (no explode, no
+    * groupBy; the corpus is never reshuffled to be scored).
+    *
+    * The raw score accumulates in INTEGER space (sum of integer weights),
+    * so the keep decision (`w_sum > 0` ⇔ sigmoid > 0.5) is bit-exact
+    * across engines — no float-boundary flakes; the reported mean score
+    * and sigmoid are float only at the final division (round 9). */
+  def hashedLinearScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    df.withColumn("_toks", tokens(normalize(col(textCol))))
+      .withColumn("n_terms", size(col("_toks")).cast("long"))
+      .withColumn("_wsum", expr(
+        "aggregate(transform(_toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG) % 2001 - 1000), 0L, (a, x) -> a + x)"))
+      .withColumn("score", col("_wsum") / (col("n_terms") * 1000.0))
+      .select(col(idCol), col("n_terms"),
+        round(col("score"), 9).as("score_r"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 9).as("prob_r"),
+        (col("_wsum") > 0).as("keep"))
+  }
 }

@@ -7,7 +7,8 @@ object Registry {
     ParityQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all ++
       BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all ++
-      CurationQueries.all ++ InsightQueries.all ++ DepthQueries.all
+      CurationQueries.all ++ InsightQueries.all ++ DepthQueries.all ++
+      ScaleQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Dedup, Layout, Profile, Similarity, TextOps}
+import graft.util.Tables._
+
+/** Round-5 scale batch: substring-level duplication (repeated n-grams),
+  * weighted sampling without replacement, Z-order layout clustering,
+  * hashed-linear-classifier quality scoring, per-dimension embedding
+  * statistics, and SemDeDup-style cluster-partitioned semantic dedup.
+  * Oracle constants are interpolated from the same Scala values the
+  * engine ops receive, so the twins cannot drift.
+  */
+object ScaleQueries {
+
+  // shared DuckDB fragments (same single-source convention as
+  // TextQueries/DepthQueries)
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // duplicated-n-gram parameters
+  private val NGramK = 8
+  private val NGramMinDocs = 2
+
+  // weighted-sample parameters
+  private val WsK = 25
+
+  // Z-order parameters: 10-bit dims (values are taken mod 2^10), 64
+  // buckets = top 6 bits of the 20-bit key
+  private val ZBits = 10
+  private val ZBucketBits = 6
+  private val ZMod = 1 << ZBits
+
+  // SemDeDup parameters: centroids = the SemCells lowest vec_ids
+  private val SemCells = 8
+  private val SemT = 0.4
+
+  val all: Seq[Q] = Seq(
+
+    // Cross-document duplicated 8-grams — the substring-level dup signal
+    // (boilerplate repeated inside otherwise-distinct docs). Two stacked
+    // hash-aggs on the gram; see Dedup.duplicatedNGrams for why not
+    // countDistinct (Expand doubles the shuffle for no benefit).
+    Q("q110_dup_ngrams",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, array_to_string(t[i:i+${NGramK - 1}], ' ')
+              |    AS gram
+              |  FROM toks,
+              |    unnest(generate_series(1, len(t) - ${NGramK - 1}))
+              |      AS g(i))
+              |SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+              |  count(*)::BIGINT AS n_occurrences
+              |FROM grams GROUP BY 1
+              |HAVING count(DISTINCT doc_id) >= $NGramMinDocs
+              |ORDER BY gram""".stripMargin),
+      (s, d) => Dedup.duplicatedNGrams(documents(s, d), "doc_id", "text",
+          NGramK, NGramMinDocs)
+        .orderBy("gram")),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis), top-25
+    // docs per language weighted by n_chars. The A-ES key ln(u)/w is
+    // computed in both engines from the shared md5-hash60 uniform but
+    // never emitted — output is all-integer, so float parity can only
+    // matter on a sub-ulp key tie (measure-zero; id tie-break pins it).
+    Q("q111_weighted_sample",
+      Some(s"""WITH w AS (
+              |  SELECT lang, doc_id, n_chars,
+              |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              |        ::DOUBLE + 1) / 1152921504606846976.0)
+              |      / n_chars::DOUBLE AS key
+              |  FROM documents WHERE n_chars > 0),
+              |r AS (
+              |  SELECT lang, doc_id, n_chars,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY key DESC, doc_id) AS rank
+              |  FROM w)
+              |SELECT lang, rank, doc_id, n_chars::BIGINT AS weight
+              |FROM r WHERE rank <= $WsK
+              |ORDER BY lang, rank""".stripMargin),
+      (s, d) => Curation.weightedSampleTopK(documents(s, d), "doc_id",
+          "n_chars", "lang", WsK)
+        .orderBy("lang", "rank")),
+
+    // Z-order layout effectiveness: Morton-interleave (l_partkey mod 1024,
+    // l_suppkey mod 1024), bucket by the key's top 6 bits (one bucket ≈
+    // one file of a clustered write), report per-bucket spans — the
+    // min/max stats a scan on EITHER column would prune against.
+    Q("q112_zorder_layout",
+      Some(s"""WITH xy AS (
+              |  SELECT l_partkey % $ZMod AS x, l_suppkey % $ZMod AS y
+              |  FROM lineitem),
+              |z AS (SELECT ${Layout.zOrderKeySql("x", "y", ZBits)} AS z,
+              |        x, y FROM xy)
+              |SELECT (z >> ${2 * ZBits - ZBucketBits}) AS bucket,
+              |  count(*)::BIGINT AS n_rows,
+              |  min(x) AS x_min, max(x) AS x_max,
+              |  min(y) AS y_min, max(y) AS y_max
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val xy = lineitem(s, d).select(
+          (col("l_partkey") % ZMod).as("x"),
+          (col("l_suppkey") % ZMod).as("y"))
+        Layout.zOrderBucketStats(xy, "x", "y", ZBits, ZBucketBits)
+          .orderBy("bucket")
+      }),
+
+    // Hashed-feature linear classifier score per document — the
+    // model-based quality-filter plumbing; integer weight accumulation
+    // makes the keep decision bit-exact (see TextOps.hashedLinearScore).
+    Q("q113_classifier_score",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, len(toks)::BIGINT AS n_terms,
+              |    list_sum(list_transform(toks,
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT AS wsum
+              |  FROM t)
+              |SELECT doc_id, n_terms,
+              |  round(wsum / (n_terms * 1000.0), 9) AS score_r,
+              |  round(1.0 / (1.0 + exp(-(wsum / (n_terms * 1000.0)))), 9)
+              |    AS prob_r,
+              |  wsum > 0 AS keep
+              |FROM s ORDER BY doc_id""".stripMargin),
+      (s, d) => TextOps.hashedLinearScore(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Per-dimension embedding statistics — the feature-scaling /
+    // standardization constants (mean/std per dim, clipping bounds).
+    // |dims| group keys regardless of corpus size: the shuffle is
+    // partials only.
+    Q("q114_embedding_dim_stats",
+      Some("""WITH ex AS (
+             |  SELECT g.i - 1 AS dim, e[g.i] AS x
+             |  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) t,
+             |    unnest(generate_series(1, 64)) AS g(i))
+             |SELECT dim, count(*)::BIGINT AS n,
+             |  round(sum(x) / count(*), 6) AS mean_r,
+             |  round(sqrt(sum(x * x) / count(*)
+             |    - (sum(x) / count(*)) * (sum(x) / count(*))), 6) AS std_r,
+             |  min(x) AS x_min, max(x) AS x_max
+             |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Profile.arrayDimStats(embeddings(s, d), "embedding")
+        .orderBy("dim")),
+
+    // SemDeDup-style semantic dedup: assign to nearest of the 8 lowest-id
+    // centroid vectors (broadcast), then exact-cosine near-dup pairs
+    // WITHIN each cell only — equi-join on the cell id, never all-pairs.
+    // The oracle reuses the q33-proven assignment ranking.
+    Q("q115_semantic_dedup",
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+              |  FROM embeddings WHERE vec_id < $SemCells),
+              |assign AS (
+              |  SELECT vec_id, cid, embedding::DOUBLE[] AS v FROM (
+              |    SELECT e.vec_id, c.cid, e.embedding,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY
+              |          list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |          DESC, c.cid) AS crn
+              |    FROM embeddings e, cent c
+              |    WHERE list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |      IS NOT NULL) t
+              |  WHERE crn = 1)
+              |SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b,
+              |  round(list_cosine_similarity(x.v, y.v), 9) AS cos_sim
+              |FROM assign x JOIN assign y
+              |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+              |WHERE list_cosine_similarity(x.v, y.v) >= $SemT
+              |ORDER BY x.cid, vec_a, vec_b""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.semanticNearDupPairs(emb,
+            emb.filter(col("vec_id") < SemCells), SemT)
+          .orderBy("cid", "vec_a", "vec_b")
+      })
+  )
+}

@@ -139,4 +139,34 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"corpus join must be broadcast:\n$plan")
   }
+
+  test("weightedSampleTopK matches a Scala A-ES model exactly " +
+      "(same md5 uniform, same ln(u)/w key)") {
+    val rows = (1L to 60L).map(i => (i, s"s${i % 3}", (i % 7 + 1) * 10L))
+    val df = rows.toDF("id", "stratum", "w")
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / math.pow(2, 60)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (st, rs) =>
+      rs.map { case (id, _, w) => (id, math.log(u(id)) / w) }
+        .sortBy { case (id, k) => (-k, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (st, i + 1, id) }
+    }.toSet
+    val got = Curation.weightedSampleTopK(df, "id", "w", "stratum", 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("weightedSampleTopK: non-positive weights are excluded; k >= n " +
+      "keeps every positive-weight row") {
+    val df = Seq((1L, "s", 5L), (2L, "s", 0L), (3L, "s", -2L),
+      (4L, "s", 1L)).toDF("id", "stratum", "w")
+    val got = Curation.weightedSampleTopK(df, "id", "w", "stratum", 10)
+      .collect()
+    assert(got.map(_.getLong(2)).sorted.toSeq == Seq(1L, 4L))
+    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+  }
 }

@@ -326,4 +326,35 @@ class DedupSpec extends SparkTestBase {
       .select(col("node")).as[Long].collect().toSet
     assert(viaRemovals == viaComponents && viaRemovals == Set(2L))
   }
+
+  test("duplicatedNGrams: cross-doc gram found with doc + occurrence " +
+      "counts; single-doc repeats excluded by minDocs") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w5"),
+      (3L, "x x x x")).toDF("doc_id", "text")
+    val got3 = Dedup.duplicatedNGrams(d, "doc_id", "text", 3).collect()
+    assert(got3.length == 1)
+    assert(got3.head.getString(0) == "w1 w2 w3")
+    assert(got3.head.getAs[Long]("n_docs") == 2L)
+    assert(got3.head.getAs[Long]("n_occurrences") == 2L)
+    // "x x" repeats 3x inside doc 3 only -> excluded at minDocs=2
+    val got2 = Dedup.duplicatedNGrams(d, "doc_id", "text", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(!got2.contains("x x"))
+  }
+
+  test("duplicatedNGrams: within-doc occurrences sum across docs; " +
+      "docs shorter than k contribute nothing") {
+    val d = Seq(
+      (1L, "x x x x"),  // 3 instances of "x x"
+      (2L, "x x"),      // 1 instance
+      (3L, "x")         // shorter than k=2: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedNGrams(d, "doc_id", "text", 2).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "x x")
+    assert(got.head.getAs[Long]("n_docs") == 2L)
+    assert(got.head.getAs[Long]("n_occurrences") == 4L)
+  }
 }

@@ -72,4 +72,27 @@ class ProfileSpec extends SparkTestBase {
     val d = Seq((1L, "a", 5.0), (2L, "a", 5.0)).toDF("id", "grp", "v")
     assert(Profile.zscoreOutliers(d, "grp", "v", 1.0).isEmpty)
   }
+
+  test("arrayDimStats: per-dimension mean/std/min/max (hand case)") {
+    val d = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("id", "emb")
+    val got = Profile.arrayDimStats(d, "emb").orderBy("dim").collect()
+    assert(got.length == 2)
+    val d0 = got(0)
+    assert(d0.getAs[Long]("n") == 2L)
+    assert(d0.getAs[Double]("mean_r") == 2.0)
+    assert(d0.getAs[Double]("std_r") == 1.0) // pop std of {1,3}
+    assert(d0.getAs[Double]("x_min") == 1.0 && d0.getAs[Double]("x_max") == 3.0)
+    val d1 = got(1)
+    assert(d1.getAs[Double]("mean_r") == 3.0 && d1.getAs[Double]("std_r") == 1.0)
+  }
+
+  test("arrayDimStats: ragged arrays produce per-dim counts; a " +
+      "single-value dim has std 0") {
+    val d = Seq((1L, Seq(5.0f)), (2L, Seq(7.0f, 9.0f))).toDF("id", "emb")
+    val got = Profile.arrayDimStats(d, "emb").orderBy("dim").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    assert(got(1).getAs[Double]("std_r") == 0.0)
+    assert(got(1).getAs[Double]("mean_r") == 9.0)
+  }
 }

@@ -76,4 +76,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(3) == ((0L, None)),
       "zero-norm vector dropped -> label 3 degenerates to a singleton")
   }
+
+  test("semanticNearDupPairs: within-cell near-dups found; a cross-cell " +
+      "high-cosine pair is NOT reported (the documented SemDeDup trade)") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val coll = Seq(
+      (10L, Array(1f, 0.01f)),  // cell 0
+      (11L, Array(1f, 0.02f)),  // cell 0, near-dup of 10
+      (20L, Array(0.01f, 1f)),  // cell 1
+      (30L, Array(1f, 0.9f)),   // cell 0 (boundary)
+      (31L, Array(0.9f, 1f)))   // cell 1 (boundary); cos(30,31) ≈ 0.994
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticNearDupPairs(coll, cents, 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 11L)),
+      s"expected only the within-cell pair, got $got")
+  }
+
+  test("semanticNearDupPairs: pair output is oriented vec_a < vec_b and " +
+      "carries the cell id") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val coll = Seq((5L, Array(1f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.semanticNearDupPairs(coll, cents, 0.99).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 0L)   // cid
+    assert(rows.head.getLong(1) == 3L && rows.head.getLong(2) == 5L)
+    assert(rows.head.getDouble(3) == 1.0)
+  }
 }

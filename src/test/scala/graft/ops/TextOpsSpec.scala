@@ -193,4 +193,41 @@ class TextOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  private def hashWeight(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  test("hashedLinearScore matches the hand formula; keep ⇔ positive " +
+      "integer weight sum (bit-exact, no float boundary)") {
+    val df = Seq((1L, "Alpha"), (2L, "alpha alpha beta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.hashedLinearScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val wa = hashWeight("alpha")
+    val wb = hashWeight("beta")
+    // doc 1: one token (normalized lowercase)
+    assert(got(0).getAs[Long]("n_terms") == 1L)
+    assert(got(0).getAs[Double]("score_r") ==
+      BigDecimal(wa / 1000.0).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got(0).getAs[Boolean]("keep") == (wa > 0))
+    // doc 2: wsum = 2*w(alpha) + w(beta) over 3 terms
+    val wsum = 2 * wa + wb
+    assert(got(1).getAs[Long]("n_terms") == 3L)
+    assert(math.abs(got(1).getAs[Double]("score_r")
+      - wsum / 3000.0) < 1e-9)
+    assert(got(1).getAs[Boolean]("keep") == (wsum > 0))
+  }
+
+  test("hashedLinearScore is shuffle-free (no Exchange: the corpus is " +
+      "never reshuffled to be scored)") {
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = TextOps.hashedLinearScore(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
