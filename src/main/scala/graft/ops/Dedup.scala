@@ -538,4 +538,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Per-document duplicated-n-gram COVERAGE — the fraction of each
+    * document's token positions lying inside at least one k-gram that
+    * also appears in another document. This is the actionable form of
+    * [[duplicatedNGrams]]: "60% of this page is boilerplate shared with
+    * other pages" is the filter/trim signal substring-level dedup acts
+    * on (document-hash dedup scores the same page 0).
+    *
+    * Shape: positional instance grams (posexplode — position matters,
+    * so no distinct) → equi-join on the gram against the duplicated-gram
+    * set (semi-join: only membership matters) → each surviving gram
+    * instance covers token positions [pos, pos+k); the union of covered
+    * positions is |distinct (doc, position)| — an explode bounded by k
+    * per gram instance, then one distinct+count keyed by doc. Every join
+    * is an equi-join on gram or doc; nothing is quadratic. Docs shorter
+    * than k, or with no shared grams, report coverage 0 via the final
+    * left join. */
+  def dupNGramCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol),
+      TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+    val grams = toks.select(col(idCol),
+      posexplode(expr(kGramExpr("_toks", k, distinct = false)))
+        .as(Seq("pos", "gram")))
+    val dupSet = duplicatedNGrams(df, idCol, textCol, k, minDocs)
+      .select("gram")
+    val covered = grams
+      .join(dupSet, Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("_ti"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    toks.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_r",
+        round(col("n_covered") / col("n_tokens"), 6))
+  }
 }

@@ -38,4 +38,35 @@ object Intervals {
       .groupBy(keyCol)
       .agg(max(col("_conc")).as("max_concurrent"))
   }
+
+  /** BUCKETED point-in-interval join — the scale-correct shape for the
+    * interval/theta join Spark would otherwise plan as a broadcast
+    * nested loop (or refuse, when neither side fits in memory). Each
+    * interval explodes into the daily buckets it touches (span/1d rows —
+    * bounded fan-out for bounded spans); each point maps to exactly one
+    * bucket; the join is then a plain EQUI-join on the bucket, hash
+    * partitionable on both sides, with the exact `[start, end)`
+    * containment re-checked as a residual filter (buckets only prune —
+    * correctness never depends on bucket alignment, which is why the
+    * interval's bucket sequence can safely over-cover the end day).
+    *
+    * At 100 TB both sides shuffle once on the bucket key and AQE
+    * broadcast-shortcuts the join whenever one side's bucketed form is
+    * small (e.g. points pre-aggregated to the bucket granularity — the
+    * composition q116 uses). Pair-volume discipline is the caller's
+    * lever: pre-aggregate the dense side to bucket granularity when the
+    * downstream metric allows it, exactly as a time-series rollup would.
+    *
+    * Output: every `intervals` column plus the matching point rows'
+    * columns (inner join; callers left-join the result back to keep
+    * empty intervals). */
+  def bucketedPointJoin(intervals: DataFrame, startCol: String,
+      endCol: String, points: DataFrame, tsCol: String): DataFrame = {
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(to_date(col(startCol)), to_date(col(endCol)))))
+    val pts = points.withColumn("_bucket", to_date(col(tsCol)))
+    iv.join(pts, "_bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bucket")
+  }
 }

@@ -177,6 +177,77 @@ object ScaleQueries {
         Similarity.semanticNearDupPairs(emb,
             emb.filter(col("vec_id") < SemCells), SemT)
           .orderBy("cid", "vec_a", "vec_b")
-      })
+      }),
+
+    // Bucketed point-in-interval join: shipments-per-day landed inside
+    // each order's [orderdate, orderdate + 1..7d) window. The dense side
+    // is pre-aggregated to the bucket granularity (daily counts), then
+    // the interval side explodes into its daily buckets and the join is
+    // a plain equi-join on the bucket + residual containment filter —
+    // never a nested-loop theta join. Left join keeps empty windows at 0.
+    Q("q116_interval_point_join",
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey, o_orderdate AS s,
+             |    o_orderdate + (o_orderkey % 7 + 1)::INTEGER
+             |      * INTERVAL 1 DAY AS e
+             |  FROM orders),
+             |daily AS (
+             |  SELECT l_shipdate::DATE AS day, count(*)::BIGINT AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT iv.o_orderkey, coalesce(sum(n), 0)::BIGINT AS n_shipped
+             |FROM iv LEFT JOIN daily
+             |  ON daily.day >= iv.s AND daily.day < iv.e
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val iv = orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").as("s"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 7 + 1 AS INT), " +
+            "o_orderdate)").as("e"))
+        val daily = lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("day").cast("timestamp").as("day_ts"), col("n"))
+        val matched = graft.ops.Intervals
+          .bucketedPointJoin(iv, "s", "e", daily, "day_ts")
+        orders(s, d).select("o_orderkey")
+          .join(matched.groupBy("o_orderkey")
+            .agg(sum(col("n")).as("n_shipped")), Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Per-document duplicated-8-gram coverage — the actionable substring
+    // dedup signal: what fraction of each doc's tokens sit inside a
+    // gram shared with another doc. Equi-joins only (gram membership,
+    // then doc rollup); bounded k-explode per matched gram instance.
+    Q("q117_dup_coverage",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, i - 1 AS pos,
+              |    array_to_string(t[i:i+${NGramK - 1}], ' ') AS gram
+              |  FROM toks,
+              |    unnest(generate_series(1, len(t) - ${NGramK - 1}))
+              |      AS g(i)),
+              |dup AS (
+              |  SELECT gram FROM grams GROUP BY 1
+              |  HAVING count(DISTINCT doc_id) >= $NGramMinDocs),
+              |cov AS (
+              |  SELECT DISTINCT g.doc_id, g.pos + o.o AS ti
+              |  FROM grams g JOIN dup USING (gram),
+              |    unnest(generate_series(0, ${NGramK - 1})) AS o(o)),
+              |c AS (
+              |  SELECT doc_id, count(*)::BIGINT AS n_covered
+              |  FROM cov GROUP BY 1)
+              |SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+              |  coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+              |  round(coalesce(c.n_covered, 0) / len(t.t), 6) AS coverage_r
+              |FROM toks t LEFT JOIN c USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin),
+      (s, d) => Dedup.dupNGramCoverage(documents(s, d), "doc_id", "text",
+          NGramK, NGramMinDocs)
+        .orderBy("doc_id"))
   )
 }

@@ -357,4 +357,42 @@ class DedupSpec extends SparkTestBase {
     assert(got.head.getAs[Long]("n_docs") == 2L)
     assert(got.head.getAs[Long]("n_occurrences") == 4L)
   }
+
+  test("dupNGramCoverage: covered positions are a UNION over overlapping " +
+      "dup grams; clean docs report 0") {
+    val d = Seq(
+      (1L, "a b c d"),   // grams "a b c"(0), "b c d"(1) — both duplicated
+      (2L, "a b c"),
+      (3L, "b c d"),
+      (4L, "p q r s t")) // nothing shared
+      .toDF("doc_id", "text")
+    val got = Dedup.dupNGramCoverage(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    // doc 1: {0,1,2} ∪ {1,2,3} = 4 of 4 tokens covered
+    assert(got(0).getAs[Long]("n_covered") == 4L)
+    assert(got(0).getAs[Double]("coverage_r") == 1.0)
+    // docs 2/3: their single gram is shared with doc 1 -> full coverage
+    assert(got(1).getAs[Double]("coverage_r") == 1.0)
+    assert(got(2).getAs[Double]("coverage_r") == 1.0)
+    // doc 4: no shared grams -> 0 of 5
+    assert(got(3).getAs[Long]("n_tokens") == 5L)
+    assert(got(3).getAs[Long]("n_covered") == 0L)
+    assert(got(3).getAs[Double]("coverage_r") == 0.0)
+  }
+
+  test("dupNGramCoverage: partial coverage and docs shorter than k") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 u1 u2 u3"), // only "w1 w2 w3" region shared
+      (2L, "w1 w2 w3"),
+      (3L, "zz"))                   // shorter than k=3: no grams, 0
+      .toDF("doc_id", "text")
+    val got = Dedup.dupNGramCoverage(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_covered") == 3L)
+    assert(got(0).getAs[Double]("coverage_r") ==
+      BigDecimal(3.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got(2).getAs[Long]("n_tokens") == 1L)
+    assert(got(2).getAs[Long]("n_covered") == 0L)
+  }
 }

@@ -43,4 +43,48 @@ class IntervalsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
       s"expected exactly one key exchange:\n$plan")
   }
+
+  test("bucketedPointJoin ≡ brute-force theta join (start inclusive, " +
+      "end exclusive, multi-day spans, cross-midnight points)") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      (2L, ts("2024-01-02 12:00:00"), ts("2024-01-02 18:00:00")),
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00")))
+      .toDF("k", "s", "e")
+    val pts = Seq(
+      (10L, ts("2024-01-01 00:00:00")),  // == start of 1: included
+      (11L, ts("2024-01-02 23:59:59")),  // inside 1 only
+      (12L, ts("2024-01-03 00:00:00")),  // == end of 1: EXCLUDED
+      (13L, ts("2024-01-02 12:00:00")),  // starts 2 (and inside 1)
+      (14L, ts("2024-01-02 18:00:00")),  // end of 2: excluded; inside 1
+      (15L, ts("2024-03-05 09:00:00")))  // matches nothing
+      .toDF("p", "pts")
+    val got = Intervals.bucketedPointJoin(iv, "s", "e", pts, "pts")
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = (for {
+      (k, s, e) <- Seq((1L, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (2L, "2024-01-02 12:00:00", "2024-01-02 18:00:00"),
+        (3L, "2024-02-01 00:00:00", "2024-02-02 00:00:00"))
+      (p, t) <- Seq((10L, "2024-01-01 00:00:00"),
+        (11L, "2024-01-02 23:59:59"), (12L, "2024-01-03 00:00:00"),
+        (13L, "2024-01-02 12:00:00"), (14L, "2024-01-02 18:00:00"),
+        (15L, "2024-03-05 09:00:00"))
+      if t >= s && t < e
+    } yield (k, p)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want == Set((1L, 10L), (1L, 11L), (1L, 13L), (1L, 14L),
+      (2L, 13L)))
+  }
+
+  test("bucketedPointJoin plans an equi-join on the bucket, not a " +
+      "nested loop") {
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-03 00:00:00"))).toDF("k", "s", "e")
+    val pts = Seq((10L, ts("2024-01-01 05:00:00"))).toDF("p", "pts")
+    val plan = Intervals.bucketedPointJoin(iv, "s", "e", pts, "pts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"must not plan a nested-loop join:\n$plan")
+  }
 }
