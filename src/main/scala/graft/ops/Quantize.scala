@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding quantization for vector-store compaction: symmetric
@@ -57,5 +58,57 @@ object Quantize {
           .otherwise(round(dot / (n1 * n2), 9)))
       .select(col(idCol), col("dim"), round(col("_scale"), 9).as("scale"),
         col("max_abs_err"), col("cos_recon"))
+  }
+
+  /** Product quantization (PQ) encoding — the codebook compression every
+    * billion-vector ANN index runs: split each `dim`-wide vector into `m`
+    * subspaces of dim/m, assign each subvector to its nearest codeword
+    * (squared L2, ties → lowest code id), and emit the m-byte code plus
+    * the total quantization distortion. `centroids` supplies the
+    * codebook (one codeword per (centroid row, subspace) — in production
+    * the output of per-subspace k-means, here any deterministic seed
+    * set; [[graft.ops.Similarity.centroidUpdate]] is the training step).
+    *
+    * Scale shape: the corpus explodes ×m (bounded, m≈4–16), the codebook
+    * is broadcast (m × |codebook| rows), assignment is one
+    * broadcast-join + per-(vector, subspace) rank, and the code assembly
+    * is one hash-agg back to |corpus| rows. Nothing is pairwise in the
+    * corpus. Distances are left-fold sums of exact float→double terms —
+    * bit-identical across engines, so the argmin (and therefore the
+    * CODE, the part that must never drift) is exact; only the reported
+    * distortion is rounded. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, m: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val ds = dim / m
+    def subspaces(in: DataFrame, id: Column, outId: String): DataFrame =
+      in.select(id.as(outId),
+          transform(col(vecCol), x => x.cast("double")).as("_v"))
+        .select(col(outId), explode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"sp -> struct(sp AS sp, slice(_v, sp * $ds + 1, $ds) AS sv))"))
+          .as("_s"))
+        .select(col(outId), col("_s.sp").as("sp"), col("_s.sv").as("sv"))
+    val corpus = subspaces(df, col(idCol), idCol)
+    val book = broadcast(subspaces(centroids, col(centIdCol), "cid")
+      .withColumnRenamed("sv", "cv"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col(idCol), col("sp"))
+      .orderBy(col("_d2").asc, col("cid").asc)
+    corpus.join(book, "sp")
+      .withColumn("_d2", d2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("sp"), col("cid"))).as("_sc"),
+        sum(col("_d2")).as("_tot"))
+      .select(col(idCol),
+        array_join(expr(
+          "transform(sort_array(_sc), e -> CAST(e.cid AS STRING))"), ",")
+          .as("code"),
+        round(sqrt(col("_tot")), 6).as("qerr_r"))
   }
 }

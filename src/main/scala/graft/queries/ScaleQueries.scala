@@ -248,6 +248,87 @@ object ScaleQueries {
               |ORDER BY t.doc_id""".stripMargin),
       (s, d) => Dedup.dupNGramCoverage(documents(s, d), "doc_id", "text",
           NGramK, NGramMinDocs)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Bitmap-index EXACT distinct: users per event type via 64-bit word
+    // packing + bit_or. The oracle is plain count(DISTINCT) — the bitmap
+    // path must equal true distinct by construction; the engine side
+    // never plans an Expand and its shuffle carries words, not ids.
+    Q("q118_bitmap_distinct",
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id)::BIGINT AS n_distinct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => graft.ops.Bitmaps
+        .bitmapDistinct(events(s, d), "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // Top-20 within-session event-type trigrams (6h gap sessions) — the
+    // behavioral sequence-mining view; ordered collect + row-local
+    // n-grams + one count agg + TakeOrdered.
+    Q("q119_session_paths",
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) AS us
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0
+             |    END AS news
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id)),
+             |s AS (
+             |  SELECT *, CAST(sum(news) OVER (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM g),
+             |p AS (
+             |  SELECT user_id, session_idx,
+             |    list(event_type ORDER BY ts, event_id) AS seq
+             |  FROM s GROUP BY 1, 2),
+             |grams AS (
+             |  SELECT array_to_string(seq[i:i+2], ' ') AS gram
+             |  FROM p, unnest(generate_series(1, len(seq) - 2)) AS g(i))
+             |SELECT gram, count(*)::BIGINT AS n
+             |FROM grams GROUP BY 1
+             |ORDER BY n DESC, gram LIMIT 20""".stripMargin),
+      (s, d) => graft.ops.Sessionize.sessionPathNGrams(events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 21600L, n = 3, topK = 20)),
+
+    // Product quantization: 4 subspaces × 16 dims, codebook = the 8
+    // lowest-id vectors' subvectors; per-vector code + distortion. The
+    // code (the part that must never drift) is decided on bit-identical
+    // left-fold L2² values with a code-id tie-break.
+    Q("q120_pq_encode",
+      Some(s"""WITH sub AS (
+              |  SELECT vec_id, sp.sp AS sp,
+              |    (embedding::DOUBLE[])[sp.sp*16+1 : sp.sp*16+16] AS sv
+              |  FROM embeddings, unnest(generate_series(0, 3)) AS sp(sp)),
+              |cent AS (
+              |  SELECT vec_id AS cid, sp, sv AS cv FROM sub
+              |  WHERE vec_id < $SemCells),
+              |a AS (
+              |  SELECT vec_id, sp, cid, d2 FROM (
+              |    SELECT s.vec_id, s.sp, c.cid,
+              |      list_reduce(list_transform(generate_series(1, 16),
+              |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+              |        (x, y) -> x + y) AS d2,
+              |      row_number() OVER (PARTITION BY s.vec_id, s.sp
+              |        ORDER BY list_reduce(list_transform(
+              |            generate_series(1, 16),
+              |            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+              |            (x, y) -> x + y) ASC, c.cid ASC) AS rn
+              |    FROM sub s JOIN cent c USING (sp)) t
+              |  WHERE rn = 1)
+              |SELECT vec_id,
+              |  array_to_string(list(cid ORDER BY sp), ',') AS code,
+              |  round(sqrt(sum(d2)), 6) AS qerr_r
+              |FROM a GROUP BY 1 ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        graft.ops.Quantize.pqEncode(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < SemCells), "vec_id", m = 4, dim = 64)
+          .orderBy("vec_id")
+      })
   )
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BitmapsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bitmapDistinct == count(DISTINCT) on random data with word " +
+      "boundaries (ids 0, 63, 64, 127, sparse highs; fixed seed)") {
+    val rnd = new scala.util.Random(7)
+    val boundary = Seq(0L, 63L, 64L, 127L, 128L, 4095L, 100000L)
+    val rows = (boundary ++ Seq.fill(500)(rnd.nextInt(200).toLong))
+      .map(id => (s"k${id % 3}", id)) ++ boundary.map(id => ("k0", id))
+    val df = rows.toDF("key", "id")
+    val got = Bitmaps.bitmapDistinct(df, "key", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("key")
+      .agg(countDistinct(col("id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("bitmapDistinct: duplicates collapse; single id per key counts 1") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("b", 63L))
+      .toDF("key", "id")
+    val got = Bitmaps.bitmapDistinct(df, "key", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("bitmapDistinct plans two plain aggs — no Expand (the " +
+      "countDistinct penalty the bitmap path exists to avoid)") {
+    val df = Seq(("a", 1L)).toDF("key", "id")
+    val plan = Bitmaps.bitmapDistinct(df, "key", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"unexpected Expand:\n$plan")
+  }
+}

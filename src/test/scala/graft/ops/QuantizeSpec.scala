@@ -53,4 +53,33 @@ class QuantizeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("pqEncode: per-subspace nearest codeword, code in subspace order, " +
+      "distortion = sqrt of summed L2² (hand case, dim=2, m=2)") {
+    val corpus = Seq((10L, Seq(0.9f, 2.1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.pqEncode(corpus, "vec_id", "embedding", cents,
+      "vec_id", m = 2, dim = 2).collect()
+    assert(got.length == 1)
+    // sub 0: 0.9 -> c0 (0.01 vs 1.21); sub 1: 2.1 -> c1 (0.01 vs 1.21)
+    assert(got.head.getString(1) == "0,1")
+    val want = math.sqrt((0.9 - 1.0) * (0.9 - 1.0) +
+      (2.1f.toDouble - 2.0) * (2.1f.toDouble - 2.0))
+    assert(math.abs(got.head.getDouble(2) - want) < 1e-6)
+  }
+
+  test("pqEncode: equidistant codewords break ties to the lowest code " +
+      "id; self-codebook encodes at zero distortion") {
+    val corpus = Seq((10L, Seq(1.5f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f)), (1L, Seq(2.0f)))
+      .toDF("vec_id", "embedding")
+    val tie = Quantize.pqEncode(corpus, "vec_id", "embedding", cents,
+      "vec_id", m = 1, dim = 1).collect().head
+    assert(tie.getString(1) == "0" && tie.getDouble(2) == 0.5) // sqrt(0.25)
+    val self = Quantize.pqEncode(cents, "vec_id", "embedding", cents,
+      "vec_id", m = 1, dim = 1).orderBy("vec_id").collect()
+    assert(self.map(_.getString(1)).toSeq == Seq("0", "1"))
+    assert(self.forall(_.getDouble(2) == 0.0))
+  }
 }

@@ -39,4 +39,34 @@ class SessionizeSpec extends SparkTestBase {
       .collect()
     assert(got.length == 1 && got.head.getLong(2) == 3L)
   }
+
+  test("sessionPathNGrams: trigrams respect event order and never cross " +
+      "a session boundary") {
+    val events = Seq(
+      // user 1, session 1: a b c d -> trigrams "a b c", "b c d"
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"),
+      (3L, 1L, ts(2), "c"), (4L, 1L, ts(3), "d"),
+      // user 1, session 2 (40-min gap): c d e -> "c d e"; the boundary
+      // must NOT produce "c d c"/"d c d" spanning grams
+      (5L, 1L, ts(43), "c"), (6L, 1L, ts(44), "d"), (7L, 1L, ts(45), "e"),
+      // user 2: a b c again -> "a b c" count rises to 2
+      (8L, 2L, ts(0), "a"), (9L, 2L, ts(1), "b"), (10L, 2L, ts(2), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.sessionPathNGrams(events, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 900L, n = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a b c" -> 2L, "b c d" -> 1L, "c d e" -> 1L))
+  }
+
+  test("sessionPathNGrams: topK truncates on (count desc, gram asc)") {
+    val events = Seq(
+      (1L, 1L, ts(0), "x"), (2L, 1L, ts(1), "y"), (3L, 1L, ts(2), "z"),
+      (4L, 2L, ts(0), "a"), (5L, 2L, ts(1), "b"), (6L, 2L, ts(2), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.sessionPathNGrams(events, "user_id", "ts",
+        "event_id", "event_type", 900L, n = 3, topK = 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a b c") // tie on count -> gram asc
+  }
 }
