@@ -162,7 +162,22 @@ object Similarity {
     * fold-order difference vs the oracle. */
   def semanticNearDupPairs(emb: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
-    val assigned = assignCells(emb, centroids)
+    // the assignment subtree feeds BOTH sides of the within-cell
+    // self-join; uncached, Catalyst plans the broadcast-assign pass
+    // twice (verified via .explain — two BroadcastNestedLoopJoin +
+    // Window subtrees). Cache it so the corpus is assigned once.
+    // LIFECYCLE: reclaimed by the harness clearCache() per query;
+    // library callers who need deterministic cleanup should own the
+    // assignment via [[assignCells]] + [[semanticNearDupPairsOnAssigned]]
+    // (same owner-split convention as Dedup.candidateShingles).
+    semanticNearDupPairsOnAssigned(
+      assignCells(emb, centroids).cache(), threshold)
+  }
+
+  /** [[semanticNearDupPairs]] over a pre-assigned (vec_id, embedding,
+    * cid) table whose caching the CALLER owns. */
+  def semanticNearDupPairsOnAssigned(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("_ea"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
