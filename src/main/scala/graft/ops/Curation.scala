@@ -179,6 +179,47 @@ object Curation {
     * output columns are all integers/strings, so cross-engine float
     * parity only matters if two keys tie within 1 ulp (measure-zero on
     * hashed input; id tie-break pins even that). */
+  /** Deterministic IN-BATCH negative sampling — the contrastive-training
+    * dataset construction step: every anchor needs k "negatives" drawn
+    * from the rest of the corpus, reproducibly. Rows are hash-assigned
+    * to batches of ~`batchSize` (batch = hash60(id) mod nBatches, the
+    * same uniform every other curation op uses), and each anchor's
+    * negatives are the k other members of ITS batch ranked by a
+    * pair-derived hash — so the choice of negatives is a pure function
+    * of the corpus content, stable across runs, engines, retries, and
+    * cluster sizes.
+    *
+    * Scale shape: ONE count (the broadcast 1-row frame sizing
+    * nBatches), one shuffle on the batch key, and a self-join that is
+    * quadratic only WITHIN a batch — O(n · batchSize) total pairs, the
+    * standard in-batch-negatives trade (never an unbounded self-join).
+    * The rank window shares the batch exchange. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      batchSize: Int = 32): DataFrame = {
+    require(k < batchSize, s"k=$k must be < batchSize=$batchSize")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val n = df.agg(
+      greatest(lit(1L), ceil(count(lit(1)) / batchSize).cast("long"))
+        .as("_nb"))
+    val withBatch = df.select(col(idCol))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), pmod(h, col("_nb")).as("_batch"))
+    val a = withBatch.select(col(idCol).as("anchor_id"), col("_batch"))
+    val b = withBatch.select(col(idCol).as("neg_id"), col("_batch"))
+    val pairH = conv(substring(md5(
+      concat_ws("#", col("anchor_id").cast("string"),
+        col("neg_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("_ph").asc, col("neg_id").asc)
+    a.join(b, "_batch")
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .withColumn("_ph", pairH)
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col("neg_rank"), col("neg_id"))
+  }
+
   def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
       strataCol: String, k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)

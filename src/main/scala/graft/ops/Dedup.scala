@@ -559,10 +559,20 @@ object Dedup {
       k: Int, minDocs: Int = 2): DataFrame = {
     val toks = df.select(col(idCol),
       TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+    // the positional gram table feeds BOTH the dup-set derivation and
+    // the coverage semi-join — cache it so the corpus is tokenized and
+    // exploded once, not twice. LIFECYCLE: harness clearCache() per
+    // query (same documented convention as jaccardForPairs).
     val grams = toks.select(col(idCol),
       posexplode(expr(kGramExpr("_toks", k, distinct = false)))
         .as(Seq("pos", "gram")))
-    val dupSet = duplicatedNGrams(df, idCol, textCol, k, minDocs)
+      .cache()
+    // dup set from the SAME gram table ([[duplicatedNGrams]] minus the
+    // re-scan): per-(gram, doc) partials, then the per-gram doc count
+    val dupSet = grams
+      .groupBy(col("gram"), col(idCol)).agg(count(lit(1)).as("_n"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
       .select("gram")
     val covered = grams
       .join(dupSet, Seq("gram"), "left_semi")

@@ -35,6 +35,10 @@ object ScaleQueries {
   private val SemCells = 8
   private val SemT = 0.4
 
+  // negative-sampling parameters
+  private val NegK = 5
+  private val NegBatch = 32
+
   val all: Seq[Q] = Seq(
 
     // Cross-document duplicated 8-grams — the substring-level dup signal
@@ -329,6 +333,37 @@ object ScaleQueries {
         graft.ops.Quantize.pqEncode(emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < SemCells), "vec_id", m = 4, dim = 64)
           .orderBy("vec_id")
-      })
+      }),
+
+    // Deterministic in-batch negative sampling (contrastive dataset
+    // construction): hash-batches of ~32 docs, 5 negatives per anchor
+    // ranked by a pair hash. Self-join is quadratic only within a batch.
+    Q("q121_negative_sample",
+      Some(s"""WITH n AS (
+              |  SELECT greatest(1, CAST(ceil(count(*) / $NegBatch.0)
+              |    AS BIGINT)) AS nb
+              |  FROM documents),
+              |wb AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              |      % nb AS batch
+              |  FROM documents, n),
+              |p AS (
+              |  SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+              |    ('0x' || substr(md5(a.doc_id::VARCHAR || '#'
+              |      || b.doc_id::VARCHAR), 1, 15))::BIGINT AS ph
+              |  FROM wb a JOIN wb b
+              |    ON a.batch = b.batch AND a.doc_id <> b.doc_id),
+              |r AS (
+              |  SELECT anchor_id, neg_id,
+              |    row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY ph, neg_id) AS neg_rank
+              |  FROM p)
+              |SELECT anchor_id, neg_rank, neg_id FROM r
+              |WHERE neg_rank <= $NegK
+              |ORDER BY anchor_id, neg_rank""".stripMargin),
+      (s, d) => Curation.negativeSample(documents(s, d), "doc_id",
+          NegK, NegBatch)
+        .orderBy("anchor_id", "neg_rank"))
   )
 }

@@ -160,6 +160,44 @@ class CurationSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  private def hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("negativeSample matches a Scala model exactly: hash batches, " +
+      "pair-hash ranking, no self-pairs, k per anchor") {
+    val ids = (1L to 60L).toSeq
+    val df = ids.toDF("id")
+    val batchSize = 8
+    val k = 3
+    val nb = math.max(1L, math.ceil(ids.size / batchSize.toDouble).toLong)
+    val batchOf = ids.map(i => i -> hash60(i.toString) % nb).toMap
+    val want = ids.flatMap { a =>
+      ids.filter(b => b != a && batchOf(b) == batchOf(a))
+        .map(b => (b, hash60(s"$a#$b")))
+        .sortBy { case (b, ph) => (ph, b) }
+        .take(k).zipWithIndex
+        .map { case ((b, _), i) => (a, i + 1, b) }
+    }.toSet
+    val got = Curation.negativeSample(df, "id", k, batchSize)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.forall { case (a, _, b) => a != b })
+  }
+
+  test("negativeSample: determinism across invocations; every anchor " +
+      "with a non-singleton batch appears") {
+    val df = (1L to 40L).toDF("id")
+    val r1 = Curation.negativeSample(df, "id", 2, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val r2 = Curation.negativeSample(df, "id", 2, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("weightedSampleTopK: non-positive weights are excluded; k >= n " +
       "keeps every positive-weight row") {
     val df = Seq((1L, "s", 5L), (2L, "s", 0L), (3L, "s", -2L),
