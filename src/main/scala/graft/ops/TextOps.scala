@@ -303,6 +303,28 @@ object TextOps {
     * so the keep decision (`w_sum > 0` ⇔ sigmoid > 0.5) is bit-exact
     * across engines — no float-boundary flakes; the reported mean score
     * and sigmoid are float only at the final division (round 9). */
+  /** Adjacent-character-pair counts within words — the inner loop of
+    * BPE tokenizer TRAINING: each merge step picks the corpus's most
+    * frequent adjacent symbol pair. This computes one such step exactly,
+    * at corpus scale: explode to word instances (instances, not
+    * distinct — pair frequency is weighted by word frequency), row-local
+    * character pairs via transform/substring (no per-char explode of the
+    * whole corpus into rows until the bounded pair list), one count agg
+    * keyed by pair, TakeOrdered top-k. Iterating the full BPE training
+    * loop re-runs this with a merged symbol table — the per-step shape
+    * (and cost) is identical. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    df.select(explode(tokens(normalize(col(textCol)))).as("_w"))
+      .filter(length(col("_w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(_w) - 1), i -> substring(_w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   def hashedLinearScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     df.withColumn("_toks", tokens(normalize(col(textCol))))

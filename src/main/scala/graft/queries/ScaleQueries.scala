@@ -364,6 +364,22 @@ object ScaleQueries {
               |ORDER BY anchor_id, neg_rank""".stripMargin),
       (s, d) => Curation.negativeSample(documents(s, d), "doc_id",
           NegK, NegBatch)
-        .orderBy("anchor_id", "neg_rank"))
+        .orderBy("anchor_id", "neg_rank")),
+
+    // BPE merge-step pair counts: top-30 within-word adjacent character
+    // pairs, weighted by word frequency — the tokenizer-training inner
+    // loop as one corpus-scale count agg.
+    Q("q122_bpe_pairs",
+      Some(s"""WITH toks AS (
+              |  SELECT string_split($normSql, ' ') AS t FROM documents),
+              |w AS (
+              |  SELECT u.w AS w FROM toks, unnest(t) AS u(w)
+              |  WHERE len(u.w) >= 2),
+              |p AS (
+              |  SELECT substr(w, i, 2) AS pair
+              |  FROM w, unnest(generate_series(1, len(w) - 1)) AS g(i))
+              |SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1
+              |ORDER BY n DESC, pair LIMIT 30""".stripMargin),
+      (s, d) => TextOps.bpePairCounts(documents(s, d), "text", 30))
   )
 }

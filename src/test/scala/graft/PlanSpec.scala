@@ -16,6 +16,12 @@ class PlanSpec extends SparkTestBase {
     Registry.byName(name).fn(spark, sf())
       .queryExecution.explainString(FormattedMode)
 
+  /** Simple-mode plan: shows partitioning inline ("Exchange
+    * hashpartitioning…"), which FormattedMode's tree section hides. */
+  private def simplePlan(name: String): String =
+    Registry.byName(name).fn(spark, sf())
+      .queryExecution.executedPlan.toString
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual"),
@@ -222,6 +228,52 @@ class PlanSpec extends SparkTestBase {
     // days — no range join over the fact table
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
       s"no quadratic join shapes allowed:\n$p")
+  }
+
+  test("q111: weighted sampling is ONE stratum exchange — the A-ES key " +
+    "adds no shuffle and the rank filter is a WindowGroupLimit") {
+    val p = simplePlan("q111_weighted_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune inside the window, not after it")
+  }
+
+  test("q112: the Z-order key is pure projection — the only exchange " +
+    "feeds the 64-key bucket rollup; no join, no expand") {
+    val p = simplePlan("q112_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("Expand"), s"plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("partial_"), "bucket rollup must map-side combine")
+  }
+
+  test("q118: bitmap distinct never plans an Expand and both aggs " +
+    "map-side combine (the point of the bitmap path)") {
+    val p = plan("q118_bitmap_distinct")
+    assert(!p.contains("Expand"), s"Expand is the shape being avoided:\n$p")
+    assert(p.contains("partial_bit_or") || p.contains("partial_"),
+      "word OR must combine map-side")
+  }
+
+  test("q120: PQ codebook enters by broadcast; assignment rank is a " +
+    "WindowGroupLimit; no corpus self-join") {
+    val p = plan("q120_pq_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook join must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "argmin rank must prune inside the window")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"no quadratic shapes:\n$p")
+  }
+
+  test("q116: the interval join is an equi-join on the bucket — no " +
+    "nested-loop theta join anywhere") {
+    val p = plan("q116_interval_point_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"theta join must have become an equi-join:\n$p")
+    assert(p.contains("Generate"),
+      "intervals must explode into buckets (Generate)")
   }
 
   test("salted join is row-identical to the plain join") {

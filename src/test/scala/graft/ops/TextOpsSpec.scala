@@ -223,6 +223,15 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1).getAs[Boolean]("keep") == (wsum > 0))
   }
 
+  test("bpePairCounts: pair frequency weighted by word instances; " +
+      "single-char words contribute nothing; (count desc, pair) order") {
+    val df = Seq((1L, "ab ab abc"), (2L, "x ba")).toDF("doc_id", "text")
+    // words: ab, ab, abc, ba (x dropped) -> ab:2+1(from abc), bc:1, ba:1
+    val got = TextOps.bpePairCounts(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
+  }
+
   test("hashedLinearScore is shuffle-free (no Exchange: the corpus is " +
       "never reshuffled to be scored)") {
     val df = Seq((1L, "some text here")).toDF("doc_id", "text")
