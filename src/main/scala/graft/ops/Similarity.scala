@@ -143,6 +143,32 @@ object Similarity {
         round(col("sim"), 9).as("sim_r"))
   }
 
+  /** Johnson–Lindenstrauss random projection dim→outDim via the SHARED
+    * Rademacher sign matrix ([[graft.ops.EmbeddingLsh.sign]] — the same
+    * deterministic planes the sign-bit LSH thresholds, used here
+    * real-valued): y_j = ⟨v, h_j⟩ / √outDim. The JL lemma bounds pairwise
+    * distance distortion, so downstream ANN/dedup can run on 4× narrower
+    * vectors — the standard storage/compute cut before an index build.
+    *
+    * One map-side pass (outDim codegen dot-product kernels against
+    * constant planes), no shuffle, no UDF. Each component is a
+    * left-fold float64 chain ÷ an exact constant — bit-identical in the
+    * DuckDB oracle, so projected values (not just comparisons) are
+    * reproducible across engines. */
+  def randomProject(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    import graft.expr.VectorKernels.dot_product
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val plane = array((0 until dim).map(i =>
+        lit(graft.ops.EmbeddingLsh.sign(j, i).toFloat)): _*)
+      (dot_product(col(embCol), plane) / scale).as(s"_p$j")
+    }
+    emb.select(col(idCol) +: comps: _*)
+      .select(col(idCol),
+        array((0 until outDim).map(j => col(s"_p$j")): _*).as("proj"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup: cluster-partition the corpus
     * ([[assignCells]] — broadcast centroids, one pass), then find
     * near-duplicate pairs only WITHIN each cell — an equi-join on the

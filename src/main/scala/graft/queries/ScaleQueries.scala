@@ -39,6 +39,11 @@ object ScaleQueries {
   private val NegK = 5
   private val NegBatch = 32
 
+  // JL projection parameters: 64→16 dims (√16 = 4.0 exact), pairs among
+  // the 20 lowest vec_ids
+  private val JlOut = 16
+  private val JlLim = 20
+
   val all: Seq[Q] = Seq(
 
     // Cross-document duplicated 8-grams — the substring-level dup signal
@@ -380,6 +385,64 @@ object ScaleQueries {
               |  FROM w, unnest(generate_series(1, len(w) - 1)) AS g(i))
               |SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1
               |ORDER BY n DESC, pair LIMIT 30""".stripMargin),
-      (s, d) => TextOps.bpePairCounts(documents(s, d), "text", 30))
+      (s, d) => TextOps.bpePairCounts(documents(s, d), "text", 30)),
+
+    // Johnson–Lindenstrauss projection quality: project 64→16 dims via
+    // the shared Rademacher planes and report, for every pair among the
+    // 20 lowest-id vectors, the original vs projected cosine and the
+    // distortion. Projected components are bit-identical across engines
+    // (left-fold dot chains ÷ the exact constant 4.0).
+    Q("q123_jl_projection", {
+      val dots = (0 until JlOut).map(j =>
+        s"(${graft.ops.EmbeddingLsh.dotSql("v", j, 64, oneBased = true)})" +
+          s" / 4.0").mkString(",\n              |    ")
+      def fold(e: String) =
+        s"list_reduce(list_transform(generate_series(1, $JlOut), $e), " +
+          "(x, y) -> x + y)"
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id < $JlLim),
+              |pr AS (
+              |  SELECT vec_id, v, [
+              |    $dots] AS p
+              |  FROM base),
+              |j AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    list_cosine_similarity(a.v, b.v) AS co,
+              |    ${fold("i -> a.p[i] * b.p[i]")}
+              |      / (sqrt(${fold("i -> a.p[i] * a.p[i]")})
+              |        * sqrt(${fold("i -> b.p[i] * b.p[i]")})) AS cp
+              |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id)
+              |SELECT vec_a, vec_b, round(co, 9) AS cos_orig_r,
+              |  round(cp, 9) AS cos_proj_r,
+              |  round(abs(co - cp), 6) AS err_r
+              |FROM j ORDER BY vec_a, vec_b""".stripMargin)
+    },
+      (s, d) => {
+        import graft.expr.VectorKernels.cosine_sim
+        val base = embeddings(s, d).filter(col("vec_id") < JlLim)
+        val proj = Similarity.randomProject(base, "vec_id", "embedding",
+          64, JlOut)
+        val joined = base.select(col("vec_id"), col("embedding"))
+          .join(proj, "vec_id")
+        val a = joined.select(col("vec_id").as("vec_a"),
+          col("embedding").as("_va"), col("proj").as("_pa"))
+        val b = joined.select(col("vec_id").as("vec_b"),
+          col("embedding").as("_vb"), col("proj").as("_pb"))
+        def fold(arr: String) =
+          s"aggregate($arr, 0D, (acc, x) -> acc + x)"
+        val cp = expr(
+          s"${fold("zip_with(_pa, _pb, (x, y) -> x * y)")} / " +
+            s"(sqrt(${fold("transform(_pa, x -> x * x)")}) * " +
+            s"sqrt(${fold("transform(_pb, x -> x * x)")}))")
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("_co", cosine_sim(col("_va"), col("_vb")))
+          .withColumn("_cp", cp)
+          .select(col("vec_a"), col("vec_b"),
+            round(col("_co"), 9).as("cos_orig_r"),
+            round(col("_cp"), 9).as("cos_proj_r"),
+            round(abs(col("_co") - col("_cp")), 6).as("err_r"))
+          .orderBy("vec_a", "vec_b")
+      })
   )
 }

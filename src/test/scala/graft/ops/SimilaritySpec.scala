@@ -95,6 +95,39 @@ class SimilaritySpec extends SparkTestBase {
       s"expected only the within-cell pair, got $got")
   }
 
+  test("randomProject matches the Scala sign-matrix model exactly and " +
+      "roughly preserves pairwise cosine (JL property, real embeddings)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf()).filter(col("vec_id") < 30)
+    val got = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val raw = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    // bit-exact vs the left-fold Scala model over the same sign matrix
+    raw.foreach { case (id, v) =>
+      val want = (0 until 16).map { j =>
+        var acc = 0.0
+        (0 until 64).foreach(i =>
+          acc += v(i).toDouble * EmbeddingLsh.sign(j, i))
+        acc / 4.0
+      }
+      assert(got(id).toSeq == want, s"vec $id projection mismatch")
+    }
+    // JL sanity: mean |cos distortion| over all pairs is modest at 16 dims
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = raw.keys.toSeq.sorted
+    val errs = for (i <- ids; k <- ids if i < k) yield {
+      val co = cos(raw(i).map(_.toDouble), raw(k).map(_.toDouble))
+      math.abs(co - cos(got(i), got(k)))
+    }
+    val mean = errs.sum / errs.size
+    assert(mean < 0.25, s"mean cosine distortion $mean too large for JL")
+  }
+
   test("semanticNearDupPairs: pair output is oriented vec_a < vec_b and " +
       "carries the cell id") {
     import spark.implicits._
