@@ -178,6 +178,18 @@ object StreamingQueries {
         val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         daily.withColumn("delta", col("n") - lag(col("n"), 1).over(w))
           .orderBy("event_type", "day")
-      })
+      }),
+
+    // Streaming EXACT windowed distinct via the bitmap aggregation —
+    // constant state per (window, type) group (32 words = 2048-id
+    // domain), vs dropDuplicates state that grows with ids seen. The
+    // oracle is the plain batch count(DISTINCT).
+    Q("q124_stream_bitmap_distinct",
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             | event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => Streams.streamingBitmapDistinct(s, d, "1 hour",
+          "user_id", domainWords = 32)
+        .orderBy("window_start", "event_type"))
   )
 }

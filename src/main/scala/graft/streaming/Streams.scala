@@ -124,6 +124,36 @@ object Streams {
     runToMemory(spark, agg)
   }
 
+  /** Windowed EXACT distinct counting in ONE stateful aggregation — the
+    * streaming form of [[graft.ops.Bitmaps]]: per-(window, type) state is
+    * a FIXED set of 64-bit words (`domainWords` = ⌈id domain / 64⌉) that
+    * `bit_or` merges incrementally across micro-batches. The usual
+    * streaming-exact-distinct alternative, dropDuplicates + count, keys
+    * state by (window, type, id) — state grows with distinct IDS seen;
+    * here state is CONSTANT per group (domainWords longs), the property
+    * that keeps a 100 TB windowed-uniques job's state store flat. Exact,
+    * unlike approx_count_distinct, and append-safe under retries because
+    * bit_or is idempotent. Requires ids in [0, 64·domainWords).
+    *
+    * Runs in complete mode to the memory sink like the other bounded-
+    * cardinality aggs; the popcount projection happens AFTER the
+    * stateful agg (state holds words, the sink sees counts). */
+  def streamingBitmapDistinct(spark: SparkSession, dir: String,
+      width: String, idCol: String, domainWords: Int): DataFrame = {
+    val wordAggs = (0 until domainWords).map { w =>
+      expr(s"bit_or(CASE WHEN $idCol div 64 = $w THEN " +
+        s"shiftleft(1L, CAST($idCol % 64 AS INT)) ELSE 0L END)").as(s"_w$w")
+    }
+    val n = (0 until domainWords)
+      .map(w => bit_count(col(s"_w$w"))).reduce(_ + _)
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(wordAggs.head, wordAggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        n.cast("long").as("n_distinct"))
+    runToMemory(spark, agg)
+  }
+
   /** Streaming dedup mirror of O4/O8 (dropDuplicates on the id within the
     * stream), counted per type. */
   def streamingDedupCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -103,6 +103,26 @@ class StreamsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.stream.sinkDir")
   }
 
+  test("streamingBitmapDistinct ≡ batch count(DISTINCT) per window/type " +
+      "(exact uniques from constant-size word state)") {
+    val got = Streams
+      .streamingBitmapDistinct(spark, sf(), "1 hour", "user_id", 32)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.util.Tables.events(spark, sf())
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .select(org.apache.spark.sql.functions.col("window.start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside the watermark") {
     val input = MemoryStream[(String, Timestamp)](spark)
     val deduped = input.toDS().toDF("id", "ts")
