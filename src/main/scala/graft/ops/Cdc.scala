@@ -66,4 +66,29 @@ object Cdc {
       .join(touched, Seq(keyCol), "left_anti")
       .unionByName(newRows)
   }
+
+  /** Incremental aggregate-view maintenance: merge a delta batch's
+    * partial (count, sum) state into a materialized rollup WITHOUT
+    * recomputing the base table — the algebraic-aggregate identity
+    * merge(agg(A), agg(B)) = agg(A ∪ B) that lets a daily 100 TB rollup
+    * cost only the day's delta. Both inputs carry (key, n, sum); output
+    * is the same shape, so maintenance composes day after day. Shape:
+    * one co-partitioned full-outer join on the key (zero shuffles if
+    * both states are bucketed on it), null-safe coalesce arithmetic —
+    * deletes are handled upstream by feeding a negated delta
+    * (count/sum are self-inverting; MIN/MAX are not, which is exactly
+    * why this op takes the algebraic pair only). */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keyCol: String): DataFrame = {
+    val s = state.select(col(keyCol), col("n").as("_sn"),
+      col("sum").as("_ss"))
+    val d = delta.select(col(keyCol), col("n").as("_dn"),
+      col("sum").as("_ds"))
+    s.join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("_sn"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("_ss"), lit(0.0)) + coalesce(col("_ds"), lit(0.0)))
+          .as("sum"))
+  }
 }

@@ -117,6 +117,44 @@ object Profile {
     * explicit, engine-portable reductions (both engines sum in arbitrary
     * order; ~1e-15 relative drift absorbed by round(6), same posture as
     * centroidUpdate). min/max are exact (no rounding). */
+  /** Population Stability Index — the standard distribution-drift metric
+    * an ML-monitoring pipeline computes between a reference slice and
+    * the current slice of a feature: psi = Σ_bins (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) over fixed-width bins, with add-half smoothing
+    * (n + 0.5) / (total + 0.5·bins) so empty bins stay finite —
+    * deterministic rational proportions, no data-dependent bin edges
+    * (quantile bins would make the metric depend on a second pass; the
+    * fixed grid keeps the whole computation two count-aggs).
+    * Rule of thumb: psi < 0.1 stable, > 0.25 drifted.
+    *
+    * Shape: one (group, bin) count agg per slice — map-side partials
+    * absorb everything; the psi rollup regroups |groups|·|bins| rows.
+    * Values outside [lo, hi) clamp into the edge bins. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo)
+    val step = (hi - lo) / nBins
+    def binned(df: DataFrame, n: String): DataFrame = df
+      .select(col(groupCol),
+        least(greatest(floor((col(valueCol) - lo) / step), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(n))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.groupBy(col(groupCol))
+      .agg(sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    joined.join(totals, groupCol)
+      .select(col(groupCol),
+        ((col("n_ref") + 0.5) / (col("_tr") + 0.5 * nBins)).as("_pr"),
+        ((col("n_cur") + 0.5) / (col("_tc") + 0.5 * nBins)).as("_pc"))
+      .groupBy(col(groupCol))
+      .agg(round(sum((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr"))),
+        6).as("psi"))
+  }
+
   def arrayDimStats(df: DataFrame, arrCol: String): DataFrame = {
     df.select(posexplode(col(arrCol).cast("array<double>"))
         .as(Seq("dim", "x")))

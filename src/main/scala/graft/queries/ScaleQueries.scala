@@ -443,6 +443,92 @@ object ScaleQueries {
             round(col("_cp"), 9).as("cos_proj_r"),
             round(abs(col("_co") - col("_cp")), 6).as("err_r"))
           .orderBy("vec_a", "vec_b")
-      })
+      }),
+
+    // Incremental aggregate-view maintenance: merge(agg(pre-1998),
+    // agg(rest)) must equal agg(orders) — the oracle IS the full
+    // recompute, so the identity the incremental path relies on is the
+    // thing being checked. round(2) absorbs the re-association of the
+    // two partial float sums (the exact sum has 2 decimals).
+    Q("q125_incremental_agg",
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+             |  round(sum(o_totalprice), 2) AS sum_r
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val o = orders(s, d)
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum"))
+        val cut = lit("1998-01-01").cast("timestamp")
+        graft.ops.Cdc.mergeAggState(
+            agg(o.filter(col("o_orderdate") < cut)),
+            agg(o.filter(col("o_orderdate") >= cut)),
+            "o_orderpriority")
+          .select(col("o_orderpriority"), col("n"),
+            round(col("sum"), 2).as("sum_r"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // PSI distribution drift of `value` per event type, first half of
+    // January vs the rest — fixed 10-bin grid on [0, 500), add-half
+    // smoothing. Two count-aggs; no quantile pass.
+    Q("q126_psi_drift",
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT)
+             |      AS bin,
+             |    (ts < TIMESTAMP '2024-01-15') AS is_ref
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, bin,
+             |    count(*) FILTER (WHERE is_ref)::BIGINT AS n_ref,
+             |    count(*) FILTER (WHERE NOT is_ref)::BIGINT AS n_cur
+             |  FROM b GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+             |  FROM c GROUP BY 1)
+             |SELECT c.event_type,
+             |  round(sum(((n_cur + 0.5) / (tc + 5.0)
+             |      - (n_ref + 0.5) / (tr + 5.0))
+             |    * ln(((n_cur + 0.5) / (tc + 5.0))
+             |      / ((n_ref + 0.5) / (tr + 5.0)))), 6) AS psi
+             |FROM c JOIN t USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val cut = lit("2024-01-15").cast("timestamp")
+        graft.ops.Profile.psiDrift(
+            ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+            "event_type", "value", lo = 0.0, hi = 500.0, nBins = 10)
+          .orderBy("event_type")
+      }),
+
+    // Per-group linear trend (regr_slope/regr_intercept of daily counts
+    // over the day index) — closed-form distributed regression, one
+    // rollup + one regression agg.
+    Q("q127_daily_trend",
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             |    count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |x AS (
+             |  SELECT event_type,
+             |    datediff('day', DATE '2024-01-01', day) AS xi, n
+             |  FROM daily)
+             |SELECT event_type, round(regr_slope(n, xi), 6) AS slope_r,
+             |  round(regr_intercept(n, xi), 6) AS icpt_r,
+             |  count(*)::BIGINT AS n_days
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          expr("datediff(day, DATE'2024-01-01')").as("xi"), col("n"))
+        .groupBy(col("event_type"))
+        .agg(round(expr("regr_slope(n, xi)"), 6).as("slope_r"),
+          round(expr("regr_intercept(n, xi)"), 6).as("icpt_r"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type"))
   )
 }

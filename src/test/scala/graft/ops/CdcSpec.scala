@@ -44,4 +44,34 @@ class CdcSpec extends SparkTestBase {
     assert(Cdc.snapshotDiff(newSnap, newSnap, "k", Seq("price", "status"))
       .isEmpty)
   }
+
+  private def aggOf(rows: Seq[(String, Double)]) = {
+    import org.apache.spark.sql.functions._
+    rows.toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum"))
+  }
+
+  test("mergeAggState: merge(agg(A), agg(B)) == agg(A ++ B), including " +
+      "keys present in only one side") {
+    val a = Seq(("x", 1.5), ("x", 2.5), ("y", 4.0))
+    val b = Seq(("x", 3.0), ("z", 7.5))
+    val got = Cdc.mergeAggState(aggOf(a), aggOf(b), "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val want = aggOf(a ++ b).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want) // halves are exact in binary: bit-equal sums
+    assert(got("z") == ((1L, 7.5)) && got("y") == ((1L, 4.0)))
+  }
+
+  test("mergeAggState: a negated delta retracts (count/sum are " +
+      "self-inverting)") {
+    import org.apache.spark.sql.functions._
+    val state = aggOf(Seq(("x", 1.5), ("x", 2.5)))
+    val retract = state.select(col("k"), (-col("n")).as("n"),
+      (-col("sum")).as("sum"))
+    val got = Cdc.mergeAggState(state, retract, "k").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L &&
+      got.head.getDouble(2) == 0.0)
+  }
 }

@@ -73,6 +73,29 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.zscoreOutliers(d, "grp", "v", 1.0).isEmpty)
   }
 
+  test("psiDrift: identical distributions score exactly 0; a shifted " +
+      "distribution crosses the 0.25 drift threshold") {
+    val ref = (1 to 100).map(i => ("t", (i % 10) * 10.0 + 5.0))
+    val same = Profile.psiDrift(ref.toDF("g", "v"), ref.toDF("g", "v"),
+      "g", "v", 0.0, 100.0, 10).collect()
+    assert(same.head.getDouble(1) == 0.0)
+    // current slice concentrated in the top bin
+    val cur = (1 to 100).map(_ => ("t", 95.0))
+    val drift = Profile.psiDrift(ref.toDF("g", "v"), cur.toDF("g", "v"),
+      "g", "v", 0.0, 100.0, 10).collect()
+    assert(drift.head.getDouble(1) > 0.25, s"psi=${drift.head.getDouble(1)}")
+  }
+
+  test("psiDrift: out-of-range values clamp into the edge bins (no " +
+      "dropped rows, no extra bins)") {
+    val ref = Seq(("t", -50.0), ("t", 500.0), ("t", 55.0))
+    val cur = Seq(("t", 5.0), ("t", 95.0), ("t", 55.0))
+    val got = Profile.psiDrift(ref.toDF("g", "v"), cur.toDF("g", "v"),
+      "g", "v", 0.0, 100.0, 10).collect()
+    // all 6 rows participate: psi is finite and defined
+    assert(got.length == 1 && !got.head.getDouble(1).isNaN)
+  }
+
   test("arrayDimStats: per-dimension mean/std/min/max (hand case)") {
     val d = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("id", "emb")
