@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational graph analytics: co-occurrence edge extraction and triangle
@@ -83,6 +84,40 @@ object Graphs {
           (lit(1.0 - damping) / col("n") + lit(damping) * col("_in")).as("pr"))
     }
     ranks.select(col("vertex"), round(col("pr"), 9).as("pagerank"))
+  }
+
+  /** Synchronous label propagation (community detection) over an
+    * oriented undirected edge list (src < dst), run for a FIXED number
+    * of iterations (same determinism contract as [[pageRank]]): every
+    * vertex starts labeled with its own id, and each round adopts the
+    * MODE of its neighbors' labels (ties → smallest label, so the
+    * update is a pure function of the graph). Densely connected groups
+    * converge onto one label — the cheap first-cut community structure
+    * a curation pipeline uses to diversify or cap correlated sources.
+    *
+    * Scale shape per iteration: one co-partitioned join of the cached
+    * symmetrized adjacency with the current (vertex, label) frame, one
+    * (dst, label) count agg, one WindowGroupLimit argmax — all keyed on
+    * the vertex, nothing quadratic. Labels are 1 row/vertex. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("label"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("_c").desc, col("label").asc)
+      labels = sym
+        .join(labels, sym("src") === labels("vertex"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("dst").as("vertex"), col("label"))
+    }
+    labels
   }
 
   /** Per-vertex triangle counts over an oriented edge list (src < dst).

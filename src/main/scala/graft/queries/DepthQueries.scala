@@ -21,7 +21,7 @@ object DepthQueries {
 
   // q89's co-occurrence graph, reused by PageRank: suppliers sharing an
   // order, oriented src<dst, support >= 5
-  private val edgesCte =
+  private[queries] val edgesCte =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem),
       |e0 AS (

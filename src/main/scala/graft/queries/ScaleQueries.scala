@@ -44,6 +44,9 @@ object ScaleQueries {
   private val JlOut = 16
   private val JlLim = 20
 
+  // label-propagation iteration count (fixed → deterministic)
+  private val LpaIters = 3
+
   val all: Seq[Q] = Seq(
 
     // Cross-document duplicated 8-grams — the substring-level dup signal
@@ -529,6 +532,55 @@ object ScaleQueries {
         .agg(round(expr("regr_slope(n, xi)"), 6).as("slope_r"),
           round(expr("regr_intercept(n, xi)"), 6).as("icpt_r"),
           count(lit(1)).as("n_days"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Synchronous label propagation (3 fixed iterations) over the q89
+    // supplier co-occurrence graph — community detection with the same
+    // determinism contract as PageRank (mode of neighbor labels, ties →
+    // smallest). The oracle replays the identical update rule.
+    Q("q128_label_propagation", {
+      val iterCtes = (1 to LpaIters).map { i =>
+        s"""l$i AS (
+           |  SELECT vertex, label FROM (
+           |    SELECT s.dst AS vertex, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY s.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM sym s JOIN l${i - 1} l ON s.src = l.vertex
+           |    GROUP BY s.dst, l.label) t
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""${DepthQueries.edgesCte},
+              |l0 AS (SELECT src AS vertex, src AS label FROM deg),
+              |$iterCtes
+              |SELECT vertex, label FROM l$LpaIters
+              |ORDER BY vertex""".stripMargin)
+    },
+      (s, d) => graft.ops.Graphs.labelPropagation(
+          graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_suppkey", 5L),
+          LpaIters)
+        .orderBy("vertex")),
+
+    // 2-D skyline / Pareto frontier per order priority: minimize
+    // orderdate, maximize totalprice — per-x rollup + running max, no
+    // NOT EXISTS self-join.
+    Q("q129_pareto_frontier",
+      Some("""WITH best AS (
+             |  SELECT o_orderpriority, o_orderdate,
+             |    max(o_totalprice) AS y
+             |  FROM orders GROUP BY 1, 2),
+             |r AS (
+             |  SELECT o_orderpriority, o_orderdate, y,
+             |    max(y) OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_orderdate
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pm
+             |  FROM best)
+             |SELECT o_orderpriority, o_orderdate, y AS o_totalprice
+             |FROM r WHERE pm IS NULL OR y > pm
+             |ORDER BY o_orderpriority, o_orderdate""".stripMargin),
+      (s, d) => graft.ops.Skyline.frontier2D(orders(s, d),
+          "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderdate"))
   )
 }

@@ -61,4 +61,26 @@ class GraphsSpec extends SparkTestBase {
     // leaves are symmetric → identical rank
     assert((3L to 5L).forall(v => byV(v) == byV(2L)))
   }
+
+  test("labelPropagation: two disjoint cliques each converge onto their " +
+      "minimum member label; no cross-community leakage") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),          // triangle A
+      (10L, 11L), (10L, 12L), (11L, 12L))    // triangle B
+      .toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(v => got(v) == 1L), s"A: $got")
+    assert(Seq(10L, 11L, 12L).forall(v => got(v) == 10L), s"B: $got")
+  }
+
+  test("labelPropagation: ties resolve to the smallest label " +
+      "(deterministic mode)") {
+    // vertex 2's neighbors {1, 3} offer labels {1, 3} with equal counts
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 1L)
+    assert(got(1L) == 2L && got(3L) == 2L) // their only neighbor is 2
+  }
 }
