@@ -26,12 +26,51 @@ object Bitmaps {
     * word packing. Ids must be non-negative integers. */
   def bitmapDistinct(df: DataFrame, keyCol: String,
       idCol: String): DataFrame = {
+    wordTable(df, keyCol, idCol)
+      .groupBy(col(keyCol))
+      .agg(sum(bit_count(col("_bits"))).cast("long").as("n_distinct"))
+  }
+
+  /** (key, word, bits): the packed bitmap in relational long form — the
+    * shared build for [[bitmapDistinct]] and [[bitmapOverlap]]. */
+  def wordTable(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.select(col(keyCol),
         expr(s"CAST($idCol AS LONG) div 64").as("_w"),
         expr(s"shiftleft(1L, CAST($idCol % 64 AS INT))").as("_b"))
       .groupBy(col(keyCol), col("_w"))
       .agg(expr("bit_or(_b)").as("_bits"))
-      .groupBy(col(keyCol))
-      .agg(sum(bit_count(col("_bits"))).cast("long").as("n_distinct"))
+
+  /** Exact pairwise set overlap between every two groups via bitmap
+    * ALGEBRA — |A∩B| = Σ popcount(wordA AND wordB), |A∪B| = |A| + |B| −
+    * |A∩B| — the operation that makes bitmap indexes more than a
+    * distinct-count trick: set intersections without ever joining id
+    * lists. The word self-join touches ⌈domain/64⌉ rows per key pair
+    * (independent of row count); the id lists are never materialized.
+    * Emits (key_a < key_b, n_common, n_union, jaccard) for pairs with
+    * at least one common member — the audience-overlap / cohort-overlap
+    * rollup. */
+  def bitmapOverlap(df: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    val words = wordTable(df, keyCol, idCol)
+    val counts = words.groupBy(col(keyCol))
+      .agg(sum(bit_count(col("_bits"))).cast("long").as("_n"))
+    val a = words.select(col(keyCol).as("key_a"), col("_w"),
+      col("_bits").as("_ba"))
+    val b = words.select(col(keyCol).as("key_b"), col("_w"),
+      col("_bits").as("_bb"))
+    a.join(b, "_w")
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(sum(bit_count(col("_ba").bitwiseAND(col("_bb"))))
+        .cast("long").as("n_common"))
+      .filter(col("n_common") > 0)
+      .join(counts.select(col(keyCol).as("key_a"), col("_n").as("_na")),
+        "key_a")
+      .join(counts.select(col(keyCol).as("key_b"), col("_n").as("_nb")),
+        "key_b")
+      .select(col("key_a"), col("key_b"), col("n_common"),
+        (col("_na") + col("_nb") - col("n_common")).as("n_union"))
+      .withColumn("jaccard_r",
+        round(col("n_common") / col("n_union"), 6))
   }
 }

@@ -581,6 +581,32 @@ object ScaleQueries {
              |ORDER BY o_orderpriority, o_orderdate""".stripMargin),
       (s, d) => graft.ops.Skyline.frontier2D(orders(s, d),
           "o_orderpriority", "o_orderdate", "o_totalprice")
-        .orderBy("o_orderpriority", "o_orderdate"))
+        .orderBy("o_orderpriority", "o_orderdate")),
+
+    // Exact audience overlap between event types via bitmap ALGEBRA:
+    // |A∩B| from word AND + popcount, |A∪B| = |A|+|B|−|A∩B| — the id
+    // lists are never joined. Oracle: the plain distinct-pair join.
+    Q("q130_bitmap_overlap",
+      Some("""WITH d AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |c AS (
+             |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+             |    count(*)::BIGINT AS n_common
+             |  FROM d a JOIN d b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2),
+             |s AS (
+             |  SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1)
+             |SELECT c.key_a, c.key_b, c.n_common,
+             |  (sa.n + sb.n - c.n_common)::BIGINT AS n_union,
+             |  round(c.n_common / (sa.n + sb.n - c.n_common), 6)
+             |    AS jaccard_r
+             |FROM c JOIN s sa ON sa.event_type = c.key_a
+             |  JOIN s sb ON sb.event_type = c.key_b
+             |WHERE c.n_common > 0
+             |ORDER BY 1, 2""".stripMargin),
+      (s, d) => graft.ops.Bitmaps
+        .bitmapOverlap(events(s, d), "event_type", "user_id")
+        .orderBy("key_a", "key_b"))
   )
 }

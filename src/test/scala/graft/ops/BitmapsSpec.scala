@@ -30,6 +30,32 @@ class BitmapsSpec extends SparkTestBase {
     assert(got == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("bitmapOverlap ≡ brute-force set intersection/union/Jaccard " +
+      "(boundary ids, shared and disjoint words, fixed seed)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (Seq(("a", 0L), ("a", 63L), ("b", 63L), ("b", 64L),
+      ("c", 4096L)) ++
+      Seq.fill(300)((s"k${rnd.nextInt(3)}", rnd.nextInt(150).toLong)))
+      .toDF("key", "id")
+    val got = Bitmaps.bitmapOverlap(rows, "key", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val sets = rows.collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val keys = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- keys; j <- keys if i < j
+      common = (sets(i) & sets(j)).size if common > 0
+      union = (sets(i) | sets(j)).size
+    } yield (i, j) -> ((common.toLong, union.toLong,
+      BigDecimal(common.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // 'c' shares no words with anyone -> absent
+    assert(!got.keySet.exists(p => p._1 == "c" || p._2 == "c"))
+  }
+
   test("bitmapDistinct plans two plain aggs — no Expand (the " +
       "countDistinct penalty the bitmap path exists to avoid)") {
     val df = Seq(("a", 1L)).toDF("key", "id")
