@@ -38,6 +38,7 @@ object Bench {
         ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    var i = 0
     val results = selected.map { case (name, fn) =>
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -48,6 +49,16 @@ object Bench {
         spark.sqlContext.clearCache()
         dt
       }.min
+      // inter-query hygiene: finished streaming queries leave their
+      // memory-sink temp views behind (rows pinned in storage memory),
+      // and 260+ query executions accumulate broadcast/codegen garbage
+      // that otherwise collects mid-measurement — drop the views and
+      // take the GC hit BETWEEN timings, not inside a later query
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      i += 1
+      if (i % 16 == 0) System.gc()
       System.err.println(f"[bench] $name%-28s $t%8.3f s (best of $runs)")
       name -> t
     }

@@ -118,4 +118,47 @@ object Behavior {
       .groupBy("window_day", groupCol)
       .agg(countDistinct(col(entityCol)).as("n_entities"))
   }
+
+  /** Kaplan–Meier survival estimator over (duration, observed) rows —
+    * time-to-event analytics with CENSORING done right (the naive
+    * "average time to convert" silently drops users who never converted;
+    * KM keeps them at risk until their censoring time). Input: one row
+    * per subject, `tCol` = duration (integer grain, e.g. days),
+    * `observedCol` = whether the event happened (false = censored at t).
+    * Output: one row per observed event time with the at-risk count,
+    * event count, and S(t) = Π_{t_j ≤ t} (1 − d_j / n_j).
+    *
+    * Shape: the corpus collapses to ≤ |distinct t| rows in ONE hash-agg;
+    * the running product (via exp∘Σln, with an explicit zero-factor
+    * cascade — Spark's ln(0) is null and nulls don't propagate through
+    * window sums, so S hits exact 0 through a flag, not through −∞)
+    * runs on that bounded time axis. The single-partition window is over
+    * |distinct t| rows, not the corpus — the same rolled-up-axis posture
+    * as Profile.histogram. */
+  def kaplanMeier(subjects: DataFrame, tCol: String,
+      observedCol: String): DataFrame = {
+    val perT = subjects
+      .groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("_all"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perT.agg(sum(col("_all")).as("_n")).select(col("_n"))
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("_n") - coalesce(sum(col("_all")).over(wOrd), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("_factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("_lnf",
+        when(col("_factor") > 0, log(col("_factor"))).otherwise(lit(0.0)))
+      .withColumn("_hitZero",
+        max(when(col("_factor") === 0, 1).otherwise(0)).over(wRun))
+      .withColumn("survival_r",
+        when(col("_hitZero") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("_lnf")).over(wRun)), 6)))
+      .select(col("t"), col("n_risk"), col("d"), col("survival_r"))
+  }
 }

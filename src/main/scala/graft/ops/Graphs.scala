@@ -86,6 +86,38 @@ object Graphs {
     ranks.select(col("vertex"), round(col("pr"), 9).as("pagerank"))
   }
 
+  /** Association rules (market-basket mining) over (group, item) pairs:
+    * for every co-occurring item pair with support ≥ `minSupport`, both
+    * directed rules a→b with confidence = supp(a,b)/supp(a) and
+    * lift = N·supp(a,b)/(supp(a)·supp(b)). The pair join is the same
+    * grouped self-join as [[coOccurrenceEdges]] (quadratic only within
+    * a group); supports are two hash-aggs; the rule table is tiny after
+    * the support threshold, so the final top-k is a TakeOrdered. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long, topK: Int): DataFrame = {
+    val items = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .distinct()
+    val n = items.agg(countDistinct(col("_g")).cast("double").as("_n"))
+    val supp = items.groupBy(col("_i")).agg(count(lit(1)).as("_s"))
+    val pairs = coOccurrenceEdges(df, groupCol, itemCol, minSupport)
+    val rules = pairs
+      .select(col("src").as("antecedent"), col("dst").as("consequent"),
+        col("support").as("pair_support"))
+      .union(pairs.select(col("dst"), col("src"), col("support")))
+    rules
+      .join(supp.select(col("_i").as("antecedent"), col("_s").as("_sa")),
+        "antecedent")
+      .join(supp.select(col("_i").as("consequent"), col("_s").as("_sc")),
+        "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("pair_support"),
+        round(col("pair_support") / col("_sa"), 6).as("confidence_r"),
+        round(col("_n") * col("pair_support") / (col("_sa") * col("_sc")),
+          6).as("lift_r"))
+      .orderBy(col("lift_r").desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
   /** Synchronous label propagation (community detection) over an
     * oriented undirected edge list (src < dst), run for a FIXED number
     * of iterations (same determinism contract as [[pageRank]]): every

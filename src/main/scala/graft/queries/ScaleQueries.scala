@@ -607,6 +607,102 @@ object ScaleQueries {
              |ORDER BY 1, 2""".stripMargin),
       (s, d) => graft.ops.Bitmaps
         .bitmapOverlap(events(s, d), "event_type", "user_id")
-        .orderBy("key_a", "key_b"))
+        .orderBy("key_a", "key_b")),
+
+    // Association rules over the order→supplier basket: both directed
+    // rules per qualifying pair with confidence and lift, top-30 by
+    // lift. Supports are hash-aggs; the basket self-join is quadratic
+    // only within an order.
+    Q("q131_association_rules",
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+             |  FROM lineitem),
+             |n AS (SELECT count(DISTINCT g)::DOUBLE AS n FROM items),
+             |supp AS (SELECT i, count(*)::BIGINT AS s FROM items
+             |         GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.i AS x, b.i AS y, count(*)::BIGINT AS sxy
+             |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |rules AS (
+             |  SELECT x AS antecedent, y AS consequent, sxy FROM pairs
+             |  UNION ALL SELECT y, x, sxy FROM pairs)
+             |SELECT r.antecedent, r.consequent,
+             |  r.sxy AS pair_support,
+             |  round(r.sxy / sa.s, 6) AS confidence_r,
+             |  round(n.n * r.sxy / (sa.s * sc.s), 6) AS lift_r
+             |FROM rules r JOIN supp sa ON sa.i = r.antecedent
+             |  JOIN supp sc ON sc.i = r.consequent, n
+             |ORDER BY lift_r DESC, antecedent, consequent
+             |LIMIT 30""".stripMargin),
+      (s, d) => graft.ops.Graphs.associationRules(lineitem(s, d),
+        "l_orderkey", "l_suppkey", minSupport = 5L, topK = 30)),
+
+    // Kaplan–Meier survival of signup→purchase conversion, censoring
+    // non-converters at the observation end — time-to-event with the
+    // at-risk bookkeeping the naive mean-time-to-convert gets wrong.
+    Q("q132_kaplan_meier",
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (
+             |  SELECT e.user_id, min(e.ts) AS t1
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+             |  GROUP BY 1),
+             |mx AS (SELECT max(ts) AS tmax FROM events),
+             |subj AS (
+             |  SELECT CASE WHEN pu.t1 IS NOT NULL
+             |      THEN datediff('day', su.t0::DATE, pu.t1::DATE)
+             |      ELSE datediff('day', su.t0::DATE, mx.tmax::DATE)
+             |    END::BIGINT AS t,
+             |    pu.t1 IS NOT NULL AS observed
+             |  FROM su LEFT JOIN pu USING (user_id), mx),
+             |perT AS (
+             |  SELECT t, sum(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+             |      AS d,
+             |    count(*)::BIGINT AS alln
+             |  FROM subj GROUP BY 1),
+             |tot AS (SELECT sum(alln) AS n FROM perT),
+             |r AS (
+             |  SELECT t, d,
+             |    (SELECT n FROM tot) - coalesce(sum(alln) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_risk
+             |  FROM perT),
+             |f AS (
+             |  SELECT t, n_risk::BIGINT AS n_risk, d,
+             |    (n_risk - d)::DOUBLE / n_risk AS factor
+             |  FROM r WHERE d > 0),
+             |s AS (
+             |  SELECT t, n_risk, d,
+             |    max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS hz,
+             |    sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+             |      OVER w AS lnsum
+             |  FROM f
+             |  WINDOW w AS (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT t, n_risk, d,
+             |  CASE WHEN hz = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+             |    AS survival_r
+             |FROM s ORDER BY t""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id").filter(col("ts") >= col("t0"))
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val mx = ev.agg(max(col("ts")).as("tmax"))
+        val subj = su.join(pu, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("t1").isNotNull,
+              datediff(to_date(col("t1")), to_date(col("t0"))))
+              .otherwise(datediff(to_date(col("tmax")), to_date(col("t0"))))
+              .cast("long").as("t"),
+            col("t1").isNotNull.as("observed"))
+        graft.ops.Behavior.kaplanMeier(subj, "t", "observed").orderBy("t")
+      })
   )
 }

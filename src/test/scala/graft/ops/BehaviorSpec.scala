@@ -94,4 +94,31 @@ class BehaviorSpec extends SparkTestBase {
       .orderBy("window_day").collect().map(_.getLong(2)).toSeq
     assert(got == Seq(1L, 1L)) // window of 1 day = the day itself only
   }
+
+  test("kaplanMeier: hand case — censored subjects stay at risk; a " +
+      "zero factor drives survival to exactly 0") {
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true))
+      .toDF("t", "observed")
+    val got = Behavior.kaplanMeier(subj, "t", "observed")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // t=1: 4 at risk, 1 event -> S = 0.75; the t=2 censor is NOT an
+    // event row but reduces the at-risk count; t=3: 2 at risk, 2 events
+    // -> factor 0 -> S = 0 exactly
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.75), (3L, 2L, 2L, 0.0)))
+  }
+
+  test("kaplanMeier: all-censored input emits nothing; product matches " +
+      "the sequential formula on a no-censoring series") {
+    val censored = Seq((5L, false), (7L, false)).toDF("t", "observed")
+    assert(Behavior.kaplanMeier(censored, "t", "observed").isEmpty)
+    val obs = Seq((1L, true), (2L, true), (4L, true)).toDF("t", "observed")
+    val got = Behavior.kaplanMeier(obs, "t", "observed")
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    // S: 2/3, (2/3)(1/2)=1/3, then factor 0 at the last event -> 0
+    assert(got.head == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(got(1) - 1.0 / 3) < 1e-6 && got(2) == 0.0)
+  }
 }

@@ -74,6 +74,21 @@ class GraphsSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L).forall(v => got(v) == 10L), s"B: $got")
   }
 
+  test("associationRules: confidence and lift from hand-computed " +
+      "supports; both rule directions emitted") {
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L)).toDF("g", "i")
+    val got = Graphs.associationRules(baskets, "g", "i",
+        minSupport = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // supp(1)=3, supp(2)=2, supp(1,2)=2, N=3
+    assert(got((1L, 2L)) == ((2L, BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1.0)))
+    assert(got((2L, 1L)) == ((2L, 1.0, 1.0)))
+    assert(got.size == 2, "pair (1,3) is below minSupport")
+  }
+
   test("labelPropagation: ties resolve to the smallest label " +
       "(deterministic mode)") {
     // vertex 2's neighbors {1, 3} offer labels {1, 3} with equal counts
