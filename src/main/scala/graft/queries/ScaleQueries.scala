@@ -47,6 +47,9 @@ object ScaleQueries {
   // label-propagation iteration count (fixed → deterministic)
   private val LpaIters = 3
 
+  // curation-pipeline quality gate (documents.n_chars lower bound)
+  private val PipeMinChars = 200
+
   val all: Seq[Q] = Seq(
 
     // Cross-document duplicated 8-grams — the substring-level dup signal
@@ -703,6 +706,62 @@ object ScaleQueries {
               .cast("long").as("t"),
             col("t1").isNotNull.as("observed"))
         graft.ops.Behavior.kaplanMeier(subj, "t", "observed").orderBy("t")
+      }),
+
+    // FLAGSHIP COMPOSITION — the end-to-end curation pipeline a corpus
+    // actually runs, as ONE oracle-checked query: quality gate
+    // (n_chars ≥ MinChars) → exact dedup (min id per content hash) →
+    // MinHash-LSH near-dup removal (Jaccard ≥ 0.5) → stable hash split →
+    // per-(split, lang) rollup. Every stage is the already-verified
+    // library op; what this checks is that they COMPOSE (each stage's
+    // output feeds the next with no hidden assumptions about reading the
+    // raw table). The oracle rebuilds the identical chain with q61's
+    // recursive-closure trunk rebased onto the filtered+deduped source.
+    Q("q133_curation_pipeline", {
+      val reach = TextQueries.neardupReachCte
+        .replace("FROM documents", "FROM src")
+        .replaceFirst("WITH RECURSIVE ",
+          s"""WITH RECURSIVE src0 AS (
+             |  SELECT * FROM documents WHERE n_chars >= $PipeMinChars),
+             |keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM src0 GROUP BY md5(text)),
+             |src AS (SELECT s.* FROM src0 s JOIN keep USING (doc_id)),
+             |""".stripMargin)
+      Some(s"""$reach,
+              |removals AS (
+              |  SELECT node AS doc_id FROM (
+              |    SELECT node, min(r) AS label FROM reach GROUP BY node)
+              |  WHERE label < node),
+              |final AS (
+              |  SELECT * FROM src
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM removals)),
+              |sp AS (
+              |  SELECT lang, n_chars,
+              |    CASE WHEN bucket < 80 THEN 'train'
+              |         WHEN bucket < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM (SELECT lang, n_chars,
+              |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              |            % 100 AS bucket
+              |        FROM final))
+              |SELECT split, lang, count(*)::BIGINT AS n_docs,
+              |  sum(n_chars)::BIGINT AS sum_chars
+              |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+      (s, d) => {
+        val base = documents(s, d).filter(col("n_chars") >= PipeMinChars)
+        val keepers = base
+          .groupBy(md5(col("text")).as("_h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val deduped = base.join(keepers, Seq("doc_id"), "left_semi")
+        val removals = Dedup.nearDupRemovals(deduped, "doc_id", "text", 0.5)
+        val survivors = deduped.join(removals, Seq("doc_id"), "left_anti")
+        Curation.hashSplit(survivors, "doc_id")
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("split", "lang")
       })
   )
 }

@@ -107,7 +107,7 @@ object TextQueries {
     * verify → symmetric edges → recursive reachability) — shared with
     * q108's cluster-size histogram, which rolls the same components up
     * instead of listing removals. Mirrors `Dedup.nearDupComponentsOf`. */
-  private val neardupReachCte =
+  private[queries] val neardupReachCte =
     s"""${bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
        |inter AS (
