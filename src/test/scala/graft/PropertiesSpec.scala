@@ -228,4 +228,48 @@ class PropertiesSpec extends SparkTestBase {
       .as[(Long, Int, String)].collect().toSet
     assert(applied == newRows.toSet)
   }
+
+  test("mergeAggState associativity/identity laws on random deltas: " +
+      "fold of daily deltas == one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    val g = for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(-8, 8)
+    } yield (k, v * 0.5) // halves: float sums exact under any grouping
+    val rows = sample(g, 240)
+    def aggOf(rs: List[(String, Double)]) = rs.toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum"))
+    val days = rows.grouped(60).toList // 4 "daily" deltas
+    val folded = days.tail.map(aggOf)
+      .foldLeft(aggOf(days.head))(graft.ops.Cdc.mergeAggState(_, _, "k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val oneShot = aggOf(rows).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(folded == oneShot)
+  }
+
+  test("dupNGramCoverage bounds on random corpora: 0 <= n_covered <= " +
+      "n_tokens, and a doc duplicated verbatim is fully covered") {
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
+    val doc = Gen.choose(4, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = sample(doc, 30)
+    // append an exact duplicate pair so full coverage provably occurs
+    val rows = (texts :+ texts.head).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.ops.Dedup
+      .dupNGramCoverage(rows.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect()
+    assert(got.length == rows.size)
+    got.foreach { r =>
+      val (nt, nc) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"))
+      assert(nc >= 0L && nc <= nt)
+    }
+    val byId = got.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("coverage_r")).toMap
+    assert(byId(0L) == 1.0 && byId(rows.size - 1L) == 1.0,
+      "verbatim duplicates must be fully covered")
+  }
 }
