@@ -72,8 +72,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
     System.out.flush()
+    // ALSO persist the line to a stable artifact file: the driver's
+    // stdout capture window truncated the 133-query line in r5
+    // (BENCH_r05.json parsed:null), so the full JSON must survive
+    // somewhere the driver/judge can always read it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] json written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN could not write $outPath: $e") }
     spark.stop()
   }
 }

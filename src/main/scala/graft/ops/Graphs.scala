@@ -49,17 +49,21 @@ object Graphs {
     * rank frame on the vertex key + one hash agg on the destination —
     * the standard relational PageRank step. The adjacency is hash-
     * partitioned once and reused every iteration; ranks are tiny
-    * (1 row/vertex). Iterations are few and fixed, so lineage stays
-    * shallow (no checkpoint needed at 3–10 iters; callers looping
-    * further should `localCheckpoint` every ~10 like
-    * [[Dedup.nearDupComponents]] does).
+    * (1 row/vertex). Lineage is truncated with an eager
+    * `localCheckpoint` every `checkpointEvery` iterations (same policy
+    * as [[Dedup.nearDupComponents]]): without it each round nests the
+    * whole prior plan, and a 30+-iteration run pays quadratic
+    * re-analysis time and risks planner stack overflow. At the default
+    * cadence a 3-iteration run (q103) never checkpoints — its plan and
+    * timing are unchanged.
     *
     * Rank is rounded to 9 only at the end; cross-engine float-sum
     * reorder noise is ~1e-16 per iteration and propagates linearly, far
     * below the rounding grain. */
-  def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // the symmetrized edge list is the fan-in point: deg, the adjacency,
     // N, and the initial ranks all derive from it — cache it so the
     // (possibly expensive) upstream edge build runs ONCE, not once per
@@ -74,7 +78,7 @@ object Graphs {
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("vertex"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = adj
         .join(ranks, adj("src") === ranks("vertex"))
         .groupBy(col("dst"))
@@ -82,6 +86,12 @@ object Graphs {
         .crossJoin(broadcast(n))
         .select(col("dst").as("vertex"),
           (lit(1.0 - damping) / col("n") + lit(damping) * col("_in")).as("pr"))
+      // truncate lineage: materialize the tiny rank frame and restart
+      // the plan from its blocks (eager, replication-backed — no HDFS
+      // dir needed). Skipped on the final iteration: the caller's
+      // terminal select is about to execute the plan anyway.
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("vertex"), round(col("pr"), 9).as("pagerank"))
   }
@@ -130,15 +140,19 @@ object Graphs {
     * Scale shape per iteration: one co-partitioned join of the cached
     * symmetrized adjacency with the current (vertex, label) frame, one
     * (dst, label) count agg, one WindowGroupLimit argmax — all keyed on
-    * the vertex, nothing quadratic. Labels are 1 row/vertex. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    * the vertex, nothing quadratic. Labels are 1 row/vertex; lineage is
+    * truncated every `checkpointEvery` iterations exactly as in
+    * [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     var labels = sym.select(col("src").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val w = Window.partitionBy(col("dst"))
         .orderBy(col("_c").desc, col("label").asc)
       labels = sym
@@ -148,6 +162,8 @@ object Graphs {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("dst").as("vertex"), col("label"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
     }
     labels
   }

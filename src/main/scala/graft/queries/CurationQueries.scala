@@ -143,7 +143,13 @@ object CurationQueries {
     // must equal. bucketSize 128 forces the multi-bucket path even at
     // sf0.01. Weight = ceil(n_chars/4), the ~4-chars/token heuristic
     // shared with TextOps.tokenStats; integer arithmetic end-to-end, so
-    // parity is exact.
+    // parity is exact. start_offset MUST be cast ::BIGINT in the final
+    // select: DuckDB's windowed sum(BIGINT) returns HUGEINT, which
+    // pandas materializes as float64 — equal values but a different
+    // dtype than Spark's int64 parquet column, and a type-sensitive
+    // hash compare then mismatches (the r5 q96 red row; every other
+    // oracle's integer outputs are BIGINT-or-narrower, where int32 vs
+    // int64 is tolerated but int vs float is not).
     Q("q96_token_packing",
       Some("""WITH w AS (
              |  SELECT doc_id, ceil(n_chars / 4)::BIGINT AS n_tokens
@@ -153,7 +159,7 @@ object CurationQueries {
              |    sum(n_tokens) OVER (ORDER BY doc_id
              |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
              |  FROM w)
-             |SELECT doc_id, n_tokens, start_offset,
+             |SELECT doc_id, n_tokens, start_offset::BIGINT AS start_offset,
              |  (start_offset // 8192)::BIGINT AS shard_id
              |FROM c ORDER BY doc_id""".stripMargin),
       (s, d) => graft.ops.Pack.packByBudget(
