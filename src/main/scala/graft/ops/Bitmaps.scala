@@ -32,9 +32,16 @@ object Bitmaps {
   }
 
   /** (key, word, bits): the packed bitmap in relational long form — the
-    * shared build for [[bitmapDistinct]] and [[bitmapOverlap]]. */
+    * shared build for [[bitmapDistinct]] and [[bitmapOverlap]]. Enforces
+    * the non-negative-id contract: Spark's `%` keeps the dividend's
+    * sign, so a negative id would shift by a NEGATIVE amount and emit a
+    * wrong word — a silently corrupt bitmap, not an error. One codegen'd
+    * comparison per row (assert_true is NULL on success → coalesce keeps
+    * every valid row) turns that corruption mode into a loud failure. */
   def wordTable(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.select(col(keyCol),
+    df.where(coalesce(assert_true(col(idCol) >= 0,
+        lit(s"bitmap packing requires non-negative $idCol")), lit(true)))
+      .select(col(keyCol),
         expr(s"CAST($idCol AS LONG) div 64").as("_w"),
         expr(s"shiftleft(1L, CAST($idCol % 64 AS INT))").as("_b"))
       .groupBy(col(keyCol), col("_w"))

@@ -162,23 +162,6 @@ object Curation {
           .otherwise(round(col("n_shared") / col("n_shingles"), 6)))
   }
 
-  /** WEIGHTED sampling without replacement, top-k per stratum — the
-    * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
-    * u ∈ (0,1] from the md5-hash60 uniform (same family as [[hashSplit]];
-    * +1 so ln is never applied to 0) and is ranked by key = ln(u)/w,
-    * descending — the same order as u^(1/w), the classic A-ES key, without
-    * the pow. The top k rows per stratum are EXACTLY a weighted sample
-    * without replacement: heavier rows draw stochastically larger keys in
-    * proportion to weight.
-    *
-    * Distributed shape: one row_number window = one shuffle by stratum;
-    * at scale the window's sort is per-partition top-k via the rank filter
-    * (no global sort). Hash-determinism keeps the sample stable across
-    * engines, retries, and corpus growth — and lets the DuckDB oracle
-    * reproduce it exactly. The float key is COMPUTED but never emitted:
-    * output columns are all integers/strings, so cross-engine float
-    * parity only matters if two keys tie within 1 ulp (measure-zero on
-    * hashed input; id tie-break pins even that). */
   /** Deterministic IN-BATCH negative sampling — the contrastive-training
     * dataset construction step: every anchor needs k "negatives" drawn
     * from the rest of the corpus, reproducibly. Rows are hash-assigned
@@ -220,6 +203,23 @@ object Curation {
       .select(col("anchor_id"), col("neg_rank"), col("neg_id"))
   }
 
+  /** WEIGHTED sampling without replacement, top-k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row draws
+    * u ∈ (0,1] from the md5-hash60 uniform (same family as [[hashSplit]];
+    * +1 so ln is never applied to 0) and is ranked by key = ln(u)/w,
+    * descending — the same order as u^(1/w), the classic A-ES key, without
+    * the pow. The top k rows per stratum are EXACTLY a weighted sample
+    * without replacement: heavier rows draw stochastically larger keys in
+    * proportion to weight.
+    *
+    * Distributed shape: one row_number window = one shuffle by stratum;
+    * at scale the window's sort is per-partition top-k via the rank filter
+    * (no global sort). Hash-determinism keeps the sample stable across
+    * engines, retries, and corpus growth — and lets the DuckDB oracle
+    * reproduce it exactly. The float key is COMPUTED but never emitted:
+    * output columns are all integers/strings, so cross-engine float
+    * parity only matters if two keys tie within 1 ulp (measure-zero on
+    * hashed input; id tie-break pins even that). */
   def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
       strataCol: String, k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)

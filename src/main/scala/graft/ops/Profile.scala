@@ -107,16 +107,6 @@ object Profile {
       .drop("_mean", "_sd")
   }
 
-  /** Per-DIMENSION statistics of an `array` column — the feature-scaling
-    * pass over an embedding corpus (per-dim mean/std are exactly the
-    * standardization constants; min/max the clipping bounds; a degenerate
-    * std flags a dead dimension). posexplode → one hash-agg keyed on the
-    * dimension index: |dims| keys regardless of corpus size, so partial
-    * aggregation absorbs nearly everything map-side and the shuffle is
-    * |partitions| × |dims| rows. Variance via the sum/sumsq identity —
-    * explicit, engine-portable reductions (both engines sum in arbitrary
-    * order; ~1e-15 relative drift absorbed by round(6), same posture as
-    * centroidUpdate). min/max are exact (no rounding). */
   /** Population Stability Index — the standard distribution-drift metric
     * an ML-monitoring pipeline computes between a reference slice and
     * the current slice of a feature: psi = Σ_bins (p_cur − p_ref) ·
@@ -129,7 +119,16 @@ object Profile {
     *
     * Shape: one (group, bin) count agg per slice — map-side partials
     * absorb everything; the psi rollup regroups |groups|·|bins| rows.
-    * Values outside [lo, hi) clamp into the edge bins. */
+    * Values outside [lo, hi) clamp into the edge bins.
+    *
+    * The sum runs over the FULL group × [0, nBins) grid, not just the
+    * (group, bin) pairs observed in some slice: under add-half
+    * smoothing a bin empty in BOTH slices still contributes a nonzero
+    * term whenever the two totals differ, so skipping it would quietly
+    * compute a different metric than the documented fixed-grid PSI.
+    * The grid is |groups| × nBins rows — built by cross-joining the
+    * observed groups with a broadcast bins frame, negligible at any
+    * scale. */
   def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
       valueCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo)
@@ -139,8 +138,13 @@ object Profile {
         least(greatest(floor((col(valueCol) - lo) / step), lit(0.0)),
           lit((nBins - 1).toDouble)).cast("int").as("bin"))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(n))
-    val joined = binned(ref, "n_ref")
+    val counts = binned(ref, "n_ref")
       .join(binned(cur, "n_cur"), Seq(groupCol, "bin"), "full_outer")
+    val bins = ref.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val joined = counts.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(bins))
+      .join(counts, Seq(groupCol, "bin"), "left")
       .select(col(groupCol), col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -155,6 +159,16 @@ object Profile {
         6).as("psi"))
   }
 
+  /** Per-DIMENSION statistics of an `array` column — the feature-scaling
+    * pass over an embedding corpus (per-dim mean/std are exactly the
+    * standardization constants; min/max the clipping bounds; a degenerate
+    * std flags a dead dimension). posexplode → one hash-agg keyed on the
+    * dimension index: |dims| keys regardless of corpus size, so partial
+    * aggregation absorbs nearly everything map-side and the shuffle is
+    * |partitions| × |dims| rows. Variance via the sum/sumsq identity —
+    * explicit, engine-portable reductions (both engines sum in arbitrary
+    * order; ~1e-15 relative drift absorbed by round(6), same posture as
+    * centroidUpdate). min/max are exact (no rounding). */
   def arrayDimStats(df: DataFrame, arrCol: String): DataFrame = {
     df.select(posexplode(col(arrCol).cast("array<double>"))
         .as(Seq("dim", "x")))

@@ -287,22 +287,6 @@ object TextOps {
       .join(minShingle, Seq(idCol), "left")
   }
 
-  /** Hashed-feature linear classifier scoring — the serving plumbing of a
-    * fastText/logistic-regression quality filter (the standard
-    * model-based curation step: score every document, keep above a
-    * threshold). Feature = unigram, weight = lookup by token hash; here
-    * the weight table is a deterministic hash-derived stand-in
-    * (w(t) = hash60(t) mod 2001 − 1000, an integer in [−1000, 1000];
-    * no trained model ships in this sandbox). Swapping in real weights is
-    * a broadcast map lookup at the same plan position — the shape is the
-    * part that matters at 100 TB: per-row `transform`+`aggregate` over
-    * the token array, fully codegen'd, shuffle-FREE (no explode, no
-    * groupBy; the corpus is never reshuffled to be scored).
-    *
-    * The raw score accumulates in INTEGER space (sum of integer weights),
-    * so the keep decision (`w_sum > 0` ⇔ sigmoid > 0.5) is bit-exact
-    * across engines — no float-boundary flakes; the reported mean score
-    * and sigmoid are float only at the final division (round 9). */
   /** Adjacent-character-pair counts within words — the inner loop of
     * BPE tokenizer TRAINING: each merge step picks the corpus's most
     * frequent adjacent symbol pair. This computes one such step exactly,
@@ -325,6 +309,22 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Hashed-feature linear classifier scoring — the serving plumbing of a
+    * fastText/logistic-regression quality filter (the standard
+    * model-based curation step: score every document, keep above a
+    * threshold). Feature = unigram, weight = lookup by token hash; here
+    * the weight table is a deterministic hash-derived stand-in
+    * (w(t) = hash60(t) mod 2001 − 1000, an integer in [−1000, 1000];
+    * no trained model ships in this sandbox). Swapping in real weights is
+    * a broadcast map lookup at the same plan position — the shape is the
+    * part that matters at 100 TB: per-row `transform`+`aggregate` over
+    * the token array, fully codegen'd, shuffle-FREE (no explode, no
+    * groupBy; the corpus is never reshuffled to be scored).
+    *
+    * The raw score accumulates in INTEGER space (sum of integer weights),
+    * so the keep decision (`w_sum > 0` ⇔ sigmoid > 0.5) is bit-exact
+    * across engines — no float-boundary flakes; the reported mean score
+    * and sigmoid are float only at the final division (round 9). */
   def hashedLinearScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     df.withColumn("_toks", tokens(normalize(col(textCol))))

@@ -477,7 +477,11 @@ object ScaleQueries {
 
     // PSI distribution drift of `value` per event type, first half of
     // January vs the rest — fixed 10-bin grid on [0, 500), add-half
-    // smoothing. Two count-aggs; no quantile pass.
+    // smoothing. Two count-aggs; no quantile pass. Both sides sum over
+    // the FULL type × bin grid (a bin empty in both slices still has a
+    // nonzero smoothed term when the totals differ), so the oracle
+    // cross-joins the observed types with range(10) exactly like the
+    // operator's broadcast bins frame.
     Q("q126_psi_drift",
       Some("""WITH b AS (
              |  SELECT event_type,
@@ -485,11 +489,17 @@ object ScaleQueries {
              |      AS bin,
              |    (ts < TIMESTAMP '2024-01-15') AS is_ref
              |  FROM events),
-             |c AS (
+             |c0 AS (
              |  SELECT event_type, bin,
              |    count(*) FILTER (WHERE is_ref)::BIGINT AS n_ref,
              |    count(*) FILTER (WHERE NOT is_ref)::BIGINT AS n_cur
              |  FROM b GROUP BY 1, 2),
+             |c AS (
+             |  SELECT g.event_type, bins.bin,
+             |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |  FROM (SELECT DISTINCT event_type FROM c0) g
+             |  CROSS JOIN (SELECT range::INT AS bin FROM range(10)) bins
+             |  LEFT JOIN c0 USING (event_type, bin)),
              |t AS (
              |  SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
              |  FROM c GROUP BY 1)

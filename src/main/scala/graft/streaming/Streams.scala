@@ -133,7 +133,13 @@ object Streams {
     * here state is CONSTANT per group (domainWords longs), the property
     * that keeps a 100 TB windowed-uniques job's state store flat. Exact,
     * unlike approx_count_distinct, and append-safe under retries because
-    * bit_or is idempotent. Requires ids in [0, 64·domainWords).
+    * bit_or is idempotent. Requires ids in [0, 64·domainWords) — and
+    * ENFORCES it: an out-of-domain id matches no CASE arm, so without a
+    * guard the "exact" count would silently undercount the moment the
+    * id domain outgrows the configured words. An overflow counter rides
+    * the same agg (one extra long of state per group) and the
+    * projection raises if it is ever nonzero — fail fast, never a wrong
+    * exact count.
     *
     * Runs in complete mode to the memory sink like the other bounded-
     * cardinality aggs; the popcount projection happens AFTER the
@@ -144,13 +150,22 @@ object Streams {
       expr(s"bit_or(CASE WHEN $idCol div 64 = $w THEN " +
         s"shiftleft(1L, CAST($idCol % 64 AS INT)) ELSE 0L END)").as(s"_w$w")
     }
+    val overflow = expr(s"sum(CASE WHEN $idCol < 0 OR " +
+      s"$idCol div 64 >= $domainWords THEN 1 ELSE 0 END)").as("_ovf")
     val n = (0 until domainWords)
       .map(w => bit_count(col(s"_w$w"))).reduce(_ + _)
+    // the guard is folded INTO n_distinct (adds 0 when clean) so column
+    // pruning can never drop it
+    val guarded = n.cast("long") + when(col("_ovf") > 0,
+      raise_error(concat(lit("streamingBitmapDistinct: "),
+        col("_ovf").cast("string"),
+        lit(s" ids outside [0, ${64L * domainWords}) — raise domainWords"))))
+      .otherwise(lit(0L))
     val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), width), col("event_type"))
-      .agg(wordAggs.head, wordAggs.tail: _*)
+      .agg(wordAggs.head, (wordAggs.tail :+ overflow): _*)
       .select(col("window.start").as("window_start"), col("event_type"),
-        n.cast("long").as("n_distinct"))
+        guarded.as("n_distinct"))
     runToMemory(spark, agg)
   }
 

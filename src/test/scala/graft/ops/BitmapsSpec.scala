@@ -56,6 +56,19 @@ class BitmapsSpec extends SparkTestBase {
     assert(!got.keySet.exists(p => p._1 == "c" || p._2 == "c"))
   }
 
+  test("wordTable fails fast on a negative id instead of silently " +
+      "corrupting the bitmap (negative % → negative shift)") {
+    val df = Seq(("a", 5L), ("a", -1L)).toDF("key", "id")
+    val e = intercept[Exception] {
+      Bitmaps.bitmapDistinct(df, "key", "id").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("non-negative")),
+      s"expected the guard message in: ${chain(e)}")
+  }
+
   test("bitmapDistinct plans two plain aggs — no Expand (the " +
       "countDistinct penalty the bitmap path exists to avoid)") {
     val df = Seq(("a", 1L)).toDF("key", "id")

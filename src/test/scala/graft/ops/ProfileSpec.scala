@@ -96,6 +96,25 @@ class ProfileSpec extends SparkTestBase {
     assert(got.length == 1 && !got.head.getDouble(1).isNaN)
   }
 
+  test("psiDrift: a bin empty in BOTH slices still contributes its " +
+      "smoothing term when the totals differ (fixed-grid semantics)") {
+    // ref has 2 rows, cur has 4, all in bin 0 of a 2-bin grid — bin 1
+    // is empty on both sides. Fixed-grid PSI with add-half smoothing:
+    //   bin 0: p_ref = 2.5/3, p_cur = 4.5/5
+    //   bin 1: p_ref = 0.5/3, p_cur = 0.5/5  (nonzero term!)
+    val ref = Seq(("t", 1.0), ("t", 2.0))
+    val cur = Seq(("t", 1.0), ("t", 2.0), ("t", 3.0), ("t", 4.0))
+    val got = Profile.psiDrift(ref.toDF("g", "v"), cur.toDF("g", "v"),
+      "g", "v", 0.0, 10.0, 2).collect()
+    def term(pc: Double, pr: Double) = (pc - pr) * math.log(pc / pr)
+    val want = BigDecimal(
+      term(4.5 / 5, 2.5 / 3) + term(0.5 / 5, 0.5 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 1 && got.head.getDouble(1) == want,
+      s"got=${got.head.getDouble(1)} want=$want (the bin-1 term must " +
+        "be included)")
+  }
+
   test("arrayDimStats: per-dimension mean/std/min/max (hand case)") {
     val d = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("id", "emb")

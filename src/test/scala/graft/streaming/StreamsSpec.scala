@@ -123,6 +123,34 @@ class StreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamingBitmapDistinct raises on an id outside the configured " +
+      "domain instead of silently undercounting") {
+    val base = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "bm_ovf_")
+    // eventsStream expects a single FILE named events.parquet — stage
+    // and move, same as the sessionizer fixtures. domainWords = 1 →
+    // domain [0, 64); user_id 64 is one past the end.
+    val staging = s"$base/_staging"
+    Seq((1L, 5L), (2L, 64L)).toDF("event_id", "user_id")
+      .selectExpr("event_id",
+        "timestamp_micros(event_id * 1000000) AS ts", "user_id",
+        "'e' AS event_type", "1.0 AS value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(s"$base/events.parquet"))
+    val e = intercept[Exception] {
+      Streams.streamingBitmapDistinct(
+        spark, base.toString, "1 hour", "user_id", 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("ids outside [0, 64)")),
+      s"expected the overflow guard to fire, got: ${chain(e).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside the watermark") {
     val input = MemoryStream[(String, Timestamp)](spark)
     val deduped = input.toDS().toDF("id", "ts")
