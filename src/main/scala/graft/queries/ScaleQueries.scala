@@ -772,6 +772,39 @@ object ScaleQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"))
           .orderBy("split", "lang")
+      }),
+
+    // Hot-key skew stress for the LSH-family band join (VERDICT r5 ask
+    // #6): 80% of the corpus shares ONE band key ('HOT'), the canonical
+    // boilerplate-signature pathology. bandJoin's count-window valve
+    // must drop that bucket BEFORE the self-join — unpruned, the hot
+    // bucket alone is quadratic (4000 docs at sf0.1 → 8M pairs from one
+    // key; at 100 TB, game over) — while benign buckets (8 docs each,
+    // size CONSTANT in sf because cold ids are grouped by id-range)
+    // pair normally. maxBucket=64 fires at every sf (hot = 0.8·n docs).
+    // The oracle mirrors the cap arithmetic exactly, so this also pins
+    // that both engines prune identically — the no-silent-recall-drop
+    // contract MaxBucket's scaladoc promises. SkewValveSpec pins the
+    // plan shape (window+filter upstream of the join) and the pair set.
+    Q("q134_skew_valve",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 <> 0 THEN 'HOT'
+             |         ELSE CAST(doc_id // 40 AS VARCHAR) END AS bk
+             |  FROM documents),
+             |sz AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+             |p AS (SELECT doc_id, bk FROM b JOIN sz USING (bk)
+             |      WHERE n <= 64)
+             |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+             |FROM p a JOIN p c ON a.bk = c.bk AND a.doc_id < c.doc_id
+             |ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val bands = documents(s, d).select(col("doc_id"),
+          lit(0).as("band"),
+          when(col("doc_id") % 5 =!= 0, lit("HOT"))
+            .otherwise(expr("CAST(doc_id div 40 AS STRING)")).as("bk"))
+        Dedup.bandJoin(bands, "doc_id", "doc_a", "doc_b", maxBucket = 64L)
+          .orderBy("doc_a", "doc_b")
       })
   )
 }
