@@ -54,4 +54,49 @@ object Pack {
         floor(col("start_offset") / budget).cast("long"))
       .drop("_bucket", "_boff")
   }
+
+  /** Length-bucketed fixed-size batch construction — the padding-
+    * efficiency layout for PADDED training/inference batching (the
+    * complement of [[packByBudget]]'s concatenate-and-slice): rows are
+    * banded by weight (`bucket` = weight div bucketWidth) so one batch
+    * holds near-equal lengths, then cut into batches of `batchSize` in
+    * id order within each band. Per batch it reports the padding waste,
+    * n_docs·max − Σweight — the number the layout exists to minimize
+    * (batching random lengths pads every row to the global max).
+    *
+    * Scale shape: the global per-bucket row numbering uses the same
+    * two-level trick as [[packByBudget]] — counts per (bucket, id-range)
+    * give exclusive range offsets via a window over the tiny
+    * (bucket × range) table, broadcast back; the per-row row_number
+    * window partitions by (bucket, range), so no task ever sorts more
+    * than one id-range of one bucket — a skewed length distribution
+    * (most docs in one band) cannot produce a giant sort task. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, weightCol: String,
+      bucketWidth: Long, batchSize: Int,
+      rangeSize: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && rangeSize > 0,
+      "bucketWidth, batchSize and rangeSize must be > 0")
+    val withB = df.select(col(idCol), col(weightCol))
+      .withColumn("bucket",
+        floor(col(weightCol) / bucketWidth).cast("long"))
+      .withColumn("_rng", floor(col(idCol) / rangeSize).cast("long"))
+    val wR = Window.partitionBy("bucket").orderBy("_rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withB.groupBy("bucket", "_rng")
+      .agg(count(lit(1)).as("_rc"))
+      .withColumn("_off", sum(col("_rc")).over(wR) - col("_rc"))
+      .drop("_rc")
+    val wL = Window.partitionBy("bucket", "_rng").orderBy(idCol)
+    withB
+      .join(broadcast(offsets), Seq("bucket", "_rng"))
+      .withColumn("_rn", col("_off") + row_number().over(wL) - 1)
+      .withColumn("batch_idx", floor(col("_rn") / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as("sum_tokens"),
+        max(col(weightCol)).cast("long").as("max_tokens"))
+      .withColumn("padding",
+        (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .cast("long"))
+  }
 }

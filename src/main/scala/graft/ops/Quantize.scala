@@ -26,6 +26,20 @@ object Quantize {
       f: (Column, Column) => Column): Column =
     aggregate(arr, zero, f)
 
+  /** (id, sp, sv): each vector split into `m` subvectors of `ds` dims,
+    * floats widened to double first — the shared decomposition of
+    * [[pqEncode]] (codebook + corpus sides) and [[adcTopK]] (codebook +
+    * query sides). */
+  private def subspaces(in: DataFrame, vecCol: String, id: Column,
+      outId: String, m: Int, ds: Int): DataFrame =
+    in.select(id.as(outId),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .select(col(outId), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"sp -> struct(sp AS sp, slice(_v, sp * $ds + 1, $ds) AS sv))"))
+        .as("_s"))
+      .select(col(outId), col("_s.sp").as("sp"), col("_s.sv").as("sv"))
+
   /** Per-vector int8 quantization diagnostics: dimension, scale, the
     * max absolute reconstruction error, and the cosine between the
     * original and reconstructed vector (1.0 for the degenerate all-zero
@@ -82,17 +96,10 @@ object Quantize {
       dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val ds = dim / m
-    def subspaces(in: DataFrame, id: Column, outId: String): DataFrame =
-      in.select(id.as(outId),
-          transform(col(vecCol), x => x.cast("double")).as("_v"))
-        .select(col(outId), explode(expr(
-          s"transform(sequence(0, ${m - 1}), " +
-            s"sp -> struct(sp AS sp, slice(_v, sp * $ds + 1, $ds) AS sv))"))
-          .as("_s"))
-        .select(col(outId), col("_s.sp").as("sp"), col("_s.sv").as("sv"))
-    val corpus = subspaces(df, col(idCol), idCol)
-    val book = broadcast(subspaces(centroids, col(centIdCol), "cid")
-      .withColumnRenamed("sv", "cv"))
+    val corpus = subspaces(df, vecCol, col(idCol), idCol, m, ds)
+    val book = broadcast(
+      subspaces(centroids, vecCol, col(centIdCol), "cid", m, ds)
+        .withColumnRenamed("sv", "cv"))
     val d2 = aggregate(
       zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), _ + _)
@@ -110,5 +117,51 @@ object Quantize {
           "transform(sort_array(_sc), e -> CAST(e.cid AS STRING))"), ",")
           .as("code"),
         round(sqrt(col("_tot")), 6).as("qerr_r"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes — the SERVE
+    * path that makes [[pqEncode]]'s compression useful (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * approx L2²(query, doc) = Σ_sp lut(sp, code[sp]) where the lookup
+    * table holds the exact distance from the query's sp-th subvector to
+    * every codeword. The corpus's full vectors are never touched — only
+    * the m-byte codes — which is the whole point at billion-vector
+    * scale.
+    *
+    * Scale shape: the LUT is m × |codebook| rows (a few KB) built from
+    * the single-row query frame and broadcast; the corpus side explodes
+    * codes ×m (id, sp, cid — narrow ints, no vectors), hash-joins the
+    * broadcast LUT, one hash-agg back to |corpus| rows, then a
+    * TakeOrdered top-k. No shuffle carries a vector; nothing is
+    * pairwise. Ranking ties break by id; distances are per-subspace
+    * deterministic left-folds (same contract as [[pqEncode]]), with
+    * rounding only on the reported value. */
+  def adcTopK(codes: DataFrame, idCol: String, codeCol: String,
+      query: DataFrame, centroids: DataFrame, centIdCol: String,
+      vecCol: String, m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(k > 0, "k must be > 0")
+    val ds = dim / m
+    val qsub = subspaces(query, vecCol, lit(0L), "_qid", m, ds)
+      .select(col("sp"), col("sv").as("qv"))
+    val book = subspaces(centroids, vecCol, col(centIdCol), "cid", m, ds)
+      .withColumnRenamed("sv", "cv")
+    val d2 = fold(zip_with(col("cv"), col("qv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val lut = book.join(broadcast(qsub), "sp")
+      .select(col("sp"), col("cid"), d2.as("_d2"))
+    val exploded = codes
+      .select(col(idCol), posexplode(split(col(codeCol), ",")))
+      .select(col(idCol), col("pos").as("sp"),
+        col("col").cast("long").as("cid"))
+    val topk = exploded.join(broadcast(lut), Seq("sp", "cid"))
+      .groupBy(col(idCol)).agg(sum(col("_d2")).as("_ad"))
+      .orderBy(col("_ad").asc, col(idCol).asc)
+      .limit(k)
+    // rank window runs over the k surviving rows only (post-TakeOrdered)
+    topk
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_ad").asc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(idCol), round(col("_ad"), 6).as("adist_r"))
   }
 }

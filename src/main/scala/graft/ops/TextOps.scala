@@ -25,6 +25,36 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Overlapping token-window chunking — the RAG / context-window
+    * preparation step: each document becomes sliding chunks of
+    * `chunkTokens` whitespace tokens starting every
+    * `chunkTokens − overlap` tokens (the final windows may be shorter).
+    * Chunk identity is (doc id, chunk_idx) with the token start offset,
+    * so chunks are stable, addressable units a retrieval index or
+    * packing stage can key on.
+    *
+    * Scale shape: per-row `sequence` + `slice` + `array_join` — the
+    * corpus explodes only ×⌈n/step⌉ (bounded by document length over
+    * step), all codegen'd, no shuffle; the op never re-keys the corpus.
+    * Empty/whitespace-only text yields one chunk of the empty token
+    * (split-on-space semantics, same as every tokens() consumer). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap=$overlap < chunkTokens=$chunkTokens")
+    val step = chunkTokens - overlap
+    df.select(col(idCol), tokens(normalize(col(textCol))).as("_toks"))
+      .withColumn("_start", explode(expr(
+        s"sequence(0, size(_toks) - 1, $step)")))
+      .select(col(idCol),
+        (col("_start") / step).cast("long").as("chunk_idx"),
+        col("_start").cast("long").as("start_tok"),
+        expr(s"slice(_toks, _start + 1, $chunkTokens)").as("_c"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
   /** Token count + alpha-token count + a BPE-ish size estimate
     * (ceil(chars/4) — the usual ~4 chars/token heuristic). */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = df

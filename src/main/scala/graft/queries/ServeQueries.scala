@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pack, Quantize, TextOps}
+import graft.util.Tables._
+
+/** Round-6 serving/layout batch: the PQ asymmetric-distance search that
+  * makes q120's codes useful (the ANN serve path), padding-efficiency
+  * length-bucketed batching (the padded-batch complement of q96's
+  * concatenate-and-slice packing), and overlapping token-window chunking
+  * (RAG / context-window preparation). Oracle constants are interpolated
+  * from the same Scala values the ops receive.
+  */
+object ServeQueries {
+
+  // PQ geometry shared with q120 (ScaleQueries): 4 subspaces × 16 dims,
+  // codebook = the 8 lowest-id vectors
+  private val PqM = 4
+  private val PqDs = 16
+  private val PqCells = 8
+  // ADC query vector + result size
+  private val AdcQueryId = 17
+  private val AdcK = 10
+
+  // length-bucket batching: 64-token bands, batches of 16, id-range 128
+  // (forces the multi-range two-level path even at sf0.01)
+  private val LbWidth = 64
+  private val LbBatch = 16
+  private val LbRange = 128
+
+  // chunking: 24-token windows starting every 16 tokens (overlap 8)
+  private val ChTokens = 24
+  private val ChOverlap = 8
+  private def chStep = ChTokens - ChOverlap
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // the q120 assignment CTEs (sub/cent/a), shared by the ADC oracle so
+  // the code side of the search twin cannot drift from the encode twin
+  private val pqAssignSql =
+    s"""sub AS (
+       |  SELECT vec_id, sp.sp AS sp,
+       |    (embedding::DOUBLE[])[sp.sp*$PqDs+1 : sp.sp*$PqDs+$PqDs] AS sv
+       |  FROM embeddings, unnest(generate_series(0, ${PqM - 1})) AS sp(sp)),
+       |cent AS (
+       |  SELECT vec_id AS cid, sp, sv AS cv FROM sub
+       |  WHERE vec_id < $PqCells),
+       |a AS (
+       |  SELECT vec_id, sp, cid FROM (
+       |    SELECT s.vec_id, s.sp, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sp
+       |        ORDER BY list_reduce(list_transform(
+       |            generate_series(1, $PqDs),
+       |            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+       |            (x, y) -> x + y) ASC, c.cid ASC) AS rn
+       |    FROM sub s JOIN cent c USING (sp)) t
+       |  WHERE rn = 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // PQ ADC top-k: approximate nearest neighbors of vec 17 computed
+    // from the m-byte codes alone — corpus vectors untouched, the LUT
+    // (m × |codebook| exact query↔codeword distances) broadcast. The
+    // oracle rebuilds the same codes (q120's CTEs) and the same LUT, so
+    // encode and search twins stay glued.
+    Q("q135_adc_topk",
+      Some(s"""WITH $pqAssignSql,
+              |q AS (SELECT sp, sv AS qv FROM sub
+              |      WHERE vec_id = $AdcQueryId),
+              |lut AS (
+              |  SELECT c.sp, c.cid,
+              |    list_reduce(list_transform(generate_series(1, $PqDs),
+              |      i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])),
+              |      (x, y) -> x + y) AS d2
+              |  FROM cent c JOIN q USING (sp)),
+              |ad AS (
+              |  SELECT a.vec_id, sum(l.d2) AS ad
+              |  FROM a JOIN lut l ON a.sp = l.sp AND a.cid = l.cid
+              |  GROUP BY 1)
+              |SELECT CAST(row_number() OVER (ORDER BY ad, vec_id)
+              |    AS BIGINT) AS rank,
+              |  vec_id, round(ad, 6) AS adist_r
+              |FROM ad ORDER BY ad, vec_id LIMIT $AdcK""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val codes = Quantize.pqEncode(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < PqCells), "vec_id",
+          m = PqM, dim = PqM * PqDs)
+        Quantize.adcTopK(codes, "vec_id", "code",
+          emb.filter(col("vec_id") === AdcQueryId),
+          emb.filter(col("vec_id") < PqCells), "vec_id", "embedding",
+          m = PqM, dim = PqM * PqDs, k = AdcK)
+      }),
+
+    // Length-bucketed batches: 64-token bands cut into batches of 16 in
+    // id order, reporting per-batch padding waste. The oracle's flat
+    // per-bucket row_number is exactly what the op's two-level
+    // (bucket × id-range) numbering must reproduce.
+    Q("q136_length_batches",
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, ceil(n_chars / 4)::BIGINT AS n_tokens
+              |  FROM documents),
+              |b AS (
+              |  SELECT doc_id, n_tokens,
+              |    (n_tokens // $LbWidth)::BIGINT AS bucket
+              |  FROM w),
+              |r AS (
+              |  SELECT *, row_number() OVER (PARTITION BY bucket
+              |    ORDER BY doc_id) - 1 AS rn
+              |  FROM b),
+              |g AS (
+              |  SELECT bucket, (rn // $LbBatch)::BIGINT AS batch_idx,
+              |    count(*)::BIGINT AS n_docs,
+              |    sum(n_tokens)::BIGINT AS sum_tokens,
+              |    max(n_tokens)::BIGINT AS max_tokens
+              |  FROM r GROUP BY 1, 2)
+              |SELECT bucket, batch_idx, n_docs, sum_tokens, max_tokens,
+              |  (n_docs * max_tokens - sum_tokens)::BIGINT AS padding
+              |FROM g ORDER BY bucket, batch_idx""".stripMargin),
+      (s, d) => Pack.lengthBucketBatches(
+          documents(s, d).select(col("doc_id"),
+            ceil(col("n_chars") / 4).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", bucketWidth = LbWidth,
+          batchSize = LbBatch, rangeSize = LbRange)
+        .orderBy("bucket", "batch_idx")),
+
+    // Overlapping token-window chunks: 24-token windows every 16 tokens;
+    // per-row sequence/slice, corpus explodes only ×⌈n/16⌉.
+    Q("q137_chunk_windows",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id, toks,
+              |    unnest(generate_series(0, len(toks) - 1, $chStep))
+              |      AS start
+              |  FROM t)
+              |SELECT doc_id, (start // $chStep)::BIGINT AS chunk_idx,
+              |  start::BIGINT AS start_tok,
+              |  len(toks[start+1 : start+$ChTokens])::BIGINT AS n_tokens,
+              |  array_to_string(toks[start+1 : start+$ChTokens], ' ')
+              |    AS chunk_text
+              |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) => TextOps.chunkWindows(documents(s, d), "doc_id", "text",
+          chunkTokens = ChTokens, overlap = ChOverlap)
+        .orderBy("doc_id", "chunk_idx"))
+  )
+}

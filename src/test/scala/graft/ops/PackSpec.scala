@@ -55,4 +55,43 @@ class PackSpec extends SparkTestBase {
       .toSeq
     assert(got == Seq((0L, 0L), (10L, 0L), (30L, 1L)))
   }
+
+  test("lengthBucketBatches: two-level per-bucket numbering equals the " +
+      "flat window reference across range sizes; padding arithmetic") {
+    val rows = (0L until 40L).map(i => (i, (i * 7 % 100) + 1))
+    val df = rows.toDF("id", "w")
+    // flat reference: per length-band, number rows in id order, cut
+    // into batches of 4
+    val want = rows.groupBy(_._2 / 32).toSeq.flatMap { case (b, rs) =>
+      rs.sortBy(_._1).zipWithIndex.groupBy(_._2 / 4).map {
+        case (bi, grp) =>
+          val ws = grp.map(_._1._2)
+          (b, bi.toLong, ws.size.toLong, ws.sum, ws.max,
+            ws.size * ws.max - ws.sum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    // rangeSize 8 → five id-ranges (the multi-range two-level path);
+    // rangeSize 1000 → single range (degenerate path). Same answer.
+    for (rangeSize <- Seq(8L, 1000L)) {
+      val got = Pack.lengthBucketBatches(df, "id", "w",
+          bucketWidth = 32L, batchSize = 4, rangeSize = rangeSize)
+        .orderBy("bucket", "batch_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(got == want, s"rangeSize=$rangeSize")
+    }
+  }
+
+  test("lengthBucketBatches: equal lengths in a band pad zero; a " +
+      "mixed band pads to its max") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), // band 0, equal
+      (4L, 100L), (5L, 90L)).toDF("id", "w")     // band 1 (width 64)
+    val got = Pack.lengthBucketBatches(df, "id", "w",
+        bucketWidth = 64L, batchSize = 8)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5))).toSeq
+    // (bucket, n_docs, padding): equal-length batch wastes nothing;
+    // the 100/90 batch pads 90→100
+    assert(got == Seq((0L, 3L, 0L), (1L, 2L, 10L)))
+  }
 }

@@ -69,6 +69,58 @@ class QuantizeSpec extends SparkTestBase {
     assert(math.abs(got.head.getDouble(2) - want) < 1e-6)
   }
 
+  test("adcTopK == brute-force ADC over a hand codebook (distances, " +
+      "order, id tie-break)") {
+    val cents = Seq((0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.1f, 0f, 0.9f, 1f)),  // codes (0,1)
+      (11L, Seq(1f, 0.8f, 0f, 0.2f)),  // codes (1,0)
+      (12L, Seq(0f, 0f, 0f, 0f)),      // codes (0,0)
+      (13L, Seq(1f, 1f, 1f, 1f)))      // codes (1,1)
+      .toDF("vec_id", "embedding")
+    val codes = Quantize.pqEncode(corpus, "vec_id", "embedding", cents,
+      "vec_id", m = 2, dim = 4)
+    val qv = Seq(0.9f, 1f, 0.1f, 0f)
+    val query = Seq((99L, qv)).toDF("vec_id", "embedding")
+    val got = Quantize.adcTopK(codes, "vec_id", "code", query, cents,
+        "vec_id", "embedding", m = 2, dim = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force with the SAME float→double widening; each subspace
+    // distance is a 2-term sum, so addition order cannot matter
+    val cv = Map(0L -> Seq(0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(1.0, 1.0, 1.0, 1.0))
+    val q = qv.map(_.toDouble)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codeOf = Map(10L -> Seq(0L, 1L), 11L -> Seq(1L, 0L),
+      12L -> Seq(0L, 0L), 13L -> Seq(1L, 1L))
+    val want = codeOf.map { case (id, cs) =>
+      val ad = (0 until 2).map { sp =>
+        d2(q.slice(sp * 2, sp * 2 + 2), cv(cs(sp)).slice(sp * 2, sp * 2 + 2))
+      }.sum
+      (id, ad)
+    }.toSeq.sortBy { case (id, ad) => (ad, id) }.take(3)
+      .zipWithIndex.map { case ((id, ad), i) =>
+        (i + 1L, id, BigDecimal(ad).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+  }
+
+  test("adcTopK: the LUT side broadcasts (corpus codes never shuffle " +
+      "against vectors)") {
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val codes = Seq((10L, "0,1"), (11L, "1,0")).toDF("vec_id", "code")
+    val query = Seq((99L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val plan = Quantize.adcTopK(codes, "vec_id", "code", query, cents,
+      "vec_id", "embedding", m = 2, dim = 2, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the code↔LUT join must broadcast the LUT:\n$plan")
+  }
+
   test("pqEncode: equidistant codewords break ties to the lowest code " +
       "id; self-codebook encodes at zero distortion") {
     val corpus = Seq((10L, Seq(1.5f))).toDF("vec_id", "embedding")

@@ -239,4 +239,33 @@ class TextOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("chunkWindows: window boundaries, overlap, short tail, " +
+      "single-token and empty text") {
+    val df = Seq(
+      (1L, "A  b c d E f g"), // normalizes to 7 tokens
+      (2L, "x"),
+      (3L, "   ")             // trims to "" → the one empty token
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 4L, "c d e f"),
+      (1L, 2L, 4L, 3L, "e f g"),   // tail shorter than the window
+      (1L, 3L, 6L, 1L, "g"),
+      (2L, 0L, 0L, 1L, "x"),
+      (3L, 0L, 0L, 1L, "")         // split-on-space of "" is [""]
+    ), s"got=$got")
+  }
+
+  test("chunkWindows is shuffle-free (per-row sequence/slice only)") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TextOps.chunkWindows(df, "doc_id", "text", 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
