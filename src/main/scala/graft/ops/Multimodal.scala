@@ -217,6 +217,101 @@ object Multimodal {
     (null, null, null)
   }
 
+  /** REAL audio-header parsing — the audio twin of [[imageDimensions]],
+    * again pure container byte layout, no codec: WAV/RIFF chunk walk
+    * (little-endian `fmt ` + `data` chunks, word-aligned sizes) and
+    * AIFF/FORM (big-endian `COMM` chunk with an 80-bit extended-float
+    * sample rate). Unknown/truncated/corrupt payloads yield nulls, never
+    * throw. Adds `format` (wav/aiff or null), `channels`, `sample_rate`,
+    * `bits_per_sample`, `n_frames` (PCM frames; duration =
+    * n_frames / sample_rate at the caller's precision). */
+  def audioInfo(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("format", StringType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("n_frames", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        val (fmt, ch, sr, bits, nf) = parseAudioHeader(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(fmt, ch, sr, bits, nf))
+      }
+    }(enc)
+  }
+
+  /** (format, channels, sample_rate, bits_per_sample, n_frames) from the
+    * container header; nulls when unknown/corrupt. */
+  private[ops] def parseAudioHeader(b: Array[Byte])
+      : (String, Integer, Integer, Integer, java.lang.Long) = {
+    val none = (null: String, null: Integer, null: Integer,
+      null: Integer, null: java.lang.Long)
+    if (b == null || b.length < 12) return none
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)) & 0xffffffffL
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    // WAV: RIFF....WAVE, then word-aligned (id, le32 size, payload)
+    // chunks; fmt may be preceded by LIST/JUNK in real files
+    if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var i = 12
+      var ch: Integer = null; var sr: Integer = null
+      var bits: Integer = null; var blockAlign = 0
+      var dataSize = -1L
+      while (i + 8 <= b.length) {
+        val id = tag(i); val size = le32(i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+          ch = le16(i + 10); sr = le32(i + 12).toInt
+          blockAlign = le16(i + 20); bits = le16(i + 22)
+        } else if (id == "data") dataSize = size
+        val adv = 8L + size + (size & 1L) // chunks are word-aligned
+        if (adv <= 0 || i + adv > Int.MaxValue) i = b.length
+        else i += adv.toInt
+      }
+      if (ch == null) return none
+      val nf: java.lang.Long =
+        if (dataSize >= 0 && blockAlign > 0) dataSize / blockAlign else null
+      return ("wav", ch, sr, bits, nf)
+    }
+    // AIFF: FORM....AIFF, big-endian chunks; COMM carries the geometry
+    if (tag(0) == "FORM" && tag(8) == "AIFF") {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = tag(i); val size = be32(i + 4)
+        if (id == "COMM" && size >= 18 && i + 8 + 18 <= b.length) {
+          val ch = be16(i + 8)
+          val nf = be32(i + 10)
+          val bits = be16(i + 14)
+          // sample rate: 80-bit IEEE 754 extended float at i+16 —
+          // value = mantissaHigh32 · 2^(exp − 16383 − 31) (sane audio
+          // rates never need the low mantissa word)
+          val exp = ((u8(i + 16) & 0x7f) << 8 | u8(i + 17)) - 16383
+          val mantHi = be32(i + 18).toDouble
+          val rate = mantHi * math.pow(2.0, (exp - 31).toDouble)
+          val sr: Integer =
+            if (rate.isNaN || rate <= 0 || rate > Int.MaxValue) null
+            else math.round(rate).toInt
+          return ("aiff", ch, sr, bits, nf.toLong)
+        }
+        val adv = 8L + size + (size & 1L)
+        if (adv <= 0 || i + adv > Int.MaxValue) i = b.length
+        else i += adv.toInt
+      }
+      return ("aiff", null, null, null, null)
+    }
+    none
+  }
+
   /** Deterministic fake "image dimensions" from the content hash — the
     * metadata-extraction shape (real pipelines read codec headers). */
   def fakeDimensions(df: DataFrame): DataFrame = df
