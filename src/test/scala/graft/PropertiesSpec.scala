@@ -272,4 +272,64 @@ class PropertiesSpec extends SparkTestBase {
     assert(byId(0L) == 1.0 && byId(rows.size - 1L) == 1.0,
       "verbatim duplicates must be fully covered")
   }
+
+  test("chunkWindows reconstruction law on random docs: the step-prefix " +
+      "of each chunk concatenates back to the document") {
+    val word = Gen.oneOf("alpha", "b", "ccc", "dd", "eeeee")
+    val doc = Gen.choose(1, 40)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = sample(doc, 25)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val chunkTokens = 7; val overlap = 3; val step = chunkTokens - overlap
+    val got = graft.ops.TextOps.chunkWindows(rows.toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens, overlap)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val toks = texts(id.toInt).split(" ").toSeq
+      // start offsets are exactly 0, step, 2·step, … < n
+      assert(chunks.map(_._3).toSeq ==
+        (0L until toks.size.toLong by step.toLong).toSeq)
+      chunks.foreach { case (_, _, start, n, text) =>
+        val want = toks.slice(start.toInt, start.toInt + chunkTokens)
+        assert(n == want.size && text == want.mkString(" "),
+          s"doc $id chunk at $start")
+      }
+      // dropping each NON-FINAL chunk's overlap tail reconstructs the
+      // document (only the final chunk may be shorter than step, and it
+      // always reaches the document end)
+      val lastStart = chunks.map(_._3).max
+      val rebuilt = chunks.flatMap { case (_, _, start, _, text) =>
+        val ws = text.split(" ", -1).toSeq
+        if (start < lastStart) ws.take(step) else ws
+      }
+      assert(rebuilt.toSeq == toks, s"doc $id must reconstruct")
+    }
+  }
+
+  test("lengthBucketBatches conservation laws on random weights: every " +
+      "row lands in exactly one batch, batches hold <= batchSize, and " +
+      "padding is non-negative") {
+    val gen = Gen.choose(1L, 300L)
+    val ws = sample(gen, 200)
+    val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val got = graft.ops.Pack.lengthBucketBatches(rows.toDF("id", "w"),
+        "id", "w", bucketWidth = 50L, batchSize = 7, rangeSize = 16L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._3).sum == rows.size.toLong, "every row batched once")
+    got.foreach { case (b, bi, n, sumW, maxW, pad) =>
+      assert(n >= 1 && n <= 7, s"batch ($b,$bi) size $n")
+      assert(pad == n * maxW - sumW && pad >= 0)
+    }
+    // within a bucket, only the LAST batch may be partial
+    got.groupBy(_._1).foreach { case (b, bs) =>
+      val partial = bs.filter(_._3 < 7).map(_._2)
+      assert(partial.size <= 1 &&
+        partial.forall(_ == bs.map(_._2).max),
+        s"bucket $b: non-final partial batch")
+    }
+  }
 }
