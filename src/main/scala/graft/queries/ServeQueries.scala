@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Pack, Quantize, TextOps}
+import graft.ops.{Bloom, Pack, Quantize, TextOps}
 import graft.util.Tables._
 
 /** Round-6 serving/layout batch: the PQ asymmetric-distance search that
@@ -33,6 +33,11 @@ object ServeQueries {
   private val ChTokens = 24
   private val ChOverlap = 8
   private def chStep = ChTokens - ChOverlap
+
+  // Bloom pre-filter: ~2 bits per sink key at sf0.01 (small on purpose
+  // so false positives occur), 3 probes
+  private val BloomBits = 2048
+  private val BloomK = 3
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -144,6 +149,66 @@ object ServeQueries {
               |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
       (s, d) => TextOps.chunkWindows(documents(s, d), "doc_id", "text",
           chunkTokens = ChTokens, overlap = ChOverlap)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Bloom pre-filter confusion matrix over the incremental-ETL seam:
+    // the filter is built from customers with urgent 1998+ orders (a
+    // ~2/3 subset, so true negatives exist and false positives land in
+    // the matrix) and probed with every customer. The rollup pins the
+    // one-sided-error CONTRACT in the oracle itself: a
+    // (maybe=false, actual=true) row can never exist — if the engines'
+    // hash arithmetic drifted by one bit, this query would go red. m is
+    // sized ~2 bits/key at sf0.01 (deliberately small so false
+    // positives actually occur and land in the matrix). The oracle
+    // models the filter SEMANTICALLY — bit p is set ⟺ p is in the
+    // inserted-position set — because DuckDB raises on `1 << 63` where
+    // Spark wraps; the (word, bits) packing itself is pinned against a
+    // JVM bit model in BloomSpec.
+    Q("q138_bloom_prefilter",
+      Some(s"""WITH keys AS (
+              |  SELECT DISTINCT o_custkey AS k FROM orders
+              |  WHERE o_orderpriority = '1-URGENT'
+              |    AND o_orderdate >= TIMESTAMP '1998-01-01'),
+              |pos AS (
+              |  SELECT DISTINCT ('0x' || substr(md5(k::VARCHAR || '#'
+              |    || j::VARCHAR), 1, 15))::BIGINT % $BloomBits AS p
+              |  FROM keys, unnest(generate_series(0, ${BloomK - 1}))
+              |    AS t(j)),
+              |probe AS (
+              |  SELECT c_custkey,
+              |    ('0x' || substr(md5(c_custkey::VARCHAR || '#'
+              |      || j::VARCHAR), 1, 15))::BIGINT % $BloomBits AS p
+              |  FROM customer, unnest(generate_series(0, ${BloomK - 1}))
+              |    AS t(j)),
+              |hit AS (
+              |  SELECT c_custkey,
+              |    bool_and(p IN (SELECT p FROM pos)) AS maybe
+              |  FROM probe GROUP BY 1),
+              |act AS (
+              |  SELECT c_custkey,
+              |    c_custkey IN (SELECT k FROM keys) AS actual
+              |  FROM customer)
+              |SELECT maybe, actual, count(*)::BIGINT AS n
+              |FROM hit JOIN act USING (c_custkey)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val sink = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        val bloom = Bloom.build(sink, "o_custkey", BloomBits, BloomK)
+        val cust = customer(s, d).select(col("c_custkey"))
+        val probed = Bloom.mightContain(cust, "c_custkey", bloom,
+          BloomBits, BloomK)
+        probed
+          .join(sink.withColumnRenamed("o_custkey", "c_custkey")
+            .withColumn("actual", lit(true)),
+            Seq("c_custkey"), "left")
+          .select(col("maybe"),
+            coalesce(col("actual"), lit(false)).as("actual"))
+          .groupBy(col("maybe"), col("actual"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("maybe", "actual")
+      })
   )
 }
