@@ -168,6 +168,47 @@ object Graphs {
     labels
   }
 
+  /** Bounded k-hop reachability (multi-source BFS) over an oriented
+    * undirected edge list: for every vertex, the number of vertices
+    * within ≤ k hops, self included — the neighborhood-size feature a
+    * graph-aware curation pass uses (e.g. cap documents whose citation
+    * ball explodes, or weight by local density).
+    *
+    * Frontier-as-relation BFS: the reach set is a (origin, v) pair
+    * frame, each round extended by one co-partitioned join with the
+    * cached symmetrized adjacency and re-distinct'd — monotone, so k
+    * fixed iterations give exactly the ≤k-hop closure, and the oracle
+    * unrolls the same rounds as CTEs. Lineage is truncated every
+    * `checkpointEvery` rounds exactly as in [[pageRank]].
+    *
+    * Scale shape: the pair frame is Σ_v |ball_k(v)| rows — linear in
+    * vertices for bounded-degree graphs at small k, but QUADRATIC on a
+    * small-world graph whose k-ball reaches everything. k is a cost
+    * knob, not a convenience: keep it ≤ the graph's mixing depth, and
+    * keep hub degrees bounded upstream (the [[coOccurrenceEdges]]
+    * support threshold — same valve the triangle plan relies on). */
+  def kHopReach(edges: DataFrame, k: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var reach = sym.select(col("src").as("origin")).distinct()
+      .select(col("origin"), col("origin").as("v"))
+    for (i <- 1 to k) {
+      val next = reach
+        .join(sym, reach("v") === sym("src"))
+        .select(col("origin"), col("dst").as("v"))
+      reach = reach.union(next).distinct()
+      if (i % checkpointEvery == 0 && i < k)
+        reach = reach.localCheckpoint()
+    }
+    reach.groupBy(col("origin").as("vertex"))
+      .agg(count(lit(1)).as("n_reach"))
+  }
+
   /** Per-vertex triangle counts over an oriented edge list (src < dst).
     * Returns (vertex, n_triangles) for vertices in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {

@@ -2,11 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Sketches
+import graft.ops.{Graphs, Sketches}
 import graft.util.Tables._
 
-/** Round-6 widening batch: the approximate/summary side of the engine —
-  * Count-Min point-frequency estimation. Oracle constants are
+/** Round-6 widening batch: the approximate/summary and graph-
+  * neighborhood side of the engine — Count-Min point-frequency
+  * estimation, bounded k-hop reachability. Oracle constants are
   * interpolated from the same Scala values the ops receive, so the
   * twins cannot drift (same convention as DepthQueries).
   */
@@ -17,6 +18,10 @@ object WideQueries {
   // visible overestimates) actually occur; ε = e/256 ≈ 1.1%.
   private val CmsDepth = 4
   private val CmsWidth = 256
+
+  // BFS depth for k-hop reach (kept ≤ the co-occurrence graph's mixing
+  // depth — see Graphs.kHopReach's quadratic-ball caveat)
+  private val KHop = 3
 
   private def hash60Sql(e: String) =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -62,6 +67,33 @@ object WideQueries {
         Sketches.cmsEstimate(tc, "o_custkey", sketch, CmsDepth, CmsWidth)
           .select("o_custkey", "cnt", "est")
           .orderBy("o_custkey")
-      })
+      }),
+
+    // Per-vertex ≤3-hop neighborhood size on the q89/q103 supplier
+    // co-occurrence graph. The oracle unrolls the BFS rounds as
+    // DISTINCT-union CTEs — the same monotone closure the engine's
+    // frontier iteration computes, so any drift in symmetrization,
+    // dedup, or round count shows up as a cell mismatch.
+    Q("q140_khop_reach",
+      Some {
+        val rounds = (1 to KHop).map { i =>
+          s"""f$i AS (
+             |  SELECT DISTINCT origin, v FROM (
+             |    SELECT origin, v FROM f${i - 1}
+             |    UNION ALL
+             |    SELECT f.origin, s.dst AS v
+             |    FROM f${i - 1} f JOIN sym s ON f.v = s.src))""".stripMargin
+        }.mkString(",\n")
+        s"""${DepthQueries.edgesCte},
+           |f0 AS (SELECT src AS origin, src AS v FROM deg),
+           |$rounds
+           |SELECT origin AS vertex, count(*)::BIGINT AS n_reach
+           |FROM f$KHop GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      (s, d) => Graphs.kHopReach(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_suppkey", 5L),
+          KHop)
+        .orderBy("vertex"))
   )
 }

@@ -145,4 +145,46 @@ class GraphsSpec extends SparkTestBase {
     assert(got(2L) == 1L)
     assert(got(1L) == 2L && got(3L) == 2L) // their only neighbor is 2
   }
+
+  test("kHopReach on a path graph: ball sizes match the hand count at " +
+      "k = 0, 1, 2; disjoint components never leak") {
+    // path 1-2-3-4-5 plus a disjoint edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    def reach(k: Int): Map[Long, Long] =
+      Graphs.kHopReach(edges, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reach(0) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 1L, 11L -> 1L))
+    assert(reach(1) == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 10L -> 2L, 11L -> 2L))
+    // k=2: vertex 3 sees {1,2,3,4,5}; the 10-11 edge is saturated at 2
+    assert(reach(2) == Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L,
+      5L -> 3L, 10L -> 2L, 11L -> 2L))
+  }
+
+  test("kHopReach ≡ JVM brute-force BFS on a random graph, and " +
+      "checkpointing does not change the result") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(60)((rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong)).filter(e => e._1 != e._2).distinct
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    def ball(v: Long, k: Int): Set[Long] = {
+      var b = Set(v)
+      (1 to k).foreach(_ => b = b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+      b
+    }
+    val k = 3
+    Seq(5, 1).foreach { ckpt => // ckpt=1 checkpoints every round
+      val got = Graphs.kHopReach(edges.toDF("src", "dst"), k, ckpt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vertices = adj.keySet
+      assert(got.keySet == vertices)
+      vertices.foreach { v =>
+        assert(got(v) == ball(v, k).size,
+          s"vertex $v (ckpt=$ckpt): got ${got(v)} want ${ball(v, k).size}")
+      }
+    }
+  }
 }
