@@ -225,6 +225,42 @@ object TextOps {
           .as("avg_surprisal"))
   }
 
+  /** Bigram language-model surprisal (order-2 upgrade of
+    * [[unigramSurprisal]], the standard KenLM-style perplexity filter
+    * shape): per doc, the mean −ln P(w₂|w₁) of its adjacent token pairs
+    * under the corpus bigram model with add-k smoothing,
+    * P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V) — k = 0.5, V = corpus
+    * vocabulary, c(w₁·) = bigram occurrences starting with w₁, so the
+    * conditional sums to 1 exactly. Catches the repetition unigrams
+    * can't: a doc of common words in improbable ORDER scores high.
+    * Docs with fewer than 2 tokens have no bigrams and are omitted.
+    *
+    * Scale shape: bigrams by slicing each doc's own token array (zero
+    * shuffle, same trick as [[collocations]]); bigram/context counts are
+    * one hash-agg each (vocabulary²-bounded sides, AQE broadcasts when
+    * small); V is a 1-row broadcast. The per-doc mean rounds to 9
+    * decimals — the round-above-the-noise rule, as [[unigramSurprisal]]. */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val addK = 0.5
+    val toks = df.select(col(idCol), tokens(normalize(col(textCol))).as("t"))
+    val bi = toks.select(col(idCol), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("n_ab") + lit(addK)) /
+          (col("c_w1") + lit(addK) * col("v")))), 9).as("avg_nll"))
+  }
+
   /** Bigram collocations by pointwise mutual information:
     * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs,
     * keeping pairs seen ≥ `minCount` times — the classic collocation
