@@ -352,6 +352,32 @@ object TextQueries {
         .unigramSurprisal(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram (order-2) LM surprisal with add-k smoothing — the KenLM-
+    // style perplexity filter one order up from q75: per doc, mean
+    // −ln P(w₂|w₁) = −ln((c(w₁w₂)+k)/(c(w₁·)+k·V)), k = 0.5. Docs with
+    // <2 tokens have no bigrams and are omitted by both engines.
+    Q("q141_bigram_surprisal",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |bi AS (
+              |  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+              |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+              |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+              |c1 AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY 1),
+              |voc AS (
+              |  SELECT count(DISTINCT w)::DOUBLE AS v
+              |  FROM (SELECT unnest(t) AS w FROM toks))
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  round(avg(-ln((n_ab + 0.5) / (c_w1 + 0.5 * v))), 9)
+              |    AS avg_nll
+              |FROM bi JOIN bc USING (w1, w2) JOIN c1 USING (w1)
+              |  CROSS JOIN voc
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.ops.TextOps
+        .bigramSurprisal(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Max-bigram repetition ratio (Gopher/C4 quality rule): most frequent
     // bigram's share of all bigram instances — no per-doc dedup, the
     // counts ARE the signal.

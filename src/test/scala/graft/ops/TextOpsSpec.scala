@@ -273,21 +273,25 @@ class TextOpsSpec extends SparkTestBase {
       "ORDER outscores the same words in corpus order; <2-token docs " +
       "are omitted") {
     val df = Seq(
-      (1L, "a b a b a b"),  // the dominant order: every bigram is common
-      (2L, "b a"),          // the rare reversal
-      (3L, "a")             // no bigrams
+      (1L, "a b c a b c a b c"),  // the dominant cycle: common bigrams
+      (2L, "b a"),                // the rare reversal
+      (3L, "a")                   // no bigrams
     ).toDF("doc_id", "text")
-    // bigrams: doc1 (a,b)×3, (b,a)×2; doc2 (b,a)×1
-    // counts: c(a,b)=3, c(b,a)=3; contexts c(a·)=3, c(b·)=4; V=2, k=0.5
-    val pAB = (3 + 0.5) / (3 + 0.5 * 2)
-    val pBA = (3 + 0.5) / (4 + 0.5 * 2)
-    val exp1 = (3 * -math.log(pAB) + 2 * -math.log(pBA)) / 5
+    // bigrams: doc1 (a,b)×3, (b,c)×3, (c,a)×2; doc2 (b,a)×1
+    // contexts (bigram starts): c(a·)=3, c(b·)=4, c(c·)=2; V=3, k=0.5
+    val kV = 0.5 * 3
+    val pAB = (3 + 0.5) / (3 + kV)
+    val pBC = (3 + 0.5) / (4 + kV)
+    val pCA = (2 + 0.5) / (2 + kV)
+    val pBA = (1 + 0.5) / (4 + kV)
+    val exp1 =
+      (3 * -math.log(pAB) + 3 * -math.log(pBC) + 2 * -math.log(pCA)) / 8
     val exp2 = -math.log(pBA)
     val got = TextOps.bigramSurprisal(df, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
     assert(got.keySet == Set(1L, 2L), "1-token doc must be omitted")
-    assert(got(1L)._1 == 5L && math.abs(got(1L)._2 - exp1) < 1e-9)
+    assert(got(1L)._1 == 8L && math.abs(got(1L)._2 - exp1) < 1e-9)
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - exp2) < 1e-9)
     // a doc written against the corpus's dominant transition scores
     // higher per-bigram than the mixed-order doc
