@@ -61,4 +61,79 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     probe.join(est, Seq(keyCol))
   }
+
+  // ---- HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog:
+  // the analysis of a near-optimal cardinality estimation algorithm",
+  // AofA 2007). Unlike Spark's approx_count_distinct (whose HLL++
+  // register state is opaque), these registers are md5-derived —
+  // reproducible in any engine with md5, so the sketch itself is
+  // oracle-checkable cell by cell.
+
+  /** HLL register table over `keyCol`: m = 2^p registers, each the max
+    * rank ρ(w) = (60−p) − bits(w) + 1 of the hash suffix w = h >> p
+    * (ρ = 60−p+1 when w = 0), bucket idx = h mod m (low p bits of the
+    * 60-bit md5 hash). `bits(w) = length(bin(w))` keeps the rank exact
+    * integer arithmetic — no float log2 boundary risk. Output ≤ m rows
+    * of (idx, reg): a fixed-size, BROADCASTABLE distinct-count summary.
+    *
+    * Mergeable by elementwise MAX: registers of a union are the
+    * per-idx max of the parts' registers — which is exactly what the
+    * map-side-combined `groupBy(idx).max` computes, so partial
+    * aggregation IS the merge (same shape as [[cmsBuild]]'s sums).
+    * Duplicates cannot move any register: dedup-before-sketch is
+    * unnecessary, the whole 100 TB stream folds in one pass. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val width = 60 - p
+    val h = TextOps.hash60(col(keyCol).cast("string"))
+    df.select(pmod(h, lit(m)).as("idx"), shiftright(h, p).as("_w"))
+      .select(col("idx"),
+        when(col("_w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("_w")))).as("_rho"))
+      .groupBy("idx").agg(max(col("_rho")).cast("long").as("reg"))
+  }
+
+  /** Cardinality estimate from an [[hllRegisters]] table: raw
+    * E = α_m·m² / Σ_j 2^(−M_j) over the FULL m-register grid (absent
+    * idx = empty register = 2^0), with the standard small-range linear
+    * counting correction E* = m·ln(m/V) when E ≤ 2.5m and V (empty
+    * registers) > 0. The 32-bit large-range correction is unnecessary:
+    * the hash space is 60-bit, collisions are negligible below ~2^29
+    * distinct. α·m² and the 2.5m threshold are Scala-computed literals
+    * so an oracle interpolating the same constants cannot drift by
+    * association order. One row out: (v_zero, est) — est rounded to 6
+    * decimals (Σ 2^(−M_j) is a sum of dyadic terms whose accumulation
+    * order differs across engines by ≤ ulps).
+    *
+    * Typical error 1.04/√m (~6.5% at p = 8); the register grid is tiny
+    * (m ≤ 65536 rows) so the whole estimate is driver-scale work after
+    * one distributed fold. */
+  /** α_m bias constant (HLL paper §4's empirical values for small m,
+    * the asymptotic formula otherwise). Public so oracle SQL generators
+    * interpolate the SAME double literal the engine computes with. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val alphaMM = hllAlpha(m) * m * m
+    val lcThreshold = 2.5 * m
+    val grid = registers.sparkSession.range(m).toDF("idx")
+    grid.join(broadcast(registers), Seq("idx"), "left")
+      .select(coalesce(col("reg"), lit(0L)).as("reg"))
+      .agg(sum(pow(lit(2.0), -col("reg"))).as("_z"),
+        sum(when(col("reg") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("v_zero"))
+      .select(col("v_zero"),
+        round(when(col("v_zero") > 0 &&
+            lit(alphaMM) / col("_z") <= lit(lcThreshold),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(lit(alphaMM) / col("_z")), 6).as("est"))
+  }
 }

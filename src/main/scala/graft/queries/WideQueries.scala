@@ -23,6 +23,14 @@ object WideQueries {
   // depth — see Graphs.kHopReach's quadratic-ball caveat)
   private val KHop = 3
 
+  // HLL geometry: p = 8 → 256 registers, σ ≈ 1.04/√256 = 6.5%. The
+  // register width is 60 − p = 52 bits; ρ ∈ [1, 53].
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  private val HllWidth1 = 60 - HllP + 1
+  private val HllAlphaMM = Sketches.hllAlpha(HllM) * HllM * HllM
+  private val HllLcThreshold = 2.5 * HllM
+
   private def hash60Sql(e: String) =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
@@ -94,6 +102,65 @@ object WideQueries {
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
             "l_suppkey", 5L),
           KHop)
-        .orderBy("vertex"))
+        .orderBy("vertex")),
+
+    // The HLL register table itself, cell by cell — the state q20's
+    // opaque HLL++ sketch can't expose. Integer-exact in both engines
+    // (rank via binary-string length, no float log2), so ANY drift in
+    // hash, bucketing, or max-fold turns a register red.
+    Q("q142_hll_registers",
+      Some(s"""WITH h AS (
+              |  SELECT ${hash60Sql("o_custkey::VARCHAR")} AS h
+              |  FROM orders),
+              |b AS (SELECT h % $HllM AS idx, h // $HllM AS w FROM h)
+              |SELECT idx,
+              |  max(CASE WHEN w = 0 THEN $HllWidth1
+              |      ELSE $HllWidth1 - length(bin(w)) END)::BIGINT AS reg
+              |FROM b GROUP BY idx ORDER BY idx""".stripMargin),
+      (s, d) => Sketches.hllRegisters(
+          orders(s, d).select(col("o_custkey")), "o_custkey", HllP)
+        .orderBy("idx")),
+
+    // The estimate those registers imply, next to the true distinct —
+    // the constant-state answer a 100 TB stream keeps instead of a
+    // distinct-key table. α·m² and the 2.5m linear-counting threshold
+    // are interpolated from the engine's own constants.
+    Q("q143_hll_estimate",
+      Some(s"""WITH h AS (
+              |  SELECT ${hash60Sql("o_custkey::VARCHAR")} AS h
+              |  FROM orders),
+              |b AS (SELECT h % $HllM AS idx, h // $HllM AS w FROM h),
+              |regs AS (
+              |  SELECT idx,
+              |    max(CASE WHEN w = 0 THEN $HllWidth1
+              |        ELSE $HllWidth1 - length(bin(w)) END) AS reg
+              |  FROM b GROUP BY idx),
+              |grid AS (
+              |  SELECT g AS idx
+              |  FROM unnest(generate_series(0, ${HllM - 1})) AS t(g)),
+              |filled AS (
+              |  SELECT coalesce(r.reg, 0) AS reg
+              |  FROM grid LEFT JOIN regs r USING (idx)),
+              |agg AS (
+              |  SELECT sum(pow(2.0, -reg)) AS z,
+              |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT
+              |      AS v_zero
+              |  FROM filled),
+              |tc AS (
+              |  SELECT count(DISTINCT o_custkey)::BIGINT AS n_true
+              |  FROM orders)
+              |SELECT v_zero, n_true,
+              |  round(CASE WHEN v_zero > 0
+              |      AND $HllAlphaMM / z <= $HllLcThreshold
+              |    THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v_zero)
+              |    ELSE $HllAlphaMM / z END, 6) AS est
+              |FROM agg CROSS JOIN tc""".stripMargin),
+      (s, d) => {
+        val keys = orders(s, d).select(col("o_custkey"))
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(keys, "o_custkey", HllP), HllP)
+        val tc = keys.agg(countDistinct(col("o_custkey")).as("n_true"))
+        est.crossJoin(tc).select("v_zero", "n_true", "est")
+      })
   )
 }

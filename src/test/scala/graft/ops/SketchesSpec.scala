@@ -78,4 +78,82 @@ class SketchesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"probe must broadcast the sketch:\n$plan")
   }
+
+  // ---- HyperLogLog
+
+  private val P = 8
+  private val M = 1 << P
+
+  /** The op's exact register arithmetic, recomputed on the JVM. */
+  private def hllModel(keys: Seq[Long]): Map[Long, Long] =
+    keys.map { k =>
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val idx = h % M
+      val w = h >> P
+      val rho =
+        if (w == 0) (60 - P) + 1
+        else (60 - P) + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      idx -> rho.toLong
+    }.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2).max }
+
+  test("hllRegisters == JVM model register-for-register; duplicates " +
+      "move nothing") {
+    val keys = (1L to 500L)
+    val dup = keys ++ keys.take(100) ++ keys.take(100)
+    val got = Sketches.hllRegisters(dup.toDF("id"), "id", P)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hllModel(keys), "registers must equal the JVM model")
+  }
+
+  test("hll registers merge by elementwise max (union == max of parts)") {
+    val a = (1L to 300L)
+    val b = (200L to 700L)
+    def regs(ks: Seq[Long]) = Sketches.hllRegisters(ks.toDF("id"), "id", P)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = regs((a ++ b).distinct)
+    val pa = regs(a)
+    val pb = regs(b)
+    val merged = (pa.keySet ++ pb.keySet).map(i =>
+      i -> math.max(pa.getOrElse(i, 0L), pb.getOrElse(i, 0L))).toMap
+    assert(whole == merged, "register max-merge must equal union's table")
+  }
+
+  test("hllEstimate: raw path within 3σ = 3·1.04/√m of a 5000-key " +
+      "truth; linear-counting path handles a 30-key set") {
+    val big = Sketches.hllEstimate(
+      Sketches.hllRegisters((1L to 5000L).toDF("id"), "id", P), P)
+      .collect().head
+    val estBig = big.getAs[Double]("est")
+    assert(math.abs(estBig - 5000.0) / 5000.0 < 3 * 1.04 / math.sqrt(M),
+      s"raw estimate $estBig too far from 5000")
+    val small = Sketches.hllEstimate(
+      Sketches.hllRegisters((1L to 30L).toDF("id"), "id", P), P)
+      .collect().head
+    val estSmall = small.getAs[Double]("est")
+    // 30 ≪ 2.5m with zero registers → the linear-counting branch, which
+    // is near-exact at this occupancy
+    assert(small.getAs[Long]("v_zero") > 0)
+    assert(math.abs(estSmall - 30.0) / 30.0 < 0.15,
+      s"linear-counting estimate $estSmall too far from 30")
+  }
+
+  test("hllEstimate == JVM float model (same alpha, same branch)") {
+    val keys = (1L to 1200L)
+    val regs = hllModel(keys)
+    val z = (0 until M).map(i =>
+      math.pow(2.0, -regs.getOrElse(i.toLong, 0L).toDouble)).sum
+    val v = (0 until M).count(i => !regs.contains(i.toLong))
+    val alphaMM = Sketches.hllAlpha(M) * M * M
+    val raw = alphaMM / z
+    val want =
+      if (v > 0 && raw <= 2.5 * M) M * math.log(M.toDouble / v) else raw
+    val got = Sketches.hllEstimate(
+      Sketches.hllRegisters(keys.toDF("id"), "id", P), P)
+      .collect().head.getAs[Double]("est")
+    assert(math.abs(got - want) < 1e-6,
+      s"engine $got vs JVM model $want")
+  }
 }
