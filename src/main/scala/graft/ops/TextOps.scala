@@ -353,6 +353,53 @@ object TextOps {
       .join(minShingle, Seq(idCol), "left")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): per doc, hash every word k-gram at its position,
+    * slide a window of `w` consecutive k-gram hashes, and select each
+    * window's MINIMUM hash, ties broken by RIGHTMOST position (the
+    * paper's robust winnowing, which minimizes fingerprint density);
+    * the distinct selected (hash, pos) pairs are the fingerprint set.
+    * The paper's guarantee: any substring match of at least w + k − 1
+    * tokens shares at least one fingerprint — unlike [[fingerprints]]'s
+    * single corpus-min shingle, the positional set localizes WHERE the
+    * shared run is, at ~2/(w+1) the density of the full k-gram table.
+    *
+    * The (min hash, rightmost pos) pair is selected in ONE window pass
+    * via min over struct(h, −pos) — lexicographic struct ordering gives
+    * smallest hash then largest position, identical semantics in any
+    * engine with orderable structs. Window starts are clamped to
+    * [0, n_grams − w] (a doc shorter than one window contributes its
+    * single truncated window), so both engines enumerate exactly the
+    * paper's window set.
+    *
+    * Scale shape: k-grams are sliced from each doc's own token array
+    * (zero shuffle); ONE hash-partition by doc id feeds the window, and
+    * the distinct's pre-shuffle partial dedup collapses the ~w-fold
+    * duplicate selections before the second exchange. Per-doc state is
+    * the token array — no cross-doc memory. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val grams = df
+      .select(col(idCol), tokens(normalize(col(textCol))).as("t"))
+      .select(col(idCol),
+        (size(col("t")) - (k - 1)).as("n_grams"),
+        posexplode(expr(Dedup.kGramExpr("t", k, distinct = false))))
+      .select(col(idCol), col("n_grams"), col("pos").cast("long").as("pos"),
+        hash60(col("col")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("_sel", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col(idCol), col("_sel.h").as("fp_hash"),
+        (-col("_sel.np")).as("fp_pos"))
+      .distinct()
+  }
+
   /** Adjacent-character-pair counts within words — the inner loop of
     * BPE tokenizer TRAINING: each merge step picks the corpus's most
     * frequent adjacent symbol pair. This computes one such step exactly,

@@ -378,6 +378,35 @@ object TextQueries {
         .bigramSurprisal(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (MOSS): per-window rightmost-min k-gram
+    // hash selection, k = 3, w = 4 — guarantees any shared run of
+    // ≥ 6 tokens shares a fingerprint. The struct-min tie-break and
+    // window-start clamp are pinned cell-by-cell by the oracle.
+    Q("q144_winnow_fingerprints",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, s.i - 1 AS pos,
+              |    ${hash60Sql("t[s.i] || ' ' || t[s.i+1] || ' ' || t[s.i+2]")}
+              |      AS h,
+              |    len(t) - 2 AS n_grams
+              |  FROM toks,
+              |    unnest(generate_series(1, greatest(len(t) - 2, 0)))
+              |      AS s(i)),
+              |sel AS (
+              |  SELECT doc_id, pos, n_grams,
+              |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id
+              |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+              |      AS m
+              |  FROM g)
+              |SELECT DISTINCT doc_id, m.h AS fp_hash, -m.np AS fp_pos
+              |FROM sel WHERE pos <= greatest(n_grams - 4, 0)
+              |ORDER BY doc_id, fp_pos""".stripMargin),
+      (s, d) => TextOps
+        .winnowFingerprints(documents(s, d), "doc_id", "text", 3, 4)
+        .orderBy("doc_id", "fp_pos")),
+
     // Max-bigram repetition ratio (Gopher/C4 quality rule): most frequent
     // bigram's share of all bigram instances — no per-doc dedup, the
     // counts ARE the signal.

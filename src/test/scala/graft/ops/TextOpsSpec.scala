@@ -297,4 +297,68 @@ class TextOpsSpec extends SparkTestBase {
     // higher per-bigram than the mixed-order doc
     assert(got(2L)._2 > got(1L)._2)
   }
+
+  /** JVM model of robust winnowing over word k-grams with the op's md5
+    * hash: per window of w k-gram hashes, select (min h, rightmost pos). */
+  private def winnowModel(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val hs = toks.sliding(k).filter(_.size == k).map { g =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }.toIndexedSeq
+    if (hs.isEmpty) Set.empty
+    else (0 to math.max(hs.size - w, 0)).map { i =>
+      val win = hs.slice(i, i + w).zipWithIndex
+      val minH = win.map(_._1).min
+      val pos = win.filter(_._1 == minH).map(_._2 + i).max
+      (minH, pos.toLong)
+    }.toSet
+  }
+
+  test("winnowFingerprints == JVM model (rightmost-min tie-break, " +
+      "window-start clamp); short docs give one truncated window; " +
+      "sub-k docs give nothing") {
+    val repeat = "x y z " * 3 + "tail"     // identical k-grams in-window
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, repeat.trim),
+      (3L, "a b c d"),                     // 2 k-grams < w: one window
+      (4L, "a b")                          // shorter than k: no k-grams
+    )
+    val got = TextOps
+      .winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text",
+        3, 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r =>
+          (r.getAs[Long]("fp_hash"), r.getAs[Long]("fp_pos"))).toSet }
+    docs.foreach { case (id, text) =>
+      val want = winnowModel(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id: got ${got.getOrElse(id, Set.empty)} want $want")
+    }
+    assert(!got.contains(4L), "doc shorter than k must yield no rows")
+  }
+
+  test("winnowing guarantee: any shared token run of >= w + k - 1 " +
+      "shares at least one fingerprint hash") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(50)).mkString(" ")
+    val shared = words(6) // w + k - 1 = 6 tokens
+    val docs = (1L to 8L).map { i =>
+      (i, s"${words(rnd.nextInt(20))} $shared ${words(rnd.nextInt(20))}")
+    }
+    val fps = TextOps
+      .winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text",
+        3, 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp_hash")).toSet }
+    val common = (1L to 8L).map(fps(_)).reduce(_ intersect _)
+    assert(common.nonEmpty,
+      "docs sharing a >= w+k-1 run must share a fingerprint")
+  }
 }
