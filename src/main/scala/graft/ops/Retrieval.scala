@@ -57,4 +57,32 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods", SIGIR 2009) — the standard hybrid-retrieval combiner:
+    * given N ranked candidate lists (each (id, rank), rank 1-based),
+    * score(d) = Σ_lists 1/(kRrf + rank_list(d)) over the lists that
+    * contain d, and return the `topN` best. kRrf (60 in the paper)
+    * damps the head so no single list dominates; items on several
+    * lists accumulate — the reason RRF beats score-interpolation
+    * without ANY score normalization across heterogeneous rankers
+    * (BM25 scores and cosine similarities never share a scale).
+    *
+    * Scale shape: a union of top-k lists is k·N rows REGARDLESS of
+    * corpus size — one hash agg on id, then TakeOrderedAndProject for
+    * the final cut. Score rounded to 9 before ranking (sum order
+    * varies across engines by ulps); ties break on id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int,
+      topN: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(kRrf >= 0, "kRrf must be >= 0")
+    rankings.map(_.select(col(idCol), col("rank")))
+      .reduce(_ unionAll _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
 }

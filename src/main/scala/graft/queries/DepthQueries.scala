@@ -34,10 +34,40 @@ object DepthQueries {
       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg)""".stripMargin
 
   // BM25 constants — passed to the op AND interpolated into the oracle
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
-  private val Bm25Terms = Seq("spark", "merge", "window")
+  // (private[queries]: the q145 RRF fusion reuses the same lexical list)
+  private[queries] val Bm25K1 = 1.2
+  private[queries] val Bm25B = 0.75
+  private[queries] val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25TopN = 20
+
+  /** BM25 scored-docs CTE chain ending in bm25s(doc_id, n_terms_hit,
+    * bm25) — shared by q100 and the q145 fusion oracle. */
+  private[queries] lazy val bm25Cte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+       |       FROM tok GROUP BY 1),
+       |consts AS (SELECT count(*)::BIGINT AS n_docs,
+       |                  avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*)::BIGINT AS df
+       |          FROM tf GROUP BY 1),
+       |bm25s AS (
+       |  SELECT t.doc_id, count(*) AS n_terms_hit,
+       |    round(sum(
+       |      ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |      (t.tf * ${Bm25K1 + 1.0}::DOUBLE) /
+       |      (t.tf + ${Bm25K1}::DOUBLE *
+       |        (${1.0 - Bm25B}::DOUBLE +
+       |         ${Bm25B}::DOUBLE * d.dl / c.avgdl))
+       |    ), 6) AS bm25
+       |  FROM tf t JOIN dl d USING (doc_id)
+       |    JOIN dfreq f USING (term), consts c
+       |  GROUP BY t.doc_id)""".stripMargin
 
   // heavy-hitter threshold/capacity (k+1 >= 1/phi → exact two-pass)
   private val HhPhi = 0.01
@@ -115,30 +145,8 @@ object DepthQueries {
     // Okapi BM25 top-20 for a fixed query over documents — corpus stats
     // (N, avgdl, df) and scoring mirrored term-for-term in SQL.
     Q("q100_bm25_topk",
-      Some(s"""WITH tok AS (
-              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
-              |  FROM documents),
-              |dl AS (SELECT doc_id, count(*)::BIGINT AS dl
-              |       FROM tok GROUP BY 1),
-              |consts AS (SELECT count(*)::BIGINT AS n_docs,
-              |                  avg(dl) AS avgdl FROM dl),
-              |tf AS (
-              |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
-              |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-              |  GROUP BY 1, 2),
-              |dfreq AS (SELECT term, count(*)::BIGINT AS df
-              |          FROM tf GROUP BY 1)
-              |SELECT t.doc_id, count(*) AS n_terms_hit,
-              |  round(sum(
-              |    ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-              |    (t.tf * ${Bm25K1 + 1.0}::DOUBLE) /
-              |    (t.tf + ${Bm25K1}::DOUBLE *
-              |      (${1.0 - Bm25B}::DOUBLE +
-              |       ${Bm25B}::DOUBLE * d.dl / c.avgdl))
-              |  ), 6) AS bm25
-              |FROM tf t JOIN dl d USING (doc_id)
-              |  JOIN dfreq f USING (term), consts c
-              |GROUP BY t.doc_id
+      Some(s"""$bm25Cte
+              |SELECT doc_id, n_terms_hit, bm25 FROM bm25s
               |ORDER BY bm25 DESC, doc_id
               |LIMIT $Bm25TopN""".stripMargin),
       (s, d) => Retrieval.bm25TopK(documents(s, d), "doc_id", "text",

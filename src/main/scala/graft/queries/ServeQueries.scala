@@ -39,6 +39,13 @@ object ServeQueries {
   private val BloomBits = 2048
   private val BloomK = 3
 
+  // RRF hybrid fusion: k = 60 (the SIGIR'09 constant), depth-50 input
+  // lists (lexical BM25 + cosine neighbors of one query vec), top-20 out
+  private val RrfK = 60
+  private val RrfDepth = 50
+  private val RrfTopN = 20
+  private val RrfQueryVec = 0
+
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   // the q120 assignment CTEs (sub/cent/a), shared by the ADC oracle so
@@ -209,6 +216,54 @@ object ServeQueries {
           .groupBy(col("maybe"), col("actual"))
           .agg(count(lit(1)).as("n"))
           .orderBy("maybe", "actual")
+      }),
+
+    // Hybrid-retrieval RRF fusion: the depth-50 lexical list (q100's
+    // BM25, via the shared bm25Cte so the twins cannot drift) fused
+    // with the depth-50 cosine neighbors of one query vector at
+    // k = 60 — no score normalization across the two scales, rank-only.
+    Q("q145_rrf_fusion",
+      Some(s"""${DepthQueries.bm25Cte},
+              |lex AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+              |  FROM (SELECT doc_id, bm25 FROM bm25s
+              |        ORDER BY bm25 DESC, doc_id LIMIT $RrfDepth) t),
+              |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              |       WHERE vec_id = $RrfQueryVec),
+              |sims AS (
+              |  SELECT e.vec_id AS doc_id,
+              |    list_cosine_similarity(e.embedding::DOUBLE[], qv.qe)
+              |      AS sim
+              |  FROM embeddings e, qv WHERE e.vec_id <> $RrfQueryVec),
+              |vecr AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+              |  FROM sims WHERE sim IS NOT NULL
+              |  ORDER BY sim DESC, doc_id LIMIT $RrfDepth),
+              |fused AS (
+              |  SELECT doc_id, count(*)::BIGINT AS n_lists,
+              |    round(sum(1.0 / ($RrfK + rank)), 9) AS rrf
+              |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vecr) u
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_lists, rrf FROM fused
+              |ORDER BY rrf DESC, doc_id LIMIT $RrfTopN""".stripMargin),
+      (s, d) => {
+        val lex = graft.ops.Retrieval.bm25TopK(documents(s, d), "doc_id",
+            "text", DepthQueries.Bm25Terms, RrfDepth,
+            k1 = DepthQueries.Bm25K1, b = DepthQueries.Bm25B)
+          // depth-50 list: a driver-scale global window, rank 1-based
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val emb = embeddings(s, d)
+        val vec = graft.ops.Similarity.cosineTopK(emb,
+            emb.filter(col("vec_id") === RrfQueryVec), RrfDepth)
+          .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+        graft.ops.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", RrfK,
+            RrfTopN)
+          .orderBy(col("rrf").desc, col("doc_id"))
       })
   )
 }

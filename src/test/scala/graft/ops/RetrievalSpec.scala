@@ -62,4 +62,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(Retrieval.bm25TopK(docs, "doc_id", "text",
       Seq("zzz"), 5).count() == 0L)
   }
+
+  test("rrfFuse: hand-computed scores; multi-list items outrank " +
+      "single-list heads; rank-only (scores never enter)") {
+    import spark.implicits._
+    // doc 10 is mid-ranked on BOTH lists; docs 1 and 2 head one list each
+    val lex = Seq((1L, 1), (10L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1), (10L, 3), (4L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, vec), "doc_id", 60, 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lists"), r.getAs[Double]("rrf"))).toMap
+    def s(ranks: Int*) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((2L, s(2, 3))))
+    assert(got(1L) == ((1L, s(1))))
+    assert(got(2L) == ((1L, s(1))))
+    // 1/62 + 1/63 > 1/61: the doubly-listed doc wins both heads
+    assert(got(10L)._2 > got(1L)._2 && got(10L)._2 > got(2L)._2)
+  }
+
+  test("rrfFuse: topN cap and (rrf desc, id) tie-break order") {
+    import spark.implicits._
+    val a = Seq((5L, 1), (6L, 2)).toDF("doc_id", "rank")
+    val b = Seq((7L, 1), (8L, 2)).toDF("doc_id", "rank")
+    val rows = Retrieval.rrfFuse(Seq(a, b), "doc_id", 60, 3)
+      .collect().map(_.getAs[Long]("doc_id"))
+    // ties: (5,7) at 1/61 then (6,8) at 1/62 — id breaks each tie
+    assert(rows.toSeq == Seq(5L, 7L, 6L))
+  }
 }
