@@ -249,7 +249,9 @@ object TextOps {
           |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // context counts roll up from the bigram counts (vocabulary²-sized),
+    // NOT from a second corpus pass: c(w₁·) = Σ_w₂ c(w₁w₂)
+    val c1 = bc.groupBy("w1").agg(sum(col("n_ab")).as("c_w1"))
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
     bi.join(bc, Seq("w1", "w2"))

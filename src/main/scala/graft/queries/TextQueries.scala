@@ -364,7 +364,7 @@ object TextQueries {
               |  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
               |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
               |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
-              |c1 AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY 1),
+              |c1 AS (SELECT w1, sum(n_ab) AS c_w1 FROM bc GROUP BY 1),
               |voc AS (
               |  SELECT count(DISTINCT w)::DOUBLE AS v
               |  FROM (SELECT unnest(t) AS w FROM toks))
