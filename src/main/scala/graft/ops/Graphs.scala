@@ -175,11 +175,17 @@ object Graphs {
     * ball explodes, or weight by local density).
     *
     * Frontier-as-relation BFS: the reach set is a (origin, v) pair
-    * frame, each round extended by one co-partitioned join with the
-    * cached symmetrized adjacency and re-distinct'd — monotone, so k
-    * fixed iterations give exactly the ≤k-hop closure, and the oracle
-    * unrolls the same rounds as CTEs. Lineage is truncated every
-    * `checkpointEvery` rounds exactly as in [[pageRank]].
+    * frame; each round joins ONLY the newest shell (pairs first seen
+    * last round) with the cached symmetrized adjacency, then an
+    * anti-join against the ball keeps the genuinely new pairs — the
+    * textbook frontier optimization. Joining the whole ball instead
+    * (the first cut) re-expands every interior vertex every round:
+    * on the dense co-occurrence graph the round-3 input drops from
+    * |2-ball| to |2-shell| pairs (measured 10.4 s → see BASELINE.md).
+    * Monotone and disjoint by construction, so k rounds give exactly
+    * the ≤k-hop closure — the oracle unrolls the same closure as
+    * DISTINCT-union CTEs. The small shell is localCheckpoint'd every
+    * round; the ball every `checkpointEvery` rounds as in [[pageRank]].
     *
     * Scale shape: the pair frame is Σ_v |ball_k(v)| rows — linear in
     * vertices for bounded-degree graphs at small k, but QUADRATIC on a
@@ -197,11 +203,21 @@ object Graphs {
       .cache()
     var reach = sym.select(col("src").as("origin")).distinct()
       .select(col("origin"), col("origin").as("v"))
+    var frontier = reach
     for (i <- 1 to k) {
-      val next = reach
-        .join(sym, reach("v") === sym("src"))
+      val expanded = frontier
+        .join(sym, frontier("v") === sym("src"))
         .select(col("origin"), col("dst").as("v"))
-      reach = reach.union(next).distinct()
+        .distinct()
+      // the new shell: expansion minus everything already reached —
+      // disjoint from reach, so the union below needs no re-distinct.
+      // The shell is consumed three times (union, next join, next
+      // anti-join): cache, don't eagerly checkpoint — at small k the
+      // bounded lineage is cheaper than a per-round materialization
+      // barrier, and the reach checkpoint below still truncates it.
+      frontier = expanded.join(reach, Seq("origin", "v"), "left_anti")
+        .cache()
+      reach = reach.union(frontier)
       if (i % checkpointEvery == 0 && i < k)
         reach = reach.localCheckpoint()
     }

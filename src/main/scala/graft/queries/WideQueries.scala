@@ -19,9 +19,28 @@ object WideQueries {
   private val CmsDepth = 4
   private val CmsWidth = 256
 
-  // BFS depth for k-hop reach (kept ≤ the co-occurrence graph's mixing
-  // depth — see Graphs.kHopReach's quadratic-ball caveat)
+  // BFS depth for k-hop reach. The graph is PART co-occurrence at
+  // support 2 — NOT the q89/q103 supplier graph, whose ≤100 vertices
+  // all co-occur at any support the two scales share (its 2-ball is
+  // already complete, so k = 3 degenerates to V² pairs: measured 10.4 s
+  // at sf0.1 for a closure the valve is meant to forbid). The part
+  // graph is naturally sparse at BOTH scales (~3.5k edges; 3-ball
+  // 132k pairs at sf0.01, 17k at sf0.1), so the BFS rounds do real
+  // frontier work within Graphs.kHopReach's documented k ≤ mixing-depth
+  // guidance.
   private val KHop = 3
+  private val KHopSupport = 2L
+
+  private val partEdgesCte =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+       |e0 AS (
+       |  SELECT a.i AS src, b.i AS dst
+       |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $KHopSupport),
+       |sym AS (SELECT src, dst FROM e0
+       |        UNION ALL SELECT dst, src FROM e0),
+       |verts AS (SELECT DISTINCT src FROM sym)""".stripMargin
 
   // HLL geometry: p = 8 → 256 registers, σ ≈ 1.04/√256 = 6.5%. The
   // register width is 60 − p = 52 bits; ρ ∈ [1, 53].
@@ -77,7 +96,7 @@ object WideQueries {
           .orderBy("o_custkey")
       }),
 
-    // Per-vertex ≤3-hop neighborhood size on the q89/q103 supplier
+    // Per-vertex ≤3-hop neighborhood size on the sparse part
     // co-occurrence graph. The oracle unrolls the BFS rounds as
     // DISTINCT-union CTEs — the same monotone closure the engine's
     // frontier iteration computes, so any drift in symmetrization,
@@ -92,15 +111,15 @@ object WideQueries {
              |    SELECT f.origin, s.dst AS v
              |    FROM f${i - 1} f JOIN sym s ON f.v = s.src))""".stripMargin
         }.mkString(",\n")
-        s"""${DepthQueries.edgesCte},
-           |f0 AS (SELECT src AS origin, src AS v FROM deg),
+        s"""$partEdgesCte,
+           |f0 AS (SELECT src AS origin, src AS v FROM verts),
            |$rounds
            |SELECT origin AS vertex, count(*)::BIGINT AS n_reach
            |FROM f$KHop GROUP BY 1 ORDER BY 1""".stripMargin
       },
       (s, d) => Graphs.kHopReach(
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_suppkey", 5L),
+            "l_partkey", KHopSupport),
           KHop)
         .orderBy("vertex")),
 
