@@ -232,6 +232,75 @@ object Dedup {
   /** 60-bit SimHash over distinct token hashes: one wide hash-agg (60
     * per-bit signed sums), then bit reassembly — no row explosion. */
   val SimhashBits = 60
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, "The merge/purge
+    * problem for large databases", SIGMOD 1995): sort the corpus by a
+    * short derived key (here the first `keyLen` chars of the normalized
+    * text), slide a window of `w` consecutive rows, verify every
+    * in-window pair by exact shingle Jaccard, and keep pairs ≥
+    * `minJaccard`. The sort-based complement to the hash-based blockers:
+    * MinHash/SimHash bucket on CONTENT fragments, SNM on sort-order
+    * LOCALITY — it catches near-dups whose prefixes agree (clerical
+    * variants, re-crawls with appended noise) with w·n candidate pairs,
+    * and misses pairs whose keys sort apart (that recall gap is the
+    * method; multi-pass SNM re-runs with a different key).
+    *
+    * Scale shape: the global rank is the two-level numbering scheme
+    * ([[graft.ops.Pack]]'s pattern) — value-banded by the key's first
+    * character: per-band counts roll to running offsets on the
+    * ≤|alphabet| band table (tiny by construction), rank = offset +
+    * per-band row_number, so no single task ever sorts the corpus. The
+    * truncated key bounds the shuffle payload (the full text never
+    * enters the sort). In-window pairs come from an equi-join on
+    * ⌊rank/w⌋ blocks (+1 overflow block — a gap ≤ w−1 spans at most one
+    * boundary), NOT a rank-inequality theta join. Skew note: the band
+    * split follows the key's first-character distribution; a corpus
+    * where most docs share one first char degrades toward one band —
+    * acceptable because the band only carries the window sort, not the
+    * verify. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      textCol: String, w: Int, minJaccard: Double,
+      keyLen: Int = 24): DataFrame = {
+    require(w >= 2, "window must be >= 2")
+    require(keyLen >= 1, "keyLen must be >= 1")
+    val win = org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol),
+      substring(TextOps.normalize(col(textCol)), 1, keyLen).as("_key"))
+      .withColumn("_b0", substring(col("_key"), 1, 1))
+    val counts = keyed.groupBy("_b0").agg(count(lit(1)).as("_n"))
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        win.orderBy(col("_b0"))
+          .rowsBetween(win.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b0"), col("_off"))
+    val ranked = keyed
+      .join(broadcast(offsets), Seq("_b0"))
+      .withColumn("_rn", col("_off") + row_number().over(
+        win.partitionBy(col("_b0")).orderBy(col("_key"), col(idCol))))
+      .select(col(idCol), col("_rn"))
+    val leftSide = ranked
+      .select(col(idCol).as("doc_a"), col("_rn").as("_rna"))
+      .withColumn("_jb", explode(array(expr(s"_rna div $w"),
+        expr(s"_rna div $w") + 1)))
+    val rightSide = ranked
+      .select(col(idCol).as("doc_b"), col("_rn").as("_rnb"),
+        expr(s"_rn div $w").as("_jb"))
+    // cached: the candidate table feeds the verify join AND the final
+    // rank_gap re-join (lifecycle: cleared by the caller's clearCache,
+    // same convention as jaccardForPairs)
+    val cand = leftSide.join(rightSide, Seq("_jb"))
+      .filter(col("_rnb") > col("_rna") &&
+        col("_rnb") - col("_rna") <= w - 1)
+      .select(col("doc_a"), col("doc_b"),
+        (col("_rnb") - col("_rna")).as("rank_gap"))
+      .cache()
+    jaccardForPairs(shingleTable(df, idCol, textCol),
+        cand.select("doc_a", "doc_b"), idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .join(cand, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("rank_gap"),
+        col("jaccard"))
+  }
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // per-doc token dedup is row-local (array_distinct) — no shuffle
     val tok = df

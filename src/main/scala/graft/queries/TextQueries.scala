@@ -378,6 +378,42 @@ object TextQueries {
         .bigramSurprisal(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Sorted-neighborhood dedup (merge/purge): global rank by 24-char
+    // key prefix via two-level numbering, window-10 candidate pairs
+    // from a block equi-join, exact shingle-Jaccard verify at 0.5.
+    Q("q146_sorted_neighborhood",
+      Some(s"""$shingleCte,
+              |keyed AS (
+              |  SELECT doc_id, substr($normSql, 1, 24) AS key
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (ORDER BY key, doc_id) AS rn
+              |  FROM keyed),
+              |cand AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    (b.rn - a.rn)::BIGINT AS rank_gap
+              |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 9),
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS n
+              |          FROM hashed GROUP BY 1),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, c.rank_gap, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2, 3)
+              |SELECT i.doc_a, i.doc_b, i.rank_gap,
+              |  CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+              |    AS jaccard
+              |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b
+              |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+              |  >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => Dedup.sortedNeighborhoodPairs(documents(s, d), "doc_id",
+          "text", 10, 0.5)
+        .orderBy("doc_a", "doc_b")),
+
     // Winnowing fingerprints (MOSS): per-window rightmost-min k-gram
     // hash selection, k = 3, w = 4 — guarantees any shared run of
     // ≥ 6 tokens shares a fingerprint. The struct-min tie-break and

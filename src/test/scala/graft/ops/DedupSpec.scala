@@ -395,4 +395,66 @@ class DedupSpec extends SparkTestBase {
     assert(got(2).getAs[Long]("n_tokens") == 1L)
     assert(got(2).getAs[Long]("n_covered") == 0L)
   }
+
+  test("sortedNeighborhoodPairs: near-dups adjacent in key order are " +
+      "found (incl. across the first-char band boundary), similar docs " +
+      "sorted > w apart are NOT (the documented recall gap)") {
+    // sort order by 24-char prefix: ids 1,2 (a...), 3 (azz), 4 (b...)
+    // then 10,11 (z...). Window w=3.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // rank 1
+      (2L, "alpha beta gamma delta zeta"),           // rank 2: near-dup of 1
+      (3L, "azz mid filler doc nothing shared here"),// rank 3
+      (4L, "beta alpha gamma delta epsilon xx"),     // rank 4: band 'b'
+      (10L, "zz tail one two three four five"),      // rank 5
+      (11L, "zz tail one two three four six")        // rank 6: near-dup of 10
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        w = 3, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("rank_gap"), r.getAs[Double]("jaccard"))).toMap
+    // (1,2): shingles of 5-token docs: 3 each, 2 shared -> J = 2/4 = 0.5
+    assert(got((1L, 2L)) == ((1L, 0.5)))
+    // (10,11): gap 1, J = 4/6 (5 shingles each, 4 shared)
+    assert(got((10L, 11L)) == ((1L, 4.0 / 6)))
+    // cross-band window: rank 3 ('a' band) and rank 4 ('b' band) ARE
+    // candidates (gap 1) — but fail the Jaccard floor, so the pair's
+    // absence here proves the verify ran, not that the window skipped it
+    assert(!got.contains((3L, 4L)))
+    // docs 1/2 vs 4 share 'gamma delta' content but doc 4 sorts 2+
+    // ranks away with w=3... gap 3 > w-1=2 for (1,4): NOT a candidate
+    assert(!got.keySet.exists { case (a, b) => a == 1L && b == 4L })
+  }
+
+  test("sortedNeighborhoodPairs: two-level numbering equals a global " +
+      "row_number (pairs invariant under band structure)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val words = Vector("apple", "bear", "cat", "dog", "emu", "fox")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        w = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    // reference: global row_number window (single partition, fine in a
+    // test), same key/tie-break, same w and threshold
+    val keyed = docs.select(col("doc_id"),
+      substring(graft.ops.TextOps.normalize(col("text")), 1, 24).as("k"))
+    val ranked = keyed.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"), col("doc_id"))))
+    val a = ranked.select(col("doc_id").as("doc_a"), col("rn").as("ra"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("rn").as("rb"))
+    val refCand = a.crossJoin(b)
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= 3)
+      .select("doc_a", "doc_b")
+    val refPairs = Dedup.jaccardForPairs(
+        Dedup.shingleTable(docs, "doc_id", "text"), refCand, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(got == refPairs, s"got $got want $refPairs")
+  }
 }
