@@ -82,16 +82,24 @@ object Dedup {
     * key → distinct candidate pairs (doc_a < doc_b). bands*rowsPerBand
     * must equal NumHashes. */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    bandJoin(bandTable(sig, idCol, bands, rowsPerBand), idCol,
+      "doc_a", "doc_b")
+
+  /** Signature → (id, band, bk) band-key rows — the LSH index table a
+    * pipeline PERSISTS: band keys are pure functions of the signature,
+    * so an incremental run loads this table for the base corpus instead
+    * of re-hashing it (see [[deltaNearDups]]). */
+  def bandTable(sig: DataFrame, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand == NumHashes)
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
       s"struct(${b} AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bk)"
     }
-    val bandsDf = sig
+    sig
       .select(col(idCol), explode(expr(s"array(${bandStructs.mkString(", ")})")).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
-    bandJoin(bandsDf, idCol, "doc_a", "doc_b")
   }
 
   /** The LSH candidate join shared by the MinHash (text) and sign-bit
@@ -232,6 +240,57 @@ object Dedup {
   /** 60-bit SimHash over distinct token hashes: one wide hash-agg (60
     * per-bit signed sums), then bit reassembly — no row explosion. */
   val SimhashBits = 60
+  /** Incremental (delta) near-dup detection against a persisted LSH
+    * index — the daily-ETL shape at 100 TB: the base corpus is NOT
+    * re-shingled or re-hashed; only the delta slice is, and its band
+    * keys probe the stored index. Candidates are CROSS-side band
+    * collisions (delta × base) verified by exact shingle Jaccard —
+    * delta-internal dups are [[lshCandidatePairs]] on the delta alone,
+    * deliberately not conflated here.
+    *
+    * `baseBands`/`baseShingles` are the persisted index tables (band
+    * keys from [[bandTable]], shingle hashes from [[shingleTable]] —
+    * both pure functions of content, so append-only under corpus
+    * growth). The hot-bucket valve caps each side's buckets
+    * independently at `maxBucket` (the stored index prunes once at
+    * build time; the delta prunes per run) — mirrored in the oracle via
+    * [[MaxBucket]] as everywhere else. */
+  def deltaNearDupsOnIndex(baseBands: DataFrame, baseShingles: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, maxBucket: Long = MaxBucket): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk"))
+    def prune(t: DataFrame) = t
+      .withColumn("_n", count(lit(1)).over(win))
+      .filter(col("_n") <= maxBucket)
+      .select(col(idCol), col("band"), col("bk"))
+    val deltaShingles = shingleTable(delta, idCol, textCol)
+    val deltaBands = bandTable(minhashFromShingles(deltaShingles, idCol),
+      idCol)
+    val cand = prune(deltaBands).select(col(idCol).as("doc_a"),
+        col("band"), col("bk"))
+      .join(prune(baseBands).select(col(idCol).as("doc_b"),
+        col("band"), col("bk")), Seq("band", "bk"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardForPairs(deltaShingles.unionByName(baseShingles), cand, idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_base"),
+        col("n_inter"), col("n_a").as("n_new"), col("n_b").as("n_base"),
+        col("jaccard"))
+  }
+
+  /** Convenience twin of [[deltaNearDupsOnIndex]] that builds the base
+    * index inline — for tests, oracles, and first-run bootstrap; a real
+    * incremental pipeline persists the index and calls the core. */
+  def deltaNearDups(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double,
+      maxBucket: Long = MaxBucket): DataFrame = {
+    val baseShingles = shingleTable(base, idCol, textCol)
+    deltaNearDupsOnIndex(
+      bandTable(minhashFromShingles(baseShingles, idCol), idCol),
+      baseShingles, delta, idCol, textCol, minJaccard, maxBucket)
+  }
+
   /** Sorted-neighborhood dedup (Hernández & Stolfo, "The merge/purge
     * problem for large databases", SIGMOD 1995): sort the corpus by a
     * short derived key (here the first `keyLen` chars of the normalized

@@ -378,6 +378,57 @@ object TextQueries {
         .bigramSurprisal(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Incremental near-dup: the 10% delta slice (doc_id % 10 = 0)
+    // probes the base corpus's LSH band index; cross-side collisions
+    // verified by exact Jaccard at 0.5. Signatures/bands are identical
+    // to q29's (same sigCte), only the join sides differ.
+    Q("q147_delta_neardup",
+      Some(s"""$sigCte, bands AS (${(0 until 4).map { b =>
+                 val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+                   .mkString(" || ',' || ")
+                 s"SELECT doc_id, $b AS band, md5($cols) AS bk FROM sig"
+               }.mkString(" UNION ALL ")}),
+              |nb AS (
+              |  SELECT doc_id, band, bk FROM (
+              |    SELECT doc_id, band, bk,
+              |      count(*) OVER (PARTITION BY band, bk) AS n
+              |    FROM bands WHERE doc_id % 10 = 0) t
+              |  WHERE n <= ${Dedup.MaxBucket}),
+              |bb AS (
+              |  SELECT doc_id, band, bk FROM (
+              |    SELECT doc_id, band, bk,
+              |      count(*) OVER (PARTITION BY band, bk) AS n
+              |    FROM bands WHERE doc_id % 10 <> 0) t
+              |  WHERE n <= ${Dedup.MaxBucket}),
+              |cand AS (
+              |  SELECT DISTINCT n.doc_id AS doc_new, b.doc_id AS doc_base
+              |  FROM nb n JOIN bb b ON n.band = b.band AND n.bk = b.bk),
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS n
+              |          FROM hashed GROUP BY 1),
+              |inter AS (
+              |  SELECT c.doc_new, c.doc_base, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_new
+              |  JOIN hashed hb ON hb.doc_id = c.doc_base AND hb.h = ha.h
+              |  GROUP BY 1, 2)
+              |SELECT i.doc_new, i.doc_base, i.n_inter,
+              |  sa.n AS n_new, sb.n AS n_base,
+              |  CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+              |    AS jaccard
+              |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_new
+              |  JOIN sizes sb ON sb.doc_id = i.doc_base
+              |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+              |  >= 0.5
+              |ORDER BY doc_new, doc_base""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.deltaNearDups(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", "text", 0.5)
+          .orderBy("doc_new", "doc_base")
+      }),
+
     // Sorted-neighborhood dedup (merge/purge): global rank by 24-char
     // key prefix via two-level numbering, window-10 candidate pairs
     // from a block equi-join, exact shingle-Jaccard verify at 0.5.

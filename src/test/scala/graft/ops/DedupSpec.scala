@@ -396,6 +396,42 @@ class DedupSpec extends SparkTestBase {
     assert(got(2).getAs[Long]("n_covered") == 0L)
   }
 
+  test("deltaNearDups: only cross-side pairs, oriented (new, base); " +
+      "equals the full-corpus LSH+verify restricted to cross pairs; " +
+      "persisted-index core == inline wrapper") {
+    val base = docs.filter(col("doc_id") % 2 =!= 0)
+    val delta = docs.filter(col("doc_id") % 2 === 0)
+    val got = Dedup.deltaNearDups(base, delta, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got.nonEmpty, "fixture has a cross-side exact dup (1, 2)")
+    assert(got.forall { case (n, b, _) => n % 2 == 0 && b % 2 != 0 })
+    val full = Dedup.jaccardForPairs(
+        Dedup.shingleTable(docs, "doc_id", "text"),
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id"),
+        "doc_id")
+      .filter(col("jaccard") >= 0.5).collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))
+        if (a % 2 == 0 && b % 2 != 0) Some((a, b, j))
+        else if (b % 2 == 0 && a % 2 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(got == full, s"got $got want $full")
+    val baseSh = Dedup.shingleTable(base, "doc_id", "text")
+    val viaIndex = Dedup.deltaNearDupsOnIndex(
+        Dedup.bandTable(Dedup.minhashFromShingles(baseSh, "doc_id"),
+          "doc_id"),
+        baseSh, delta, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(viaIndex == got, "stored-index path must equal the wrapper")
+  }
+
   test("sortedNeighborhoodPairs: near-dups adjacent in key order are " +
       "found (incl. across the first-char band boundary), similar docs " +
       "sorted > w apart are NOT (the documented recall gap)") {
