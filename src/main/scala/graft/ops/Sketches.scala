@@ -84,14 +84,48 @@ object Sketches {
     * unnecessary, the whole 100 TB stream folds in one pass. */
   def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val (idx, rho) = hllTerms(col(keyCol), p)
+    df.select(idx.as("idx"), rho.as("_rho"))
+      .groupBy("idx").agg(max(col("_rho")).cast("long").as("reg"))
+  }
+
+  /** Row-level (bucket idx, rank ρ) pair for a key — the one shared
+    * builder for the table-form sketch ([[hllRegisters]]) and the
+    * aggregate-columns form ([[hllAggState]]), so the two cannot drift. */
+  private[graft] def hllTerms(key: Column, p: Int): (Column, Column) = {
     val m = 1L << p
     val width = 60 - p
-    val h = TextOps.hash60(col(keyCol).cast("string"))
-    df.select(pmod(h, lit(m)).as("idx"), shiftright(h, p).as("_w"))
-      .select(col("idx"),
-        when(col("_w") === 0, lit(width + 1))
-          .otherwise(lit(width + 1) - length(bin(col("_w")))).as("_rho"))
-      .groupBy("idx").agg(max(col("_rho")).cast("long").as("reg"))
+    val h = TextOps.hash60(key.cast("string"))
+    val w = shiftright(h, p)
+    (pmod(h, lit(m)),
+      when(w === 0, lit(width + 1))
+        .otherwise(lit(width + 1) - length(bin(w))))
+  }
+
+  /** The sketch as 2^p aggregate COLUMNS (one int of state per
+    * register) plus the estimate expression over them — the form a
+    * Structured Streaming stateful aggregation needs: per-group state
+    * is exactly m ints regardless of how many distinct keys flow
+    * through the group, and `max` is idempotent, so retried
+    * micro-batches cannot corrupt a register (same argument as the
+    * bitmap words in `streaming.Streams`). The estimate (same α·m²/Z +
+    * linear-counting branch as [[hllEstimate]], rounded to 6) is
+    * applied in a projection AFTER the stateful agg. */
+  def hllAggState(idCol: String, p: Int): (Seq[Column], Column) = {
+    require(p >= 4 && p <= 10, "p must be in [4, 10] (2^p agg columns)")
+    val m = 1 << p
+    val (idx, rho) = hllTerms(col(idCol), p)
+    val aggs = (0 until m).map(j =>
+      max(when(idx === j, rho).otherwise(lit(0))).as(s"_r$j"))
+    val z = (0 until m).map(j => pow(lit(2.0), -col(s"_r$j")))
+      .reduce(_ + _)
+    val v0 = (0 until m).map(j =>
+      when(col(s"_r$j") === 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val alphaMM = hllAlpha(m) * m * m
+    val est = round(when(v0 > 0 && lit(alphaMM) / z <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / v0))
+      .otherwise(lit(alphaMM) / z), 6)
+    (aggs, est)
   }
 
   /** Cardinality estimate from an [[hllRegisters]] table: raw

@@ -190,6 +190,54 @@ object StreamingQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, d) => Streams.streamingBitmapDistinct(s, d, "1 hour",
           "user_id", domainWords = 32)
+        .orderBy("window_start", "event_type")),
+
+    // Streaming HLL distinct (p = 6 → 64 registers/group, σ ≈ 13%):
+    // q124's approximate complement — fixed state with NO id-domain
+    // bound. The oracle rebuilds the md5-derived registers per
+    // (window, type) cell-for-cell and applies the same α·m²/Z +
+    // linear-counting estimate (constants interpolated from the
+    // engine's own hllAlpha).
+    Q("q148_stream_hll_distinct",
+      Some {
+        val m = 64
+        val width1 = 60 - 6 + 1
+        val alphaMM = graft.ops.Sketches.hllAlpha(m) * m * m
+        s"""WITH h AS (
+           |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           |    event_type,
+           |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+           |      AS h
+           |  FROM events),
+           |b AS (SELECT window_start, event_type, h % $m AS idx,
+           |             h // $m AS w FROM h),
+           |regs AS (
+           |  SELECT window_start, event_type, idx,
+           |    max(CASE WHEN w = 0 THEN $width1
+           |        ELSE $width1 - length(bin(w)) END) AS reg
+           |  FROM b GROUP BY 1, 2, 3),
+           |grid AS (SELECT g AS idx
+           |         FROM unnest(generate_series(0, ${m - 1})) AS t(g)),
+           |keys AS (SELECT DISTINCT window_start, event_type FROM regs),
+           |filled AS (
+           |  SELECT k.window_start, k.event_type,
+           |    coalesce(r.reg, 0) AS reg
+           |  FROM keys k CROSS JOIN grid g
+           |  LEFT JOIN regs r ON r.window_start = k.window_start
+           |    AND r.event_type = k.event_type AND r.idx = g.idx),
+           |agg AS (
+           |  SELECT window_start, event_type, sum(pow(2.0, -reg)) AS z,
+           |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT
+           |      AS v_zero
+           |  FROM filled GROUP BY 1, 2)
+           |SELECT window_start, event_type,
+           |  round(CASE WHEN v_zero > 0 AND $alphaMM / z <= ${2.5 * m}
+           |    THEN ${m.toDouble} * ln(${m.toDouble} / v_zero)
+           |    ELSE $alphaMM / z END, 6) AS n_est
+           |FROM agg ORDER BY 1, 2""".stripMargin
+      },
+      (s, d) => Streams.streamingHllDistinct(s, d, "1 hour", "user_id",
+          p = 6)
         .orderBy("window_start", "event_type"))
   )
 }

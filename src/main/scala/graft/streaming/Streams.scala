@@ -169,6 +169,28 @@ object Streams {
     runToMemory(spark, agg)
   }
 
+  /** Windowed APPROXIMATE distinct counting with FIXED state and no
+    * domain bound — the HLL complement to [[streamingBitmapDistinct]]:
+    * the bitmap is exact but requires ids in [0, 64·domainWords); the
+    * md5-derived HLL registers ([[graft.ops.Sketches.hllAggState]])
+    * hold 2^p ints per (window, type) group for ANY id domain, with
+    * σ ≈ 1.04/√2^p error. `max` is idempotent → append-safe under
+    * micro-batch retries, exactly like `bit_or`. The estimate
+    * projection runs after the stateful agg; state never holds floats.
+    * Unlike approx_count_distinct's opaque HLL++ buffer, the register
+    * state is engine-portable — the DuckDB oracle recomputes it
+    * cell-for-cell. */
+  def streamingHllDistinct(spark: SparkSession, dir: String,
+      width: String, idCol: String, p: Int): DataFrame = {
+    val (aggs, est) = graft.ops.Sketches.hllAggState(idCol, p)
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        est.as("n_est"))
+    runToMemory(spark, agg)
+  }
+
   /** Streaming dedup mirror of O4/O8 (dropDuplicates on the id within the
     * stream), counted per type. */
   def streamingDedupCounts(spark: SparkSession, dir: String): DataFrame = {

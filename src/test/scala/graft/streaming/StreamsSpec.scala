@@ -123,6 +123,40 @@ class StreamsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamingHllDistinct ≡ the same register aggregation run as a " +
+      "batch query (shared hllAggState code path), and every window's " +
+      "estimate lands within 4σ of the exact distinct") {
+    import org.apache.spark.sql.functions.{col, window}
+    val got = Streams
+      .streamingHllDistinct(spark, sf(), "1 hour", "user_id", p = 6)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val (aggs, est) = graft.ops.Sketches.hllAggState("user_id", 6)
+    val want = graft.util.Tables.events(spark, sf())
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start"), col("event_type"), est.as("n_est"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == want && got.nonEmpty,
+      "streaming registers must equal the batch computation exactly")
+    val exact = graft.util.Tables.events(spark, sf())
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id"))
+        .as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sigma = 1.04 / math.sqrt(64)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n) <= math.max(4 * sigma * n, 3.0),
+        s"window $k: est ${got(k)} vs exact $n")
+    }
+  }
+
   test("streamingBitmapDistinct raises on an id outside the configured " +
       "domain instead of silently undercounting") {
     val base = Files.createTempDirectory(
