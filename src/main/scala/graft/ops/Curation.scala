@@ -234,4 +234,48 @@ object Curation {
       .select(col(strataCol), col("rank"), col(idCol),
         col(weightCol).cast("long").as("weight"))
   }
+
+  /** Golden-record SURVIVORSHIP over near-dup clusters — the
+    * record-linkage merge step that follows matching (Hernández &
+    * Stolfo's merge/purge "merge"; also the Fellegi–Sunter pipeline's
+    * final stage): each cluster of matched records collapses to ONE
+    * canonical row built attribute-by-attribute under deterministic
+    * rules — here, canonical member = longest `textCol` (ties → lowest
+    * id, via one struct-max agg: no per-cluster sort), and each listed
+    * categorical attribute takes its cluster MODE (ties → smallest
+    * value — a row_number over (count desc, value)). Every rule is a
+    * pure function of cluster content: re-runs, retries, and engine
+    * ports produce byte-identical gold records.
+    *
+    * `components` is (node, label) from [[Dedup.nearDupComponentsOf]]
+    * (label = cluster min id — reused as the cluster id here); only
+    * clustered docs appear (singletons need no merge and pass through
+    * unchanged upstream). Scale shape: one join docs⋈components
+    * (cached — it feeds the canon agg plus one count-agg + window pair
+    * per mode attribute), everything after keyed by cluster label; no
+    * operation touches unclustered corpus mass. */
+  def goldenRecord(docs: DataFrame, components: DataFrame, idCol: String,
+      textCol: String, modeCols: Seq[String]): DataFrame = {
+    require(modeCols.nonEmpty, "need at least one mode attribute")
+    val member = components
+      .join(docs, col("node") === col(idCol))
+      .cache()
+    val canon = member.groupBy("label").agg(
+      count(lit(1)).as("n_members"),
+      max(struct(length(col(textCol)).as("l"), (-col(idCol)).as("ni")))
+        .as("_c"))
+    val modes = modeCols.map { c =>
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("_n").desc, col(c).asc)
+      member.groupBy(col("label"), col(c)).agg(count(lit(1)).as("_n"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("label"), col(c))
+    }
+    modes.foldLeft(canon)((acc, m) => acc.join(m, Seq("label")))
+      .select(Seq(col("label").as("cluster_id"), col("n_members"),
+        (-col("_c.ni")).as("canonical_id"),
+        col("_c.l").cast("long").as("canonical_len")) ++
+        modeCols.map(col): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Curation, Dedup, TextOps}
 import graft.util.Tables._
 
 /** North-star text/dedup surface over `documents` (SURVEY.md §2.12).
@@ -377,6 +377,47 @@ object TextQueries {
       (s, d) => graft.ops.TextOps
         .bigramSurprisal(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Golden-record survivorship over the q61 near-dup clusters:
+    // canonical member = longest text (tie → lowest id, one struct-max),
+    // lang/source take the cluster mode (tie → smallest value).
+    Q("q149_golden_record",
+      Some(s"""$neardupReachCte,
+              |comp AS (SELECT node, min(r) AS label
+              |         FROM reach GROUP BY node),
+              |member AS (
+              |  SELECT c.label, d.doc_id, d.text, d.lang, d.source
+              |  FROM comp c JOIN documents d ON d.doc_id = c.node),
+              |canon AS (
+              |  SELECT label, count(*)::BIGINT AS n_members,
+              |    max({'l': length(text), 'ni': -doc_id}) AS mx
+              |  FROM member GROUP BY label),
+              |langm AS (
+              |  SELECT label, lang FROM (
+              |    SELECT label, lang, row_number() OVER (
+              |      PARTITION BY label ORDER BY count(*) DESC, lang ASC)
+              |      AS rn
+              |    FROM member GROUP BY label, lang) t WHERE rn = 1),
+              |srcm AS (
+              |  SELECT label, source FROM (
+              |    SELECT label, source, row_number() OVER (
+              |      PARTITION BY label ORDER BY count(*) DESC, source ASC)
+              |      AS rn
+              |    FROM member GROUP BY label, source) t WHERE rn = 1)
+              |SELECT c.label AS cluster_id, c.n_members,
+              |  (-(c.mx.ni))::BIGINT AS canonical_id,
+              |  (c.mx.l)::BIGINT AS canonical_len,
+              |  l.lang, s.source
+              |FROM canon c JOIN langm l USING (label)
+              |  JOIN srcm s USING (label)
+              |ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        Curation.goldenRecord(docs,
+            Dedup.nearDupComponentsOf(docs, "doc_id", "text", 0.5),
+            "doc_id", "text", Seq("lang", "source"))
+          .orderBy("cluster_id")
+      }),
 
     // Incremental near-dup: the 10% delta slice (doc_id % 10 = 0)
     // probes the base corpus's LSH band index; cross-side collisions

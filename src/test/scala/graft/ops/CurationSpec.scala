@@ -207,4 +207,34 @@ class CurationSpec extends SparkTestBase {
     assert(got.map(_.getLong(2)).sorted.toSeq == Seq(1L, 4L))
     assert(got.map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
   }
+
+  test("goldenRecord: canonical = longest text (tie -> lowest id); " +
+      "modal lang/source with smallest-value tie-break; one row per " +
+      "cluster keyed by the component label") {
+    val docs = Seq(
+      // cluster A (label 1): 3 members; 20 is longest; lang mode en(2);
+      // source tie web/crawl 1-1 within... make web 2
+      (1L, "short", "en", "web"),
+      (20L, "the longest text here", "fr", "web"),
+      (7L, "mid length", "en", "crawl"),
+      // cluster B (label 2): TWO members with EQUAL max length -> the
+      // lower id (2) wins; lang tie de/es -> 'de' (smallest)
+      (2L, "same len A", "de", "s1"),
+      (9L, "same len B", "es", "s1"),
+      // unclustered doc: must not appear
+      (100L, "alone", "xx", "zz")
+    ).toDF("doc_id", "text", "lang", "source")
+    val comps = Seq((1L, 1L), (20L, 1L), (7L, 1L), (2L, 2L), (9L, 2L))
+      .toDF("node", "label")
+    val got = Curation.goldenRecord(docs, comps, "doc_id", "text",
+        Seq("lang", "source"))
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("canonical_len"), r.getAs[String]("lang"),
+          r.getAs[String]("source")))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, 20L, 21L, "en", "web")))
+    assert(got(2L) == ((2L, 2L, 10L, "de", "s1")))
+  }
 }
