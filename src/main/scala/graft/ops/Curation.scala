@@ -278,4 +278,45 @@ object Curation {
         col("_c.l").cast("long").as("canonical_len")) ++
         modeCols.map(col): _*)
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how target-like its HASHED unigram
+    * distribution is. Features are md5-hashed token buckets (the paper's
+    * hashed n-grams, n = 1 here); bucket b gets
+    * log p̂_target(b) − log p̂_raw(b) under add-half smoothing, and a
+    * document's log-weight is the mean over its token INSTANCES — the
+    * bag-of-buckets log-likelihood ratio, length-normalized. Downstream
+    * resampling is [[weightedSampleTopK]] / [[mixtureResample]] on the
+    * emitted weight.
+    *
+    * `targetCol` is a boolean column marking the target exemplars (e.g.
+    * a trusted-source flag); both distributions come out of ONE pass.
+    *
+    * Scale shape: token explode → one groupBy(bucket) with map-side
+    * partials; the bucket table (`buckets` rows, fixed) re-enters by
+    * broadcast, so the per-doc mean is a second narrow hash-agg. No
+    * window, no join wider than the broadcast. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val tok = df.select(col(idCol), col(targetCol).as("_tgt"),
+      explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("_w"))
+      .withColumn("_bk", TextOps.hash60(col("_w")) % buckets)
+      .drop("_w")
+    val counts = tok.groupBy(col("_bk"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+        count(lit(1)).as("_cr"))
+    val totals = counts.agg(sum(col("_ct")).as("_tt"),
+      sum(col("_cr")).as("_tr"))
+    val lw = counts.crossJoin(broadcast(totals))
+      .select(col("_bk"),
+        (log((col("_ct") + 0.5) / (col("_tt") + 0.5 * buckets)) -
+          log((col("_cr") + 0.5) / (col("_tr") + 0.5 * buckets)))
+          .as("_lw"))
+    tok.join(broadcast(lw), Seq("_bk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("_lw")), 6).as("logw_r"))
+  }
 }

@@ -715,4 +715,43 @@ object Dedup {
       .withColumn("coverage_r",
         round(col("n_covered") / col("n_tokens"), 6))
   }
+
+  /** SEGMENT-level exact dedup (the within-corpus repeated-passage
+    * remover; Rae et al., "Scaling Language Models: … Gopher",
+    * arXiv:2112.11446 §A.1.3 dedups repeated paragraphs the same
+    * keep-first way): documents split into consecutive `segTokens`-token
+    * segments ([[TextOps.chunkWindows]] with overlap 0); a segment
+    * instance SURVIVES iff it is the first occurrence of its text
+    * corpus-wide, first = smallest (doc id, segment index). Emits one row
+    * per doc: segment/token totals, how many instances were dropped as
+    * duplicates, and the kept-token fraction — the numbers a curation
+    * pipeline thresholds on before re-assembling surviving text.
+    *
+    * Scale shape: first-occurrence is a groupBy(segment).min(struct) —
+    * partial-aggregated map-side, so a segment repeated in millions of
+    * docs (boilerplate headers) arrives at the reducer as one row per
+    * map partition, NOT as a row per instance. The deliberate
+    * alternative — row_number over a window partitioned by segment
+    * text — has no partial agg and hands the hottest segment's entire
+    * instance list to one sort task; at boilerplate skew that's the
+    * difference between a flat reduce and a straggler. The join back is
+    * an equi-join on the segment key (AQE-splittable on skew). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    val segs = TextOps.chunkWindows(df, idCol, textCol, segTokens, 0)
+    val first = segs.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_f"))
+    segs.join(first, Seq("chunk_text"))
+      .withColumn("_dup",
+        !(col(s"_f.$idCol") === col(idCol) &&
+          col("_f.chunk_idx") === col("chunk_idx")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("_dup"), 0L).otherwise(col("n_tokens")))
+          .as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("kept_r",
+        round(col("kept_tokens") / col("total_tokens"), 6))
+  }
 }

@@ -99,4 +99,40 @@ object Pack {
         (col("n_docs") * col("max_tokens") - col("sum_tokens"))
           .cast("long"))
   }
+
+  /** Weighted rendezvous (highest-random-weight) shard assignment
+    * (Thaler & Ravishankar, "Using Name-Based Mappings to Increase Hit
+    * Rates", IEEE/ACM ToN 6(1), 1998): each row goes to the shard whose
+    * hash it scores highest, integer weights expressed as virtual nodes
+    * (shard s with weight w contributes w candidate hashes). The point
+    * vs `hash(id) % n`: adding or removing ONE shard only moves the rows
+    * that land on (or must leave) that shard — every other row keeps its
+    * placement, because its winning (shard, vnode) hash is unchanged.
+    * That minimal-disruption property is what makes resharding a 100 TB
+    * corpus an incremental copy instead of a full rewrite.
+    *
+    * Purely md5-deterministic (same hash family as [[graft.ops.Curation]]
+    * sampling): reproducible across engines, runs, and retries. Ties
+    * (≈2^-60) break by the max (shard, vnode) pair, still deterministic.
+    *
+    * Scale shape: the virtual-node table (Σ weights rows) enters by
+    * broadcast; scoring is a codegen'd projection and the argmax is one
+    * groupBy(id).max(struct) with map-side partials — no shuffle wider
+    * than the id agg, no window. */
+  def rendezvousAssign(df: DataFrame, idCol: String,
+      shards: Seq[(String, Int)]): DataFrame = {
+    require(shards.nonEmpty && shards.forall(_._2 > 0),
+      "need at least one shard, all weights > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vnodes = shards.flatMap { case (s, w) => (0 until w).map(s -> _) }
+      .toDF("shard", "v")
+    df.crossJoin(broadcast(vnodes))
+      .withColumn("_h", conv(substring(md5(concat_ws("#",
+        col(idCol).cast("string"), col("shard"), col("v").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_h"), col("shard"), col("v"))).as("_m"))
+      .select(col(idCol), col("_m.shard").as("shard"))
+  }
 }

@@ -452,4 +452,34 @@ object TextOps {
         round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 9).as("prob_r"),
         (col("_wsum") > 0).as("keep"))
   }
+
+  /** Per-document n-gram NOVELTY — the complement of the duplication
+    * metrics ([[graft.ops.Dedup.dupNGramCoverage]]): of a document's
+    * DISTINCT word n-grams, what fraction appears in no other document?
+    * Low novelty = the doc is assembled from corpus-common phrasing
+    * (template/boilerplate), high = it contributes n-grams nothing else
+    * has — a standard diversity-selection signal next to quality scores.
+    *
+    * Scale shape: per-doc distinct grams come out of a ROW-LOCAL
+    * array_distinct (the shared [[Dedup.kGramExpr]] — no shuffle spent on
+    * within-doc dedup), then one hash-agg for per-gram doc counts and an
+    * equi-join back on the gram key. The quadratic trap (gram × gram or
+    * doc × doc comparison) never appears; everything is keyed
+    * aggregation. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val docGram = df
+      .select(col(idCol), tokens(normalize(col(textCol))).as("_toks"))
+      .select(col(idCol),
+        explode(expr(Dedup.kGramExpr("_toks", n, distinct = true)))
+          .as("gram"))
+    val gramDocs = docGram.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_nd"))
+    docGram.join(gramDocs, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_r", round(col("n_novel") / col("n_grams"), 6))
+  }
 }

@@ -8,7 +8,8 @@ object Registry {
       VectorQueries.all ++ StreamingQueries.all ++ FormatQueries.all ++
       BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all ++
       CurationQueries.all ++ InsightQueries.all ++ DepthQueries.all ++
-      ScaleQueries.all ++ ServeQueries.all ++ WideQueries.all
+      ScaleQueries.all ++ ServeQueries.all ++ WideQueries.all ++
+      PipelineQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

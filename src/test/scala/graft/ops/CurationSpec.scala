@@ -237,4 +237,51 @@ class CurationSpec extends SparkTestBase {
     assert(got(1L) == ((3L, 20L, 21L, "en", "web")))
     assert(got(2L) == ((2L, 2L, 10L, "de", "s1")))
   }
+
+  /** The JVM twin of the op's md5 bucket (and DuckDB's): 60-bit md5
+    * prefix mod `buckets`. */
+  private def mdBucket(tok: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+    (BigInt(hex, 16) % buckets).toLong
+  }
+
+  test("importanceWeights: equals the hand-computed add-half LLR model") {
+    val B = 1 << 20
+    // target doc: x x y; raw doc: y z z — x is target-only (positive
+    // evidence), z raw-only (negative), y neutral-ish
+    val docs = Seq((0L, true, "x x y"), (1L, false, "y z z"))
+      .toDF("doc_id", "is_tgt", "text")
+    val bx = mdBucket("x", B); val by = mdBucket("y", B)
+    val bz = mdBucket("z", B)
+    assert(Set(bx, by, bz).size == 3, "hand model assumes no collision")
+    val (tt, tr) = (3.0, 6.0)
+    def lw(ct: Double, cr: Double): Double =
+      math.log((ct + 0.5) / (tt + 0.5 * B)) -
+        math.log((cr + 0.5) / (tr + 0.5 * B))
+    val want = Map(
+      0L -> (2 * lw(2, 2) + lw(1, 2)) / 3.0,
+      1L -> (lw(1, 2) + 2 * lw(0, 2)) / 3.0)
+    val got = Curation.importanceWeights(docs, "doc_id", "text",
+        "is_tgt", B)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw_r"))
+      .toMap
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) <= 1e-6, s"doc $id: ${got(id)} vs $w")
+    }
+    assert(got(0L) > got(1L),
+      "target-only evidence must outscore raw-only evidence")
+  }
+
+  test("importanceWeights: an all-target corpus scores exactly 0 " +
+      "everywhere (target distribution == raw distribution)") {
+    val docs = Seq((0L, true, "a b c"), (1L, true, "c d"))
+      .toDF("doc_id", "is_tgt", "text")
+    val got = Curation.importanceWeights(docs, "doc_id", "text",
+        "is_tgt", 1024)
+      .collect().map(_.getAs[Double]("logw_r"))
+    assert(got.nonEmpty && got.forall(_ == 0.0), got.toSeq.toString)
+  }
 }

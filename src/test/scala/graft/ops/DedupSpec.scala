@@ -493,4 +493,34 @@ class DedupSpec extends SparkTestBase {
       .toSet
     assert(got == refPairs, s"got $got want $refPairs")
   }
+
+  test("segmentDedup: keep-first by (doc, seg_idx); later instances " +
+      "dropped wherever they appear") {
+    val docs = Seq(
+      (0L, "a b c d"),  // segs: [a b] first, [c d] first
+      (1L, "a b x y"),  // [a b] dup of (0,0); [x y] first
+      (2L, "c d a b")   // both dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("total_tokens"))).toSeq
+    assert(got == Seq((0L, 2L, 0L, 4L, 4L), (1L, 2L, 1L, 2L, 4L),
+      (2L, 2L, 2L, 0L, 4L)))
+  }
+
+  test("segmentDedup: a WITHIN-doc repeat is a duplicate of its own " +
+      "earlier segment; a short tail segment keeps its true length") {
+    val docs = Seq(
+      (0L, "a b a b"),  // seg 1 duplicates seg 0 of the same doc
+      (1L, "p q r")     // segs [p q] (2 toks) + short tail [r] (1 tok)
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("total_tokens"))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 2L, 4L), (1L, 2L, 0L, 3L, 3L)))
+  }
 }

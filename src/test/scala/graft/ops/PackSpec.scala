@@ -94,4 +94,50 @@ class PackSpec extends SparkTestBase {
     // the 100/90 batch pads 90→100
     assert(got == Seq((0L, 3L, 0L), (1L, 2L, 10L)))
   }
+
+  private val shardSet = Seq("s0" -> 1, "s1" -> 1, "s2" -> 2, "s3" -> 4)
+
+  test("rendezvousAssign: every row placed once; weight ordering shows " +
+      "in the shard sizes (w=4 shard largest)") {
+    val ids = (0L until 200L).toDF("id")
+    val got = Pack.rendezvousAssign(ids, "id", shardSet)
+    assert(got.count() == 200L)
+    val sizes = got.groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("s0", "s1", "s2", "s3"),
+      s"all shards must receive rows: $sizes")
+    assert(sizes("s3") == sizes.values.max,
+      s"the weight-4 shard must be the largest: $sizes")
+  }
+
+  test("rendezvousAssign: removing one shard moves ONLY that shard's " +
+      "rows (minimal disruption — the property that makes resharding " +
+      "an incremental copy)") {
+    val ids = (0L until 200L).toDF("id")
+    val full = Pack.rendezvousAssign(ids, "id", shardSet)
+      .withColumnRenamed("shard", "f")
+    val reduced = Pack.rendezvousAssign(ids, "id",
+        shardSet.filterNot(_._1 == "s3"))
+      .withColumnRenamed("shard", "r")
+    val rows = full.join(reduced, "id").collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[String]("r")))
+    assert(rows.exists(_._1 == "s3"), "fixture must exercise the move")
+    rows.foreach { case (f, r) =>
+      if (f != "s3") assert(f == r, s"stable row moved: $f -> $r")
+      else assert(r != "s3", "dropped shard cannot win")
+    }
+  }
+
+  test("rendezvousAssign: a single shard takes everything; two runs " +
+      "are identical (md5-deterministic)") {
+    val ids = (0L until 50L).toDF("id")
+    assert(Pack.rendezvousAssign(ids, "id", Seq("only" -> 2))
+      .select("shard").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("only"))
+    val a = Pack.rendezvousAssign(ids, "id", shardSet).orderBy("id")
+      .collect().toSeq
+    val b = Pack.rendezvousAssign(ids, "id", shardSet).orderBy("id")
+      .collect().toSeq
+    assert(a == b)
+  }
 }

@@ -361,4 +361,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(common.nonEmpty,
       "docs sharing a >= w+k-1 run must share a fingerprint")
   }
+
+  test("ngramNovelty: corpus-unique grams counted, shared ones not; " +
+      "within-doc repeats collapse to one distinct gram") {
+    val docs = Seq(
+      (0L, "a b c"),    // bigrams {a b, b c}: 'a b' shared, 'b c' unique
+      (1L, "a b d"),    // {a b, b d}: 'b d' unique
+      (2L, "p q p q")   // {p q, q p}: both unique, repeat counted once
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novel_r"))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5),
+      (2L, 2L, 2L, 1.0)))
+  }
+
+  test("ngramNovelty: docs shorter than n contribute no grams and no " +
+      "output row") {
+    val docs = Seq((0L, "alpha beta"), (1L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, "doc_id", "text", 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == Seq(0L))
+  }
 }

@@ -201,4 +201,38 @@ class StreamsSpec extends SparkTestBase {
         .collect().sorted.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
+
+  test("StreamQuota: the cap carries ACROSS micro-batches (no " +
+      "re-admission from zero), admission follows (us, id) order " +
+      "within a batch, other keys unaffected") {
+    import graft.streaming.StreamQuota.{Adm, Ev => QEv}
+    val input = MemoryStream[QEv](spark)
+    val q = graft.streaming.StreamQuota.admittedOf(input.toDS(), 4L)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: three events arriving OUT of time order — admission
+      // indices must follow (us, id), not arrival
+      input.addData(QEv("k", 3L, 30L), QEv("k", 1L, 10L),
+        QEv("k", 2L, 20L))
+      q.processAllAvailable()
+      // batch 2: three more, but only one slot remains — a batch job
+      // re-run would admit all three (re-counts from zero); the stream
+      // must not
+      input.addData(QEv("k", 4L, 40L), QEv("k", 5L, 50L),
+        QEv("k", 6L, 60L))
+      q.processAllAvailable()
+      // a different key has its own untouched quota
+      input.addData(QEv("j", 9L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("quota_out").as[Adm].collect().toSet
+      assert(out == Set(Adm("k", 1L, 1L), Adm("k", 2L, 2L),
+        Adm("k", 3L, 3L), Adm("k", 4L, 4L), Adm("j", 1L, 9L)),
+        out.toString)
+      // batch 3: key k stays saturated
+      input.addData(QEv("k", 7L, 70L))
+      q.processAllAvailable()
+      assert(spark.table("quota_out").count() == 5L)
+    } finally q.stop()
+  }
 }
