@@ -319,4 +319,85 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("_lw")), 6).as("logw_r"))
   }
+
+  /** WATER-FILLING budget allocation (the max-min-fair allocation of
+    * classic congestion control — Bertsekas & Gallager, "Data Networks"
+    * §6.5.2 — applied to token budgets): given per-key totals n_k and a
+    * global budget = `budgetFrac` × Σn, find the water level L with
+    * Σ min(n_k, L) = budget; keys below L keep everything ("saturated"),
+    * keys above are capped at L. The data-mixing answer to "small
+    * sources keep all their tokens, big sources split the remainder
+    * equally".
+    *
+    * Level search is closed-form over the SORTED key table: with
+    * n₁ ≤ … ≤ n_S and cum_k = Σ_{j≤k} n_j, the level after saturating k
+    * keys is L_k = (budget − cum_k)/(S − k), and the valid k is the
+    * largest with n_k ≤ L_k (none ⇒ L = budget/S; budget ≥ Σn ⇒
+    * k = S−1 yields L ≥ n_S, every key saturated — no special case).
+    *
+    * Scale shape: one hash-agg to per-key totals, then EVERYTHING runs
+    * on the |keys|-row table — the global window is over keys, not
+    * rows, the same tiny-by-construction posture as Pack's bucket
+    * table; the chosen level re-enters by broadcast. */
+  def waterFillAlloc(df: DataFrame, keyCol: String, weightCol: String,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0, "budgetFrac must be > 0")
+    val counts = df.groupBy(col(keyCol))
+      .agg(sum(col(weightCol)).cast("double").as("_n"))
+    val scal = counts.agg(count(lit(1)).cast("double").as("_S"),
+      sum(col("_n")).as("_total"))
+    val w = Window.orderBy(col("_n"), col(keyCol))
+    val ranked = counts
+      .withColumn("_i", row_number().over(w).cast("double"))
+      .withColumn("_cum", sum(col("_n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(scal))
+      .withColumn("_budget", lit(budgetFrac) * col("_total"))
+    val cand = ranked
+      .filter(col("_i") < col("_S") &&
+        col("_n") <= (col("_budget") - col("_cum"))
+          / (col("_S") - col("_i")))
+      .agg(max(struct(col("_i"),
+        ((col("_budget") - col("_cum")) / (col("_S") - col("_i")))
+          .as("_lvl"))).as("_k"))
+      .select(col("_k._lvl").as("_cl"))
+    val level = scal.crossJoin(broadcast(cand))
+      .select(coalesce(col("_cl"),
+        lit(budgetFrac) * col("_total") / col("_S")).as("_level"))
+    counts.crossJoin(broadcast(level))
+      .select(col(keyCol), col("_n").cast("long").as("n_tokens"),
+        round(least(col("_n"), col("_level")), 6).as("alloc_r"),
+        (col("_n") <= col("_level")).as("saturated"))
+  }
+
+  /** Temperature-scaled mixture sampling (the multilingual rebalancing
+    * rule of Conneau et al., "Unsupervised Cross-lingual Representation
+    * Learning at Scale", arXiv:1911.02116 §5: sample domains ∝ n^α,
+    * α < 1 up-weighting the tail): per-domain keep fraction
+    * f_d = min(1, target · n_d^α / Σ_t n_t^α / n_d), rows kept by the
+    * engine-portable md5-uniform (same family as [[mixtureResample]],
+    * which this generalizes — α = 1 recovers proportional sampling with
+    * uniform weights).
+    *
+    * Scale shape: one hash-agg to domain counts (|domains| rows), the
+    * α-powered fraction table re-enters by broadcast, the keep decision
+    * is a codegen'd per-row filter — the corpus is scanned once and
+    * never shuffled. */
+  def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, target: Long): DataFrame = {
+    require(alpha > 0 && target > 0, "alpha and target must be > 0")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .withColumn("_w", pow(col("_n"), alpha))
+    val tot = counts.agg(sum(col("_w")).as("_tw"))
+    val frac = counts.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        least(lit(1.0), lit(target.toDouble) * col("_w") / col("_tw")
+          / col("_n")).as("_frac"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    df.join(broadcast(frac), Seq(domainCol))
+      .where(u < col("_frac"))
+      .drop("_frac")
+  }
 }

@@ -40,6 +40,14 @@ object PipelineQueries {
   // (~200/type) and sf0.01 (~2000/type) alike
   private val AdmitCap = 150L
 
+  // q157: budget = 80% of corpus tokens — the mixed regime (some langs
+  // saturated, some capped) at sf0.001/0.01/0.1 alike
+  private val WfFrac = 0.8
+
+  // q158: α = 0.5 temperature, 250-doc target
+  private val TempAlpha = 0.5
+  private val TempTarget = 250L
+
   val all: Seq[Q] = Seq(
 
     // Segment-level exact dedup: 8-token segments, keep-first by
@@ -237,6 +245,121 @@ object PipelineQueries {
               |FROM r WHERE rn <= $AdmitCap
               |ORDER BY 1, 2""".stripMargin),
       (s, d) => StreamQuota.admitted(s, d, AdmitCap)
-        .orderBy("event_type", "admit_idx"))
+        .orderBy("event_type", "admit_idx")),
+
+    // Shingle CONTAINMENT on the LSH candidates — the asymmetric
+    // complement of q30's Jaccard: c(A→B) = |S_A ∩ S_B| / |S_A| flags a
+    // small doc quoted inside a big one, which symmetric Jaccard
+    // dilutes. Pure composition: jaccardForPairs already carries
+    // n_inter/n_a/n_b; this projects the two ratios. Recall caveat
+    // (documented): candidates come from minhash-LSH, which targets
+    // Jaccard — a containment-first pipeline would band on the smaller
+    // doc's shingles instead.
+    Q("q156_containment_pairs",
+      Some(s"""${TextQueries.bandsCte},
+              |counts AS (SELECT doc_id, count(*) AS n FROM hashed
+              |           GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT i.doc_a, i.doc_b, n_inter::BIGINT AS n_inter,
+              |  ca.n::BIGINT AS n_a, cb.n::BIGINT AS n_b,
+              |  round(n_inter::DOUBLE / ca.n, 6) AS c_ab_r,
+              |  round(n_inter::DOUBLE / cb.n, 6) AS c_ba_r
+              |FROM inter i
+              | JOIN counts ca ON ca.doc_id = i.doc_a
+              | JOIN counts cb ON cb.doc_id = i.doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
+        val sig = Dedup.minhashFromShingles(shingles, "doc_id")
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        Dedup.jaccardForPairs(shingles, pairs, "doc_id")
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            col("n_a"), col("n_b"),
+            round(col("n_inter") / col("n_a"), 6).as("c_ab_r"),
+            round(col("n_inter") / col("n_b"), 6).as("c_ba_r"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // Water-filling token-budget allocation across languages: budget =
+    // 80% of corpus tokens; small languages keep everything, the rest
+    // split the remainder at the water level. 0.8 sits in the mixed
+    // regime (some saturated, some capped) at sf0.001/0.01/0.1 alike.
+    Q("q157_water_filling",
+      Some(s"""WITH n AS (
+              |  SELECT lang,
+              |    sum(ceil(n_chars / 4)::BIGINT)::DOUBLE AS nt
+              |  FROM documents GROUP BY 1),
+              |scal AS (SELECT count(*)::DOUBLE AS s, sum(nt) AS total
+              |         FROM n),
+              |r AS (
+              |  SELECT lang, nt,
+              |    (row_number() OVER (ORDER BY nt, lang))::DOUBLE AS i,
+              |    sum(nt) OVER (ORDER BY nt, lang ROWS BETWEEN
+              |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM n),
+              |cand AS (
+              |  SELECT i, ($WfFrac::DOUBLE * total - cum) / (s - i)
+              |      AS lvl
+              |  FROM r, scal
+              |  WHERE i < s AND nt <= ($WfFrac::DOUBLE * total - cum)
+              |    / (s - i)),
+              |lvl AS (
+              |  SELECT coalesce(
+              |    (SELECT lvl FROM cand ORDER BY i DESC LIMIT 1),
+              |    (SELECT $WfFrac::DOUBLE * total / s FROM scal))
+              |    AS level)
+              |SELECT lang, nt::BIGINT AS n_tokens,
+              |  round(least(nt, level), 6) AS alloc_r,
+              |  nt <= level AS saturated
+              |FROM n, lvl ORDER BY lang""".stripMargin),
+      (s, d) => Curation.waterFillAlloc(
+          documents(s, d).select(col("lang"),
+            ceil(col("n_chars") / 4).cast("long").as("toks")),
+          "lang", "toks", WfFrac)
+        .orderBy("lang")),
+
+    // Temperature-scaled mixture sampling: per-source keep fractions
+    // ∝ n^α / n (α = 0.5 up-weights tail sources), md5-deterministic
+    // row keeps, reported as per-source kept counts. The one
+    // cross-engine float (pow(n, 0.5)) can only flip a row on a
+    // sub-ulp u-vs-frac tie — measure-zero, the q111 posture.
+    Q("q158_temperature_mix",
+      Some(s"""WITH c AS (
+              |  SELECT source, count(*)::DOUBLE AS n FROM documents
+              |  GROUP BY 1),
+              |w AS (SELECT source, n, pow(n, $TempAlpha) AS w FROM c),
+              |tw AS (SELECT sum(w) AS tw FROM w),
+              |f AS (
+              |  SELECT source, n,
+              |    least(1.0::DOUBLE, $TempTarget::DOUBLE * w / tw / n)
+              |      AS frac
+              |  FROM w, tw),
+              |k AS (
+              |  SELECT d.source, count(*) AS nk
+              |  FROM documents d JOIN f USING (source)
+              |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+              |      ::BIGINT::DOUBLE / 1152921504606846976.0 < frac
+              |  GROUP BY 1)
+              |SELECT f.source, f.n::BIGINT AS n_docs,
+              |  coalesce(k.nk, 0)::BIGINT AS n_kept
+              |FROM f LEFT JOIN k USING (source)
+              |ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val kept = Curation.temperatureResample(docs, "doc_id", "source",
+            TempAlpha, TempTarget)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      })
   )
 }

@@ -82,7 +82,7 @@ object TextQueries {
        |  FROM okbands a JOIN okbands b ON a.band = b.band
        |   AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
-  private val bandsCte = {
+  private[queries] val bandsCte = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
         .mkString(" || ',' || ")

@@ -284,4 +284,61 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getAs[Double]("logw_r"))
     assert(got.nonEmpty && got.forall(_ == 0.0), got.toSeq.toString)
   }
+
+  private def wfRows(rows: Seq[(String, Long)], frac: Double) =
+    Curation.waterFillAlloc(rows.toDF("k", "w"), "k", "w", frac)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("alloc_r"), r.getAs[Boolean]("saturated")))
+      .toSeq
+
+  test("waterFillAlloc: hand-derived levels — mixed regime, " +
+      "nobody-saturates regime, everybody-saturates regime") {
+    // n = [1, 2, 10], budget 6/13 of 13 = 6 → level 3: a,b keep all,
+    // c capped at 3 (1 + 2 + 3 = 6)
+    assert(wfRows(Seq("a" -> 1L, "b" -> 2L, "c" -> 10L), 6.0 / 13.0) ==
+      Seq(("a", 1L, 1.0, true), ("b", 2L, 2.0, true),
+        ("c", 10L, 3.0, false)))
+    // n = [5, 6, 7], budget 6/18 of 18 = 6 → no candidate k, level =
+    // budget/S = 2, all capped
+    assert(wfRows(Seq("a" -> 5L, "b" -> 6L, "c" -> 7L), 6.0 / 18.0) ==
+      Seq(("a", 5L, 2.0, false), ("b", 6L, 2.0, false),
+        ("c", 7L, 2.0, false)))
+    // budget ≥ total → everyone keeps everything, no special-casing
+    assert(wfRows(Seq("a" -> 3L, "b" -> 9L), 2.0) ==
+      Seq(("a", 3L, 3.0, true), ("b", 9L, 9.0, true)))
+  }
+
+  test("waterFillAlloc: allocations sum to the budget when capped " +
+      "(the defining water-filling property)") {
+    val rows = Seq("a" -> 13L, "b" -> 2L, "c" -> 40L, "d" -> 7L,
+      "e" -> 25L)
+    val frac = 0.5
+    val got = wfRows(rows, frac)
+    val total = rows.map(_._2).sum.toDouble
+    val sum = got.map(_._3).sum
+    assert(math.abs(sum - frac * total) < 1e-6,
+      s"allocs $got sum $sum != ${frac * total}")
+  }
+
+  test("temperatureResample: α = 0.5 fully keeps the tail domain while " +
+      "subsampling the head; two runs identical; target ≥ corpus keeps " +
+      "everything") {
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    // w = [10, 2]; frac_small = 52·2/12/4 > 1 → clamp 1 (all 4 kept);
+    // frac_big = 52·10/12/100 ≈ 0.433
+    val kept = Curation.temperatureResample(docs, "doc_id", "source",
+      0.5, 52L)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 4L, s"tail domain must be fully kept: $bySrc")
+    assert(bySrc("big") < 100L && bySrc("big") > 0L, bySrc.toString)
+    assert(kept.orderBy("doc_id").collect().toSeq ==
+      Curation.temperatureResample(docs, "doc_id", "source", 0.5, 52L)
+        .orderBy("doc_id").collect().toSeq)
+    assert(Curation.temperatureResample(docs, "doc_id", "source", 0.5,
+      1000L).count() == 104L)
+  }
 }
