@@ -342,8 +342,11 @@ object Curation {
   def waterFillAlloc(df: DataFrame, keyCol: String, weightCol: String,
       budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0, "budgetFrac must be > 0")
+    // cached: the |keys|-row table feeds the scalar agg, the ranked
+    // level search, AND the final allocation — without it each consumer
+    // re-scans the corpus for the same aggregate
     val counts = df.groupBy(col(keyCol))
-      .agg(sum(col(weightCol)).cast("double").as("_n"))
+      .agg(sum(col(weightCol)).cast("double").as("_n")).cache()
     val scal = counts.agg(count(lit(1)).cast("double").as("_S"),
       sum(col("_n")).as("_total"))
     val w = Window.orderBy(col("_n"), col(keyCol))
@@ -386,9 +389,11 @@ object Curation {
   def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
       alpha: Double, target: Long): DataFrame = {
     require(alpha > 0 && target > 0, "alpha and target must be > 0")
+    // cached: |domains| rows feeding both the Σw scalar and the
+    // fraction table — one corpus scan for the counts, not two
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("_n"))
-      .withColumn("_w", pow(col("_n"), alpha))
+      .withColumn("_w", pow(col("_n"), alpha)).cache()
     val tot = counts.agg(sum(col("_w")).as("_tw"))
     val frac = counts.crossJoin(broadcast(tot))
       .select(col(domainCol),
