@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level audit operators: slice-vs-slice overlap and divergence
+  * reports a curation pipeline runs BEFORE mixing sources into a
+  * training set (reference behavior generalized: the ETL's per-slice
+  * summaries — `fetch_youtube_data.py` count/log seams — extended to the
+  * corpus-health reports a 100 TB ingest actually needs).
+  *
+  * Scale doctrine shared by every operator here: per-row work is
+  * map-side (tokenize/shingle/explode), corpus-proportional state is
+  * reduced by hash-aggregate onto a (slice, term) keyed table, and ALL
+  * pairwise math happens on slice-keyed aggregates — |slices| is
+  * sources/languages/datasets (10–10⁴), so the pair fan-out is bounded
+  * by |slices|² per term, never |docs|². The md5-derived hashing
+  * ([[TextOps.hash60]]) keeps every number reproducible in the DuckDB
+  * oracle.
+  */
+object CorpusAudit {
+
+  /** Distinct word-k-shingle hashes per slice: (key, h). The per-doc
+    * distinct is row-local (inside [[Dedup.kGramExpr]]); the cross-doc
+    * distinct within a slice is one partial-aggregated hash-agg. */
+  def keyShingleSets(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(keyCol),
+        TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+      .select(col(keyCol),
+        explode(expr(Dedup.kGramExpr("_toks", k, distinct = true)))
+          .as("shingle"))
+      .select(col(keyCol), TextOps.hash60(col("shingle")).as("h"))
+      .distinct()
+
+  /** Pairwise shingle-set Jaccard between slices — the "how much does
+    * source A repeat source B" matrix (the corpus-level complement of
+    * doc-level near-dup: q29/q30 find WHICH docs collide, this reports
+    * how much the slices overlap at all). Emits the full upper triangle
+    * including zero-overlap pairs.
+    *
+    * Scale shape: the only corpus-proportional stages are the shingle
+    * explode and the (key, h) hash-agg; the self-join fans out at most
+    * |keys| rows per shingle hash (a shingle present in every slice
+    * contributes C(|keys|, 2) pairs — bounded by construction, the
+    * reason no hot-bucket valve is needed here), and the matrix itself
+    * is |keys|² rows assembled from broadcast-size inputs. */
+  def sourceOverlapMatrix(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    // cached: feeds the size agg and BOTH sides of the intersection join
+    val sets = keyShingleSets(df, keyCol, textCol, k).cache()
+    val sizes = sets.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val inter = sets.select(col(keyCol).as("key_a"), col("h"))
+      .join(sets.select(col(keyCol).as("key_b"), col("h")), Seq("h"))
+      .where(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col(keyCol).as("key_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col(keyCol).as("key_b"), col("n").as("n_b"))))
+      .where(col("key_a") < col("key_b"))
+    pairs.join(inter, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        round(coalesce(col("n_inter"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jaccard_r"))
+  }
+
+  private def fEnt(c: Column): Column = -c * log(c)
+
+  /** Pairwise Jensen–Shannon divergence (nats) between slice unigram
+    * distributions (Lin 1991, "Divergence measures based on the Shannon
+    * entropy") — the standard "how different is source A's language from
+    * source B's" report driving mixture design.
+    *
+    * Decomposition that avoids materializing the union vocabulary per
+    * pair: with f(x) = −x·ln x,
+    *   JS(a,b) = H(m) − (H_a + H_b)/2, and
+    *   H(m) = Σ_{w∈a∩b}[f((p+q)/2) − f(p/2) − f(q/2)] + F_a + F_b
+    * where F_s = Σ_w f(p_w/2). Only the INTERSECTION needs a join; the
+    * tails live in the per-slice scalars F_s — so zero-overlap pairs
+    * cost nothing and the join output is bounded by |vocab|·|keys|².
+    *
+    * Scale shape: one tokenize-explode pass, a (key, word) hash-agg, a
+    * |keys|-row broadcast of totals, the word-keyed intersection join,
+    * and a |keys|²-row assembly — the corpus is scanned once. */
+  def jsDivergenceMatrix(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    // cached: the ONLY corpus-proportional stage — tokenize-explode +
+    // hash-agg down to |keys|·|vocab| rows; totals, the probability
+    // table, the scalar agg, and both intersection-join sides all
+    // re-derive from this cache (each re-derivation is vocab-scale, so
+    // caching the downstream p table instead would still re-scan the
+    // corpus once for totals)
+    val counts = df.select(col(keyCol),
+        explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("tok"))
+      .groupBy(col(keyCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .cache()
+    val totals = counts.groupBy(col(keyCol)).agg(sum(col("c")).as("tot"))
+    val p = counts.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("tok"), (col("c") / col("tot")).as("p"))
+    val scal = p.groupBy(col(keyCol))
+      .agg(sum(fEnt(col("p"))).as("hh"), sum(fEnt(col("p") / 2)).as("fh"))
+    val inter = p.select(col(keyCol).as("key_a"), col("tok"),
+        col("p").as("pa"))
+      .join(p.select(col(keyCol).as("key_b"), col("tok"),
+        col("p").as("pb")), Seq("tok"))
+      .where(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(sum(fEnt((col("pa") + col("pb")) / 2)
+        - fEnt(col("pa") / 2) - fEnt(col("pb") / 2)).as("t"))
+    scal.select(col(keyCol).as("key_a"), col("hh").as("ha"),
+        col("fh").as("fa"))
+      .crossJoin(broadcast(scal.select(col(keyCol).as("key_b"),
+        col("hh").as("hb"), col("fh").as("fb"))))
+      .where(col("key_a") < col("key_b"))
+      .join(inter, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"),
+        round(coalesce(col("t"), lit(0.0)) + col("fa") + col("fb")
+          - (col("ha") + col("hb")) / 2, 6).as("js_r"))
+  }
+
+  /** Near-dup LEAKAGE matrix: verified near-dup pairs (Jaccard ≥
+    * threshold) attributed to the (slice, slice) combinations they span
+    * — the cross-source contamination report (a pair inside one source
+    * is routine dedup; a pair ACROSS train-relevant sources is leakage).
+    * Pure composition over the q29/q30 pipeline: `scored` is
+    * [[Dedup.jaccardForPairs]] output; this joins the two doc sides to
+    * their slice keys and counts per unordered key pair.
+    *
+    * Scale shape: |pairs| is post-LSH (candidate-bounded); the two key
+    * lookups are equi-joins against the (id, key) projection; the final
+    * agg is |keys|² rows. */
+  def nearDupLeakage(scored: DataFrame, docs: DataFrame, idCol: String,
+      keyCol: String, threshold: Double): DataFrame = {
+    val keys = docs.select(col(idCol), col(keyCol))
+    val withKeys = scored.where(col("jaccard") >= threshold)
+      .join(keys.select(col(idCol).as("doc_a"), col(keyCol).as("_ka")),
+        Seq("doc_a"))
+      .join(keys.select(col(idCol).as("doc_b"), col(keyCol).as("_kb")),
+        Seq("doc_b"))
+    withKeys
+      .groupBy(least(col("_ka"), col("_kb")).as("key_lo"),
+        greatest(col("_ka"), col("_kb")).as("key_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard_r"))
+  }
+}

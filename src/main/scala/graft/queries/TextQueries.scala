@@ -13,8 +13,8 @@ import graft.util.Tables._
 object TextQueries {
 
   // ---- shared DuckDB SQL fragments (single source of truth: Scala consts)
-  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-  private def hash60Sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private[queries] val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[queries] def hash60Sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   /** Shingle CTE: distinct word-3-shingle HASHES per doc (the engine
     * dedups/joins on the 60-bit hash, not the string — see

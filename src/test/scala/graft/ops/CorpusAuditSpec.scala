@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CorpusAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sourceOverlapMatrix: hand shingle sets — partial overlap, " +
+      "zero-overlap pair emitted with jaccard 0") {
+    // A: {a b c, b c d}; B: {a b c, b c e} → inter 1, union 3 → 1/3
+    // C: {x y z} → disjoint from both
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c e", "B"), (3L, "x y z", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusAudit.sourceOverlapMatrix(docs, "source", "text")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("A", "B", 2L, 2L, 1L, 0.333333),
+      ("A", "C", 2L, 1L, 0L, 0.0),
+      ("B", "C", 2L, 1L, 0L, 0.0)), got.toString)
+  }
+
+  test("sourceOverlapMatrix: cross-doc shingle dedup within a slice " +
+      "(two docs sharing a shingle count it once)") {
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a b c", "A"), (3L, "a b c", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusAudit.sourceOverlapMatrix(docs, "source", "text")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 1L, 1L)), got.toSeq.toString)
+  }
+
+  private def js(rows: Seq[(Long, String, String)]) =
+    CorpusAudit.jsDivergenceMatrix(
+        rows.toDF("doc_id", "text", "source"), "source", "text")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("jsDivergenceMatrix: identical → 0, disjoint → ln 2, " +
+      "hand-computed mixed case") {
+    // identical unigram distributions
+    val same = js(Seq((1L, "a b", "A"), (2L, "a b", "B")))
+    assert(same.size == 1 && math.abs(same.head._3) < 1e-9, same.toString)
+    // disjoint vocabularies: JS = ln 2
+    val disj = js(Seq((1L, "a", "A"), (2L, "b", "B")))
+    assert(math.abs(disj.head._3 - math.log(2)) < 1e-6, disj.toString)
+    // A: p = {a: 2/3, b: 1/3}, B: {a: 1/3, b: 2/3} →
+    // JS = ln2 − [−(2/3)ln(2/3) − (1/3)ln(1/3)] = 0.056633 (6 d.p.)
+    val mixed = js(Seq((1L, "a a b", "A"), (2L, "a b b", "B")))
+    assert(math.abs(mixed.head._3 - 0.056633) < 1e-6, mixed.toString)
+  }
+
+  test("jsDivergenceMatrix: zero-overlap pairs appear without a join row " +
+      "(tail-scalar path) and JS is bounded by ln 2") {
+    val rows = Seq((1L, "a a b c", "A"), (2L, "b c c d", "B"),
+      (3L, "x y z", "C"))
+    val got = js(rows)
+    assert(got.map(p => (p._1, p._2)) ==
+      Seq(("A", "B"), ("A", "C"), ("B", "C")), got.toString)
+    assert(got.forall(p => p._3 >= 0 && p._3 <= math.log(2) + 1e-9),
+      got.toString)
+    // disjoint pairs hit exactly ln 2
+    assert(math.abs(got(1)._3 - math.log(2)) < 1e-6, got.toString)
+  }
+
+  test("nearDupLeakage: threshold filter, unordered-pair normalization, " +
+      "per-pair counts and mean jaccard") {
+    val scored = Seq(
+      (1L, 2L, 0.9), // A-B
+      (2L, 5L, 0.7), // B-A → same unordered pair
+      (1L, 3L, 0.6), // A-A within-source
+      (3L, 4L, 0.4)  // below threshold, dropped
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "A"))
+      .toDF("doc_id", "source")
+    val got = CorpusAudit.nearDupLeakage(scored, docs, "doc_id", "source",
+        0.5)
+      .orderBy("key_lo", "key_hi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("A", "A", 1L, 0.6), ("A", "B", 2L, 0.8)),
+      got.toString)
+  }
+}
