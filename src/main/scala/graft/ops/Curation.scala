@@ -405,4 +405,27 @@ object Curation {
       .where(u < col("_frac"))
       .drop("_frac")
   }
+
+  /** k-anonymity / l-diversity profile (Sweeney 2002; Machanavajjhala
+    * et al. 2007): per quasi-identifier group, the group size and the
+    * number of distinct sensitive values, flagged `suppressed` when
+    * either n < k (re-identifiable) or n_sensitive < l (attribute
+    * disclosure) — the governance gate a corpus release runs before
+    * publishing grouped data.
+    *
+    * Scale shape: two STACKED hash-aggs — (qi…, sensitive) then (qi…) —
+    * the same no-Expand distinct-count pattern as q110; everything is
+    * keyed, partial-aggregated, and output-bounded by |QI groups|. */
+  def privacyProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && k > 0 && l > 0)
+    val qi = qiCols.map(col)
+    df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(qi: _*)
+      .agg(sum(col("_n")).as("n"),
+        count(lit(1)).as("n_sensitive"))
+      .select(qi ++ Seq(col("n"), col("n_sensitive"),
+        (col("n") < k || col("n_sensitive") < l).as("suppressed")): _*)
+  }
 }

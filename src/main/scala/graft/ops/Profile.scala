@@ -182,4 +182,46 @@ object Profile {
           - (col("_s") / col("n")) * (col("_s") / col("n"))), 6).as("std_r"),
         col("x_min"), col("x_max"))
   }
+
+  /** Key-skew profile: the top-k heaviest keys with their share and
+    * cumulative share of total rows, plus the Gini coefficient of the
+    * full key distribution — the diagnostic that decides whether a
+    * downstream join/agg on this key needs salting or an AQE skew valve
+    * (SCALE.md doctrine made measurable).
+    *
+    * Gini over the ASCENDING-sorted key counts x₁ ≤ … ≤ x_S:
+    * G = Σᵢ (2i − S − 1)·xᵢ / (S·Σx) — the standard mean-absolute-
+    * difference form, 0 = uniform, → 1 = one key holds everything.
+    *
+    * Scale shape: one corpus scan hash-aggs to the CACHED |keys|-row
+    * count table; both windows (ascending for Gini, descending for the
+    * top-k ranks) run over that |keys|-row table — the Pack bucket-table
+    * posture — and the two scalars re-enter by broadcast. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: |keys| rows feeding the scalar agg, the Gini agg, and the
+    // ranked top-k — one corpus scan total
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n")).cache()
+    val tot = counts.agg(sum(col("n")).cast("double").as("_tot"),
+      count(lit(1)).cast("double").as("_s"))
+    val wAsc = Window.orderBy(col("n"), col(keyCol))
+    val gini = counts
+      .withColumn("_i", row_number().over(wAsc).cast("double"))
+      .crossJoin(broadcast(tot))
+      .agg((sum((lit(2) * col("_i") - col("_s") - 1) * col("n"))
+        / (first(col("_s")) * first(col("_tot")))).as("_gini"))
+    val wDesc = Window.orderBy(col("n").desc, col(keyCol))
+    counts
+      .withColumn("rank", row_number().over(wDesc))
+      .withColumn("_cum", sum(col("n")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank") <= topK)
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(gini))
+      .select(col("rank"), col(keyCol), col("n"),
+        round(col("n") / col("_tot"), 6).as("share_r"),
+        round(col("_cum") / col("_tot"), 6).as("cum_share_r"),
+        round(col("_gini"), 6).as("gini_r"))
+  }
 }

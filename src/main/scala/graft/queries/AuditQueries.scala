@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusAudit, Dedup}
+import graft.ops.{CorpusAudit, Curation, Dedup, Profile}
 import graft.util.Tables._
 
 /** Corpus-audit surface: slice-vs-slice overlap/divergence reports over
@@ -17,6 +17,16 @@ object AuditQueries {
   // q161: the q61 near-dup threshold — pairs at or above it are the ones
   // end-to-end dedup acts on, so they are the ones that leak
   private val LeakThreshold = 0.5
+
+  // q162: top-20 heaviest keys — the salting-decision shortlist
+  private val SkewTopK = 20
+
+  // q163: release gate k=5 / l=2 over (source, 200-char length bucket),
+  // sensitive = lang — a mixed suppressed/clear regime at 500-doc and
+  // 5000-doc scales alike
+  private val KAnonK = 5L
+  private val LDivL = 2L
+  private val LenBucket = 200
 
   val all: Seq[Q] = Seq(
 
@@ -129,6 +139,62 @@ object AuditQueries {
         CorpusAudit.nearDupLeakage(scored, docs, "doc_id", "source",
             LeakThreshold)
           .orderBy("key_lo", "key_hi")
-      })
+      }),
+
+    // Key-skew profile over the event stream's user key: top-20 heavy
+    // keys with share / cumulative share, plus the Gini coefficient of
+    // the whole key distribution — the measurement behind every
+    // salting/AQE-valve decision in SCALE.md.
+    Q("q162_key_skew",
+      Some(s"""WITH c AS (
+              |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+              |tot AS (SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS s
+              |        FROM c),
+              |g AS (
+              |  SELECT sum((2 * i - s - 1) * n) / (max(s) * max(tot))
+              |    AS gini
+              |  FROM (SELECT n,
+              |          (row_number() OVER (ORDER BY n, user_id))::DOUBLE
+              |            AS i
+              |        FROM c), tot),
+              |r AS (
+              |  SELECT user_id, n,
+              |    row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+              |    sum(n) OVER (ORDER BY n DESC, user_id ROWS BETWEEN
+              |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM c)
+              |SELECT rank::INTEGER AS rank, user_id, n,
+              |  round(n / tot, 6) AS share_r,
+              |  round(cum / tot, 6) AS cum_share_r,
+              |  round(gini, 6) AS gini_r
+              |FROM r, tot, g WHERE rank <= $SkewTopK
+              |ORDER BY rank""".stripMargin),
+      (s, d) => Profile.keySkew(events(s, d), "user_id", SkewTopK)
+        .orderBy("rank")),
+
+    // k-anonymity / l-diversity release gate over documents: QI =
+    // (source, 200-char length bucket), sensitive = lang; a group is
+    // suppressed when n < 5 or distinct langs < 2.
+    Q("q163_privacy_profile",
+      Some(s"""WITH b AS (
+              |  SELECT source,
+              |    (n_chars // $LenBucket)::BIGINT AS len_bucket, lang
+              |  FROM documents),
+              |g1 AS (
+              |  SELECT source, len_bucket, lang, count(*) AS n
+              |  FROM b GROUP BY 1, 2, 3),
+              |g2 AS (
+              |  SELECT source, len_bucket, sum(n)::BIGINT AS n,
+              |    count(*)::BIGINT AS n_sensitive
+              |  FROM g1 GROUP BY 1, 2)
+              |SELECT source, len_bucket, n, n_sensitive,
+              |  (n < $KAnonK OR n_sensitive < $LDivL) AS suppressed
+              |FROM g2 ORDER BY source, len_bucket""".stripMargin),
+      (s, d) => Curation.privacyProfile(
+          documents(s, d).select(col("source"),
+            floor(col("n_chars") / LenBucket).as("len_bucket"),
+            col("lang")),
+          Seq("source", "len_bucket"), "lang", KAnonK, LDivL)
+        .orderBy("source", "len_bucket"))
   )
 }

@@ -341,4 +341,22 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.temperatureResample(docs, "doc_id", "source", 0.5,
       1000L).count() == 104L)
   }
+
+  test("privacyProfile: k-anonymity size gate and l-diversity distinct " +
+      "gate flag independently") {
+    val rows = Seq(
+      // group (g1): n=3 < k=3? no, k=3 → n>=3 ok; 2 langs → clear
+      ("g1", "en"), ("g1", "de"), ("g1", "en"),
+      // group (g2): n=4 ≥ k but ONE distinct lang → l-diversity fails
+      ("g2", "en"), ("g2", "en"), ("g2", "en"), ("g2", "en"),
+      // group (g3): n=2 < k → k-anonymity fails despite 2 langs
+      ("g3", "en"), ("g3", "fr"))
+      .toDF("qi", "lang")
+    val got = Curation.privacyProfile(rows, Seq("qi"), "lang", 3L, 2L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(("g1", 3L, 2L, false), ("g2", 4L, 1L, true),
+      ("g3", 2L, 2L, true)), got.toString)
+  }
 }

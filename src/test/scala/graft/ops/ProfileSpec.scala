@@ -137,4 +137,23 @@ class ProfileSpec extends SparkTestBase {
     assert(got(1).getAs[Double]("std_r") == 0.0)
     assert(got(1).getAs[Double]("mean_r") == 9.0)
   }
+
+  test("keySkew: hand-computed ranks, shares, cumulative shares, Gini; " +
+      "uniform keys give Gini 0") {
+    // counts: a=6, b=3, c=1 → total 10; ascending [1, 3, 6]:
+    // G = ((2·1−4)·1 + (2·2−4)·3 + (2·3−4)·6) / (3·10) = 10/30
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val got = Profile.keySkew(df, "k", 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1, "a", 6L, 0.6, 0.6, 0.333333),
+      (2, "b", 3L, 0.3, 0.9, 0.333333)), got.toString)
+    // uniform distribution → Gini exactly 0
+    val uni = Profile.keySkew(
+      Seq("x", "x", "y", "y").toDF("k"), "k", 10)
+      .collect().map(_.getAs[Double]("gini_r"))
+    assert(uni.forall(_ == 0.0), uni.toSeq.toString)
+  }
 }
