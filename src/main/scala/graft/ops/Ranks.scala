@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT per-group ranking without a per-group single-task
+  * sort — the scale-safe replacement for `row_number() OVER (PARTITION BY
+  * group ORDER BY value)` when one group can hold billions of rows (a
+  * window partition is one task in Spark, so the naive form is a
+  * scale-killer for low-cardinality groups like `lang`).
+  *
+  * Same two-level prefix-sum shape as [[Pack.packByBudget]] /
+  * [[Pack.lengthBucketBatches]], generalized from id-buckets to VALUE
+  * bands: rows band by `floor(value / bandWidth)`; per-(group, band)
+  * counts give exclusive band offsets via a window over the tiny
+  * (groups × bands) table; the per-row `row_number` window partitions by
+  * (group, band), so no task ever sorts more than one band of one group.
+  * rank = band offset + intra-band row_number − 1. Exact, deterministic
+  * (total order `(value, id)`), and the fact table is shuffled once, by
+  * (group, band).
+  *
+  * Valve: `bandWidth` bounds the largest sort task — a value
+  * distribution that concentrates in one band (e.g. heavy ties) degrades
+  * toward the naive window; pick a width that splits the observed range
+  * into ≫ #cores bands (the caller knows the value's scale; see
+  * SkewValveSpec's q134 pattern for the measurement posture).
+  */
+object Ranks {
+
+  /** Adds `rnk` (0-based exact rank of `(valueCol, idCol)` within
+    * `groupCol`) and `grp_n` (group size). `valueCol` numeric; `idCol`
+    * must make `(value, id)` a total order within each group. */
+  def bandedRank(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be > 0")
+    val banded = df.withColumn("_band",
+      floor(col(valueCol) / bandWidth).cast("long"))
+    // level 1: per-(group, band) counts → exclusive offsets + group size.
+    // The window runs over the (groups × bands) TABLE, not the data.
+    val bandCounts = banded.groupBy(col(groupCol), col("_band"))
+      .agg(count(lit(1)).as("_bc"))
+    val wB = Window.partitionBy(groupCol).orderBy("_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(groupCol)
+    val offsets = bandCounts
+      .withColumn("_boff", sum(col("_bc")).over(wB) - col("_bc"))
+      .withColumn("grp_n", sum(col("_bc")).over(wG))
+      .drop("_bc")
+    // level 2: tasks sort only their own (group, band); offsets come in
+    // broadcast.
+    val wIn = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col(valueCol), col(idCol))
+    banded.join(broadcast(offsets), Seq(groupCol, "_band"))
+      .withColumn("rnk",
+        (col("_boff") + row_number().over(wIn) - 1).cast("long"))
+      .drop("_band", "_boff")
+  }
+
+  /** SQL `ntile(k)` reproduced from an exact 0-based rank and the group
+    * size (so CCNet-style adaptive bucketing composes with [[bandedRank]]
+    * instead of a single-task window): the first `n mod k` tiles get
+    * `⌈n/k⌉` rows, the rest `⌊n/k⌋` — byte-identical to the SQL
+    * function, property-tested against Spark's own `ntile` in RanksSpec.
+    * Long-safe: the double divisions floor exactly below 2^52 rows per
+    * group. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k > 0, "k must be > 0")
+    val q = floor(n / k)        // ⌊n/k⌋
+    val m = n % k               // first m tiles are one larger
+    val big = q + 1
+    (when(rank < m * big, floor(rank / big))
+      .otherwise(m + floor((rank - m * big) / q)) + 1).cast("int")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.util.Tables
+
+/** Ranks.bandedRank must equal the naive single-task window exactly, and
+  * ntileFromRank must be byte-identical to SQL ntile — for every group
+  * size / tile count shape, including n < k and heavy ties. */
+class RanksSpec extends SparkTestBase {
+
+  test("bandedRank == row_number window on documents, several bandwidths") {
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "lang", "n_chars")
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val expect = docs
+      .withColumn("rnk", (row_number().over(w) - 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (bw <- Seq(1.0, 7.0, 100.0, 1e9)) {
+      val got = Ranks.bandedRank(docs, "lang", "n_chars", "doc_id", bw)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rnk")).toMap
+      assert(got == expect, s"bandWidth=$bw")
+    }
+  }
+
+  test("bandedRank grp_n equals the group size") {
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "lang", "n_chars")
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Ranks.bandedRank(docs, "lang", "n_chars", "doc_id", 50.0)
+      .select("lang", "grp_n").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == sizes)
+  }
+
+  test("ntileFromRank == SQL ntile for k in {2,3,7,10}, incl. ties and n<k") {
+    import spark.implicits._
+    // 3 groups: sizes 17 (with ties), 5, 2 — exercises n<k for k=7,10
+    val rows = (0 until 17).map(i => ("a", i.toLong, (i / 3).toLong)) ++
+      (0 until 5).map(i => ("b", i.toLong, i.toLong)) ++
+      (0 until 2).map(i => ("c", i.toLong, 0L))
+    val df = rows.toDF("g", "id", "v")
+    for (k <- Seq(2, 3, 7, 10)) {
+      val w = Window.partitionBy("g").orderBy("v", "id")
+      val expect = df
+        .select(col("g"), col("id"), ntile(k).over(w).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      val got = Ranks.bandedRank(df, "g", "v", "id", 2.0)
+        .withColumn("t", Ranks.ntileFromRank(col("rnk"), col("grp_n"), k))
+        .select("g", "id", "t")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      assert(got == expect, s"k=$k")
+    }
+  }
+
+  test("bandedRank plan: no window partitioned by group alone (the " +
+      "single-task shape it exists to avoid)") {
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "lang", "n_chars")
+    val plan = Ranks.bandedRank(docs, "lang", "n_chars", "doc_id", 100.0)
+      .queryExecution.executedPlan.toString
+    // the per-row window must key on (lang, _band); only the tiny
+    // band-count table may window on lang alone
+    val rowWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .toSeq
+    assert(rowWindows.nonEmpty)
+    assert(rowWindows.forall(_.contains("_band")),
+      s"row_number window not banded:\n$rowWindows")
+  }
+}
