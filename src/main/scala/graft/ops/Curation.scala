@@ -101,6 +101,33 @@ object Curation {
       .drop("_frac")
   }
 
+  /** SOFT deduplication: instead of collapsing an exact-duplicate
+    * cluster to one survivor (q24's hard rule), each copy keeps with
+    * probability 1/√(cluster size) — word2vec's frequency-subsampling
+    * rule (Mikolov et al. 2013) applied at document level, so frequent
+    * boilerplate is DOWN-WEIGHTED toward √s copies rather than erased
+    * (the middle ground between no-dedup and hard-dedup that
+    * data-mixture work reaches for when duplication count carries
+    * signal). The coin is the md5-hash60 uniform of the row id — the
+    * [[hashSplit]] family — so the decision is reproducible across
+    * runs, engines, retries, and corpus growth.
+    *
+    * Shape: one hash-agg for cluster sizes (keyed by content md5) + one
+    * key join back + a codegen'd threshold filter; no window, no skew
+    * risk (a giant cluster is still one size row). */
+  def softDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol),
+      md5(TextOps.normalize(col(textCol))).as("_ck"))
+    val sizes = keyed.groupBy(col("_ck"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    keyed.join(sizes, "_ck")
+      .select(col(idCol), col("cluster_size"),
+        (u < lit(1.0) / sqrt(col("cluster_size").cast("double")))
+          .as("keep"))
+  }
+
   /** Latest-version-per-key compaction: keep each key's single newest row
     * by the given DESCENDING order columns (callers pass a deterministic
     * total order, e.g. ts DESC then id DESC) — the snapshot/CDC-compaction

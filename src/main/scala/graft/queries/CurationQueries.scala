@@ -167,6 +167,25 @@ object CurationQueries {
             ceil(col("n_chars") / 4).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", budget = 8192L, bucketSize = 128L)
         .select("doc_id", "n_tokens", "start_offset", "shard_id")
+        .orderBy("doc_id")),
+
+    // Soft dedup: exact-dup copies keep with probability 1/√(cluster
+    // size) — the word2vec subsampling rule at doc level, md5-coin
+    // deterministic (Curation.softDedup; the middle ground between q24's
+    // hard dedup and no dedup).
+    Q("q169_soft_dedup",
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, md5(${TextQueries.normSql}) AS ck
+              |  FROM documents),
+              |cs AS (SELECT ck, count(*)::BIGINT AS cluster_size
+              |       FROM k GROUP BY ck)
+              |SELECT doc_id, cluster_size,
+              |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+              |    ::BIGINT::DOUBLE / 1152921504606846976.0
+              |    < 1.0 / sqrt(cluster_size) AS keep
+              |FROM k JOIN cs USING (ck) ORDER BY doc_id""".stripMargin),
+      (s, d) => Curation.softDedup(documents(s, d), "doc_id", "text")
+        .select("doc_id", "cluster_size", "keep")
         .orderBy("doc_id"))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.AsOf
-import graft.streaming.Streams
+import graft.streaming.{StreamingHeavyHitters, Streams}
 import graft.util.Tables._
 
 /** Temporal surface: incremental streaming windows (Trigger.AvailableNow —
@@ -238,6 +238,26 @@ object StreamingQueries {
       },
       (s, d) => Streams.streamingHllDistinct(s, d, "1 hour", "user_id",
           p = 6)
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Streaming Misra–Gries top-10 per event_type: fixed per-group state
+    // (≤ capacity counters) regardless of distinct-key growth. Capacity
+    // 4096 ≥ every sf's user count, so the summary is exact and the
+    // oracle is the true top-k; the approximate regime's N/capacity
+    // bounds are property-tested in StreamingHeavyHittersSpec.
+    Q("q170_stream_heavy_hitters",
+      Some("""WITH c AS (
+             |  SELECT event_type, user_id, count(*)::BIGINT AS est_n
+             |  FROM events GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT event_type, user_id, est_n, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY est_n DESC, user_id)
+             |    ::INT AS r
+             |  FROM c)
+             |SELECT event_type, r, user_id, est_n FROM rk
+             |WHERE r <= 10 ORDER BY event_type, r""".stripMargin),
+      (s, d) => StreamingHeavyHitters.heavyHitters(s, d,
+          capacity = 4096, k = 10)
+        .orderBy("event_type", "r"))
   )
 }
