@@ -455,4 +455,68 @@ object Curation {
       .select(qi ++ Seq(col("n"), col("n_sensitive"),
         (col("n") < k || col("n_sensitive") < l).as("suppressed")): _*)
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer sample
+    * budget across groups, proportional to their row counts — the exact
+    * quota allocator behind "draw B docs following the source mixture":
+    * fractional quotas can't be drawn and plain flooring under-spends,
+    * so the leftover seats go to the largest remainders, ties broken by
+    * key (Hamilton's method; the apportionment literature's baseline).
+    * Emits (key, n, alloc) with Σ alloc = budget exactly.
+    *
+    * All-integer arithmetic — base = (B·n) div total, remainder =
+    * (B·n) mod total — so the allocation is engine-exact, no float
+    * quotas. Shape: one count agg over the corpus; every later step
+    * (scalar totals by broadcast crossJoin, the remainder-rank window)
+    * runs on the |groups|-row table, the Pack bucket-table posture. */
+  def largestRemainderAlloc(df: DataFrame, keyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"($budget * n) div _tot"))
+      .withColumn("_rem", expr(s"($budget * n) % _tot"))
+    val spent = based.agg(sum(col("_base")).as("_spent"))
+    val wR = Window.orderBy(col("_rem").desc, col(keyCol))
+    based.crossJoin(broadcast(spent))
+      .withColumn("_rk", row_number().over(wR))
+      .select(col(keyCol), col("n"),
+        (col("_base") + when(col("_rk") <= lit(budget) - col("_spent"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
+  /** Deterministic weighted interleave ("stride scheduling", Waldspurger
+    * & Weihl, OSDI'94, applied to corpus mixing): source s's i-th row is
+    * placed at virtual time (i+1)/weight(s), and the epoch order is the
+    * merge of those per-source streams — each source appears with
+    * frequency ∝ its weight and is spread EVENLY through the epoch,
+    * which a fixed-seed shuffle only delivers in expectation. This is
+    * the curriculum/mixture scheduler that turns per-source weights into
+    * one reproducible global training order.
+    *
+    * Emits (pos, domain, id, vt): 1-based global position, the source,
+    * the row id, and the virtual time. Both ranking passes are
+    * [[Ranks.bandedRank]] — exact rank with NO per-source or global
+    * single-task sort; the merge key (vt, domain#id) is a total order,
+    * so the schedule is stable across runs, retries, and cluster sizes.
+    * `weight` must be a positive numeric column (deterministic per row).
+    */
+  def strideInterleave(df: DataFrame, idCol: String, domainCol: String,
+      weight: Column, idBandWidth: Double = 1024.0): DataFrame = {
+    val rn = Ranks.bandedRank(
+        df.select(col(idCol), col(domainCol), weight.as("_w")),
+        domainCol, idCol, idCol, idBandWidth)
+      .withColumnRenamed("rnk", "_rn").drop("grp_n")
+    val vt = rn
+      .withColumn("vt", (col("_rn") + 1) / col("_w"))
+      .withColumn("_one", lit(0))
+      // total-order tiebreak: domain then zero-padded id — matches
+      // ORDER BY vt, domain, id as long as ids stay below 10^12
+      .withColumn("_tid", concat(col(domainCol), lit("#"),
+        lpad(col(idCol).cast("string"), 12, "0")))
+    Ranks.bandedRank(vt, "_one", "vt", "_tid", 1.0)
+      .select((col("rnk") + 1).cast("long").as("pos"),
+        col(domainCol), col(idCol), col("vt"))
+  }
 }

@@ -183,6 +183,56 @@ object Profile {
         col("x_min"), col("x_max"))
   }
 
+  /** Functional-dependency audit: every `lhsCol` value that maps to more
+    * than one distinct `rhsCol` — the violation set of the claimed FD
+    * lhs → rhs, the data-contract check a pipeline runs before keying a
+    * dimension, dedup, or join on lhs ("is source → lang really
+    * single-valued?"). Emits (lhs, n_vals, n_rows) per violating key.
+    *
+    * Shape: distinct-pair hash-agg then a per-lhs rollup — two
+    * map-side-combinable aggregations, never a countDistinct (whose
+    * Expand doubles the shuffle); shuffles once by (lhs, rhs) and once
+    * by lhs, output ∝ |violating keys|. */
+  def fdViolations(df: DataFrame, lhsCol: String,
+      rhsCol: String): DataFrame = {
+    val pairs = df.groupBy(col(lhsCol), col(rhsCol))
+      .agg(count(lit(1)).as("_n"))
+    pairs.groupBy(col(lhsCol))
+      .agg(count(lit(1)).as("n_vals"), sum(col("_n")).as("n_rows"))
+      .where(col("n_vals") > 1)
+  }
+
+  /** Benford first-significant-digit audit per group: observed share of
+    * each leading digit 1–9 against the Benford expectation
+    * log₁₀(1 + 1/d) — the classic fabricated-/synthetic-data smell test
+    * for positive, scale-spanning quantities (amounts, counts, file
+    * sizes); a machine-generated column that draws uniforms instead of
+    * growth processes shows a flat digit profile (Benford, Proc. Am.
+    * Phil. Soc. 78, 1938).
+    *
+    * The leading digit comes from the integer part's decimal string —
+    * never from floor(log₁₀ x), whose float rounding at a power-of-ten
+    * boundary (log10(1000.0) = 2.9999…96) would misbucket exact powers.
+    * Rows with value < 1 are excluded (no integer significant digit).
+    *
+    * Shape: one hash-agg to (group, digit) — ≤ 9 rows per group — and a
+    * share window over that table; corpus is scanned once. */
+  def benfordProfile(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"),
+      1, 1).cast("int").as("digit")
+    val counts = df.where(col(valueCol) >= 1)
+      .groupBy(col(groupCol), digit)
+      .agg(count(lit(1)).as("n_obs"))
+    val wG = Window.partitionBy(groupCol)
+    counts.withColumn("_tot", sum(col("n_obs")).over(wG))
+      .select(col(groupCol), col("digit"), col("n_obs"),
+        round(col("n_obs") / col("_tot"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_share"))
+  }
+
   /** Key-skew profile: the top-k heaviest keys with their share and
     * cumulative share of total rows, plus the Gini coefficient of the
     * full key distribution — the diagnostic that decides whether a

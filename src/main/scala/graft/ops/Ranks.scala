@@ -72,4 +72,37 @@ object Ranks {
     (when(rank < m * big, floor(rank / big))
       .otherwise(m + floor((rank - m * big) / q)) + 1).cast("int")
   }
+
+  /** Per-group AUC of a numeric score against a boolean label, via the
+    * Mann–Whitney rank-sum with midrank tie handling — "does this
+    * quality score actually separate the labeled-good docs, per
+    * language?", the slice-level discrimination audit run on heuristic
+    * classifiers before their thresholds gate a corpus.
+    * AUC = U/(n₁·n₀) with U = Σ_scores n₁(s)·(N₀(<s) + n₀(s)/2); the
+    * implementation carries 2U so everything stays integer until the
+    * final division. AUC is null when a group lacks one class.
+    *
+    * Shape: one hash-agg from the corpus to the per-(group, score)
+    * label counts, then a cumulative window over THAT table — its
+    * partitions hold |distinct scores in group| rows, not corpus rows —
+    * and a per-group rollup. One corpus shuffle total; a group with
+    * billions of rows but bounded score cardinality (the common case:
+    * scores are bucketed or low-precision) never concentrates in one
+    * task. */
+  def rankSumAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_n"))
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("_cumn", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_p")).as("n_pos"), sum(col("_n")).as("n_neg"),
+        sum(col("_p") * (lit(2) * col("_cumn") + col("_n"))).as("_u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
 }

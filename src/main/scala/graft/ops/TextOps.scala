@@ -482,4 +482,45 @@ object TextOps {
         sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novel_r", round(col("n_novel") / col("n_grams"), 6))
   }
+
+  /** Content-defined chunking (CDC): split each document's token stream
+    * after every token whose 60-bit hash ≡ 0 (mod `modulus`) — the
+    * Rabin/gear boundary rule that makes chunk edges a function of
+    * CONTENT rather than offsets, so an insertion early in a document
+    * shifts at most its own chunk instead of re-chunking the whole tail
+    * (the resync property fixed-window chunking lacks; Muthitacharoen,
+    * Chen & Mazières, LBFS, SOSP'01). Expected chunk length ≈ `modulus`
+    * tokens; chunk-level fingerprints are the unit of sub-document dedup
+    * in storage systems and the natural complement to [[Dedup]]'s
+    * whole-doc near-dup surface.
+    *
+    * Emits one row per (doc, chunk): 0-based `chunk_id`, `n_terms`, and
+    * `chunk_md5` of the space-joined chunk text.
+    *
+    * Shape: posexplode → per-doc running boundary count (window
+    * partitioned by doc: a task sorts ONE document's tokens, bounded by
+    * max doc length, never corpus size) → hash-agg per (doc, chunk).
+    * Chunk text is reassembled order-exactly via array_sort over
+    * (pos, term) structs — collect_list order alone is not a contract
+    * Spark makes. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus > 0, "modulus must be > 0")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(normalize(col(textCol)))).as(Seq("pos", "term")))
+    val isBoundary =
+      when(hash60(col("term")) % modulus === 0, 1L).otherwise(0L)
+    // chunk = #boundaries strictly BEFORE this position: the boundary
+    // token is the last token of its chunk
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum(isBoundary).over(wPrev), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          s => s.getField("term")), " ")).as("chunk_md5"))
+  }
 }

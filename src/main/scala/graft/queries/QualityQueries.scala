@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Profile, Ranks, TextOps}
+import graft.util.Tables._
+
+/** Data-governance / quality-audit surface: functional-dependency
+  * violations, Benford digit profiling, exact budget apportionment,
+  * content-defined chunk dedup, deterministic mixture scheduling, and
+  * slice-level AUC — the checks and allocators a corpus pipeline runs
+  * between profiling ([[graft.ops.Profile]]) and curation
+  * ([[graft.ops.Curation]]).
+  */
+object QualityQueries {
+
+  private val normSql = TextQueries.normSql
+
+  // q173: an odd budget forces fractional quotas through the
+  // largest-remainder tie-break
+  private val AllocBudget = 97L
+
+  // q174: expected chunk length in tokens (CDC boundary modulus)
+  private val ChunkModulus = 8
+
+  // q175/q176: weights/labels derived from the source ordinal — both
+  // engines compute them from the same string arithmetic
+  private val WeightSql = "(substr(source, 4)::INT % 3 + 1)"
+  private val LabelSql = "substr(source, 4)::INT % 2 = 0"
+
+  val all: Seq[Q] = Seq(
+
+    // Functional-dependency audit: o_custkey → o_orderstatus is (by
+    // construction) violated for every multi-status customer; the audit
+    // reports each violating key with its distinct-value and row counts.
+    // Two stacked hash-aggs, no countDistinct Expand.
+    Q("q171_fd_violations",
+      Some("""WITH pairs AS (
+             |  SELECT o_custkey, o_orderstatus, count(*) AS n
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_custkey, count(*)::BIGINT AS n_vals,
+             |  sum(n)::BIGINT AS n_rows
+             |FROM pairs GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY o_custkey""".stripMargin),
+      (s, d) => Profile.fdViolations(orders(s, d),
+          "o_custkey", "o_orderstatus")
+        .orderBy("o_custkey")),
+
+    // Benford first-digit profile of order totals per priority class —
+    // digit from the integer part's decimal STRING (never floor(log10),
+    // a float landmine at powers of ten). ≤9 rows per group.
+    Q("q172_benford_digits",
+      Some("""WITH c AS (
+             |  SELECT o_orderpriority,
+             |    substr((floor(o_totalprice)::BIGINT)::VARCHAR, 1, 1)::INT
+             |      AS digit,
+             |    count(*)::BIGINT AS n_obs
+             |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1, 2)
+             |SELECT o_orderpriority, digit, n_obs,
+             |  round(n_obs / sum(n_obs) OVER (PARTITION BY o_orderpriority),
+             |    6) AS obs_share,
+             |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+             |FROM c ORDER BY o_orderpriority, digit""".stripMargin),
+      (s, d) => Profile.benfordProfile(orders(s, d),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority", "digit")),
+
+    // Largest-remainder apportionment of a 97-doc budget across langs —
+    // all-integer quota arithmetic, Σ alloc = budget exactly.
+    Q("q173_largest_remainder",
+      Some(s"""WITH c AS (
+              |  SELECT lang, count(*)::BIGINT AS n FROM documents
+              |  GROUP BY 1),
+              |t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+              |b AS (
+              |  SELECT lang, n, ($AllocBudget * n) // tot AS base,
+              |    ($AllocBudget * n) % tot AS rem
+              |  FROM c CROSS JOIN t),
+              |s AS (SELECT sum(base)::BIGINT AS spent FROM b),
+              |r AS (
+              |  SELECT lang, n, base, rem,
+              |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+              |  FROM b)
+              |SELECT lang, n AS n_docs,
+              |  (base + CASE WHEN rk <= $AllocBudget - spent
+              |     THEN 1 ELSE 0 END)::BIGINT AS alloc
+              |FROM r CROSS JOIN s ORDER BY lang""".stripMargin),
+      (s, d) => Curation.largestRemainderAlloc(
+          documents(s, d), "lang", AllocBudget)
+        .select(col("lang"), col("n").as("n_docs"), col("alloc"))
+        .orderBy("lang")),
+
+    // Content-defined chunk dedup: CDC fingerprints shared across
+    // occurrences — the sub-document twin of q24's whole-doc exact dedup.
+    Q("q174_content_chunks",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, i - 1 AS pos, t[i] AS term FROM (
+              |    SELECT doc_id, string_split($normSql, ' ') AS t
+              |    FROM documents) d,
+              |    unnest(generate_series(1, len(t))) AS g(i)),
+              |ch AS (
+              |  SELECT doc_id, pos, term,
+              |    coalesce(sum(CASE WHEN
+              |        ('0x' || substr(md5(term), 1, 15))::BIGINT
+              |          % $ChunkModulus = 0 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS chunk_id
+              |  FROM toks),
+              |agg AS (
+              |  SELECT doc_id, chunk_id, count(*) AS n_terms,
+              |    md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+              |  FROM ch GROUP BY 1, 2),
+              |per_doc AS (
+              |  SELECT chunk_md5, doc_id, count(*) AS k,
+              |    min(n_terms) AS nt
+              |  FROM agg GROUP BY 1, 2)
+              |SELECT chunk_md5, sum(k)::BIGINT AS n_occ,
+              |  count(*)::BIGINT AS n_docs, min(nt)::BIGINT AS n_terms
+              |FROM per_doc GROUP BY 1 HAVING sum(k) > 1
+              |ORDER BY n_occ DESC, chunk_md5""".stripMargin),
+      (s, d) => {
+        val ch = TextOps.contentChunks(
+          documents(s, d), "doc_id", "text", ChunkModulus)
+        ch.groupBy(col("chunk_md5"), col("doc_id"))
+          .agg(count(lit(1)).as("_k"), min(col("n_terms")).as("_nt"))
+          .groupBy(col("chunk_md5"))
+          .agg(sum(col("_k")).as("n_occ"), count(lit(1)).as("n_docs"),
+            min(col("_nt")).as("n_terms"))
+          .where(col("n_occ") > 1)
+          .orderBy(col("n_occ").desc, col("chunk_md5"))
+      }),
+
+    // Stride-scheduled mixture: weights 1–3 by source ordinal, first 500
+    // positions of the deterministic interleaved epoch order.
+    Q("q175_stride_interleave",
+      Some(s"""SELECT * FROM (
+              |  SELECT row_number() OVER (ORDER BY vt, source, doc_id)
+              |    ::BIGINT AS pos, source, doc_id, round(vt, 6) AS vt_r
+              |  FROM (
+              |    SELECT doc_id, source, rn / $WeightSql AS vt FROM (
+              |      SELECT doc_id, source, row_number() OVER (
+              |        PARTITION BY source ORDER BY doc_id) AS rn
+              |      FROM documents) r) v) p
+              |WHERE pos <= 500 ORDER BY pos""".stripMargin),
+      (s, d) => Curation.strideInterleave(documents(s, d),
+          "doc_id", "source",
+          substring(col("source"), 4, 8).cast("int") % 3 + 1)
+        .where(col("pos") <= 500)
+        .select(col("pos"), col("source"), col("doc_id"),
+          round(col("vt"), 6).as("vt_r"))
+        .orderBy("pos")),
+
+    // Slice-level discrimination: AUC of n_chars against an
+    // even-ordinal-source pseudo-label, per lang — midrank-exact
+    // Mann–Whitney, windows only over the distinct-score table.
+    Q("q176_rank_auc",
+      Some(s"""WITH per AS (
+              |  SELECT lang, n_chars,
+              |    sum(CASE WHEN $LabelSql THEN 1 ELSE 0 END)::BIGINT AS p,
+              |    sum(CASE WHEN $LabelSql THEN 0 ELSE 1 END)::BIGINT AS n
+              |  FROM documents GROUP BY 1, 2),
+              |c AS (
+              |  SELECT lang, p, n,
+              |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY n_chars
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS cumn
+              |  FROM per)
+              |SELECT lang, sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+              |  round(sum(p * (2 * cumn + n))
+              |    / (2.0 * sum(p) * sum(n)), 6) AS auc
+              |FROM c GROUP BY 1 ORDER BY lang""".stripMargin),
+      (s, d) => Ranks.rankSumAuc(
+          documents(s, d).withColumn("label",
+            substring(col("source"), 4, 8).cast("int") % 2 === 0),
+          "lang", "n_chars", "label")
+        .orderBy("lang"))
+  )
+}

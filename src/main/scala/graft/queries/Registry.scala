@@ -9,7 +9,8 @@ object Registry {
       BreadthQueries.all ++ ExtraQueries.all ++ PredicateQueries.all ++
       CurationQueries.all ++ InsightQueries.all ++ DepthQueries.all ++
       ScaleQueries.all ++ ServeQueries.all ++ WideQueries.all ++
-      PipelineQueries.all ++ AuditQueries.all ++ StatQueries.all
+      PipelineQueries.all ++ AuditQueries.all ++ StatQueries.all ++
+      QualityQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

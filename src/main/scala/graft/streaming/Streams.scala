@@ -22,7 +22,9 @@ object Streams {
   private val counter = new AtomicLong(0)
 
   /** Read the events table as a file stream (schema pinned from the batch
-    * reader, ns→µs conversion identical to Tables.events). */
+    * reader; ts normalization identical to Tables.events — ns-as-long →
+    * µs, and naive timestamp[us] (TIMESTAMP_NTZ, which watermarks
+    * reject) → session-tz TimestampType under the pinned-UTC session). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
@@ -30,9 +32,13 @@ object Streams {
     // a glob filter over the sf dir
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time window aggregation, executed incrementally with

@@ -1,8 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver testdata
   * (/root/testdata/sf{0.001,0.01,0.1}/&lt;name&gt;.parquet — TESTDATA.md).
@@ -22,16 +22,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns]; Spark has no nanosecond
-    * TimestampType, so sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and we floor-divide to
-    * micros here — matching DuckDB's truncating ns→µs read, so oracle
-    * comparisons agree. */
+  /** `events.ts` arrives in whatever parquet timestamp flavor the
+    * fixture generator used, normalized here to session-tz
+    * `TimestampType` (sessions pin UTC):
+    *  - timestamp[ns]: Spark has no ns TimestampType, so sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` and we floor-divide
+    *    to micros — matching DuckDB's truncating ns→µs read;
+    *  - timestamp[us] without tz (isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ, which watermarks/unix_micros reject — cast to
+    *    TimestampType interprets the naive value in the UTC session tz,
+    *    the same instants DuckDB's naive TIMESTAMP read yields. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

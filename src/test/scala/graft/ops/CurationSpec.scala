@@ -359,4 +359,51 @@ class CurationSpec extends SparkTestBase {
     assert(got == Seq(("g1", 3L, 2L, false), ("g2", 4L, 1L, true),
       ("g3", 2L, 2L, true)), got.toString)
   }
+
+  test("largestRemainderAlloc: hand-checked Hamilton case — counts " +
+      "5/3/2, budget 7 → 4/2/1 (leftover seat to the largest remainder)") {
+    val d = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = Curation.largestRemainderAlloc(d, "k", 7L).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)),
+      got.toSeq)
+  }
+
+  test("largestRemainderAlloc: Σ alloc == budget exactly, for budgets " +
+      "that under- and over-floor") {
+    val d = (Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(1)("d")).toDF("k")
+    for (b <- Seq(0L, 1L, 9L, 16L, 100L)) {
+      val alloc = Curation.largestRemainderAlloc(d, "k", b)
+        .agg(org.apache.spark.sql.functions.sum("alloc")).head.getLong(0)
+      assert(alloc == b, s"budget $b allocated $alloc")
+    }
+  }
+
+  test("strideInterleave: weight 2 vs 1 yields the stride pattern " +
+      "x x y x x y y y over 4+4 rows") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),
+      (10L, "y"), (11L, "y"), (12L, "y"), (13L, "y")).toDF("id", "src")
+    val w = org.apache.spark.sql.functions
+      .when(org.apache.spark.sql.functions.col("src") === "x", 2.0)
+      .otherwise(1.0)
+    val got = Curation.strideInterleave(d, "id", "src", w)
+      .orderBy("pos").collect().map(_.getString(1)).toSeq
+    // vt: x → .5,1,1.5,2 ; y → 1,2,3,4; ties (vt=1, vt=2) break x first
+    assert(got == Seq("x", "x", "y", "x", "x", "y", "y", "y"), got)
+  }
+
+  test("strideInterleave: equal weights round-robin, positions are a " +
+      "1..n permutation") {
+    val d = Seq((1L, "x"), (2L, "x"), (10L, "y"), (11L, "y"),
+      (20L, "z"), (21L, "z")).toDF("id", "src")
+    val rows = Curation.strideInterleave(d, "id", "src",
+        org.apache.spark.sql.functions.lit(1.0))
+      .orderBy("pos").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L), "positions")
+    // each stride of 3 holds one row of each source
+    val srcs = rows.map(_.getString(1)).grouped(3).toSeq
+    assert(srcs.forall(_.toSet == Set("x", "y", "z")), srcs.toString)
+  }
 }

@@ -156,4 +156,38 @@ class ProfileSpec extends SparkTestBase {
       .collect().map(_.getAs[Double]("gini_r"))
     assert(uni.forall(_ == 0.0), uni.toSeq.toString)
   }
+
+  test("fdViolations: a held FD is empty; a violated FD reports " +
+      "distinct-value and row counts per violating key") {
+    val d = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "z"),
+      ("c", "y"), ("c", "y"), ("c", "w")).toDF("lhs", "rhs")
+    // lhs → lhs trivially holds
+    assert(Profile.fdViolations(d, "lhs", "lhs").count() == 0L)
+    val got = Profile.fdViolations(d, "lhs", "rhs").orderBy("lhs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("b", 2L, 2L), ("c", 2L, 3L)), got.toSeq)
+  }
+
+  test("fdViolations: null rhs counts as one distinct value") {
+    val d = Seq(("a", Some("x")), ("a", None), ("b", None), ("b", None))
+      .toDF("lhs", "rhs")
+    val got = Profile.fdViolations(d, "lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L)), got)
+  }
+
+  test("benfordProfile: string-extracted digits (incl. the 1000.0 " +
+      "power-of-ten boundary), shares sum to 1, values < 1 excluded") {
+    val d = Seq(("g", 1000.0), ("g", 999.99), ("g", 12.3), ("g", 0.5),
+      ("g", 150.0)).toDF("grp", "v")
+    val rows = Profile.benfordProfile(d, "grp", "v").orderBy("digit")
+      .collect()
+    val byDigit = rows.map(r => r.getInt(1) ->
+      (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 1000.0 and 150.0 and 12.3 lead with 1; 999.99 with 9; 0.5 dropped
+    assert(byDigit.keySet == Set(1, 9), byDigit.toString)
+    assert(byDigit(1)._1 == 3L && byDigit(9)._1 == 1L)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(byDigit(1)._3 == 0.30103) // log10(2) rounded to 6
+  }
 }

@@ -74,4 +74,33 @@ class RanksSpec extends SparkTestBase {
     assert(rowWindows.forall(_.contains("_band")),
       s"row_number window not banded:\n$rowWindows")
   }
+
+  test("rankSumAuc: perfect separation → 1, reversed → 0, constant " +
+      "score → 0.5") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Double = {
+      val d = rows.map { case (s, l) => ("g", s, l) }
+        .toDF("grp", "score", "label")
+      Ranks.rankSumAuc(d, "grp", "score", "label").head.getDouble(3)
+    }
+    assert(auc(Seq((1.0, false), (2.0, false), (3.0, true),
+      (4.0, true))) == 1.0)
+    assert(auc(Seq((1.0, true), (2.0, true), (3.0, false),
+      (4.0, false))) == 0.0)
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true),
+      (5.0, false))) == 0.5)
+  }
+
+  test("rankSumAuc: midrank tie handling matches the hand-computed " +
+      "Mann–Whitney value, and a one-class group yields null") {
+    import spark.implicits._
+    val d = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 2.0, false),
+      ("g", 3.0, false), ("h", 1.0, true), ("h", 2.0, true))
+      .toDF("grp", "score", "label")
+    val rows = Ranks.rankSumAuc(d, "grp", "score", "label")
+      .orderBy("grp").collect()
+    // pairs: (1,2)=0 (1,3)=0 (2,2)=0.5 (2,3)=0 → U=0.5, AUC=0.5/4
+    assert(rows(0).getDouble(3) == 0.125, rows(0).toString)
+    assert(rows(1).isNullAt(3), "one-class group must yield null auc")
+  }
 }

@@ -385,4 +385,54 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(got == Seq(0L))
   }
+
+  // classify candidate tokens by the SAME boundary rule contentChunks
+  // uses, so the CDC tests can construct docs with known chunk edges
+  private def boundarySplit(mod: Int): (Seq[String], Seq[String]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cand = (0 until 200).map(i => s"w$i").toDF("t")
+      .withColumn("b", TextOps.hash60(col("t")) % mod === 0)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    (cand.filter(_._2).map(_._1).toSeq, cand.filterNot(_._2).map(_._1).toSeq)
+  }
+
+  test("contentChunks: term conservation, boundary token ends its " +
+      "chunk, identical docs get identical fingerprints") {
+    import spark.implicits._
+    val (bs, ns) = boundarySplit(8)
+    assert(bs.nonEmpty, "no boundary token among 200 candidates")
+    val b = bs.head
+    val Seq(t1, t2, t3, t4) = ns.take(4)
+    val text = s"$t1 $t2 $b $t3 $t4"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val ch = TextOps.contentChunks(docs, "doc_id", "text", 8)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // two chunks per doc: [t1 t2 b] and [t3 t4]
+    assert(ch.length == 4, ch.toSeq)
+    assert(ch.map(_._3).sum == 10L, "terms not conserved")
+    assert(ch.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq
+      == Seq((0L, 3L), (1L, 2L)), ch.toSeq)
+    // identical docs → identical fingerprint sequences
+    assert(ch.filter(_._1 == 1L).map(_._4).toSeq
+      == ch.filter(_._1 == 2L).map(_._4).toSeq)
+  }
+
+  test("contentChunks: CDC resync — docs with different prefixes share " +
+      "the post-boundary chunk fingerprint") {
+    import spark.implicits._
+    val (bs, ns) = boundarySplit(8)
+    val b = bs.head
+    val Seq(t1, t2, t3, t4, t5, t6) = ns.take(6)
+    val docs = Seq(
+      (1L, s"$t1 $t2 $b $t5 $t6"),
+      (2L, s"$t3 $t4 $t1 $b $t5 $t6")).toDF("doc_id", "text")
+    val ch = TextOps.contentChunks(docs, "doc_id", "text", 8).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val shared = ch.filter(_._1 == 1L).map(_._2)
+      .intersect(ch.filter(_._1 == 2L).map(_._2))
+    // the "t5 t6" suffix chunk re-synchronizes despite shifted offsets
+    assert(shared.length == 1, ch.toSeq.toString)
+  }
 }
