@@ -147,4 +147,37 @@ object CorpusAudit {
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("jaccard")), 6).as("avg_jaccard_r"))
   }
+
+  /** Marginal-coverage curve: deal docs into `shards` deterministic
+    * md5 buckets (the [[Curation.hashSplit]] family, so the deal is
+    * stable under growth/retries), then report how many NEW distinct
+    * token n-grams each successive shard contributes and the cumulative
+    * total — the diminishing-returns curve that answers "does ingesting
+    * the next 10% of this source still buy novel content, or is it
+    * near-duplicate mass?" (the data-scaling companion to q154's
+    * per-doc novelty).
+    *
+    * Shape: per-doc distinct shingles map-side (kGramExpr), one
+    * (gram → min shard) hash-agg — first-occurrence attribution without
+    * any ordering dependence — one |shards|-row count agg, and the
+    * cumulative window runs over that |shards|-row table. */
+  def coverageCurve(df: DataFrame, idCol: String, textCol: String,
+      n: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && shards > 0)
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10) % shards).cast("int")
+    val grams = df
+      .select(col(idCol), shard.as("shard"),
+        TextOps.tokens(TextOps.normalize(col(textCol))).as("_toks"))
+      .select(col("shard"),
+        explode(expr(Dedup.kGramExpr("_toks", n, distinct = true)))
+          .as("gram"))
+    val firstShard = grams.groupBy(col("gram"))
+      .agg(min(col("shard")).as("shard"))
+    val wCum = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstShard.groupBy(col("shard")).agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
+  }
 }

@@ -233,6 +233,41 @@ object Profile {
           .as("benford_share"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group:
+    * D = max_v |F_A(v) − F_B(v)| between the slice where `sliceA` is
+    * true and its complement — the nonparametric drift test that (unlike
+    * [[psiDrift]]'s fixed bins) is sensitive anywhere in the
+    * distribution, the standard check that a new ingest batch hasn't
+    * shifted a feature's shape. 0 = identical CDFs, 1 = disjoint.
+    *
+    * Shape: one hash-agg from the corpus to per-(group, value) slice
+    * counts, then cumulative + total windows over THAT table (partitions
+    * hold |distinct values in group| rows, never corpus rows) and a
+    * per-group max rollup. The CDF ratios are integer/integer doubles
+    * computed with one shared operand order, so the rounded D matches
+    * the oracle exactly. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      sliceA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(sliceA, 1L).otherwise(0L)).as("_a"),
+        sum(when(sliceA, 0L).otherwise(1L)).as("_b"))
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(groupCol)
+    per
+      .withColumn("_ca", sum(col("_a")).over(wCum))
+      .withColumn("_cb", sum(col("_b")).over(wCum))
+      .withColumn("_ta", sum(col("_a")).over(wG))
+      .withColumn("_tb", sum(col("_b")).over(wG))
+      .groupBy(col(groupCol))
+      .agg(min(col("_ta")).as("n_a"), min(col("_tb")).as("n_b"),
+        // one-class groups → null D rather than a ÷0 (ANSI-safe)
+        round(max(when(col("_ta") > 0 && col("_tb") > 0,
+          abs(col("_ca") / col("_ta") - col("_cb") / col("_tb")))), 6)
+          .as("ks_d"))
+  }
+
   /** Key-skew profile: the top-k heaviest keys with their share and
     * cumulative share of total rows, plus the Gini coefficient of the
     * full key distribution — the diagnostic that decides whether a

@@ -89,6 +89,45 @@ object Ranks {
     * billions of rows but bounded score cardinality (the common case:
     * scores are bucketed or low-precision) never concentrates in one
     * task. */
+  /** Exact per-group linear-interpolated quantiles (SQL
+    * `percentile_cont` semantics) computed from [[bandedRank]] — the
+    * distributed-exact alternative to both a per-group single-task sort
+    * (the naive window) and `approx_percentile` (a sketch, wrong for
+    * contractual cutoffs like "trim the top quartile"). Quantile
+    * positions use the standard h = (n−1)·q rule with linear
+    * interpolation between ranks ⌊h⌋ and ⌈h⌉.
+    *
+    * `nums`/`den` give the quantile set {k/den : k ∈ nums} as exact
+    * rationals — position arithmetic stays in BIGINT div/mod, and the
+    * interpolation weights are den-ths (exact binary doubles for
+    * den = 2/4/8), so results are bit-reproducible cross-engine.
+    *
+    * Shape: bandedRank's two-level prefix sum (no single-task sort), a
+    * broadcast nested-loop against the |nums|-row quantile spec, then a
+    * filter keeping ≤ 2·|nums| rows per group — the final agg is tiny. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, bandWidth: Double, nums: Seq[Int],
+      den: Int): DataFrame = {
+    require(den > 0 && nums.nonEmpty && nums.forall(k => k >= 0 && k <= den))
+    val s = df.sparkSession
+    import s.implicits._
+    val spec = nums.toDF("k")
+    val ranked = bandedRank(df, groupCol, valueCol, idCol, bandWidth)
+    ranked.crossJoin(broadcast(spec))
+      .withColumn("_lo", expr(s"((grp_n - 1) * k) div $den"))
+      .withColumn("_rem", expr(s"((grp_n - 1) * k) % $den"))
+      .where(col("rnk") === col("_lo") ||
+        (col("rnk") === col("_lo") + 1 && col("_rem") > 0))
+      .withColumn("_wt",
+        when(col("rnk") === col("_lo"), (lit(den) - col("_rem")) / den)
+          .otherwise(col("_rem") / den))
+      .groupBy(col(groupCol), col("k"))
+      .agg(first(col("grp_n")).as("n"),
+        sum(col(valueCol) * col("_wt")).as("q_val"))
+      .select(col(groupCol), col("n"), (col("k") / den).as("q"),
+        col("q_val"))
+  }
+
   def rankSumAuc(df: DataFrame, groupCol: String, scoreCol: String,
       labelCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol), col(scoreCol))

@@ -151,6 +151,110 @@ object QualityQueries {
           round(col("vt"), 6).as("vt_r"))
         .orderBy("pos")),
 
+    // Exact per-lang quartiles of n_chars via banded rank + rational
+    // interpolation — percentile_cont semantics with no per-group
+    // single-task sort and no sketch error.
+    Q("q177_exact_quantiles",
+      Some("""SELECT lang, count(*)::BIGINT AS n, 0.25::DOUBLE AS q,
+             |  quantile_cont(n_chars, 0.25) AS q_val
+             |FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT lang, count(*)::BIGINT, 0.5::DOUBLE,
+             |  quantile_cont(n_chars, 0.5) FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT lang, count(*)::BIGINT, 0.75::DOUBLE,
+             |  quantile_cont(n_chars, 0.75) FROM documents GROUP BY lang
+             |ORDER BY lang, q""".stripMargin),
+      (s, d) => Ranks.exactQuantiles(
+          documents(s, d).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", "doc_id", bandWidth = 100.0,
+          nums = Seq(1, 2, 3), den = 4)
+        .orderBy("lang", "q")),
+
+    // Two-sample KS drift: low- vs high-ordinal sources per lang over
+    // n_chars — max CDF gap, windows only on the distinct-value table.
+    Q("q178_ks_drift",
+      Some("""WITH per AS (
+             |  SELECT lang, n_chars AS v,
+             |    sum(CASE WHEN substr(source, 4)::INT < 10
+             |        THEN 1 ELSE 0 END)::BIGINT AS a,
+             |    sum(CASE WHEN substr(source, 4)::INT < 10
+             |        THEN 0 ELSE 1 END)::BIGINT AS b
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (
+             |  SELECT lang, a, b,
+             |    sum(a) OVER (PARTITION BY lang ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |    sum(b) OVER (PARTITION BY lang ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             |    sum(a) OVER (PARTITION BY lang) AS ta,
+             |    sum(b) OVER (PARTITION BY lang) AS tb
+             |  FROM per)
+             |SELECT lang, min(ta)::BIGINT AS n_a, min(tb)::BIGINT AS n_b,
+             |  round(max(abs(ca / ta - cb / tb)), 6) AS ks_d
+             |FROM c GROUP BY 1 ORDER BY lang""".stripMargin),
+      (s, d) => Profile.ksDrift(documents(s, d), "lang", "n_chars",
+          substring(col("source"), 4, 8).cast("int") < 10)
+        .orderBy("lang")),
+
+    // Lang-ID confusion matrix: the q26 heuristic scored against the
+    // labeled lang — per-(actual, predicted) counts and within-actual
+    // shares, the slice-eval that gates a classifier before it filters.
+    Q("q179_lang_confusion", {
+      val scoreCols = TextOps.langProfiles.map { case (l, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS score_$l"
+      }.mkString(", ")
+      val langs = TextOps.langProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val geOthers = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN score_$l > 0 AND $geOthers THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH pred AS (
+              |  SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
+              |  FROM (SELECT doc_id, lang, $scoreCols FROM documents) t)
+              |SELECT lang, lang_pred, count(*)::BIGINT AS n,
+              |  round(count(*) / sum(count(*)) OVER (PARTITION BY lang),
+              |    6) AS share_r
+              |FROM pred GROUP BY 1, 2
+              |ORDER BY lang, lang_pred""".stripMargin)
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        TextOps.langId(documents(s, d), "text")
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_r", round(
+            col("n") / sum(col("n")).over(Window.partitionBy("lang")), 6))
+          .orderBy("lang", "lang_pred")
+      }),
+
+    // Marginal n-gram coverage per md5 shard decile — the
+    // diminishing-returns curve of ingesting more of the corpus.
+    Q("q180_coverage_curve",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              |      % 10 AS shard,
+              |    string_split($normSql, ' ') AS t
+              |  FROM documents),
+              |grams AS (
+              |  SELECT DISTINCT shard, doc_id,
+              |    array_to_string(t[i:i+2], ' ') AS gram
+              |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+              |fs AS (SELECT gram, min(shard) AS shard FROM grams
+              |  GROUP BY 1),
+              |c AS (SELECT shard, count(*)::BIGINT AS new_grams FROM fs
+              |  GROUP BY 1)
+              |SELECT shard::INT AS shard, new_grams,
+              |  sum(new_grams) OVER (ORDER BY shard
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    ::BIGINT AS cum_grams
+              |FROM c ORDER BY shard""".stripMargin),
+      (s, d) => graft.ops.CorpusAudit.coverageCurve(
+          documents(s, d), "doc_id", "text", n = 3, shards = 10)
+        .orderBy("shard")),
+
     // Slice-level discrimination: AUC of n_chars against an
     // even-ordinal-source pseudo-label, per lang — midrank-exact
     // Mann–Whitney, windows only over the distinct-score table.

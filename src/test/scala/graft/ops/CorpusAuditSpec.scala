@@ -85,4 +85,23 @@ class CorpusAuditSpec extends SparkTestBase {
     assert(got == Seq(("A", "A", 1L, 0.6), ("A", "B", 2L, 0.8)),
       got.toString)
   }
+
+  test("coverageCurve: first-occurrence attribution by min shard, " +
+      "cumulative total equals the corpus distinct-gram count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 docs with one gram each: half share a common bigram, half are
+    // unique — the common gram must be attributed to exactly one shard
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "common gram" else s"unique$i gram$i")
+    }.toDF("doc_id", "text")
+    val got = CorpusAudit.coverageCurve(docs, "doc_id", "text", 2, 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // 1 shared + 20 unique bigrams in total, every new_gram counted once
+    assert(got.last._3 == 21L, got.toSeq)
+    assert(got.map(_._2).sum == 21L)
+    // monotone cumulative
+    assert(got.map(_._3).toSeq == got.scanLeft(0L)(_ + _._2).drop(1).toSeq)
+  }
 }

@@ -176,6 +176,24 @@ class ProfileSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L)), got)
   }
 
+  test("ksDrift: disjoint slices → 1, identical slices → 0, hand case " +
+      "→ 0.5, one-class group → null") {
+    import org.apache.spark.sql.functions.col
+    def ks(rows: Seq[(String, Double, Boolean)]): Option[Double] = {
+      val d = rows.toDF("grp", "v", "a")
+      val r = Profile.ksDrift(d, "grp", "v", col("a")).head
+      if (r.isNullAt(3)) None else Some(r.getDouble(3))
+    }
+    assert(ks(Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 10.0, false),
+      ("g", 11.0, false))).contains(1.0))
+    assert(ks(Seq(("g", 1.0, true), ("g", 1.0, false), ("g", 2.0, true),
+      ("g", 2.0, false))).contains(0.0))
+    // A = {1, 3}, B = {2, 4}: CDF gaps .5, 0(?), .5, 0 → D = 0.5
+    assert(ks(Seq(("g", 1.0, true), ("g", 3.0, true), ("g", 2.0, false),
+      ("g", 4.0, false))).contains(0.5))
+    assert(ks(Seq(("g", 1.0, true), ("g", 2.0, true))).isEmpty)
+  }
+
   test("benfordProfile: string-extracted digits (incl. the 1000.0 " +
       "power-of-ten boundary), shares sum to 1, values < 1 excluded") {
     val d = Seq(("g", 1000.0), ("g", 999.99), ("g", 12.3), ("g", 0.5),

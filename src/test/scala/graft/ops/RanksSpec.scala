@@ -75,6 +75,23 @@ class RanksSpec extends SparkTestBase {
       s"row_number window not banded:\n$rowWindows")
   }
 
+  test("exactQuantiles: percentile_cont hand cases — interpolation, " +
+      "ties, and the n=1 group") {
+    import spark.implicits._
+    val d = Seq(("g", 10.0, 1L), ("g", 20.0, 2L), ("g", 20.0, 3L),
+      ("g", 40.0, 4L), ("h", 7.0, 5L)).toDF("grp", "v", "id")
+    val got = Ranks.exactQuantiles(d, "grp", "v", "id", 10.0,
+        Seq(1, 2, 3), 4)
+      .orderBy("grp", "q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // g sorted: 10,20,20,40; h = (n=3)·0.25 → pos .75 → 10·.25+20·.75
+    assert(got.toSeq == Seq(
+      ("g", 4L, 0.25, 17.5), ("g", 4L, 0.5, 20.0), ("g", 4L, 0.75, 25.0),
+      ("h", 1L, 0.25, 7.0), ("h", 1L, 0.5, 7.0), ("h", 1L, 0.75, 7.0)),
+      got.toSeq)
+  }
+
   test("rankSumAuc: perfect separation → 1, reversed → 0, constant " +
       "score → 0.5") {
     import spark.implicits._
