@@ -276,6 +276,40 @@ class PlanSpec extends SparkTestBase {
       "intervals must explode into buckets (Generate)")
   }
 
+  test("q171: the FD audit never plans an Expand (no countDistinct)") {
+    val p = plan("q171_fd_violations")
+    assert(!p.contains("Expand"),
+      s"distinct-value counting must be stacked aggs, not Expand:\n$p")
+  }
+
+  test("q174: the chunk-boundary window partitions by doc_id — a task " +
+      "sorts one document, never the corpus") {
+    val p = simplePlan("q174_content_chunks")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"CDC boundary count must be per-doc partitioned:\n$p")
+  }
+
+  test("q175: both interleave ranking passes are banded — every " +
+      "row_number window carries the _band key, no global sort task") {
+    val p = simplePlan("q175_stride_interleave")
+    val rowWindows = "row_number\\(\\)[^\\n]*windowspecdefinition\\([^\\n]*"
+      .r.findAllIn(p).toSeq
+    assert(rowWindows.nonEmpty)
+    assert(rowWindows.forall(_.contains("_band")),
+      s"unbanded row_number window in stride interleave:\n$rowWindows")
+  }
+
+  test("q177: quantile positions join the 3-row spec by broadcast and " +
+      "ranks stay banded") {
+    val p = simplePlan("q177_exact_quantiles")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"quantile spec must enter as a broadcast:\n$p")
+    val rowWindows = "row_number\\(\\)[^\\n]*windowspecdefinition\\([^\\n]*"
+      .r.findAllIn(p).toSeq
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("_band")),
+      s"exactQuantiles rank must be banded:\n$rowWindows")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
