@@ -148,6 +148,31 @@ object CorpusAudit {
         round(avg(col("jaccard")), 6).as("avg_jaccard_r"))
   }
 
+  /** Order-independent corpus fingerprint: per slice (and, via ROLLUP,
+    * for the whole corpus — the '*' row) the doc count and a 60-bit
+    * content version hash = Σ hash60(md5(normalized text)) mod 2⁶⁰ —
+    * dataset versioning for reproducible training runs ("is the corpus
+    * byte-identical to the one that trained checkpoint X?") without
+    * sorting anything: summation is commutative, so the fingerprint is
+    * invariant to row order, partitioning, and retry replay, unlike a
+    * hash-of-concatenation.
+    *
+    * The sum runs in DECIMAL(38,0) (10¹² docs × 2⁶⁰ ≈ 2¹⁰⁰ would
+    * overflow BIGINT) and reduces mod 2⁶⁰ at the end. Shape: one scan,
+    * one rollup hash-agg keyed by slice — nothing else. */
+  def corpusFingerprint(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val h = TextOps.hash60(md5(TextOps.normalize(col(textCol))))
+      .cast("decimal(38,0)")
+    df.select(col(keyCol), h.as("_h"))
+      .rollup(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("_h")) % lit(1152921504606846976L))
+          .cast("long").as("fingerprint"))
+      .select(coalesce(col(keyCol), lit("*")).as(keyCol),
+        col("n_docs"), col("fingerprint"))
+  }
+
   /** Marginal-coverage curve: deal docs into `shards` deterministic
     * md5 buckets (the [[Curation.hashSplit]] family, so the deal is
     * stable under growth/retries), then report how many NEW distinct

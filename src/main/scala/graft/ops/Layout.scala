@@ -53,6 +53,46 @@ object Layout {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  /** Zone-map (min/max data-skipping) effectiveness audit: deal the
+    * same rows into pages two ways — Z-order prefix pages vs a hash
+    * deal (the "unclustered write" strawman) — and report, for the
+    * predicate `xCol BETWEEN lo AND hi`, how many pages and rows each
+    * layout lets a scan SKIP on file-level min/max stats alone. This
+    * quantifies what [[zOrderBucketStats]] shows qualitatively: at
+    * 100 TB the difference between the two skip ratios IS the scan-cost
+    * difference, because pruned pages are never read.
+    *
+    * A page is skippable iff x_max < lo OR x_min > hi (the standard
+    * zone-map test). Shape: one projection (both page keys are pure bit
+    * arithmetic / md5), one (layout, page) hash-agg, one |pages|-row
+    * rollup — the audit never sorts the data. */
+  def zoneMapSkipAudit(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, pageBits: Int, lo: Long, hi: Long): DataFrame = {
+    require(pageBits >= 1 && pageBits <= 2 * bits && lo <= hi)
+    val nPages = 1L << pageBits
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.select(x.as("x"), y.as("y"))
+    val zPages = base.select(lit("zorder").as("layout"),
+      shiftright(zOrderKey(col("x"), col("y"), bits),
+        2 * bits - pageBits).as("page"), col("x"))
+    val hPages = base.select(lit("hash").as("layout"),
+      (TextOps.hash60(concat(col("x").cast("string"), lit("#"),
+        col("y").cast("string"))) % nPages).as("page"), col("x"))
+    zPages.union(hPages)
+      .groupBy(col("layout"), col("page"))
+      .agg(count(lit(1)).as("_n"), min(col("x")).as("_xmin"),
+        max(col("x")).as("_xmax"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("_n")).as("n_rows"),
+        sum(when(col("_xmax") < lo || col("_xmin") > hi, 1L)
+          .otherwise(0L)).as("pages_skipped"),
+        sum(when(col("_xmax") < lo || col("_xmin") > hi, col("_n"))
+          .otherwise(0L)).as("rows_skipped"))
+      .withColumn("skip_r",
+        round(col("rows_skipped") / col("n_rows"), 6))
+  }
+
   /** The DuckDB expression computing the identical Z-key — interpolated
     * into oracles so both engines share one definition. */
   def zOrderKeySql(x: String, y: String, bits: Int): String =

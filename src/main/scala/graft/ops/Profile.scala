@@ -233,6 +233,73 @@ object Profile {
           .as("benford_share"))
   }
 
+  /** Poisson-bootstrap standard error of a per-group mean (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating uncertainty for massive
+    * data streams", Google TR 2012): instead of materializing B
+    * resampled copies — impossible at corpus scale — each row gets an
+    * independent Poisson(1) weight per replicate, which reproduces the
+    * bootstrap's multinomial resampling in ONE streaming pass. The
+    * replicate spread is the uncertainty a naive "mean over everything"
+    * report hides.
+    *
+    * Weights come from the md5-hash60 uniform of (id, replicate) pushed
+    * through the Poisson(1) inverse CDF (shared decimal literals, so
+    * both engines draw identical weights). Emits per group: n_rows, the
+    * plain mean, the bootstrap mean-of-means and SE (sum/sumsq identity
+    * with the B−1 correction — explicit, engine-portable reductions,
+    * round(6) absorbing ~1e-15 summation drift, the arrayDimStats
+    * posture).
+    *
+    * Shape: the B-row replicate spec enters by broadcast nested loop
+    * (row fan-out ×B is projection-only), one (group, replicate)
+    * hash-agg, then a |groups|·B rollup. No sort, no resampled data. */
+  def poissonBootstrap(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    val s = df.sparkSession
+    import s.implicits._
+    val spec = (0 until b).toDF("rep")
+    // Poisson(1) CDF: F(k) = e^{-1}·Σ_{j≤k} 1/j! — literals shared with
+    // the oracle SQL (poissonCdfSql)
+    val u = (TextOps.hash60(concat(col(idCol).cast("string"), lit("#"),
+      col("rep").cast("string"))).cast("double")
+      / lit(1152921504606846976.0))
+    val w = PoissonCdf.foldRight(lit(8): Column) { case ((f, k), acc) =>
+      when(u < f, lit(k)).otherwise(acc)
+    }
+    val reps = df.select(col(groupCol), col(valueCol), col(idCol))
+      .crossJoin(broadcast(spec))
+      .withColumn("_w", w)
+      .groupBy(col(groupCol), col("rep"))
+      .agg(sum(col("_w") * col(valueCol)).as("_ws"),
+        sum(col("_w")).as("_wn"), count(lit(1)).as("_n"))
+      .where(col("_wn") > 0)
+      .withColumn("_m", col("_ws") / col("_wn"))
+    reps.groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n_rows"), count(lit(1)).as("n_reps"),
+        sum(col("_m")).as("_s"), sum(col("_m") * col("_m")).as("_ss"))
+      .select(col(groupCol), col("n_rows"), col("n_reps"),
+        round(col("_s") / col("n_reps"), 6).as("boot_mean_r"),
+        round(sqrt((col("_ss") / col("n_reps")
+            - (col("_s") / col("n_reps")) * (col("_s") / col("n_reps")))
+          * (col("n_reps") / (col("n_reps") - 1))), 6).as("boot_se_r"))
+  }
+
+  /** (cdf, k) steps of the Poisson(1) inverse CDF used by
+    * [[poissonBootstrap]]; weights above the last threshold clamp to 8
+    * (P ≈ 1e-5 — negligible mass, bounded CASE chain). */
+  private[graft] val PoissonCdf: Seq[(Double, Int)] = Seq(
+    0.36787944117144233 -> 0, 0.7357588823428847 -> 1,
+    0.9196986029286058 -> 2, 0.9810118431238462 -> 3,
+    0.9963401531726563 -> 4, 0.9994058151824183 -> 5,
+    0.9999167588507119 -> 6, 0.9999897508033253 -> 7)
+
+  /** The identical inverse-CDF CASE chain for the DuckDB oracle; `u`
+    * is a SQL expression for the uniform. */
+  private[graft] def poissonCdfSql(u: String): String =
+    PoissonCdf.map { case (f, k) => s"WHEN $u < $f THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   /** Two-sample Kolmogorov–Smirnov statistic per group:
     * D = max_v |F_A(v) − F_B(v)| between the slice where `sliceA` is
     * true and its complement — the nonparametric drift test that (unlike

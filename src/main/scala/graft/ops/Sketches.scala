@@ -146,6 +146,48 @@ object Sketches {
   /** α_m bias constant (HLL paper §4's empirical values for small m,
     * the asymptotic formula otherwise). Public so oracle SQL generators
     * interpolate the SAME double literal the engine computes with. */
+  /** AMS second-moment (F₂ = Σ_k f_k², the self-join size) sketch —
+    * Alon, Matias & Szegedy, "The space complexity of approximating the
+    * frequency moments", STOC'96. Each trial keeps ONE counter: the
+    * ±1-signed row sum S_t (sign = a hash bit of (key, trial)); E[S²] =
+    * F₂, and the median over `trials` independent estimates
+    * concentrates. F₂ is what drives self-join/join-size estimation in
+    * a planner, and this sketch computes it in one pass with `trials`
+    * longs of state — vs the exact path's |keys|-row aggregate.
+    *
+    * Emits one row: exact F₂ (computed alongside for the audit), the
+    * AMS median estimate, and the relative error. Median over the tiny
+    * trials table by exact rank — no percentile interpolation, so the
+    * oracle matches bit-for-bit. At 10¹² rows the signed sums outgrow
+    * BIGINT squares; the squares run in DECIMAL(38,0) for that reason.
+    * `trials` must be odd (exact middle element). */
+  def amsF2(df: DataFrame, keyCol: String, trials: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trials > 0 && trials % 2 == 1, "trials must be odd")
+    val sgn = (t: Int) => (TextOps.hash60(concat(
+      col(keyCol).cast("string"), lit("#"), lit(t)))
+      .bitwiseAND(lit(1L)) * 2 - 1)
+    val sums = df.agg(sum(sgn(0)).as("_s0"),
+      (1 until trials).map(t => sum(sgn(t)).as(s"_s$t")): _*)
+    val ests = sums.select(posexplode(array(
+      (0 until trials).map(t => (col(s"_s$t").cast("decimal(19,0)")
+        * col(s"_s$t").cast("decimal(19,0)")).cast("decimal(38,0)")): _*))
+      .as(Seq("trial", "est")))
+    val wMed = Window.orderBy(col("est"), col("trial"))
+    val median = ests.withColumn("_rk", row_number().over(wMed))
+      .where(col("_rk") === (trials + 1) / 2)
+      .select(col("est").as("f2_ams"))
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_f"))
+      .agg(sum(col("_f").cast("decimal(19,0)") * col("_f")
+        .cast("decimal(19,0)")).cast("decimal(38,0)").as("f2_exact"))
+    exact.crossJoin(broadcast(median))
+      .select(col("f2_exact").cast("long").as("f2_exact"),
+        col("f2_ams").cast("long").as("f2_ams"),
+        round(abs(col("f2_ams").cast("double")
+            - col("f2_exact").cast("double")) / col("f2_exact"), 6)
+          .as("rel_err_r"))
+  }
+
   def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697

@@ -30,4 +30,33 @@ object Skew {
       explode(expr(s"sequence(0, ${salts - 1})")))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Join-cardinality audit WITHOUT executing the join: per key,
+    * |A⋈B| contributes n_a·n_b rows, so aggregating both sides to
+    * per-key counts and multiplying predicts the exact output size and
+    * exposes the hot keys that would dominate it — the pre-flight check
+    * that decides between a plain shuffle join, [[saltedJoin]], and an
+    * AQE skew split BEFORE burning a cluster on a join that explodes.
+    * Emits the top-k keys by contribution with their share of the total.
+    *
+    * Shape: two hash-aggs (each side reduced to |keys| rows), one
+    * co-partitioned key join of those count tables, and windows (rank +
+    * total) over the |keys|-row result — corpus-size work is exactly
+    * two scans. */
+  def joinCardinalityAudit(a: DataFrame, b: DataFrame, keyCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    val contrib = ca.join(cb, Seq(keyCol))
+      .withColumn("contrib", col("n_a") * col("n_b"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("contrib").desc, col(keyCol))
+    contrib
+      .withColumn("_tot", sum(col("contrib")).over(wAll))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col(keyCol), col("n_a"), col("n_b"),
+        col("contrib"), round(col("contrib") / col("_tot"), 6).as("share_r"))
+  }
 }

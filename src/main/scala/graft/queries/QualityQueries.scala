@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Profile, Ranks, TextOps}
+import graft.ops.{Curation, Layout, Profile, Ranks, TextOps}
 import graft.util.Tables._
 
 /** Data-governance / quality-audit surface: functional-dependency
@@ -278,6 +278,138 @@ object QualityQueries {
           documents(s, d).withColumn("label",
             substring(col("source"), 4, 8).cast("int") % 2 === 0),
           "lang", "n_chars", "label")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Zone-map skipping audit: Z-order pages vs a hash deal under the
+    // same range predicate — the measured scan-pruning win of clustered
+    // layout (pages skippable on min/max stats alone).
+    Q("q181_zonemap_skip",
+      Some(s"""WITH xy AS (
+              |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y
+              |  FROM lineitem),
+              |p AS (
+              |  SELECT 'zorder' AS layout,
+              |    ((${Layout.zOrderKeySql("x", "y", 6)}) >> 6) AS page, x
+              |  FROM xy
+              |  UNION ALL
+              |  SELECT 'hash',
+              |    ('0x' || substr(md5(x::VARCHAR || '#' || y::VARCHAR),
+              |      1, 15))::BIGINT % 64, x
+              |  FROM xy),
+              |pg AS (
+              |  SELECT layout, page, count(*) AS n,
+              |    min(x) AS xmin, max(x) AS xmax
+              |  FROM p GROUP BY 1, 2)
+              |SELECT layout, count(*)::BIGINT AS n_pages,
+              |  sum(n)::BIGINT AS n_rows,
+              |  sum(CASE WHEN xmax < 16 OR xmin > 31 THEN 1 ELSE 0 END)
+              |    ::BIGINT AS pages_skipped,
+              |  sum(CASE WHEN xmax < 16 OR xmin > 31 THEN n ELSE 0 END)
+              |    ::BIGINT AS rows_skipped,
+              |  round(sum(CASE WHEN xmax < 16 OR xmin > 31 THEN n
+              |      ELSE 0 END) / sum(n), 6) AS skip_r
+              |FROM pg GROUP BY 1 ORDER BY layout""".stripMargin),
+      (s, d) => Layout.zoneMapSkipAudit(
+          lineitem(s, d).select((col("l_partkey") % 64).as("x"),
+            (col("l_suppkey") % 64).as("y")),
+          "x", "y", bits = 6, pageBits = 6, lo = 16L, hi = 31L)
+        .orderBy("layout")),
+
+    // Order-independent corpus version fingerprint per source + the
+    // rollup '*' root — dataset versioning without sorting anything.
+    Q("q182_corpus_fingerprint",
+      Some(s"""SELECT coalesce(source, '*') AS source,
+              |  count(*)::BIGINT AS n_docs,
+              |  (sum(('0x' || substr(md5(md5($normSql)), 1, 15))::BIGINT)
+              |    ::HUGEINT % 1152921504606846976)::BIGINT AS fingerprint
+              |FROM documents GROUP BY ROLLUP(source)
+              |ORDER BY source""".stripMargin),
+      (s, d) => graft.ops.CorpusAudit.corpusFingerprint(
+          documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // Poisson-bootstrap SE of per-lang mean doc length (Chamandy et al.
+    // 2012): resampling as per-row Poisson(1) weights, one pass, no
+    // materialized replicas.
+    Q("q183_bootstrap_se", {
+      val u = "('0x' || substr(md5(d.doc_id::VARCHAR || '#' || " +
+        "r.rep::VARCHAR), 1, 15))::BIGINT / 1152921504606846976.0"
+      Some(s"""WITH reps AS (
+              |  SELECT unnest(generate_series(0, 19)) AS rep),
+              |w AS (
+              |  SELECT d.lang, d.n_chars, r.rep,
+              |    ${Profile.poissonCdfSql(u)} AS w
+              |  FROM documents d CROSS JOIN reps r),
+              |m AS (
+              |  SELECT lang, rep, sum(w * n_chars) AS ws, sum(w) AS wn,
+              |    count(*) AS n
+              |  FROM w GROUP BY 1, 2),
+              |mm AS (SELECT lang, n, ws / wn AS m FROM m WHERE wn > 0)
+              |SELECT lang, max(n)::BIGINT AS n_rows,
+              |  count(*)::BIGINT AS n_reps,
+              |  round(sum(m) / count(*), 6) AS boot_mean_r,
+              |  round(sqrt((sum(m * m) / count(*)
+              |      - (sum(m) / count(*)) * (sum(m) / count(*)))
+              |    * (count(*) / (count(*) - 1.0))), 6) AS boot_se_r
+              |FROM mm GROUP BY 1 ORDER BY lang""".stripMargin)
+    },
+      (s, d) => Profile.poissonBootstrap(
+          documents(s, d), "lang", "n_chars", "doc_id", b = 20)
+        .orderBy("lang")),
+
+    // Join-cardinality audit without executing the join: per-key
+    // n_a·n_b contributions of events⋈orders on the user/customer key.
+    Q("q184_join_cardinality",
+      Some("""WITH ca AS (
+             |  SELECT user_id AS key, count(*) AS n_a FROM events
+             |  GROUP BY 1),
+             |cb AS (
+             |  SELECT o_custkey AS key, count(*) AS n_b FROM orders
+             |  GROUP BY 1),
+             |j AS (
+             |  SELECT key, n_a, n_b, n_a * n_b AS contrib
+             |  FROM ca JOIN cb USING (key)),
+             |r AS (
+             |  SELECT key, n_a, n_b, contrib,
+             |    row_number() OVER (ORDER BY contrib DESC, key) AS rank,
+             |    sum(contrib) OVER () AS tot
+             |  FROM j)
+             |SELECT rank::BIGINT AS rank, key, n_a::BIGINT AS n_a,
+             |  n_b::BIGINT AS n_b, contrib::BIGINT AS contrib,
+             |  round(contrib / tot, 6) AS share_r
+             |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin),
+      (s, d) => graft.ops.Skew.joinCardinalityAudit(
+          events(s, d).select(col("user_id").as("key")),
+          orders(s, d).select(col("o_custkey").as("key")),
+          "key", topK = 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")),
+
+    // AMS F2 (self-join size) sketch vs the exact second moment over
+    // lineitem order keys — 9 signed-sum counters vs a |keys| aggregate.
+    Q("q185_ams_f2", {
+      val signSums = (0 until 9).map { t =>
+        s"""sum(CASE WHEN (('0x' || substr(md5(l_orderkey::VARCHAR
+           | || '#$t'), 1, 15))::BIGINT & 1) = 1
+           | THEN 1 ELSE -1 END) AS s$t""".stripMargin.replace("\n", "")
+      }.mkString(", ")
+      val ests = (0 until 9).map(t => s"s$t * s$t").mkString(", ")
+      Some(s"""WITH s AS (SELECT $signSums FROM lineitem),
+              |e AS (SELECT unnest([$ests]) AS est FROM s),
+              |med AS (
+              |  SELECT est FROM (
+              |    SELECT est, row_number() OVER (ORDER BY est) AS rk
+              |    FROM e) t WHERE rk = 5),
+              |x AS (
+              |  SELECT sum(f * f)::BIGINT AS f2_exact FROM (
+              |    SELECT count(*) AS f FROM lineitem
+              |    GROUP BY l_orderkey) t)
+              |SELECT f2_exact, est::BIGINT AS f2_ams,
+              |  round(abs(est::DOUBLE - f2_exact::DOUBLE) / f2_exact, 6)
+              |    AS rel_err_r
+              |FROM x CROSS JOIN med""".stripMargin)
+    },
+      (s, d) => graft.ops.Sketches.amsF2(
+          lineitem(s, d).select("l_orderkey"), "l_orderkey", trials = 9))
   )
 }

@@ -177,33 +177,63 @@ object StatQueries {
     // bot/spam-traffic signal (B→1 bursty, B→−1 metronome). Gaps via
     // lag over (user, ts, event_id) — per-user window partitions, fine
     // at scale (users are many and small; no low-cardinality skew).
+    // Gaps stay in integer MICROS through the aggregate: avg/var_pop on
+    // doubles sum in engine-/partition-dependent order, and at sf0.1 one
+    // user's mean sat exactly on a round-half boundary (33374.0610425 —
+    // the r6 stress-gate catch). Exact long/decimal sums make every
+    // derived double a pure function of (Σ, Σ², n), identical in both
+    // engines; the sqrt argument is clamped at 0 for the constant-gap
+    // cancellation case. The mean is special: s/n lands EXACTLY on a
+    // half-microsecond whenever n is even and 2∤(2s mod 2n), i.e. the
+    // 6-decimal tie is structural, and double round() tie-breaking
+    // differs between engines (HALF_UP vs half-even) — so the mean is
+    // rounded to whole µs in INTEGER arithmetic ((2s+n) div 2n, ties
+    // up) before the one exact-operand /1e6 division.
     Q("q168_burstiness",
       Some("""WITH g AS (
              |  SELECT user_id,
-             |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
-             |      PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
-             |      AS gap_s
-             |  FROM events)
-             |SELECT user_id, count(gap_s)::BIGINT AS n_gaps,
-             |  round(avg(gap_s), 6) AS mean_gap_s,
-             |  round(sqrt(var_pop(gap_s)), 6) AS sd_gap_s,
-             |  round(sqrt(var_pop(gap_s)) / avg(gap_s), 6) AS cv_r,
-             |  round((sqrt(var_pop(gap_s)) - avg(gap_s))
-             |    / (sqrt(var_pop(gap_s)) + avg(gap_s)), 6) AS burstiness_r
-             |FROM g WHERE gap_s IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, count(gap_us)::BIGINT AS n_gaps,
+             |    sum(gap_us)::BIGINT AS sl,
+             |    sum(gap_us)::DOUBLE AS s,
+             |    sum(gap_us::HUGEINT * gap_us)::DOUBLE AS ss
+             |  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps,
+             |  ((2 * sl + n_gaps) // (2 * n_gaps)) / 1e6 AS mean_gap_s,
+             |  round(sqrt(greatest(ss / n_gaps
+             |    - (s / n_gaps) * (s / n_gaps), 0)) / 1e6, 6) AS sd_gap_s,
+             |  round(sqrt(greatest(ss / n_gaps
+             |    - (s / n_gaps) * (s / n_gaps), 0)) / (s / n_gaps), 6)
+             |    AS cv_r,
+             |  round((sqrt(greatest(ss / n_gaps
+             |      - (s / n_gaps) * (s / n_gaps), 0)) - s / n_gaps)
+             |    / (sqrt(greatest(ss / n_gaps
+             |      - (s / n_gaps) * (s / n_gaps), 0)) + s / n_gaps), 6)
+             |    AS burstiness_r
+             |FROM a ORDER BY user_id""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val g = events(s, d).select(col("user_id"),
-          ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-            / lit(1e6)).as("gap_s"))
-          .where(col("gap_s").isNotNull)
-        val mu = avg(col("gap_s"))
-        val sd = sqrt(var_pop(col("gap_s")))
-        g.groupBy("user_id")
-          .agg(count(col("gap_s")).as("n_gaps"),
-            round(mu, 6).as("mean_gap_s"),
-            round(sd, 6).as("sd_gap_s"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"))
+          .where(col("gap_us").isNotNull)
+        val agg = g.groupBy("user_id")
+          .agg(count(col("gap_us")).as("n_gaps"),
+            sum(col("gap_us")).as("_sl"),
+            sum(col("gap_us")).cast("double").as("_s"),
+            sum(col("gap_us").cast("decimal(19,0)")
+              * col("gap_us").cast("decimal(19,0)"))
+              .cast("double").as("_ss"))
+        val mu = col("_s") / col("n_gaps")
+        val sd = sqrt(greatest(
+          col("_ss") / col("n_gaps") - mu * mu, lit(0)))
+        agg.select(col("user_id"), col("n_gaps"),
+            (expr("(2 * _sl + n_gaps) div (2 * n_gaps)") / lit(1e6))
+              .as("mean_gap_s"),
+            round(sd / lit(1e6), 6).as("sd_gap_s"),
             round(sd / mu, 6).as("cv_r"),
             round((sd - mu) / (sd + mu), 6).as("burstiness_r"))
           .orderBy("user_id")

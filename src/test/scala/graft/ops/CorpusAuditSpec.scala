@@ -104,4 +104,26 @@ class CorpusAuditSpec extends SparkTestBase {
     // monotone cumulative
     assert(got.map(_._3).toSeq == got.scanLeft(0L)(_ + _._2).drop(1).toSeq)
   }
+
+  test("corpusFingerprint: invariant to row order; one changed doc " +
+      "changes its slice and the root; '*' covers the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a", "alpha text"), (2L, "a", "beta text"),
+      (3L, "b", "gamma text")).toDF("doc_id", "src", "text")
+    def fp(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      CorpusAudit.corpusFingerprint(df, "src", "text").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = fp(docs)
+    assert(base("*")._1 == 3L && base("a")._1 == 2L)
+    // row order / partitioning must not matter
+    assert(fp(docs.orderBy(col("doc_id").desc).repartition(3)) == base)
+    // a one-doc edit moves its slice fingerprint AND the root, not 'b'
+    val edited = fp(Seq((1L, "a", "alpha text EDITED"),
+      (2L, "a", "beta text"), (3L, "b", "gamma text"))
+      .toDF("doc_id", "src", "text"))
+    assert(edited("a")._2 != base("a")._2)
+    assert(edited("*")._2 != base("*")._2)
+    assert(edited("b") == base("b"))
+  }
 }

@@ -56,4 +56,24 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     pts.foreach { case (x, y) => assert(got((x, y)) == model(x, y, 10)) }
   }
+
+  test("zoneMapSkipAudit: Z-order pages prune the aligned range far " +
+      "better than the hash deal, and both conserve rows") {
+    import spark.implicits._
+    // the full 32x32 grid, one row per cell
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val got = Layout.zoneMapSkipAudit(grid, "x", "y",
+        bits = 5, pageBits = 4, lo = 8L, hi = 15L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (zp, zn, zps, zrs) = got("zorder")
+    val (hp, hn, _, hrs) = got("hash")
+    assert(zn == 1024L && hn == 1024L, "rows conserved per layout")
+    // 16 z-pages = 8x8 blocks; x in [8,15] is one aligned x-block column
+    // → exactly 4 of 16 pages can contain it → 12 skipped, 768 rows
+    assert(zp == 16L && zps == 12L && zrs == 768L, got.toString)
+    // the hash deal spreads every x into every page: nothing skippable
+    assert(hp == 16L && hrs == 0L, got.toString)
+  }
 }

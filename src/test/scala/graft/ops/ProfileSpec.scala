@@ -176,6 +176,24 @@ class ProfileSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L)), got)
   }
 
+  test("poissonBootstrap: constant values → zero SE; on a real sample " +
+      "the SE sits near σ/√n and the boot mean near the plain mean") {
+    import org.apache.spark.sql.functions._
+    val const = spark.range(200)
+      .select(lit("g").as("grp"), lit(7L).as("v"), col("id"))
+    val c = Profile.poissonBootstrap(const, "grp", "v", "id", 20).head
+    assert(c.getLong(1) == 200L, "n_rows")
+    assert(c.getDouble(3) == 7.0 && c.getDouble(4) == 0.0, c.toString)
+    // values 1..400: mean 200.5, sd ≈ 115.6 → SE ≈ 5.8; the bootstrap
+    // estimate should land within a loose 3x band, mean within ~4 SE
+    val seq = spark.range(1, 401)
+      .select(lit("g").as("grp"), col("id").as("v"), col("id"))
+    val r = Profile.poissonBootstrap(seq, "grp", "v", "id", 20).head
+    assert(r.getLong(2) == 20L, "all reps kept")
+    assert(math.abs(r.getDouble(3) - 200.5) < 25.0, r.toString)
+    assert(r.getDouble(4) > 1.9 && r.getDouble(4) < 17.4, r.toString)
+  }
+
   test("ksDrift: disjoint slices → 1, identical slices → 0, hand case " +
       "→ 0.5, one-class group → null") {
     import org.apache.spark.sql.functions.col

@@ -156,4 +156,21 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-6,
       s"engine $got vs JVM model $want")
   }
+
+  test("amsF2: a single repeated key is estimated EXACTLY (every trial " +
+      "sums to ±n), and exact F2 is right on a permutation") {
+    import spark.implicits._
+    val rep = Seq.fill(37)("k").toDF("key")
+    val r = Sketches.amsF2(rep, "key", trials = 9).head
+    // f2_exact = 37² and every S_t = ±37 → est = 37² with zero error
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2))
+      == (1369L, 1369L, 0.0), r.toString)
+    val perm = (1 to 64).map(_.toString).toDF("key")
+    val p = Sketches.amsF2(perm, "key", trials = 9).head
+    assert(p.getLong(0) == 64L, "distinct keys: F2 = n")
+    assert(p.getLong(1) >= 0L, "estimate is a square")
+    // deterministic hashing → two runs agree bit-for-bit
+    val p2 = Sketches.amsF2(perm, "key", trials = 9).head
+    assert(p.getLong(1) == p2.getLong(1) && p.getDouble(2) == p2.getDouble(2))
+  }
 }

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Skew.joinCardinalityAudit: the pre-flight size prediction must equal
+  * the size of the join it predicts, and hot keys must surface first. */
+class SkewAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("joinCardinalityAudit: Σ contrib == actual join row count; the " +
+      "hot key ranks first with the right share") {
+    val a = (Seq.fill(10)("hot") ++ Seq("w", "w", "x", "z")).toDF("key")
+    val b = (Seq.fill(5)("hot") ++ Seq("w", "y", "z")).toDF("key")
+    val audit = Skew.joinCardinalityAudit(a, b, "key", topK = 100)
+      .collect()
+    val predicted = audit.map(_.getAs[Long]("contrib")).sum
+    val actual = a.join(b, "key").count()
+    assert(predicted == actual, s"predicted $predicted vs joined $actual")
+    val top = audit.minBy(_.getAs[Int]("rank"))
+    // hot: 10×5 = 50 of 50+2+1 = 53 total
+    assert(top.getAs[String]("key") == "hot" &&
+      top.getAs[Long]("contrib") == 50L)
+    assert(top.getAs[Double]("share_r") == math.rint(50.0 / 53 * 1e6) / 1e6)
+  }
+
+  test("joinCardinalityAudit: keys on one side only contribute nothing " +
+      "(inner-join semantics)") {
+    val a = Seq("a", "a", "b").toDF("key")
+    val b = Seq("b", "c").toDF("key")
+    val keys = Skew.joinCardinalityAudit(a, b, "key", 10)
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(keys == Seq("b"), keys.toString)
+  }
+}

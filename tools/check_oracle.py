@@ -25,6 +25,14 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # --only-dumped: skip oracles whose dump dir is absent — for
+    # SPARK_GRAFT_VERIFY_FILTER-focused local runs. The default keeps a
+    # missing dump a FAIL (the driver-t2 semantics: a query that failed
+    # to dump must not silently pass).
+    if "--only-dumped" in sys.argv:
+        import os
+        oracle = {n: s for n, s in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{n}")}
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
