@@ -93,6 +93,62 @@ object Layout {
         round(col("rows_skipped") / col("n_rows"), 6))
   }
 
+  /** Run-length (RLE-compressibility) audit: traverse each page in its
+    * write order and count runs of equal `xCol` values, for THREE
+    * layouts — `colsort` (sorted by x: the RLE optimum for x and the
+    * pruning pessimum for y), `zorder` (the two-sided compromise: its
+    * bit interleave deliberately alternates x, so x-runs collapse to
+    * ≈cell transitions, while BOTH columns stay range-clustered for
+    * min/max pruning — [[zoneMapSkipAudit]] measures that half), and
+    * `hash` (the unclustered deal: only duplicate cells coalesce).
+    * Columnar encoders (parquet RLE/dictionary) spend bits per RUN, not
+    * per row, so runs/rows is the storage+scan cost of the column under
+    * each write order; the three numbers together are the layout
+    * decision, not a winner declaration.
+    *
+    * Shape: page + traversal keys are pure projections; the lag window
+    * partitions by (layout, page) — a task sorts one page, bounded by
+    * page size — and two hash-aggs roll up. Ties in each traversal key
+    * carry identical x, so run counts are order-unambiguous. */
+  def runLengthAudit(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, pageBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pageBits >= 1 && pageBits <= 2 * bits)
+    val nPages = 1L << pageBits
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.select(x.as("x"), y.as("y"))
+    val z = zOrderKey(col("x"), col("y"), bits)
+    val zPages = base.select(lit("zorder").as("layout"),
+      shiftright(z, 2 * bits - pageBits).as("page"), col("x"),
+      z.as("ord"))
+    val h = TextOps.hash60(concat(col("x").cast("string"), lit("#"),
+      col("y").cast("string")))
+    val hPages = base.select(lit("hash").as("layout"),
+      (h % nPages).as("page"), col("x"), h.as("ord"))
+    // colsort: equal-width x-range pages, traversal (x, y) — encoded as
+    // one ord key so all three branches share the window shape
+    val csShift = math.max(bits - pageBits, 0)
+    val csPages = base.select(lit("colsort").as("layout"),
+      shiftright(col("x"), csShift).as("page"), col("x"),
+      shiftleft(col("x"), bits).bitwiseOR(col("y")).as("ord"))
+    // (ord, x) is a total order even under hash60 collisions, so the
+    // oracle's lag sees the identical traversal
+    val w = Window.partitionBy(col("layout"), col("page"))
+      .orderBy(col("ord"), col("x"))
+    zPages.union(hPages).union(csPages)
+      .withColumn("_new", when(lag(col("x"), 1).over(w).isNull
+        || lag(col("x"), 1).over(w) =!= col("x"), 1L).otherwise(0L))
+      .groupBy(col("layout"), col("page"))
+      .agg(count(lit(1)).as("_n"), sum(col("_new")).as("_runs"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("_n")).as("n_rows"),
+        sum(col("_runs")).as("n_runs"))
+      .withColumn("runs_per_page_r",
+        round(col("n_runs") / col("n_pages"), 6))
+      .withColumn("runs_ratio_r", round(col("n_runs") / col("n_rows"), 6))
+  }
+
   /** The DuckDB expression computing the identical Z-key — interpolated
     * into oracles so both engines share one definition. */
   def zOrderKeySql(x: String, y: String, bits: Int): String =

@@ -215,4 +215,55 @@ object Similarity {
       .select(col("cid"), col("vec_a"), col("vec_b"),
         round(col("sim"), 9).as("cos_sim"))
   }
+
+  /** Matryoshka-style truncation fidelity: how well does the cosine on
+    * the first d dimensions track the full-dimension cosine? (Kusupati
+    * et al., "Matryoshka Representation Learning", NeurIPS'22 made
+    * prefix-truncation the standard cheap-retrieval trick; this is the
+    * audit run before committing an index to a truncated dim.) Over a
+    * deterministic pair sample (id, id+offset), emits per tier d: pair
+    * count, mean |cos_d − cos_full|, and the Pearson correlation of the
+    * two similarity series.
+    *
+    * Shape: the pair sample is |offsets| equi-joins on the id (no
+    * pair-space blowup — sample size is chosen by the caller's offsets,
+    * not n²); tiers fan out by a broadcast nested loop over the
+    * |dims|-row spec; one (d)-keyed hash-agg holds the sums. Pearson
+    * comes from the sum/sumsq/cross identity with one shared
+    * parenthesization (round 6 absorbs ~1e-15 summation-order drift —
+    * the arrayDimStats posture). */
+  def truncationFidelity(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Seq[Int], offsets: Seq[Long]): DataFrame = {
+    require(dims.nonEmpty && offsets.nonEmpty)
+    val s = emb.sparkSession
+    import s.implicits._
+    val spec = dims.toDF("d")
+    val a = emb.select(col(idCol).as("_ida"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("_idb"), col(vecCol).as("_vb"))
+    val pairs = offsets.map { off =>
+      a.join(b, a("_ida") + off === b("_idb"))
+    }.reduce(_ union _)
+    val sims = pairs.crossJoin(broadcast(spec))
+      .select(col("d"),
+        cosine_sim(col("_va"), col("_vb")).as("f"),
+        cosine_sim(slice(col("_va"), lit(1), col("d")),
+          slice(col("_vb"), lit(1), col("d"))).as("t"))
+      .where(col("f").isNotNull && col("t").isNotNull)
+    sims.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("t") - col("f"))).as("_sad"),
+        sum(col("f")).as("_sf"), sum(col("t")).as("_st"),
+        sum(col("f") * col("f")).as("_sff"),
+        sum(col("t") * col("t")).as("_stt"),
+        sum(col("f") * col("t")).as("_sft"))
+      .select(col("d"), col("n_pairs"),
+        round(col("_sad") / col("n_pairs"), 6).as("mean_abs_diff_r"),
+        round((col("_sft") / col("n_pairs")
+            - (col("_sf") / col("n_pairs")) * (col("_st") / col("n_pairs")))
+          / (sqrt(col("_sff") / col("n_pairs")
+              - (col("_sf") / col("n_pairs")) * (col("_sf") / col("n_pairs")))
+            * sqrt(col("_stt") / col("n_pairs")
+              - (col("_st") / col("n_pairs")) * (col("_st") / col("n_pairs")))),
+          6).as("corr_r"))
+  }
 }

@@ -263,6 +263,46 @@ object TextOps {
           (col("c_w1") + lit(addK) * col("v")))), 9).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney,
+    * ICASSP'95; the Chen & Goodman '99 benchmark winner and the
+    * smoothing behind production n-gram LMs):
+    * P_KN(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁)
+    *             + D·N₁₊(w₁,·)/c(w₁) · N₁₊(·,w₂)/N₁₊(··)
+    * — the continuation-count insight ("how many contexts does w₂
+    * complete", not "how often does w₂ occur") that fixes add-k's
+    * overestimate of frequent-but-context-bound words. Emits the top-k
+    * bigrams by count with their smoothed probability.
+    *
+    * Scale shape: bigrams slice each doc's own token array (zero
+    * shuffle); EVERY statistic — c(w₁·), N₁₊(w₁,·), N₁₊(·,w₂), N₁₊(··)
+    * — rolls up from the one vocabulary²-bounded bigram-count table,
+    * never from a second corpus pass; the scalar N₁₊(··) enters by
+    * broadcast. One shared parenthesization keeps the probability
+    * bit-identical across engines (round 9 = above-the-noise). */
+  def kneserNeyBigrams(df: DataFrame, idCol: String, textCol: String,
+      discount: Double, topK: Int): DataFrame = {
+    val toks = df.select(tokens(normalize(col(textCol))).as("t"))
+    val bi = toks.select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .cache() // four consumers: top-k, c(w₁·)/N₁₊(w₁,·), N₁₊(·,w₂), N₁₊(··)
+    val c1 = bc.groupBy("w1").agg(sum(col("n_ab")).as("c_w1"),
+      count(lit(1)).as("n_succ"))
+    val c2 = bc.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val nb = bc.agg(count(lit(1)).cast("double").as("_nbig"))
+    // orderBy+limit → TakeOrderedAndProject (distributed per-partition
+    // top-k), NOT a global window sort of the bigram-type table
+    bc.orderBy(col("n_ab").desc, col("w1"), col("w2")).limit(topK)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round((greatest(col("n_ab") - discount, lit(0.0))
+          + lit(discount) * col("n_succ") * (col("n_pred") / col("_nbig")))
+          / col("c_w1"), 9).as("pkn_r"))
+  }
+
   /** Bigram collocations by pointwise mutual information:
     * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs,
     * keeping pairs seen ≥ `minCount` times — the classic collocation
@@ -451,6 +491,42 @@ object TextOps {
         round(col("score"), 9).as("score_r"),
         round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 9).as("prob_r"),
         (col("_wsum") > 0).as("keep"))
+  }
+
+  /** Calibration (reliability-diagram) bins for the
+    * [[hashedLinearScore]] classifier against a boolean label: docs
+    * bucket by score into `bins` equal-width cells over [−1, 1], and
+    * each cell reports its observed positive rate and keep rate — the
+    * eval that decides whether a quality filter's threshold means what
+    * its score claims, run per corpus before the filter gates anything
+    * (the companion to [[graft.ops.Ranks.rankSumAuc]]'s ranking view).
+    *
+    * The bin index is computed in INTEGER space from the score's exact
+    * rational form (wsum + 1000n)·bins div 2000n — no float floor at a
+    * cell boundary can disagree between engines. One scan, one
+    * ≤bins-row hash-agg; all rates are integer ratios. */
+  def scoreCalibration(df: DataFrame, idCol: String, textCol: String,
+      label: Column, bins: Int): DataFrame = {
+    require(bins > 0)
+    df.withColumn("_toks", tokens(normalize(col(textCol))))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_wsum", expr(
+        "aggregate(transform(_toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG) % 2001 - 1000), 0L, (a, x) -> a + x)"))
+      .where(col("_n") > 0)
+      .withColumn("bin", least(
+        expr(s"((_wsum + 1000 * _n) * $bins) div (2000 * _n)"),
+        lit(bins - 1L)))
+      .withColumn("_pos", when(label, 1L).otherwise(0L))
+      .withColumn("_keep", when(col("_wsum") > 0, 1L).otherwise(0L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_pos")).as("n_pos"),
+        sum(col("_keep")).as("n_keep"))
+      .select(col("bin"),
+        (lit(-1.0) + lit(2.0) * col("bin") / bins).as("bin_lo"),
+        col("n_docs"), col("n_pos"),
+        round(col("n_pos") / col("n_docs"), 6).as("pos_rate_r"),
+        col("n_keep"),
+        round(col("n_keep") / col("n_docs"), 6).as("keep_rate_r"))
   }
 
   /** Per-document n-gram NOVELTY — the complement of the duplication

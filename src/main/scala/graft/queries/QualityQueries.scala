@@ -385,6 +385,132 @@ object QualityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("rank")),
 
+    // Interpolated Kneser-Ney bigram LM: continuation-count smoothing
+    // (the production n-gram standard), top-30 bigrams with P_KN.
+    Q("q186_kneser_ney",
+      Some(s"""WITH toks AS (
+              |  SELECT string_split($normSql, ' ') AS t FROM documents),
+              |bi AS (
+              |  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+              |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+              |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+              |c1 AS (SELECT w1, sum(n_ab) AS c_w1, count(*) AS n_succ
+              |  FROM bc GROUP BY 1),
+              |c2 AS (SELECT w2, count(*) AS n_pred FROM bc GROUP BY 1),
+              |nb AS (SELECT count(*)::DOUBLE AS nbig FROM bc),
+              |top AS (SELECT w1, w2, n_ab FROM bc
+              |  ORDER BY n_ab DESC, w1, w2 LIMIT 30)
+              |SELECT w1, w2, n_ab::BIGINT AS n_ab,
+              |  round((greatest(n_ab - 0.75, 0.0)
+              |    + 0.75 * n_succ * (n_pred / nbig)) / c_w1, 9) AS pkn_r
+              |FROM top JOIN c1 USING (w1) JOIN c2 USING (w2)
+              |  CROSS JOIN nb
+              |ORDER BY n_ab DESC, w1, w2""".stripMargin),
+      (s, d) => TextOps.kneserNeyBigrams(documents(s, d),
+          "doc_id", "text", discount = 0.75, topK = 30)
+        .orderBy(col("n_ab").desc, col("w1"), col("w2"))),
+
+    // Reliability diagram for the q113 hashed-linear classifier: integer
+    // bin arithmetic (no float floor at cell edges), integer rates.
+    Q("q187_calibration_bins",
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, substr(source, 4)::INT % 2 = 0 AS label,
+              |    len(string_split($normSql, ' '))::BIGINT AS n,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT AS wsum
+              |  FROM documents),
+              |b AS (
+              |  SELECT least(((wsum + 1000 * n) * 10) // (2000 * n), 9)
+              |      AS bin,
+              |    CASE WHEN label THEN 1 ELSE 0 END AS pos,
+              |    CASE WHEN wsum > 0 THEN 1 ELSE 0 END AS keep
+              |  FROM s WHERE n > 0)
+              |SELECT bin::BIGINT AS bin, -1.0 + 2.0 * bin / 10 AS bin_lo,
+              |  count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+              |  round(sum(pos) / count(*), 6) AS pos_rate_r,
+              |  sum(keep)::BIGINT AS n_keep,
+              |  round(sum(keep) / count(*), 6) AS keep_rate_r
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, d) => TextOps.scoreCalibration(documents(s, d),
+          "doc_id", "text",
+          substring(col("source"), 4, 8).cast("int") % 2 === 0, bins = 10)
+        .orderBy("bin")),
+
+    // RLE-compressibility audit: runs of l_partkey%64 per page under
+    // three write orders — colsort (x-sorted: RLE optimum), zorder (the
+    // two-sided pruning compromise), hash deal (unclustered). q181
+    // measures the pruning half of the same decision.
+    Q("q188_run_length", {
+      val zsql = Layout.zOrderKeySql("x", "y", 6)
+      val hsql = "('0x' || substr(md5(x::VARCHAR || '#' || y::VARCHAR)," +
+        " 1, 15))::BIGINT"
+      Some(s"""WITH xy AS (
+              |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y
+              |  FROM lineitem),
+              |p AS (
+              |  SELECT 'zorder' AS layout, (($zsql) >> 6) AS page, x,
+              |    ($zsql) AS ord
+              |  FROM xy
+              |  UNION ALL
+              |  SELECT 'hash', ($hsql) % 64, x, ($hsql) FROM xy
+              |  UNION ALL
+              |  SELECT 'colsort', x, x, (x << 6) | y FROM xy),
+              |r AS (
+              |  SELECT layout, page, x,
+              |    CASE WHEN lag(x) OVER (PARTITION BY layout, page
+              |        ORDER BY ord, x) IS DISTINCT FROM x
+              |      THEN 1 ELSE 0 END AS newrun
+              |  FROM p),
+              |pg AS (SELECT layout, page, count(*) AS n,
+              |    sum(newrun) AS runs
+              |  FROM r GROUP BY 1, 2)
+              |SELECT layout, count(*)::BIGINT AS n_pages,
+              |  sum(n)::BIGINT AS n_rows, sum(runs)::BIGINT AS n_runs,
+              |  round(sum(runs) / count(*), 6) AS runs_per_page_r,
+              |  round(sum(runs) / sum(n), 6) AS runs_ratio_r
+              |FROM pg GROUP BY 1 ORDER BY layout""".stripMargin)
+    },
+      (s, d) => Layout.runLengthAudit(
+          lineitem(s, d).select((col("l_partkey") % 64).as("x"),
+            (col("l_suppkey") % 64).as("y")),
+          "x", "y", bits = 6, pageBits = 6)
+        .orderBy("layout")),
+
+    // Matryoshka truncation fidelity: cosine on the first d dims vs the
+    // full 64 over a deterministic (id, id+1)/(id, id+97) pair sample.
+    Q("q189_matryoshka",
+      Some("""WITH pairs AS (
+             |  SELECT a.embedding::DOUBLE[] AS va,
+             |    b.embedding::DOUBLE[] AS vb
+             |  FROM embeddings a JOIN embeddings b
+             |    ON b.vec_id = a.vec_id + 1
+             |  UNION ALL
+             |  SELECT a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+             |  FROM embeddings a JOIN embeddings b
+             |    ON b.vec_id = a.vec_id + 97),
+             |tiers AS (SELECT unnest([8, 16, 32]) AS d),
+             |sims AS (
+             |  SELECT d, list_cosine_similarity(va, vb) AS f,
+             |    list_cosine_similarity(va[1:d], vb[1:d]) AS t
+             |  FROM pairs CROSS JOIN tiers),
+             |ok AS (SELECT * FROM sims
+             |  WHERE f IS NOT NULL AND t IS NOT NULL)
+             |SELECT d::INT AS d, count(*)::BIGINT AS n_pairs,
+             |  round(sum(abs(t - f)) / count(*), 6) AS mean_abs_diff_r,
+             |  round((sum(f * t) / count(*)
+             |      - (sum(f) / count(*)) * (sum(t) / count(*)))
+             |    / (sqrt(sum(f * f) / count(*)
+             |        - (sum(f) / count(*)) * (sum(f) / count(*)))
+             |      * sqrt(sum(t * t) / count(*)
+             |        - (sum(t) / count(*)) * (sum(t) / count(*)))), 6)
+             |    AS corr_r
+             |FROM ok GROUP BY d ORDER BY d""".stripMargin),
+      (s, d) => graft.ops.Similarity.truncationFidelity(
+          embeddings(s, d), "vec_id", "embedding",
+          dims = Seq(8, 16, 32), offsets = Seq(1L, 97L))
+        .orderBy("d")),
+
     // AMS F2 (self-join size) sketch vs the exact second moment over
     // lineitem order keys — 9 signed-sum counters vs a |keys| aggregate.
     Q("q185_ams_f2", {

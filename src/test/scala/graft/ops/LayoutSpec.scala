@@ -76,4 +76,22 @@ class LayoutSpec extends SparkTestBase {
     // the hash deal spreads every x into every page: nothing skippable
     assert(hp == 16L && hrs == 0L, got.toString)
   }
+
+  test("runLengthAudit: on the full grid, colsort collapses to one run " +
+      "per page, z-order's interleave changes x every cell, hash ≈ cells") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val got = Layout.runLengthAudit(grid, "x", "y",
+        bits = 5, pageBits = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.values.forall(_._2 == 1024L), "rows conserved")
+    // colsort: page = x → each page is one x value → 1 run/page
+    assert(got("colsort") == ((32L, 1024L, 32L)), got.toString)
+    // z increments always flip bit 0 = x₀ → every adjacent cell changes x
+    assert(got("zorder")._3 == 1024L, got.toString)
+    // hash: distinct cells, random adjacency → runs close to cell count
+    assert(got("hash")._3 > 900L && got("hash")._3 <= 1024L, got.toString)
+  }
 }

@@ -140,4 +140,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.head.getLong(1) == 3L && rows.head.getLong(2) == 5L)
     assert(rows.head.getDouble(3) == 1.0)
   }
+
+  test("truncationFidelity: a tier covering all nonzero dims is exact " +
+      "(diff 0, corr 1); a lossy tier reports positive divergence") {
+    import spark.implicits._
+    // energy only in dims 1-4; dims 5-8 are zero padding
+    val emb = (0L until 40L).map { i =>
+      (i, Array[Float](i.toFloat + 1, (i % 5).toFloat, (i % 3).toFloat,
+        1f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.truncationFidelity(emb, "vec_id", "embedding",
+        dims = Seq(2, 4), offsets = Seq(1L, 7L))
+      .orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val d4 = got.find(_._1 == 4).get
+    assert(d4._3 == 0.0 && d4._4 == 1.0, d4.toString)
+    val d2 = got.find(_._1 == 2).get
+    assert(d2._3 > 0.0, d2.toString)
+    assert(d4._2 == 39L + 33L, "pair sample size: offsets 1 and 7")
+  }
 }

@@ -386,6 +386,45 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(0L))
   }
 
+  test("kneserNeyBigrams: hand corpus matches closed-form P_KN and the " +
+      "seen-successor mass sums to 1 when all continuations are seen") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.kneserNeyBigrams(docs, "doc_id", "text", 0.75, 10)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // bc: (a,b)=2 (a,c)=1; c(a·)=3, N1+(a,·)=2, N1+(·,b)=N1+(·,c)=1,
+    // N1+(··)=2 → P(b|a)=(1.25+0.75·2·0.5)/3=2/3, P(c|a)=1/3
+    assert(got.length == 2, got.toSeq)
+    assert(got(0)._1 == "a" && got(0)._2 == "b" && got(0)._3 == 2L)
+    assert(math.abs(got(0)._4 - 2.0 / 3) < 1e-8, got(0).toString)
+    assert(math.abs(got(1)._4 - 1.0 / 3) < 1e-8, got(1).toString)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-8, "context-a mass")
+  }
+
+  test("scoreCalibration: bins stay in range, docs are conserved, and " +
+      "keep counts agree with hashedLinearScore") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 50L)
+      .map(i => (i, s"w$i x${i % 7} y${i % 3} z", i % 2 == 0))
+      .toDF("doc_id", "text", "label")
+    val cal = TextOps.scoreCalibration(docs, "doc_id", "text",
+      col("label"), bins = 10).collect()
+    assert(cal.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    assert(cal.map(_.getLong(2)).sum == 50L, "docs conserved")
+    val keepTotal = TextOps.hashedLinearScore(docs, "doc_id", "text")
+      .where(col("keep")).count()
+    assert(cal.map(_.getLong(5)).sum == keepTotal, "keep cross-check")
+    // rates are exact integer ratios
+    cal.foreach { r =>
+      assert(r.getDouble(4) ==
+        math.rint(r.getLong(3).toDouble / r.getLong(2) * 1e6) / 1e6)
+    }
+  }
+
   // classify candidate tokens by the SAME boundary rule contentChunks
   // uses, so the CDC tests can construct docs with known chunk edges
   private def boundarySplit(mod: Int): (Seq[String], Seq[String]) = {
