@@ -233,6 +233,66 @@ object Profile {
           .as("benford_share"))
   }
 
+  /** Directed functional-dependency DISCOVERY over a column set: for
+    * every ordered pair (lhs, rhs) of `cols`, how many lhs keys map to
+    * more than one rhs value — the schema-inference sweep whose holds
+    * rows are candidate keys/hierarchies and whose near-zero-violation
+    * rows are data-quality leads ([[fdViolations]] is the single-pair
+    * drill-down). Emits |cols|·(|cols|−1) rows.
+    *
+    * Shape: the |cols|-wide projection is cached once; each pair costs
+    * two map-side-combinable hash-aggs over it (never countDistinct).
+    * Output is |pairs| rows — the audit never grows with the corpus. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val proj = df.select(cols.map(col): _*).cache()
+    val frames = for {
+      l <- cols; r <- cols if l != r
+    } yield proj.groupBy(col(l), col(r)).agg(count(lit(1)).as("_n"))
+      .groupBy(col(l)).agg(count(lit(1)).as("_v"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("_v") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(l).as("lhs"), lit(r).as("rhs"), col("n_keys"),
+        col("n_violating"), (col("n_violating") === 0).as("holds"))
+    frames.reduce(_ union _)
+  }
+
+  /** Mutual information between two categorical columns,
+    * I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), with the marginal
+    * entropies and the normalized MI(= I/√(H(X)H(Y))) — "does source
+    * actually carry information about language", the
+    * dependence-strength companion to q167's chi² (chi² scales with N;
+    * NMI is the effect size). All probabilities are exact integer
+    * ratios; marginals roll up from the ONE joint count table.
+    *
+    * Shape: one corpus hash-agg to the |X|·|Y| joint table; marginals,
+    * total, and the MI/entropy folds all run on that table (round 6
+    * over the cell-summation order, the arrayDimStats posture). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val jd = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("_nxy")).cache()
+    val nx = jd.groupBy(col(xCol)).agg(sum(col("_nxy")).as("_nx"))
+    val ny = jd.groupBy(col(yCol)).agg(sum(col("_nxy")).as("_ny"))
+    val tot = jd.agg(sum(col("_nxy")).cast("double").as("_n"))
+    val mi = jd.join(nx, Seq(xCol)).join(ny, Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("_nxy") / col("_n")) * log((col("_nxy") * col("_n"))
+        / (col("_nx").cast("double") * col("_ny")))).as("_mi"),
+        max(col("_n")).as("_ntot"))
+    def entropy(m: DataFrame, c: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .agg(sum(-(col(c) / col("_n")) * log(col(c) / col("_n")))
+        .as(s"_h$c"))
+    mi.crossJoin(broadcast(entropy(nx, "_nx")))
+      .crossJoin(broadcast(entropy(ny, "_ny")))
+      .select(col("_ntot").cast("long").as("n"),
+        round(col("_mi"), 6).as("mi_r"),
+        round(col("_h_nx"), 6).as("h_x_r"),
+        round(col("_h_ny"), 6).as("h_y_r"),
+        round(col("_mi") / sqrt(col("_h_nx") * col("_h_ny")), 6)
+          .as("nmi_r"))
+  }
+
   /** Poisson-bootstrap standard error of a per-group mean (Chamandy,
     * Muralidharan, Najmi & Naidu, "Estimating uncertainty for massive
     * data streams", Google TR 2012): instead of materializing B

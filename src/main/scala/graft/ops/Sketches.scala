@@ -146,6 +146,37 @@ object Sketches {
   /** α_m bias constant (HLL paper §4's empirical values for small m,
     * the asymptotic formula otherwise). Public so oracle SQL generators
     * interpolate the SAME double literal the engine computes with. */
+  /** HLL set-algebra overlap: estimate |A|, |B|, |A∪B| and (by
+    * inclusion–exclusion) |A∩B| of two key sets from their HLL register
+    * tables — the constant-state answer to "how many users/documents do
+    * these two slices share" that at 100 TB replaces an exact distinct
+    * intersection (a full shuffle of both sides). Union is the one
+    * EXACT operation on HLL sketches (register-wise max — Flajolet et
+    * al. '07), so the intersection inherits only the three estimates'
+    * error; for small intersections of large sets the relative error
+    * explodes — that caveat is the documented price (the exact bitmap
+    * path, q130, is the audit twin).
+    *
+    * Shape: two register builds (hash-agg to m rows each), a full-outer
+    * m-row merge, three m-row estimate folds. Nothing corpus-sized
+    * survives the first agg. */
+  def hllOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      p: Int): DataFrame = {
+    val ra = hllRegisters(a, keyCol, p)
+    val rb = hllRegisters(b, keyCol, p)
+    val merged = ra.withColumnRenamed("reg", "_ra")
+      .join(rb.withColumnRenamed("reg", "_rb"), Seq("idx"), "full_outer")
+      .select(col("idx"), greatest(coalesce(col("_ra"), lit(0L)),
+        coalesce(col("_rb"), lit(0L))).as("reg"))
+    val ea = hllEstimate(ra, p).select(col("est").as("est_a"))
+    val eb = hllEstimate(rb, p).select(col("est").as("est_b"))
+    val eu = hllEstimate(merged, p).select(col("est").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6)
+          .as("est_intersect"))
+  }
+
   /** AMS second-moment (F₂ = Σ_k f_k², the self-join size) sketch —
     * Alon, Matias & Szegedy, "The space complexity of approximating the
     * frequency moments", STOC'96. Each trial keeps ONE counter: the

@@ -85,4 +85,40 @@ object TimeSeries {
       .join(daily.select(col(keyCol), col("day")), Seq(keyCol, "day"),
         "left_semi")
   }
+
+  /** One-sided CUSUM change-point detection over daily counts per key
+    * (Page, Biometrika 1954): C⁺_t = max(0, C⁺_{t-1} + x_t − μ − k),
+    * alarm when C⁺ > h — the sequential drift detector that catches a
+    * sustained upward shift long before a per-day z-score does. The
+    * recursion is rewritten with the classic running-extremum identity
+    * C⁺_t = S_t − min(0, min_{i≤t} S_i) where S_t = Σ(x_i − μ − k), so
+    * the whole statistic is two cumulative windows — no sequential scan
+    * and no UDAF state.
+    *
+    * μ is each key's own mean daily count (exact integer ratio). Shape:
+    * one (key, day) count agg off the corpus; every window runs over
+    * that |keys|·|days| table. */
+  def cusumDaily(df: DataFrame, keyCol: String, tsCol: String,
+      allowance: Double, threshold: Double): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wKey = Window.partitionBy(keyCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val s = col("_runsum") -
+      col("_rn") * (col("_tot") / col("_days") + allowance)
+    daily
+      .withColumn("_tot", sum(col("n")).over(wKey))
+      .withColumn("_days", count(lit(1)).over(wKey))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_runsum", sum(col("n")).over(wCum))
+      .withColumn("_s", s)
+      .withColumn("_smin", min(col("_s")).over(wCum))
+      .select(col(keyCol), col("day"), col("n"),
+        round(col("_s") - least(col("_smin"), lit(0.0)), 6).as("cusum_r"),
+        (col("_s") - least(col("_smin"), lit(0.0)) > threshold)
+          .as("alarm"))
+  }
 }

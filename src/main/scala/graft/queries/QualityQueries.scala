@@ -511,6 +511,143 @@ object QualityQueries {
           dims = Seq(8, 16, 32), offsets = Seq(1L, 97L))
         .orderBy("d")),
 
+    // HLL set algebra: |A|, |B|, |A∪B| (register-max merge — exact on
+    // sketches) and inclusion-exclusion |A∩B| for the custkey sets of
+    // urgent vs normal orders, with the exact intersection for audit.
+    Q("q190_hll_overlap", {
+      val p = 8; val m = 1 << p; val w1 = 60 - p + 1
+      val aMM = graft.ops.Sketches.hllAlpha(m) * m * m
+      val lc = 2.5 * m
+      val srcA = "SELECT o_custkey::VARCHAR AS k FROM orders " +
+        "WHERE substr(o_orderpriority, 1, 1)::INT <= 2"
+      val srcB = "SELECT o_custkey::VARCHAR AS k FROM orders " +
+        "WHERE substr(o_orderpriority, 1, 1)::INT >= 3"
+      def est(tag: String, src: String) =
+        s"""h_$tag AS (SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT
+           |  AS h FROM ($src)),
+           |b_$tag AS (SELECT h % $m AS idx, h // $m AS w FROM h_$tag),
+           |r_$tag AS (SELECT idx, max(CASE WHEN w = 0 THEN $w1
+           |    ELSE $w1 - length(bin(w)) END) AS reg
+           |  FROM b_$tag GROUP BY idx),
+           |f_$tag AS (SELECT coalesce(r.reg, 0) AS reg
+           |  FROM grid LEFT JOIN r_$tag r USING (idx)),
+           |a_$tag AS (SELECT sum(pow(2.0, -reg)) AS z,
+           |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS v0
+           |  FROM f_$tag),
+           |e_$tag AS (SELECT round(CASE WHEN v0 > 0
+           |      AND $aMM / z <= $lc
+           |    THEN $m.0 * ln($m.0 / v0) ELSE $aMM / z END, 6) AS est
+           |  FROM a_$tag)""".stripMargin
+      Some(s"""WITH grid AS (
+              |  SELECT g AS idx
+              |  FROM unnest(generate_series(0, ${m - 1})) AS t(g)),
+              |${est("a", srcA)},
+              |${est("b", srcB)},
+              |${est("u", s"$srcA UNION ALL $srcB")},
+              |x AS (SELECT count(*)::BIGINT AS n_true FROM (
+              |  SELECT DISTINCT k FROM ($srcA)
+              |  INTERSECT SELECT DISTINCT k FROM ($srcB)))
+              |SELECT e_a.est AS est_a, e_b.est AS est_b,
+              |  e_u.est AS est_union,
+              |  round(e_a.est + e_b.est - e_u.est, 6) AS est_intersect,
+              |  n_true
+              |FROM e_a CROSS JOIN e_b CROSS JOIN e_u
+              |  CROSS JOIN x""".stripMargin)
+    },
+      (s, d) => {
+        val o = orders(s, d).withColumn("_pri",
+          substring(col("o_orderpriority"), 1, 1).cast("int"))
+        val a = o.where(col("_pri") <= 2).select(col("o_custkey"))
+        val b = o.where(col("_pri") >= 3).select(col("o_custkey"))
+        val exact = a.distinct().intersect(b.distinct())
+          .agg(count(lit(1)).as("n_true"))
+        graft.ops.Sketches.hllOverlap(a, b, "o_custkey", p = 8)
+          .crossJoin(broadcast(exact))
+      }),
+
+    // CUSUM change-point monitor over daily event counts per type —
+    // the running-extremum identity makes Page's recursion two windows.
+    Q("q191_cusum", {
+      val k = 4.0; val h = 25.0
+      Some(s"""WITH d AS (
+              |  SELECT event_type, ts::DATE AS day, count(*) AS n
+              |  FROM events GROUP BY 1, 2),
+              |w AS (
+              |  SELECT event_type, day, n,
+              |    sum(n) OVER (PARTITION BY event_type) AS tot,
+              |    count(*) OVER (PARTITION BY event_type) AS days,
+              |    row_number() OVER (PARTITION BY event_type
+              |      ORDER BY day) AS rn,
+              |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS runsum
+              |  FROM d),
+              |s AS (
+              |  SELECT event_type, day, n,
+              |    runsum - rn * (tot / days + $k) AS sv
+              |  FROM w),
+              |m AS (
+              |  SELECT event_type, day, n, sv,
+              |    min(sv) OVER (PARTITION BY event_type ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS smin
+              |  FROM s)
+              |SELECT event_type, day, n::BIGINT AS n,
+              |  round(sv - least(smin, 0.0), 6) AS cusum_r,
+              |  (sv - least(smin, 0.0)) > $h AS alarm
+              |FROM m ORDER BY event_type, day""".stripMargin)
+    },
+      (s, d) => graft.ops.TimeSeries.cusumDaily(events(s, d),
+          "event_type", "ts", allowance = 4.0, threshold = 25.0)
+        .orderBy("event_type", "day")),
+
+    // FD discovery sweep over four orders columns (12 directed pairs):
+    // the unique key's FDs hold, everything else reports violations.
+    Q("q192_fd_discovery", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val branches = (for { l <- cols; r <- cols if l != r } yield
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  count(*)::BIGINT AS n_keys,
+           |  sum(CASE WHEN v > 1 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_violating,
+           |  sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $l AS lk, count(*) AS v FROM (
+           |  SELECT $l, $r FROM orders GROUP BY 1, 2) t
+           |  GROUP BY 1) g""".stripMargin).mkString("\nUNION ALL\n")
+      Some(s"$branches\nORDER BY lhs, rhs")
+    },
+      (s, d) => Profile.fdDiscovery(orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"))
+        .orderBy("lhs", "rhs")),
+
+    // Mutual information lang ↔ source with entropies and NMI — the
+    // effect-size companion to q167's chi².
+    Q("q193_mutual_info",
+      Some("""WITH j AS (
+             |  SELECT lang, source, count(*) AS nxy FROM documents
+             |  GROUP BY 1, 2),
+             |nx AS (SELECT lang, sum(nxy) AS nx FROM j GROUP BY 1),
+             |ny AS (SELECT source, sum(nxy) AS ny FROM j GROUP BY 1),
+             |t AS (SELECT sum(nxy)::DOUBLE AS n FROM j),
+             |mi AS (
+             |  SELECT sum((nxy / n) * ln((nxy * n)
+             |    / (nx::DOUBLE * ny))) AS mi
+             |  FROM j JOIN nx USING (lang) JOIN ny USING (source)
+             |    CROSS JOIN t),
+             |hx AS (SELECT sum(-(nx / n) * ln(nx / n)) AS h
+             |  FROM nx CROSS JOIN t),
+             |hy AS (SELECT sum(-(ny / n) * ln(ny / n)) AS h
+             |  FROM ny CROSS JOIN t),
+             |tt AS (SELECT n::BIGINT AS n FROM t)
+             |SELECT n, round(mi, 6) AS mi_r, round(hx.h, 6) AS h_x_r,
+             |  round(hy.h, 6) AS h_y_r,
+             |  round(mi / sqrt(hx.h * hy.h), 6) AS nmi_r
+             |FROM tt CROSS JOIN mi CROSS JOIN hx
+             |  CROSS JOIN hy""".stripMargin),
+      (s, d) => Profile.mutualInfo(documents(s, d), "lang", "source")),
+
     // AMS F2 (self-join size) sketch vs the exact second moment over
     // lineitem order keys — 9 signed-sum counters vs a |keys| aggregate.
     Q("q185_ams_f2", {

@@ -176,6 +176,36 @@ class ProfileSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L)), got)
   }
 
+  test("fdDiscovery: a unique key holds for every rhs; a constructed " +
+      "violation is counted on the right pair") {
+    val d = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"))
+      .toDF("id", "g", "v")
+    val got = Profile.fdDiscovery(d, Seq("id", "g", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == 6)
+    assert(got(("id", "g")) == ((0L, true)) &&
+      got(("id", "v")) == ((0L, true)), "unique key holds")
+    // g=a maps to {x, y} → one violating key; v=x maps to {a, b}
+    assert(got(("g", "v")) == ((1L, false)), got.toString)
+    assert(got(("v", "g")) == ((1L, false)), got.toString)
+  }
+
+  test("mutualInfo: independence → 0; X determined by Y → MI == H(X), " +
+      "NMI == 1 when X == Y") {
+    // independent uniform 2x2
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val i = Profile.mutualInfo(ind, "x", "y").head
+    assert(i.getDouble(1) == 0.0, i.toString)
+    // X == Y: MI = H(X) = H(Y), NMI = 1
+    val eq = Seq("a", "a", "b", "c").map(s => (s, s)).toDF("x", "y")
+    val e = Profile.mutualInfo(eq, "x", "y").head
+    assert(e.getDouble(1) == e.getDouble(2) &&
+      e.getDouble(2) == e.getDouble(3), e.toString)
+    assert(e.getDouble(4) == 1.0, "NMI")
+  }
+
   test("poissonBootstrap: constant values → zero SE; on a real sample " +
       "the SE sits near σ/√n and the boot mean near the plain mean") {
     import org.apache.spark.sql.functions._

@@ -157,6 +157,21 @@ class SketchesSpec extends SparkTestBase {
       s"engine $got vs JVM model $want")
   }
 
+  test("hllOverlap: identical sets give intersect == each estimate; " +
+      "disjoint sets stay within the sketch error of zero") {
+    import spark.implicits._
+    val xs = (0L until 3000L).toDF("k")
+    val same = Sketches.hllOverlap(xs, xs, "k", 8).head
+    assert(same.getDouble(0) == same.getDouble(1), "est_a == est_b")
+    assert(same.getDouble(2) == same.getDouble(0), "union of equals")
+    assert(math.abs(same.getDouble(3) - same.getDouble(0)) < 1e-6)
+    val ys = (100000L until 103000L).toDF("k")
+    val disj = Sketches.hllOverlap(xs, ys, "k", 8).head
+    // 3σ ≈ 3·1.04/√256 ≈ 20% of 3000 per estimate; I-E compounds ×3
+    assert(math.abs(disj.getDouble(3)) < 3 * 3 * 0.065 * 3000,
+      disj.toString)
+  }
+
   test("amsF2: a single repeated key is estimated EXACTLY (every trial " +
       "sums to ±n), and exact F2 is right on a permutation") {
     import spark.implicits._

@@ -75,4 +75,34 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("day").collect().map(_.getDouble(2))
     assert(got.toSeq == Seq(100.0, 5.0))
   }
+
+  // one event row per desired daily count, keyed to a single stream
+  private def dailySeries(counts: Seq[Int]) = {
+    import spark.implicits._
+    counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    }.toDF("key", "ts")
+  }
+
+  test("cusumDaily: the window identity equals Page's direct recursion, " +
+      "a flat series stays at 0") {
+    val counts = Seq(10, 12, 9, 11, 30, 31, 29, 8, 10)
+    val got = TimeSeries.cusumDaily(dailySeries(counts), "key", "ts",
+        allowance = 2.0, threshold = 15.0)
+      .orderBy("day").collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    // direct fold of C+ = max(0, C + x - mu - k)
+    val mu = counts.sum.toDouble / counts.size
+    val want = counts.scanLeft(0.0)((c, x) =>
+      math.max(0.0, c + x - mu - 2.0)).drop(1)
+    got.map(_._1).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+    }
+    assert(got.map(_._2).toSeq ==
+      want.map(_ > 15.0), "alarm flags")
+    val flat = TimeSeries.cusumDaily(dailySeries(Seq.fill(6)(10)),
+        "key", "ts", 1.0, 5.0)
+      .collect().map(_.getDouble(3))
+    assert(flat.forall(_ == 0.0), flat.toSeq.toString)
+  }
 }
