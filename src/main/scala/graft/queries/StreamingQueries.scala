@@ -258,6 +258,20 @@ object StreamingQueries {
              |WHERE r <= 10 ORDER BY event_type, r""".stripMargin),
       (s, d) => StreamingHeavyHitters.heavyHitters(s, d,
           capacity = 4096, k = 10)
-        .orderBy("event_type", "r"))
+        .orderBy("event_type", "r")),
+
+    // Streaming ingest fingerprint — the stream/batch parity check: the
+    // commutative Σ hash60(id) mod 2^60 per key is invariant to
+    // micro-batch slicing and retries, so the streamed value must equal
+    // the batch oracle's fingerprint of the same rows (q182's twin).
+    Q("q194_stream_fingerprint",
+      Some("""SELECT event_type, count(*)::BIGINT AS n_rows,
+             |  (sum(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+             |    ::BIGINT)::HUGEINT % 1152921504606846976)::BIGINT
+             |    AS fingerprint
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, d) => Streams.streamingFingerprint(s, d,
+          "event_type", "event_id")
+        .orderBy("event_type"))
   )
 }

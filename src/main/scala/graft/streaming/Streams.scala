@@ -215,6 +215,25 @@ object Streams {
   private def streamPartitions(spark: SparkSession): String =
     spark.conf.get("spark.graft.stream.partitions", "4")
 
+  /** Streaming order-invariant ingest fingerprint: per key, the running
+    * row count and Σ hash60(id) mod 2⁶⁰ — the streaming twin of
+    * [[graft.ops.CorpusAudit.corpusFingerprint]]. Because the sum is
+    * commutative and associative, the state is ONE decimal per key, any
+    * micro-batch slicing/retry ordering yields the same value, and at
+    * the end of an ingest the streamed fingerprint must equal the batch
+    * fingerprint of the same data — the cheap stream/batch parity check
+    * a pipeline runs instead of diffing terabytes. */
+  def streamingFingerprint(spark: SparkSession, dir: String,
+      keyCol: String, idCol: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(graft.ops.TextOps.hash60(col(idCol).cast("string"))
+          .cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("fingerprint"))
+    runToMemory(spark, agg)
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: org.apache.spark.sql.streaming.OutputMode =
         org.apache.spark.sql.streaming.OutputMode.Complete()): DataFrame = {

@@ -235,4 +235,22 @@ class StreamsSpec extends SparkTestBase {
       assert(spark.table("quota_out").count() == 5L)
     } finally q.stop()
   }
+
+  test("streamingFingerprint == the batch fingerprint of the same rows " +
+      "(the stream/batch parity check it exists to provide)") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.streamingFingerprint(spark, sf(),
+        "event_type", "event_id")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.util.Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(graft.ops.TextOps.hash60(col("event_id").cast("string"))
+          .cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("fingerprint"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
 }
