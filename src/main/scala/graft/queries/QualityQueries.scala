@@ -652,8 +652,8 @@ object QualityQueries {
     // lineitem order keys — 9 signed-sum counters vs a |keys| aggregate.
     Q("q185_ams_f2", {
       val signSums = (0 until 9).map { t =>
-        s"""sum(CASE WHEN (('0x' || substr(md5(l_orderkey::VARCHAR
-           | || '#$t'), 1, 15))::BIGINT & 1) = 1
+        s"""sum(CASE WHEN ((('0x' || substr(md5(l_orderkey::VARCHAR),
+           | 1, 15))::BIGINT >> $t) & 1) = 1
            | THEN 1 ELSE -1 END) AS s$t""".stripMargin.replace("\n", "")
       }.mkString(", ")
       val ests = (0 until 9).map(t => s"s$t * s$t").mkString(", ")
