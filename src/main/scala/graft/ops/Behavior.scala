@@ -161,4 +161,34 @@ object Behavior {
           .otherwise(round(exp(sum(col("_lnf")).over(wRun)), 6)))
       .select(col("t"), col("n_risk"), col("d"), col("survival_r"))
   }
+
+  /** Two-proportion z-test between experiment arms: per arm the unit
+    * count and converted count, then lift and the pooled z statistic
+    * z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the A/B readout
+    * every experimentation pipeline ends in; |z| > 1.96 ≈ p < .05
+    * two-sided. `unit` rows must be one per experimental unit with a
+    * boolean `armB` and boolean `converted`.
+    *
+    * Every input to the statistic is an integer count (one hash-agg),
+    * the arithmetic is one shared parenthesization, and round 6 caps
+    * the output — deterministic cross-engine. z is null when either
+    * arm is empty or p̂ ∈ {0, 1} (degenerate variance). */
+  def twoProportionTest(units: DataFrame, armB: Column,
+      converted: Column): DataFrame = {
+    val agg = units.agg(
+      sum(when(!armB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!armB && converted, 1L).otherwise(0L)).as("c_a"),
+      sum(when(armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(armB && converted, 1L).otherwise(0L)).as("c_b"))
+    val pa = col("c_a") / col("n_a")
+    val pb = col("c_b") / col("n_b")
+    val pp = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(pa, 6).as("rate_a_r"), round(pb, 6).as("rate_b_r"),
+      round(pb - pa, 6).as("lift_r"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pp > 0 && pp < 1,
+        round((pb - pa) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+        .as("z_r"))
+  }
 }

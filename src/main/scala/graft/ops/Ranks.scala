@@ -73,6 +73,38 @@ object Ranks {
       .otherwise(m + floor((rank - m * big) / q)) + 1).cast("int")
   }
 
+  /** Exact per-group RUNNING MAX with no single-task scan — the
+    * [[bandedRank]] two-level trick generalized from counting to any
+    * associative-idempotent fold: rows band by floor(ord/bandWidth);
+    * per-(group, band) maxes give each band its EXCLUSIVE prefix max via
+    * a window over the tiny (groups × bands) table; within a band the
+    * running max window sorts only that band. runmax = greatest(band
+    * prefix, intra-band running max). The naive
+    * `max(v) OVER (PARTITION BY grp ORDER BY ord)` puts a whole group in
+    * one task — the low-cardinality-group scale-killer this avoids.
+    * `ordCol` must be unique within its group (a sequence/arrival id).
+    * Adds `runmax`. */
+  def bandedRunningMax(df: DataFrame, groupCol: String, ordCol: String,
+      valCol: String, bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be > 0")
+    val banded = df.withColumn("_band",
+      floor(col(ordCol) / bandWidth).cast("long"))
+    val bandMax = banded.groupBy(col(groupCol), col("_band"))
+      .agg(max(col(valCol)).as("_bm"))
+    val wB = Window.partitionBy(groupCol).orderBy("_band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bandMax
+      .withColumn("_pmax", max(col("_bm")).over(wB)).drop("_bm")
+    val wIn = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(prefixes), Seq(groupCol, "_band"))
+      .withColumn("runmax",
+        greatest(max(col(valCol)).over(wIn),
+          coalesce(col("_pmax"), max(col(valCol)).over(wIn))))
+      .drop("_band", "_pmax")
+  }
+
   /** Per-group AUC of a numeric score against a boolean label, via the
     * Mann–Whitney rank-sum with midrank tie handling — "does this
     * quality score actually separate the labeled-good docs, per

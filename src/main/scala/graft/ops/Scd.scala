@@ -60,4 +60,24 @@ object Scd {
       .select(keyCol +: attrCols :+ "valid_from" :+ "valid_to" :+
         "is_current" :+ "version" map col: _*)
   }
+
+  /** Point-in-time (PIT) join: each probe row picks up the [[scd2]]
+    * dimension version that was valid AT its own timestamp —
+    * valid_from ≤ ts < valid_to (open current row matches everything
+    * after its valid_from). THE temporal-warehouse join: "what was this
+    * customer's segment when the order was placed", with no
+    * leakage-from-the-future, which a plain join to the current row
+    * silently commits.
+    *
+    * Shape: equi-join on the key, then the validity range as a post-join
+    * filter — per-key history is small by construction (scd2 compressed
+    * consecutive duplicates), so the fan-out before the filter is
+    * |probe|·|versions per key|, not a range-join blowup; probes whose
+    * ts precedes the first version drop (inner semantics). */
+  def pitJoin(probes: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    probes.join(dim, Seq(keyCol))
+      .where(col("valid_from") <= col(tsCol) &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")))
+  }
 }

@@ -385,6 +385,160 @@ object QualityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("rank")),
 
+    // Point-in-time SCD2 join: each probe event picks up the dimension
+    // version valid AT its own timestamp — the no-future-leakage
+    // temporal join (dim = SCD2 of even event_ids, probes = odd).
+    Q("q195_pit_scd2",
+      Some("""WITH dim0 AS (
+             |  SELECT user_id, event_type, ts, event_id FROM events
+             |  WHERE event_id % 2 = 0),
+             |ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER w AS prev_t,
+             |    lag(event_id) OVER w AS prev_id
+             |  FROM dim0
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |kept AS (
+             |  SELECT user_id, event_type, ts, event_id FROM ordered
+             |  WHERE prev_id IS NULL
+             |     OR event_type IS DISTINCT FROM prev_t),
+             |hist AS (
+             |  SELECT user_id, event_type, ts AS valid_from,
+             |    lead(ts) OVER wk AS valid_to,
+             |    row_number() OVER wk AS version
+             |  FROM kept
+             |  WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |probe AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_id % 2 = 1)
+             |SELECT p.event_id, p.user_id, h.event_type AS dim_type,
+             |  h.version::BIGINT AS version
+             |FROM probe p JOIN hist h ON p.user_id = h.user_id
+             |WHERE h.valid_from <= p.ts
+             |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+             |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d)
+        val dim = graft.ops.Scd.scd2(
+          ev.where(col("event_id") % 2 === 0)
+            .select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        val probes = ev.where(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.ops.Scd.pitJoin(probes, dim, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            col("event_type").as("dim_type"), col("version"))
+          .orderBy("event_id")
+      }),
+
+    // Watermark-lateness profile: per type, quantiles of (running max
+    // arrival-order timestamp − event time) — the measurement that SETS
+    // a watermark delay. Running max via the banded two-level fold; the
+    // quantiles via exactQuantiles; both scale-safe on low-cardinality
+    // groups.
+    Q("q196_lateness_profile",
+      Some("""WITH l AS (
+             |  SELECT event_type,
+             |    epoch_us(max(ts) OVER (PARTITION BY event_type
+             |      ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |    - epoch_us(ts) AS late_us
+             |  FROM events)
+             |SELECT event_type, count(*)::BIGINT AS n, 0.5::DOUBLE AS q,
+             |  round(quantile_cont(late_us, 0.5) / 1e6, 6) AS late_s
+             |FROM l GROUP BY event_type
+             |UNION ALL
+             |SELECT event_type, count(*)::BIGINT, 0.9::DOUBLE,
+             |  round(quantile_cont(late_us, 0.9) / 1e6, 6)
+             |FROM l GROUP BY event_type
+             |UNION ALL
+             |SELECT event_type, count(*)::BIGINT, 1.0::DOUBLE,
+             |  round(quantile_cont(late_us, 1.0) / 1e6, 6)
+             |FROM l GROUP BY event_type
+             |ORDER BY event_type, q""".stripMargin),
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        val late = Ranks.bandedRunningMax(ev, "event_type", "event_id",
+            "us", bandWidth = 1024.0)
+          .select(col("event_type"), col("event_id"),
+            (col("runmax") - col("us")).as("late_us"))
+        Ranks.exactQuantiles(late, "event_type", "late_us", "event_id",
+            bandWidth = 1e8, nums = Seq(5, 9, 10), den = 10)
+          .select(col("event_type"), col("n"), col("q"),
+            round(col("q_val") / 1e6, 6).as("late_s"))
+          .orderBy("event_type", "q")
+      }),
+
+    // Equi-depth (decile) histogram of order totals — the quantile-bin
+    // complement to q91's fixed-width bins, deciles via ntileFromRank
+    // over the banded exact rank (no single-task sort).
+    Q("q197_equi_depth",
+      Some("""WITH t AS (
+             |  SELECT o_totalprice, ntile(10) OVER (
+             |    ORDER BY o_totalprice, o_orderkey) AS decile
+             |  FROM orders)
+             |SELECT decile::INT AS decile, count(*)::BIGINT AS n_rows,
+             |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val ranked = Ranks.bandedRank(
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+            .withColumn("_g", lit(0)),
+          "_g", "o_totalprice", "o_orderkey", bandWidth = 5000.0)
+        ranked
+          .withColumn("decile",
+            Ranks.ntileFromRank(col("rnk"), col("grp_n"), 10))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("decile")
+      }),
+
+    // Two-proportion A/B readout: md5-bucket arms over event users,
+    // conversion = any purchase; lift + pooled z from integer counts.
+    Q("q198_abtest",
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv,
+             |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+             |      % 100 >= 50 AS armb
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT
+             |    sum(CASE WHEN NOT armb THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             |    sum(CASE WHEN NOT armb AND conv = 1 THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_a,
+             |    sum(CASE WHEN armb THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             |    sum(CASE WHEN armb AND conv = 1 THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_b
+             |  FROM u)
+             |SELECT n_a, c_a, n_b, c_b,
+             |  round(c_a / n_a, 6) AS rate_a_r,
+             |  round(c_b / n_b, 6) AS rate_b_r,
+             |  round(c_b / n_b - c_a / n_a, 6) AS lift_r,
+             |  CASE WHEN n_a > 0 AND n_b > 0
+             |      AND (c_a + c_b) / (n_a + n_b) > 0
+             |      AND (c_a + c_b) / (n_a + n_b) < 1
+             |    THEN round((c_b / n_b - c_a / n_a)
+             |      / sqrt((c_a + c_b) / (n_a + n_b)
+             |        * (1.0 - (c_a + c_b) / (n_a + n_b))
+             |        * (1.0 / n_a + 1.0 / n_b)), 6)
+             |    ELSE NULL END AS z_r
+             |FROM a""".stripMargin),
+      (s, d) => {
+        val units = events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("_conv"))
+          .withColumn("_arm",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 100 >= 50)
+        graft.ops.Behavior.twoProportionTest(units, col("_arm"),
+          col("_conv") === 1L)
+      }),
+
     // Interpolated Kneser-Ney bigram LM: continuation-count smoothing
     // (the production n-gram standard), top-30 bigrams with P_KN.
     Q("q186_kneser_ney",

@@ -121,4 +121,26 @@ class BehaviorSpec extends SparkTestBase {
       BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(math.abs(got(1) - 1.0 / 3) < 1e-6 && got(2) == 0.0)
   }
+
+  test("twoProportionTest: hand-computed z and lift; degenerate " +
+      "variance (all or none converted) yields null z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm A: 100 units, 20 converted; arm B: 100 units, 30 converted
+    val units = ((0 until 100).map(i => (false, i < 20)) ++
+      (0 until 100).map(i => (true, i < 30))).toDF("armb", "conv")
+    val r = Behavior.twoProportionTest(units, col("armb"), col("conv"))
+      .head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((100L, 20L, 100L, 30L)))
+    assert(r.getDouble(6) == 0.1, "lift")
+    // z = 0.1 / sqrt(0.25·0.75·(0.02)) ≈ 1.632993
+    val want = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert(math.abs(r.getDouble(7) - want) < 1e-6, r.toString)
+    // all converted in both arms → p̂ = 1 → null z
+    val degen = Seq((false, true), (true, true)).toDF("armb", "conv")
+    val d = Behavior.twoProportionTest(degen, col("armb"), col("conv"))
+      .head
+    assert(d.isNullAt(7), d.toString)
+  }
 }

@@ -75,6 +75,25 @@ class RanksSpec extends SparkTestBase {
       s"row_number window not banded:\n$rowWindows")
   }
 
+  test("bandedRunningMax == the naive running-max window, several " +
+      "bandwidths") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 500L).map(i =>
+      (s"g${i % 3}", i, (i * 37 % 101).toDouble)).toDF("grp", "ord", "v")
+    val w = Window.partitionBy("grp").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.withColumn("runmax", max(col("v")).over(w))
+      .select("grp", "ord", "runmax").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (bw <- Seq(7.0, 64.0, 1000.0)) {
+      val got = Ranks.bandedRunningMax(rows, "grp", "ord", "v", bw)
+        .select("grp", "ord", "runmax").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == want, s"bandWidth $bw")
+    }
+  }
+
   test("exactQuantiles: percentile_cont hand cases — interpolation, " +
       "ties, and the n=1 group") {
     import spark.implicits._

@@ -68,4 +68,28 @@ class ScdSpec extends SparkTestBase {
       .findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 key exchange, plan:\n$plan")
   }
+
+  test("pitJoin: probes pick the version valid AT their ts — boundary " +
+      "goes to the NEW version, pre-history probes drop, the current " +
+      "row is open-ended") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, ts("2024-02-01 00:00:00"), 2L, "silver"),
+      (1L, ts("2024-03-01 00:00:00"), 3L, "gold"))
+      .toDF("k", "ts", "tie", "tier")
+    val dim = Scd.scd2(changes, "k", "ts", "tie", Seq("tier"))
+    val probes = Seq(
+      (10L, 1L, ts("2023-12-31 23:59:59")), // before history → drops
+      (11L, 1L, ts("2024-01-15 00:00:00")), // bronze
+      (12L, 1L, ts("2024-02-01 00:00:00")), // boundary → silver
+      (13L, 1L, ts("2024-12-01 00:00:00"))) // open current → gold
+      .toDF("pid", "k", "ts")
+    val got = Scd.pitJoin(probes, dim, "k", "ts")
+      .orderBy("pid").collect()
+      .map(r => (r.getAs[Long]("pid"), r.getAs[String]("tier"))).toSeq
+    assert(got == Seq((11L, "bronze"), (12L, "silver"), (13L, "gold")),
+      got.toString)
+  }
 }
