@@ -385,6 +385,136 @@ object QualityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("rank")),
 
+    // Within-session funnel: the q82 ordered cascade scoped to q68's
+    // gap sessions — conversion must happen INSIDE one session, the
+    // product metric a global funnel silently overstates.
+    Q("q199_session_funnel",
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) AS us
+             |  FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0
+             |    END AS news
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts NULLS FIRST, event_id)),
+             |s AS (
+             |  SELECT *, user_id::VARCHAR || '#' ||
+             |    CAST(sum(news) OVER (PARTITION BY user_id
+             |      ORDER BY ts NULLS FIRST, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT)::VARCHAR AS ent
+             |  FROM g),
+             |t1s AS (
+             |  SELECT ent, event_type, ts,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY ent) AS t1
+             |  FROM s),
+             |t2s AS (
+             |  SELECT ent, event_type, ts, t1,
+             |    min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts
+             |        END) OVER (PARTITION BY ent) AS t2
+             |  FROM t1s),
+             |t3s AS (
+             |  SELECT ent, t1, t2,
+             |    min(CASE WHEN event_type = 'purchase' AND ts > t2
+             |        THEN ts END) OVER (PARTITION BY ent) AS t3
+             |  FROM t2s),
+             |st AS (
+             |  SELECT ent,
+             |    max(CASE WHEN t3 IS NOT NULL THEN 3
+             |             WHEN t2 IS NOT NULL THEN 2
+             |             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+             |  FROM t3s GROUP BY ent)
+             |SELECT stage AS funnel_stage, count(*)::BIGINT AS n_sessions
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val sess = graft.ops.Sessionize.assignSessions(events(s, d),
+            "user_id", "ts", "event_id", gapSeconds = 21600L)
+          .withColumn("ent", concat(col("user_id").cast("string"),
+            lit("#"), col("session_idx").cast("string")))
+        graft.ops.Behavior.funnel(sess, "ent", "event_type", "ts",
+            Seq("view", "click", "purchase"))
+          .groupBy(col("funnel_stage"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy("funnel_stage")
+      }),
+
+    // Corpus-health scorecard: the one-row daily governance report —
+    // volume, exact-dup mass, token budget, language entropy, filter
+    // keep-rate, and the q182 version fingerprint, all integer-exact
+    // or shared-parenthesization arithmetic.
+    Q("q200_corpus_scorecard",
+      Some(s"""WITH enr AS (
+              |  SELECT doc_id, lang, source, md5($normSql) AS ck,
+              |    len(string_split($normSql, ' '))::BIGINT AS nt,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT AS wsum
+              |  FROM documents),
+              |main AS (
+              |  SELECT count(*)::BIGINT AS n_docs,
+              |    sum(nt)::BIGINT AS n_tokens,
+              |    sum(CASE WHEN wsum > 0 THEN 1 ELSE 0 END)::BIGINT
+              |      AS n_keep,
+              |    (sum(('0x' || substr(md5(ck), 1, 15))::BIGINT)::HUGEINT
+              |      % 1152921504606846976)::BIGINT AS fingerprint
+              |  FROM enr),
+              |dc AS (
+              |  SELECT count(*)::BIGINT AS n_distinct FROM (
+              |    SELECT ck FROM enr GROUP BY ck) t),
+              |lc AS (SELECT lang, count(*) AS nl FROM enr GROUP BY 1),
+              |lt AS (SELECT sum(nl)::DOUBLE AS n,
+              |    count(*)::BIGINT AS n_langs FROM lc),
+              |le AS (
+              |  SELECT n_langs,
+              |    sum(-(nl / n) * ln(nl / n)) AS lang_ent
+              |  FROM lc CROSS JOIN lt GROUP BY n_langs),
+              |sc AS (SELECT count(*)::BIGINT AS n_sources FROM (
+              |  SELECT source FROM enr GROUP BY source) t)
+              |SELECT n_docs, n_distinct,
+              |  round(1.0 - n_distinct / n_docs, 6) AS dup_ratio_r,
+              |  n_tokens, n_langs, n_sources,
+              |  round(lang_ent, 6) AS lang_entropy_r,
+              |  round(n_keep / n_docs, 6) AS keep_rate_r, fingerprint
+              |FROM main CROSS JOIN dc CROSS JOIN le
+              |  CROSS JOIN sc""".stripMargin),
+      (s, d) => {
+        val norm = TextOps.normalize(col("text"))
+        val enr = documents(s, d).select(col("lang"), col("source"),
+            md5(norm).as("_ck"), TextOps.tokens(norm).as("_toks"))
+          .withColumn("_nt", size(col("_toks")).cast("long"))
+          .withColumn("_wsum", expr(
+            "aggregate(transform(_toks, t -> CAST(conv(substring(" +
+              "md5(t), 1, 15), 16, 10) AS LONG) % 2001 - 1000), 0L, " +
+              "(a, x) -> a + x)"))
+        val main = enr.agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          sum(when(col("_wsum") > 0, 1L).otherwise(0L)).as("n_keep"),
+          (sum(TextOps.hash60(col("_ck")).cast("decimal(38,0)"))
+            % lit(1152921504606846976L)).cast("long").as("fingerprint"))
+        val dc = enr.groupBy(col("_ck")).agg(count(lit(1)).as("_x"))
+          .agg(count(lit(1)).as("n_distinct"))
+        val lc = enr.groupBy(col("lang")).agg(count(lit(1)).as("_nl"))
+        val lt = lc.agg(sum(col("_nl")).cast("double").as("_n"),
+          count(lit(1)).as("n_langs"))
+        val le = lc.crossJoin(broadcast(lt))
+          .groupBy(col("n_langs"))
+          .agg(sum(-(col("_nl") / col("_n"))
+            * log(col("_nl") / col("_n"))).as("_lang_ent"))
+        val sc = enr.groupBy(col("source")).agg(count(lit(1)).as("_y"))
+          .agg(count(lit(1)).as("n_sources"))
+        main.crossJoin(broadcast(dc)).crossJoin(broadcast(le))
+          .crossJoin(broadcast(sc))
+          .select(col("n_docs"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct") / col("n_docs"), 6)
+              .as("dup_ratio_r"),
+            col("n_tokens"), col("n_langs"), col("n_sources"),
+            round(col("_lang_ent"), 6).as("lang_entropy_r"),
+            round(col("n_keep") / col("n_docs"), 6).as("keep_rate_r"),
+            col("fingerprint"))
+      }),
+
     // Point-in-time SCD2 join: each probe event picks up the dimension
     // version valid AT its own timestamp — the no-future-leakage
     // temporal join (dim = SCD2 of even event_ids, probes = odd).
