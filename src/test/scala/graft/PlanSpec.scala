@@ -310,6 +310,38 @@ class PlanSpec extends SparkTestBase {
       s"exactQuantiles rank must be banded:\n$rowWindows")
   }
 
+  test("q195: the PIT join is a keyed equi-join — no cartesian, no " +
+      "nested-loop range join") {
+    val p = plan("q195_pit_scd2")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT lookup must stay a keyed join:\n$p")
+  }
+
+  test("q196: the lateness running max and quantile rank are banded — " +
+      "no per-type single-task window over the corpus") {
+    val p = simplePlan("q196_lateness_profile")
+    val rowWindows = "row_number\\(\\)[^\\n]*windowspecdefinition\\([^\\n]*"
+      .r.findAllIn(p).toSeq
+    assert(rowWindows.nonEmpty &&
+      rowWindows.forall(_.contains("_band")),
+      s"quantile rank must be banded:\n$rowWindows")
+    // every max() window must carry the band key too
+    val maxWindows = "max\\([^\\n]*windowspecdefinition\\([^\\n]*"
+      .r.findAllIn(p).toSeq.filter(_.contains("rowsbetween"))
+    assert(maxWindows.forall(_.contains("_band")),
+      s"running max must be banded:\n$maxWindows")
+  }
+
+  test("q200: the scorecard's report branches re-enter by broadcast — " +
+      "one row out, no wide join") {
+    val p = plan("q200_corpus_scorecard")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"scorecard branches must broadcast into the final row:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no wide join belongs in a one-row report:\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
