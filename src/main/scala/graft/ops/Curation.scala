@@ -486,6 +486,35 @@ object Curation {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Budget-constrained quality selection: per key, keep the
+    * highest-`scoreCol` rows while their cumulative `tokenCol` stays
+    * within `budget` — "spend each source's token allocation on its
+    * best documents", the selection step that turns q157-style budgets
+    * into an actual corpus. Emits the kept rows with their inclusive
+    * `cum_tokens`.
+    *
+    * Both the quality rank and the cumulative token sum are banded
+    * two-level passes ([[Ranks.bandedRank]] on −score,
+    * [[Ranks.bandedRunningSum]] over that rank) — a naive
+    * ORDER BY score window would put a whole source in one task. The
+    * order (score desc, id) is total, so the kept set is reproducible
+    * under retries and engine changes. */
+  def budgetTrim(df: DataFrame, keyCol: String, idCol: String,
+      tokenCol: String, scoreCol: String, budget: Long,
+      scoreBandWidth: Double): DataFrame = {
+    require(budget > 0)
+    val ranked = Ranks.bandedRank(
+        df.select(col(keyCol), col(idCol), col(tokenCol),
+          (-col(scoreCol)).as("_neg")),
+        keyCol, "_neg", idCol, scoreBandWidth)
+      .drop("grp_n")
+    Ranks.bandedRunningSum(ranked, keyCol, "rnk", tokenCol,
+        bandWidth = 4096.0)
+      .where(col("runsum") <= budget)
+      .select(col(keyCol), col(idCol), col(tokenCol),
+        col("runsum").as("cum_tokens"))
+  }
+
   /** Deterministic weighted interleave ("stride scheduling", Waldspurger
     * & Weihl, OSDI'94, applied to corpus mixing): source s's i-th row is
     * placed at virtual time (i+1)/weight(s), and the epoch order is the

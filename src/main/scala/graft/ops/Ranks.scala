@@ -105,6 +105,33 @@ object Ranks {
       .drop("_band", "_pmax")
   }
 
+  /** Exact per-group RUNNING SUM with no single-task scan — the
+    * additive sibling of [[bandedRunningMax]] (and the generalization
+    * of Pack's two-level prefix sum to arbitrary order keys): per-band
+    * sums give each band an exclusive prefix via a window over the tiny
+    * band table; within a band the running sum sorts only that band.
+    * `ordCol` must be unique within its group. Adds `runsum`
+    * (inclusive). */
+  def bandedRunningSum(df: DataFrame, groupCol: String, ordCol: String,
+      valCol: String, bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be > 0")
+    val banded = df.withColumn("_band",
+      floor(col(ordCol) / bandWidth).cast("long"))
+    val bandSums = banded.groupBy(col(groupCol), col("_band"))
+      .agg(sum(col(valCol)).as("_bs"))
+    val wB = Window.partitionBy(groupCol).orderBy("_band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bandSums
+      .withColumn("_psum", sum(col("_bs")).over(wB)).drop("_bs")
+    val wIn = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(prefixes), Seq(groupCol, "_band"))
+      .withColumn("runsum",
+        coalesce(col("_psum"), lit(0L)) + sum(col(valCol)).over(wIn))
+      .drop("_band", "_psum")
+  }
+
   /** Per-group AUC of a numeric score against a boolean label, via the
     * Mann–Whitney rank-sum with midrank tie handling — "does this
     * quality score actually separate the labeled-good docs, per

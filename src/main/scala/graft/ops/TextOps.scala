@@ -493,6 +493,51 @@ object TextOps {
         (col("_wsum") > 0).as("keep"))
   }
 
+  /** Gopher-style quality gates (Rae et al., "Scaling Language Models:
+    * … Gopher", 2021, §A1.1 simplified): the per-rule pass/fail report
+    * a filtering pipeline publishes BEFORE committing thresholds —
+    * token-count bounds, mean word length, symbol ratio, stopword
+    * fraction, alphabetic-word fraction, plus the all-rules row.
+    *
+    * Every rule test is PURE INTEGER arithmetic (e.g. mean word length
+    * in [3, 10] ⇔ 3·n ≤ Σlen ≤ 10·n) — no float threshold can ever
+    * disagree between engines at a boundary. One scan, one explode to
+    * (rule, pass) pairs, one ≤6-row hash-agg. */
+  def gopherRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val norm = normalize(col(textCol))
+    val m = df.select(col(idCol),
+        size(tokens(norm)).cast("long").as("_nt"),
+        length(regexp_replace(norm, " ", "")).cast("long").as("_sumlen"),
+        length(col(textCol)).cast("long").as("_nc"),
+        size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"),
+          lit(0))).cast("long").as("_nsym"),
+        size(regexp_extract_all(col(textCol), lit(langProfiles.head._2),
+          lit(0))).cast("long").as("_nstop"),
+        size(filter(tokens(norm), t => t.rlike("[a-z]")))
+          .cast("long").as("_nalpha"))
+    val tokenCount = col("_nt") >= 50L && col("_nt") <= 100000L
+    val meanWordLen = col("_sumlen") >= lit(3L) * col("_nt") &&
+      col("_sumlen") <= lit(10L) * col("_nt")
+    val symbolRatio = lit(10L) * col("_nsym") < col("_nc")
+    val stopwordFrac = lit(20L) * col("_nstop") > col("_nt")
+    val alphaFrac = lit(5L) * col("_nalpha") >= lit(4L) * col("_nt")
+    val rules = array(
+      struct(lit("1_token_count").as("rule"), tokenCount.as("pass")),
+      struct(lit("2_mean_word_len").as("rule"), meanWordLen.as("pass")),
+      struct(lit("3_symbol_ratio").as("rule"), symbolRatio.as("pass")),
+      struct(lit("4_stopword_frac").as("rule"), stopwordFrac.as("pass")),
+      struct(lit("5_alpha_frac").as("rule"), alphaFrac.as("pass")),
+      struct(lit("6_all").as("rule"), (tokenCount && meanWordLen &&
+        symbolRatio && stopwordFrac && alphaFrac).as("pass")))
+    m.select(explode(rules).as("r"))
+      .groupBy(col("r.rule").as("rule"))
+      .agg(sum(when(col("r.pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("r.pass"), 0L).otherwise(1L)).as("n_fail"))
+      .withColumn("pass_rate_r",
+        round(col("n_pass") / (col("n_pass") + col("n_fail")), 6))
+  }
+
   /** Calibration (reliability-diagram) bins for the
     * [[hashedLinearScore]] classifier against a boolean label: docs
     * bucket by score into `bins` equal-width cells over [−1, 1], and

@@ -86,6 +86,37 @@ object TimeSeries {
         "left_semi")
   }
 
+  /** Rolling OLS slope of daily counts over a trailing `windowDays`-row
+    * frame per key — the local-trend monitor ("is this source's volume
+    * accelerating THIS week") that the global regression (q127) can't
+    * see. slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = epoch day —
+    * all frame sums are exact integers, one double division at the end
+    * (round 6); a single-row frame has zero x-variance and yields null.
+    *
+    * Shape: one (key, day) count agg; every frame window runs over that
+    * |keys|·|days| table. */
+  def rollingSlope(df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 2)
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_x", datediff(col("day"), lit("1970-01-01"))
+        .cast("long"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val fr = daily
+      .withColumn("_fn", count(lit(1)).over(w))
+      .withColumn("_sx", sum(col("_x")).over(w))
+      .withColumn("_sy", sum(col("n")).over(w))
+      .withColumn("_sxy", sum(col("_x") * col("n")).over(w))
+      .withColumn("_sxx", sum(col("_x") * col("_x")).over(w))
+    val den = col("_fn") * col("_sxx") - col("_sx") * col("_sx")
+    fr.select(col(keyCol), col("day"), col("n"),
+      when(den > 0, round((col("_fn") * col("_sxy")
+        - col("_sx") * col("_sy")) / den, 6)).as("slope_r"))
+  }
+
   /** One-sided CUSUM change-point detection over daily counts per key
     * (Page, Biometrika 1954): C⁺_t = max(0, C⁺_{t-1} + x_t − μ − k),
     * alarm when C⁺ > h — the sequential drift detector that catches a

@@ -385,6 +385,121 @@ object QualityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("rank")),
 
+    // Gopher-style quality gates: per-rule pass/fail report with pure
+    // integer rule tests (no float threshold boundaries).
+    Q("q201_gopher_rules", {
+      val stopPat = TextOps.langProfiles.head._2
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    len(string_split($normSql, ' '))::BIGINT AS nt,
+              |    length(replace($normSql, ' ', ''))::BIGINT AS sumlen,
+              |    length(text)::BIGINT AS nc,
+              |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::BIGINT
+              |      AS nsym,
+              |    len(regexp_extract_all(text, '$stopPat'))::BIGINT
+              |      AS nstop,
+              |    len(list_filter(string_split($normSql, ' '),
+              |      t -> regexp_matches(t, '[a-z]')))::BIGINT AS nalpha
+              |  FROM documents),
+              |r AS (
+              |  SELECT unnest([
+              |    {'rule': '1_token_count',
+              |     'pass': nt >= 50 AND nt <= 100000},
+              |    {'rule': '2_mean_word_len',
+              |     'pass': sumlen >= 3 * nt AND sumlen <= 10 * nt},
+              |    {'rule': '3_symbol_ratio', 'pass': 10 * nsym < nc},
+              |    {'rule': '4_stopword_frac', 'pass': 20 * nstop > nt},
+              |    {'rule': '5_alpha_frac',
+              |     'pass': 5 * nalpha >= 4 * nt},
+              |    {'rule': '6_all', 'pass':
+              |      nt >= 50 AND nt <= 100000
+              |      AND sumlen >= 3 * nt AND sumlen <= 10 * nt
+              |      AND 10 * nsym < nc AND 20 * nstop > nt
+              |      AND 5 * nalpha >= 4 * nt}], recursive := true)
+              |  FROM m)
+              |SELECT rule, sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT
+              |    AS n_pass,
+              |  sum(CASE WHEN pass THEN 0 ELSE 1 END)::BIGINT AS n_fail,
+              |  round(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+              |    / count(*), 6) AS pass_rate_r
+              |FROM r GROUP BY rule ORDER BY rule""".stripMargin)
+    },
+      (s, d) => TextOps.gopherRules(documents(s, d), "doc_id", "text")
+        .orderBy("rule")),
+
+    // Rolling 7-day OLS slope of daily event volume per type — the
+    // local-trend monitor; exact integer frame sums, one division.
+    Q("q202_rolling_slope",
+      Some("""WITH d AS (
+             |  SELECT event_type, ts::DATE AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |x AS (
+             |  SELECT event_type, day, n,
+             |    (day - DATE '1970-01-01')::BIGINT AS xd
+             |  FROM d),
+             |f AS (
+             |  SELECT event_type, day, n,
+             |    count(*) OVER w AS fn, sum(xd) OVER w AS sx,
+             |    sum(n) OVER w AS sy, sum(xd * n) OVER w AS sxy,
+             |    sum(xd * xd) OVER w AS sxx
+             |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, n::BIGINT AS n,
+             |  CASE WHEN fn * sxx - sx * sx > 0
+             |    THEN round((fn * sxy - sx * sy)
+             |      / (fn * sxx - sx * sx), 6)
+             |    ELSE NULL END AS slope_r
+             |FROM f ORDER BY event_type, day""".stripMargin),
+      (s, d) => graft.ops.TimeSeries.rollingSlope(events(s, d),
+          "event_type", "ts", windowDays = 7)
+        .orderBy("event_type", "day")),
+
+    // Budget-constrained quality selection: spend each source's 600
+    // token budget on its best-scored docs — banded rank + banded
+    // running sum, no per-source single-task window.
+    Q("q203_budget_trim",
+      Some(s"""WITH sdocs AS (
+              |  SELECT doc_id, source,
+              |    len(string_split($normSql, ' '))::BIGINT AS nt,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT AS wsum
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id, source, nt,
+              |    wsum / (nt * 1000.0) AS score
+              |  FROM sdocs WHERE nt > 0),
+              |r AS (
+              |  SELECT *, row_number() OVER (PARTITION BY source
+              |    ORDER BY score DESC, doc_id) AS rn
+              |  FROM sc),
+              |c AS (
+              |  SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY rn
+              |    ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM r)
+              |SELECT source, doc_id, nt AS n_tokens,
+              |  cum::BIGINT AS cum_tokens
+              |FROM c WHERE cum <= 600
+              |ORDER BY source, cum_tokens""".stripMargin),
+      (s, d) => {
+        val norm = TextOps.normalize(col("text"))
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(norm).as("_toks"))
+          .withColumn("_nt", size(col("_toks")).cast("long"))
+          .withColumn("_wsum", expr(
+            "aggregate(transform(_toks, t -> CAST(conv(substring(" +
+              "md5(t), 1, 15), 16, 10) AS LONG) % 2001 - 1000), 0L, " +
+              "(a, x) -> a + x)"))
+          .where(col("_nt") > 0)
+          .withColumn("score", col("_wsum") / (col("_nt") * 1000.0))
+        Curation.budgetTrim(scored, "source", "doc_id", "_nt",
+            "score", budget = 600L, scoreBandWidth = 0.05)
+          .select(col("source"), col("doc_id"),
+            col("_nt").as("n_tokens"), col("cum_tokens"))
+          .orderBy("source", "cum_tokens")
+      }),
+
     // Within-session funnel: the q82 ordered cascade scoped to q68's
     // gap sessions — conversion must happen INSIDE one session, the
     // product metric a global funnel silently overstates.

@@ -381,6 +381,22 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("budgetTrim: keeps best-scored docs until the budget, drops the " +
+      "rest, never splits a doc") {
+    val d = Seq(
+      ("s", 1L, 100L, 0.9), ("s", 2L, 200L, 0.8), ("s", 3L, 150L, 0.7),
+      ("s", 4L, 100L, 0.6), ("t", 5L, 400L, 0.5), ("t", 6L, 100L, 0.4))
+      .toDF("src", "id", "nt", "score")
+    val got = Curation.budgetTrim(d, "src", "id", "nt", "score",
+        budget = 400L, scoreBandWidth = 0.25)
+      .orderBy("src", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // s: 0.9(100)→100, 0.8(200)→300, 0.7(150)→450 > 400 dropped, and
+    // 0.6 is NOT back-filled (prefix semantics); t: 400 fits, 100 over
+    assert(got == Seq(("s", 1L, 100L), ("s", 2L, 300L), ("t", 5L, 400L)),
+      got.toString)
+  }
+
   test("strideInterleave: weight 2 vs 1 yields the stride pattern " +
       "x x y x x y y y over 4+4 rows") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),

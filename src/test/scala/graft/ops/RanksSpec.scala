@@ -75,6 +75,25 @@ class RanksSpec extends SparkTestBase {
       s"row_number window not banded:\n$rowWindows")
   }
 
+  test("bandedRunningSum == the naive running-sum window, several " +
+      "bandwidths") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 300L).map(i =>
+      (s"g${i % 2}", i, i % 13)).toDF("grp", "ord", "v")
+    val w = Window.partitionBy("grp").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.withColumn("runsum", sum(col("v")).over(w))
+      .select("grp", "ord", "runsum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (bw <- Seq(11.0, 64.0, 500.0)) {
+      val got = Ranks.bandedRunningSum(rows, "grp", "ord", "v", bw)
+        .select("grp", "ord", "runsum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"bandWidth $bw")
+    }
+  }
+
   test("bandedRunningMax == the naive running-max window, several " +
       "bandwidths") {
     import spark.implicits._

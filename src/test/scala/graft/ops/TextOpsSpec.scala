@@ -386,6 +386,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(0L))
   }
 
+  test("gopherRules: hand docs hit the right rules, and every rule " +
+      "conserves the doc count") {
+    import spark.implicits._
+    // 70 tokens, mean word length 4, 20% stopwords, all alphabetic
+    val good =
+      ("the quick brown fox jumps over the lazy dog again " * 7).trim
+    val short = "tiny doc"                                // fails count
+    val symbols = good + " " + ("@#$%^&* " * 40).trim     // symbol-heavy
+    val docs = Seq((1L, good), (2L, short), (3L, symbols))
+      .toDF("doc_id", "text")
+    val byRule = TextOps.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byRule.size == 6)
+    assert(byRule.values.forall { case (p, f) => p + f == 3L },
+      "doc conservation per rule")
+    // short doc fails 1_token_count; the other two pass it
+    assert(byRule("1_token_count")._1 == 2L, byRule.toString)
+    // the symbol-heavy doc fails 3_symbol_ratio; good + short pass
+    assert(byRule("3_symbol_ratio")._1 == 2L, byRule.toString)
+    // only the all-stopword doc passes everything
+    assert(byRule("6_all")._1 == 1L, byRule.toString)
+  }
+
   test("kneserNeyBigrams: hand corpus matches closed-form P_KN and the " +
       "seen-successor mass sums to 1 when all continuations are seen") {
     import spark.implicits._

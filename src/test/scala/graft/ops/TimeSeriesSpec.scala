@@ -85,6 +85,18 @@ class TimeSeriesSpec extends SparkTestBase {
     }.toDF("key", "ts")
   }
 
+  test("rollingSlope: a linear daily series reports its exact slope " +
+      "once the frame fills; the first day has no x-variance → null") {
+    // counts 10, 12, 14, ... (slope 2/day)
+    val got = TimeSeries.rollingSlope(
+        dailySeries((0 until 10).map(d => 10 + 2 * d)),
+        "key", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(got.head.isEmpty, "single-row frame must be null")
+    assert(got.drop(1).forall(_.contains(2.0)), got.toSeq.toString)
+  }
+
   test("cusumDaily: the window identity equals Page's direct recursion, " +
       "a flat series stays at 0") {
     val counts = Seq(10, 12, 9, 11, 30, 31, 29, 8, 10)
