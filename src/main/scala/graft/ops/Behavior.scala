@@ -172,7 +172,10 @@ object Behavior {
     * Every input to the statistic is an integer count (one hash-agg),
     * the arithmetic is one shared parenthesization, and round 6 caps
     * the output — deterministic cross-engine. z is null when either
-    * arm is empty or p̂ ∈ {0, 1} (degenerate variance). */
+    * arm is empty or p̂ ∈ {0, 1} (degenerate variance); rates and lift
+    * are likewise null for an empty arm (Spark's long/long 0/0 is NaN
+    * where SQL engines yield NULL — the guards pin the SQL semantics
+    * so an empty arm can never produce a cross-engine mismatch). */
   def twoProportionTest(units: DataFrame, armB: Column,
       converted: Column): DataFrame = {
     val agg = units.agg(
@@ -180,8 +183,8 @@ object Behavior {
       sum(when(!armB && converted, 1L).otherwise(0L)).as("c_a"),
       sum(when(armB, 1L).otherwise(0L)).as("n_b"),
       sum(when(armB && converted, 1L).otherwise(0L)).as("c_b"))
-    val pa = col("c_a") / col("n_a")
-    val pb = col("c_b") / col("n_b")
+    val pa = when(col("n_a") > 0, col("c_a") / col("n_a"))
+    val pb = when(col("n_b") > 0, col("c_b") / col("n_b"))
     val pp = (col("c_a") + col("c_b")) / (col("n_a") + col("n_b"))
     agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
       round(pa, 6).as("rate_a_r"), round(pb, 6).as("rate_b_r"),

@@ -527,24 +527,48 @@ object Curation {
     * Emits (pos, domain, id, vt): 1-based global position, the source,
     * the row id, and the virtual time. Both ranking passes are
     * [[Ranks.bandedRank]] — exact rank with NO per-source or global
-    * single-task sort; the merge key (vt, domain#id) is a total order,
-    * so the schedule is stable across runs, retries, and cluster sizes.
-    * `weight` must be a positive numeric column (deterministic per row).
-    */
+    * single-task sort; the merge key (vt, (domain, id)) is a total
+    * order (struct comparison = lexicographic, exactly ORDER BY domain,
+    * id — no string-encoding caveats), so the schedule is stable across
+    * runs, retries, and cluster sizes. `weight` must be a positive
+    * numeric column (deterministic per row, constant per domain for the
+    * stride semantics to hold).
+    *
+    * `vtBandWidth` sizes the bands of the global vt merge pass. One
+    * unit of virtual time holds ~Σ_d weight(d) rows (each source d
+    * emits weight(d) rows per vt unit), so the default — derived as
+    * idBandWidth / Σ_d weight(d) — keeps ~idBandWidth rows per band and
+    * the broadcast (group × band) offsets table at ~N/idBandWidth rows
+    * REGARDLESS of the weight scale. A fixed width (the old hardcoded
+    * 1.0) would make the offsets table O(N/Σweights): fine when weights
+    * are O(k), a driver-side OOM when they are fractions. Band width
+    * only affects band sizing, never rank values, so any positive
+    * override is safe. */
   def strideInterleave(df: DataFrame, idCol: String, domainCol: String,
-      weight: Column, idBandWidth: Double = 1024.0): DataFrame = {
-    val rn = Ranks.bandedRank(
-        df.select(col(idCol), col(domainCol), weight.as("_w")),
-        domainCol, idCol, idCol, idBandWidth)
+      weight: Column, idBandWidth: Double = 1024.0,
+      vtBandWidth: Double = Double.NaN): DataFrame = {
+    val in = df.select(col(idCol), col(domainCol), weight.as("_w"))
+    val rn = Ranks.bandedRank(in, domainCol, idCol, idCol, idBandWidth)
       .withColumnRenamed("rnk", "_rn").drop("grp_n")
+    val vtBw = if (vtBandWidth.isNaN) {
+      // tiny agg over |domains| rows (one per-domain weight each);
+      // runs before the plan is built, not per row
+      val sumW = in.groupBy(col(domainCol))
+        .agg(max(col("_w").cast("double")).as("_wd"))
+        .agg(sum(col("_wd")).cast("double").as("_sw"))
+        .collect().headOption.flatMap(r => Option(r.get(0)))
+        .map(_.asInstanceOf[Double]).getOrElse(1.0)
+      math.max(idBandWidth / math.max(sumW, 1e-9), 1e-9)
+    } else vtBandWidth
+    require(vtBw > 0, "vtBandWidth must be > 0")
     val vt = rn
       .withColumn("vt", (col("_rn") + 1) / col("_w"))
       .withColumn("_one", lit(0))
-      // total-order tiebreak: domain then zero-padded id — matches
-      // ORDER BY vt, domain, id as long as ids stay below 10^12
-      .withColumn("_tid", concat(col(domainCol), lit("#"),
-        lpad(col(idCol).cast("string"), 12, "0")))
-    Ranks.bandedRank(vt, "_one", "vt", "_tid", 1.0)
+      // total-order tiebreak: struct comparison is lexicographic by
+      // field — exactly ORDER BY domain, id, for any domain charset
+      // and the full id range
+      .withColumn("_tid", struct(col(domainCol), col(idCol)))
+    Ranks.bandedRank(vt, "_one", "vt", "_tid", vtBw)
       .select((col("rnk") + 1).cast("long").as("pos"),
         col(domainCol), col(idCol), col("vt"))
   }

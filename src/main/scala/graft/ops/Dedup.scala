@@ -453,10 +453,23 @@ object Dedup {
     *
     * Both paths return (node, label), label = min doc id in the
     * component, and are asserted identical in DedupSpec.
+    *
+    * The gate is tunable WITHOUT a code change via the session config
+    * `spark.graft.dedup.unionFindMaxEdges` (directed-edge count,
+    * default 2^20): a deployment whose executors have more/less task
+    * memory than the default assumes can move the single-task
+    * union-find boundary per job. An explicit `smallGraphMaxEdges ≥ 0`
+    * argument wins over the config (the sentinel −1 means "read the
+    * config").
     * Returns (node, label) where label = min doc id in the component. */
   def nearDupComponents(pairs: DataFrame, maxIters: Int = 50,
-      smallGraphMaxEdges: Long = 1L << 20,
+      smallGraphMaxEdges: Long = -1L,
       knownPairCount: Option[Long] = None): DataFrame = {
+    val maxEdges =
+      if (smallGraphMaxEdges >= 0L) smallGraphMaxEdges
+      else pairs.sparkSession.conf
+        .get("spark.graft.dedup.unionFindMaxEdges", (1L << 20).toString)
+        .toLong
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // Path choice needs the edge count. When the caller already counted
@@ -466,7 +479,7 @@ object Dedup {
     // With a known-small count, union-find reads the edges exactly once
     // off the caller's (checkpointed) pairs, so no extra checkpoint.
     val nEdges = knownPairCount.map(_ * 2).getOrElse(-1L)
-    if (nEdges >= 0 && nEdges <= smallGraphMaxEdges)
+    if (nEdges >= 0 && nEdges <= maxEdges)
       return smallGraphComponents(edges)
     // Iterative algorithms MUST truncate lineage each round: every
     // generation references the previous one twice, so the LOGICAL plan
@@ -475,7 +488,7 @@ object Dedup {
     // does not cut lineage; localCheckpoint() does (eager, plan replaced
     // by the materialized blocks).
     val edgesCk = edges.localCheckpoint()
-    if (nEdges < 0 && edgesCk.count() <= smallGraphMaxEdges)
+    if (nEdges < 0 && edgesCk.count() <= maxEdges)
       return smallGraphComponents(edgesCk)
     var labels = edgesCk.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()

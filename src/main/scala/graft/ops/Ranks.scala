@@ -132,22 +132,6 @@ object Ranks {
       .drop("_band", "_psum")
   }
 
-  /** Per-group AUC of a numeric score against a boolean label, via the
-    * Mann–Whitney rank-sum with midrank tie handling — "does this
-    * quality score actually separate the labeled-good docs, per
-    * language?", the slice-level discrimination audit run on heuristic
-    * classifiers before their thresholds gate a corpus.
-    * AUC = U/(n₁·n₀) with U = Σ_scores n₁(s)·(N₀(<s) + n₀(s)/2); the
-    * implementation carries 2U so everything stays integer until the
-    * final division. AUC is null when a group lacks one class.
-    *
-    * Shape: one hash-agg from the corpus to the per-(group, score)
-    * label counts, then a cumulative window over THAT table — its
-    * partitions hold |distinct scores in group| rows, not corpus rows —
-    * and a per-group rollup. One corpus shuffle total; a group with
-    * billions of rows but bounded score cardinality (the common case:
-    * scores are bucketed or low-precision) never concentrates in one
-    * task. */
   /** Exact per-group linear-interpolated quantiles (SQL
     * `percentile_cont` semantics) computed from [[bandedRank]] — the
     * distributed-exact alternative to both a per-group single-task sort
@@ -187,6 +171,22 @@ object Ranks {
         col("q_val"))
   }
 
+  /** Per-group AUC of a numeric score against a boolean label, via the
+    * Mann–Whitney rank-sum with midrank tie handling — "does this
+    * quality score actually separate the labeled-good docs, per
+    * language?", the slice-level discrimination audit run on heuristic
+    * classifiers before their thresholds gate a corpus.
+    * AUC = U/(n₁·n₀) with U = Σ_scores n₁(s)·(N₀(<s) + n₀(s)/2); the
+    * implementation carries 2U so everything stays integer until the
+    * final division. AUC is null when a group lacks one class.
+    *
+    * Shape: one hash-agg from the corpus to the per-(group, score)
+    * label counts, then a cumulative window over THAT table — its
+    * partitions hold |distinct scores in group| rows, not corpus rows —
+    * and a per-group rollup. One corpus shuffle total; a group with
+    * billions of rows but bounded score cardinality (the common case:
+    * scores are bucketed or low-precision) never concentrates in one
+    * task. */
   def rankSumAuc(df: DataFrame, groupCol: String, scoreCol: String,
       labelCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol), col(scoreCol))

@@ -24,9 +24,37 @@ import graft.expr.VectorKernels.cosine_sim
   */
 object Similarity {
 
+  /** Broadcast valve for the brute-force path: the query side is
+    * broadcast to every task, so its row count must be bounded BEFORE
+    * the plan runs — an oversized query set is a guaranteed driver/
+    * executor OOM, not a slow query. Tunable per deployment via
+    * `spark.graft.similarity.broadcastMaxQueries` (default 1M rows ≈
+    * a few hundred MB of id+vector, inside Spark's 8 GB broadcast
+    * hard cap for typical dims). */
+  private def broadcastMaxQueries(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.similarity.broadcastMaxQueries", "1000000").toLong
+
   /** Exact cosine top-k: for each query row, the k nearest non-self
-    * vectors. `queries` is expected to be small (broadcast side). */
+    * vectors. `queries` must fit the broadcast valve
+    * (`spark.graft.similarity.broadcastMaxQueries`): brute force
+    * broadcasts it against the full collection, and silently switching
+    * an EXACT contract to an approximate plan would be worse than
+    * failing — oversized query sets fail fast with a pointer to
+    * [[ivfTopK]]/[[routedTopK]]. The count is one job over the (small
+    * by contract) query side, trivial next to the collection scan. */
   def cosineTopK(collection: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val maxQ = broadcastMaxQueries(queries)
+    val nQ = queries.count()
+    require(nQ <= maxQ,
+      s"cosineTopK broadcasts the query side, but it has $nQ rows " +
+        s"(> spark.graft.similarity.broadcastMaxQueries = $maxQ). " +
+        "Use ivfTopK/routedTopK for large query sets, or raise the valve.")
+    cosineTopKUnchecked(collection, queries, k)
+  }
+
+  private def cosineTopKUnchecked(collection: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
     val w = Window.partitionBy(col("q_id"))
@@ -141,6 +169,21 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 9).as("sim_r"))
+  }
+
+  /** Valve-aware top-k router: exact brute force ([[cosineTopK]]) while
+    * the query side fits the broadcast valve, IVF probing otherwise —
+    * the explicit "route oversized query sets to the scale path"
+    * combinator. The switch is by DESIGN a visible API (not a silent
+    * fallback inside cosineTopK): crossing it changes exact results to
+    * approximate ones, which a caller must have opted into by passing
+    * centroids. Output schema is identical on both paths
+    * (q_id, rn, neighbor_id, sim_r). */
+  def routedTopK(collection: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    if (queries.count() <= broadcastMaxQueries(queries))
+      cosineTopKUnchecked(collection, queries, k)
+    else ivfTopK(collection, centroids, queries, k, nprobe)
   }
 
   /** Johnson–Lindenstrauss random projection dim→outDim via the SHARED

@@ -128,24 +128,6 @@ object Sketches {
     (aggs, est)
   }
 
-  /** Cardinality estimate from an [[hllRegisters]] table: raw
-    * E = α_m·m² / Σ_j 2^(−M_j) over the FULL m-register grid (absent
-    * idx = empty register = 2^0), with the standard small-range linear
-    * counting correction E* = m·ln(m/V) when E ≤ 2.5m and V (empty
-    * registers) > 0. The 32-bit large-range correction is unnecessary:
-    * the hash space is 60-bit, collisions are negligible below ~2^29
-    * distinct. α·m² and the 2.5m threshold are Scala-computed literals
-    * so an oracle interpolating the same constants cannot drift by
-    * association order. One row out: (v_zero, est) — est rounded to 6
-    * decimals (Σ 2^(−M_j) is a sum of dyadic terms whose accumulation
-    * order differs across engines by ≤ ulps).
-    *
-    * Typical error 1.04/√m (~6.5% at p = 8); the register grid is tiny
-    * (m ≤ 65536 rows) so the whole estimate is driver-scale work after
-    * one distributed fold. */
-  /** α_m bias constant (HLL paper §4's empirical values for small m,
-    * the asymptotic formula otherwise). Public so oracle SQL generators
-    * interpolate the SAME double literal the engine computes with. */
   /** HLL set-algebra overlap: estimate |A|, |B|, |A∪B| and (by
     * inclusion–exclusion) |A∩B| of two key sets from their HLL register
     * tables — the constant-state answer to "how many users/documents do
@@ -227,6 +209,9 @@ object Sketches {
           .as("rel_err_r"))
   }
 
+  /** α_m bias constant (HLL paper §4's empirical values for small m,
+    * the asymptotic formula otherwise). Public so oracle SQL generators
+    * interpolate the SAME double literal the engine computes with. */
   def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697
@@ -234,6 +219,21 @@ object Sketches {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
+  /** Cardinality estimate from an [[hllRegisters]] table: raw
+    * E = α_m·m² / Σ_j 2^(−M_j) over the FULL m-register grid (absent
+    * idx = empty register = 2^0), with the standard small-range linear
+    * counting correction E* = m·ln(m/V) when E ≤ 2.5m and V (empty
+    * registers) > 0. The 32-bit large-range correction is unnecessary:
+    * the hash space is 60-bit, collisions are negligible below ~2^29
+    * distinct. α·m² and the 2.5m threshold are Scala-computed literals
+    * so an oracle interpolating the same constants cannot drift by
+    * association order. One row out: (v_zero, est) — est rounded to 6
+    * decimals (Σ 2^(−M_j) is a sum of dyadic terms whose accumulation
+    * order differs across engines by ≤ ulps).
+    *
+    * Typical error 1.04/√m (~6.5% at p = 8); the register grid is tiny
+    * (m ≤ 65536 rows) so the whole estimate is driver-scale work after
+    * one distributed fold. */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val m = 1 << p

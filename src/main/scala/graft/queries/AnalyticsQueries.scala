@@ -136,12 +136,24 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")),
 
     // approx_count_distinct (HLL++) — sketch internals differ across
-    // engines, so no SQL oracle (driver records rows-only check); the
-    // ScalaTest spec asserts <2% relative error vs exact.
-    Q("q20_approx_distinct", None,
+    // engines, so the raw estimate itself can't be oracle-hashed.
+    // Instead the query emits the EXACT distinct (oracle-checkable) plus
+    // `approx_ok` = |approx-exact|/exact < 5%, which DuckDB asserts as
+    // the literal TRUE — the driver now verifies both the exact count
+    // and that the HLL estimate is in tolerance, closing the one
+    // `no_oracle` row from round 6. The raw estimate additionally stays
+    // spec-bounded (<5% relative error) in RegistrySpec.
+    Q("q20_approx_distinct",
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             | TRUE AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") < 0.05).as("approx_ok"))
         .orderBy("l_returnflag")),
 
     // Batch sessionization (gap rule, 6h): the bounded-table counterpart

@@ -143,4 +143,19 @@ class BehaviorSpec extends SparkTestBase {
       .head
     assert(d.isNullAt(7), d.toString)
   }
+
+  test("twoProportionTest: an empty arm yields null rate/lift/z, " +
+      "never NaN (Spark 0/0 is NaN where SQL engines yield NULL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // only arm B has units: n_a = 0, so rate_a, lift and z are undefined
+    val units = Seq((true, true), (true, false)).toDF("armb", "conv")
+    val r = Behavior.twoProportionTest(units, col("armb"), col("conv"))
+      .head
+    assert(r.getLong(0) == 0L && r.getLong(2) == 2L, r.toString)
+    assert(r.isNullAt(4), "rate_a must be null for an empty arm")
+    assert(r.getDouble(5) == 0.5, "rate_b")
+    assert(r.isNullAt(6), "lift must be null when an arm is empty")
+    assert(r.isNullAt(7), "z must be null when an arm is empty")
+  }
 }

@@ -410,6 +410,28 @@ class CurationSpec extends SparkTestBase {
     assert(got == Seq("x", "x", "y", "x", "x", "y", "y", "y"), got)
   }
 
+  test("strideInterleave: fractional weights (derived vt band width) " +
+      "and an explicit vtBandWidth override agree exactly") {
+    // weights < 1 stretch vt far beyond the row count — the regime where
+    // the old fixed band width 1.0 made the offsets table O(rows/Σw);
+    // band width must never change the RESULT, only the band sizing
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),
+      (10L, "y"), (11L, "y")).toDF("id", "src")
+    val w = org.apache.spark.sql.functions
+      .when(org.apache.spark.sql.functions.col("src") === "x", 0.25)
+      .otherwise(0.125)
+    val derived = Curation.strideInterleave(d, "id", "src", w)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSeq
+    val overridden = Curation.strideInterleave(d, "id", "src", w,
+        vtBandWidth = 7.0)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(derived == overridden, s"$derived vs $overridden")
+    // vt: x → 4,8,12,16 ; y → 8,16 ; ties at 8 and 16 break x before y
+    assert(derived.map(_._2) == Seq("x", "x", "y", "x", "x", "y"), derived)
+  }
+
   test("strideInterleave: equal weights round-robin, positions are a " +
       "1..n permutation") {
     val d = Seq((1L, "x"), (2L, "x"), (10L, "y"), (11L, "y"),

@@ -120,6 +120,32 @@ class DedupSpec extends SparkTestBase {
       unionFind(55L) == 44L && unionFind(3L) == 1L)
   }
 
+  test("spark.graft.dedup.unionFindMaxEdges config gates the path " +
+      "choice when no explicit threshold is passed") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val key = "spark.graft.dedup.unionFindMaxEdges"
+    try {
+      // 0 edges allowed in the union-find → the default-arg call must
+      // take the fixpoint-propagation path and still converge
+      spark.conf.set(key, "0")
+      val viaPropagation = Dedup.nearDupComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaPropagation == want, viaPropagation.toString)
+      // a huge gate routes the same default-arg call through union-find
+      spark.conf.set(key, Long.MaxValue.toString)
+      val viaUnionFind = Dedup.nearDupComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUnionFind == want, viaUnionFind.toString)
+      // an explicit argument wins over the session config
+      spark.conf.set(key, "0")
+      val explicitArg = Dedup.nearDupComponents(pairs,
+          smallGraphMaxEdges = Long.MaxValue).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(explicitArg == want, explicitArg.toString)
+    } finally spark.conf.unset(key)
+  }
+
   test("union-find path handles string ids (generic Comparable keys)") {
     val pairs = Seq(("b", "a"), ("b", "c"), ("x", "z")).toDF("doc_a", "doc_b")
     val labels = Dedup.nearDupComponents(pairs).collect()

