@@ -194,4 +194,156 @@ object Behavior {
           * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
         .as("z_r"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust the
+    * experiment metric Y by the pre-period covariate X,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), and report per-arm
+    * adjusted means plus the variance ratio 1 − ρ² the adjustment buys.
+    * The workhorse of online experimentation: same point estimate in
+    * expectation (randomization makes E[X|arm] equal), tighter CI.
+    *
+    * `units` must be one row per experimental unit with INTEGER pre/post
+    * metric columns (scale currency to cents upstream) — every moment
+    * (Σx, Σy, Σxy, Σx², per-arm Σ) is then an exact integer from ONE
+    * hash-agg, and θ, the adjusted means
+    * ȳ_arm − θ(x̄_arm − x̄) and the ratio
+    * 1 − cov²/(var_x·var_y) are computed from those integers with one
+    * shared parenthesization — bit-identical cross-engine, no
+    * order-dependent double accumulation. Moments are summed as
+    * DECIMAL(38,0): Σx² at 10¹¹ units × (10⁹ cents)² overflows long;
+    * decimal sums stay exact and order-independent at any scale.
+    *
+    * Shape: two aggs over the unit-grain frame (global moments + per-arm
+    * sums) joined by a broadcast of the 1-row moment frame. Nothing
+    * wider than the unit table is ever materialized. `scaleDiv` divides
+    * the reported means back to source units (100 for cents). */
+  def cuped(units: DataFrame, armB: Column, preCol: String,
+      postCol: String, scaleDiv: Double = 100.0): DataFrame = {
+    val u = units.select(armB.as("_arm_b"),
+      col(preCol).cast("decimal(38,0)").as("_x"),
+      col(postCol).cast("decimal(38,0)").as("_y"))
+    // exact decimal sums, then ONE explicit cast of each moment to
+    // double: every later op is plain IEEE arithmetic on identical
+    // inputs in any engine (never Spark decimal division, whose exact
+    // result scale would diverge from an oracle's double division)
+    val g = u.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"))
+    val n = col("_n")
+    val vx = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy = n * col("_syy") - col("_sy") * col("_sy")
+    val cxy = n * col("_sxy") - col("_sx") * col("_sy")
+    val theta = when(vx > 0, cxy / vx).otherwise(lit(0.0))
+    val perArm = u.groupBy(col("_arm_b"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_x")).cast("double").as("_ax"),
+        sum(col("_y")).cast("double").as("_ay"))
+    perArm.crossJoin(broadcast(g))
+      .select(col("_arm_b").as("arm_b"), col("n_units"),
+        round((col("_ay") / col("n_units")) / scaleDiv, 6).as("mean_y_r"),
+        round((col("_ay") / col("n_units")
+          - theta * (col("_ax") / col("n_units") - col("_sx") / n))
+          / scaleDiv, 6).as("mean_yadj_r"),
+        round(theta, 6).as("theta_r"),
+        when(vx > 0 && vy > 0,
+          round(lit(1.0) - (cxy / vx) * (cxy / vy), 6))
+          .otherwise(lit(1.0)).as("var_ratio_r"))
+  }
+
+  /** Multi-touch attribution over pre-conversion touchpoints: for each
+    * converting entity, the touch events STRICTLY BEFORE its first
+    * conversion earn credit under three models — first-touch (1.0 to the
+    * earliest touch), last-touch (1.0 to the latest), linear (1/n to
+    * each). Output: (model, channel, credit, n_touches).
+    *
+    * One shuffle on the entity key: the first-conversion time is a
+    * whole-partition window min, the touch ordering a window over the
+    * SAME exchange (Catalyst reuses it). Credit is summed as
+    * DECIMAL(18,6) — the per-row linear share is rounded to 6 dp first,
+    * so the sum is exact and order-independent (a double Σ(1/n) would
+    * drift with aggregation order across engines) — then cast back to
+    * double for the report. */
+  def attribution(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, convType: String,
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(entityCol)
+    val touches = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_conv_us",
+        min(when(col(typeCol) === convType, col("_us"))).over(w))
+      .where(col("_conv_us").isNotNull && col("_us") < col("_conv_us")
+        && col(typeCol) =!= convType)
+    val wOrd = Window.partitionBy(entityCol)
+      .orderBy(col("_us"), col(tieCol))
+    val marked = touches
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_nt", count(lit(1)).over(w))
+    val credit = marked.select(col(typeCol).as("channel"),
+      when(col("_rn") === 1, lit(1.0)).otherwise(lit(0.0))
+        .as("first_touch"),
+      when(col("_rn") === col("_nt"), lit(1.0)).otherwise(lit(0.0))
+        .as("last_touch"),
+      round(lit(1.0) / col("_nt"), 6).cast("decimal(18,6)").as("linear"))
+    credit
+      .groupBy(col("channel"))
+      .agg(sum(col("first_touch")).as("first"),
+        sum(col("last_touch")).as("last"),
+        sum(col("linear")).cast("double").as("linear"),
+        count(lit(1)).as("n_touches"))
+      .select(col("channel"), explode(map(
+        lit("1_first"), col("first"), lit("2_last"), col("last"),
+        lit("3_linear"), col("linear"))).as(Seq("model", "credit_r")),
+        col("n_touches"))
+      .select(col("model"), col("channel"),
+        round(col("credit_r"), 6).as("credit_r"), col("n_touches"))
+  }
+
+  /** Difference-in-differences over a randomized cutover: units hashed
+    * into arms, time split at `cutoverUs`, per-(arm, period) means of
+    * per-unit INTEGER metric sums, and the DiD estimate
+    * (B_post − B_pre) − (A_post − A_pre). The quasi-experimental readout
+    * for staged rollouts where a plain post-period diff would absorb the
+    * time trend.
+    *
+    * One hash-agg to (unit, period) grain, one 4-row rollup; every mean
+    * comes from exact integer sums (cents), the estimate from one shared
+    * parenthesization. A unit contributes to a period's mean only if it
+    * has events there (activity-grain means, stated contract). */
+  def diffInDiff(events: DataFrame, entityCol: String, armB: Column,
+      tsCol: String, valueCentsCol: Column, cutoverUs: Long,
+      scaleDiv: Double = 100.0): DataFrame = {
+    val unitPeriod = events
+      .select(col(entityCol).as("_u"), armB.as("_arm_b"),
+        (unix_micros(col(tsCol)) >= cutoverUs).as("_post"),
+        valueCentsCol.cast("long").as("_v"))
+      .groupBy(col("_u"), col("_arm_b"), col("_post"))
+      .agg(sum(col("_v")).as("_uv"))
+    val cells = unitPeriod
+      .groupBy(col("_arm_b"), col("_post"))
+      .agg(count(lit(1)).as("_n"), sum(col("_uv")).as("_s"))
+    def cell(arm: Boolean, post: Boolean, c: String) =
+      max(when(col("_arm_b") === arm && col("_post") === post, col(c)))
+    val one = cells.agg(
+      cell(arm = false, post = false, "_n").as("n_a_pre"),
+      cell(arm = false, post = true, "_n").as("n_a_post"),
+      cell(arm = true, post = false, "_n").as("n_b_pre"),
+      cell(arm = true, post = true, "_n").as("n_b_post"),
+      cell(arm = false, post = false, "_s").as("_s_a_pre"),
+      cell(arm = false, post = true, "_s").as("_s_a_post"),
+      cell(arm = true, post = false, "_s").as("_s_b_pre"),
+      cell(arm = true, post = true, "_s").as("_s_b_post"))
+    def m(s: String, nn: String) = col(s) / col(nn) / scaleDiv
+    one.select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+      col("n_b_post"),
+      round(m("_s_a_pre", "n_a_pre"), 6).as("mean_a_pre_r"),
+      round(m("_s_a_post", "n_a_post"), 6).as("mean_a_post_r"),
+      round(m("_s_b_pre", "n_b_pre"), 6).as("mean_b_pre_r"),
+      round(m("_s_b_post", "n_b_post"), 6).as("mean_b_post_r"),
+      round((m("_s_b_post", "n_b_post") - m("_s_b_pre", "n_b_pre"))
+        - (m("_s_a_post", "n_a_post") - m("_s_a_pre", "n_a_pre")), 6)
+        .as("did_r"))
+  }
 }

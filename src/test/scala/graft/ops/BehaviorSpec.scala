@@ -158,4 +158,87 @@ class BehaviorSpec extends SparkTestBase {
     assert(r.isNullAt(6), "lift must be null when an arm is empty")
     assert(r.isNullAt(7), "z must be null when an arm is empty")
   }
+
+  test("cuped: hand θ; a perfect covariate collapses the variance ratio " +
+      "to 0 and equalizes adjusted means; zero-variance X is a no-op") {
+    // y = 2x exactly → θ = 2, y_adj = ȳ for every unit → var ratio 0 and
+    // both arms' adjusted means equal the global mean (scaleDiv = 1)
+    val units = Seq((false, 100L, 200L), (false, 300L, 600L),
+      (true, 200L, 400L), (true, 400L, 800L))
+      .toDF("armb", "x", "y")
+    val r = Behavior.cuped(units, col("armb"), "x", "y", scaleDiv = 1.0)
+      .orderBy("arm_b").collect()
+    assert(r.map(_.getDouble(4)).toSeq == Seq(2.0, 2.0), "theta")
+    assert(r.map(_.getDouble(5)).toSeq == Seq(0.0, 0.0), "var ratio")
+    assert(r.map(_.getDouble(3)).toSeq == Seq(500.0, 500.0),
+      "adjusted means collapse to the global ȳ = 500")
+    // constant X → vx = 0 → θ = 0, adjusted mean = raw mean, ratio 1
+    val const = Seq((false, 5L, 10L), (true, 5L, 30L)).toDF("armb", "x", "y")
+    val c = Behavior.cuped(const, col("armb"), "x", "y", scaleDiv = 1.0)
+      .orderBy("arm_b").collect()
+    assert(c.map(_.getDouble(4)).toSeq == Seq(0.0, 0.0))
+    assert(c.map(r => r.getDouble(2) == r.getDouble(3)).forall(identity))
+    assert(c.map(_.getDouble(5)).toSeq == Seq(1.0, 1.0))
+  }
+
+  test("attribution: hand credits — first/last to the right touches, " +
+      "linear splits 1/n; users without a conversion are excluded; " +
+      "credit mass per model equals the number of converters") {
+    val e = Seq(
+      // user 1: view(1:00), click(1:30), view(1:45) then purchase(2:00)
+      (1L, 1L, "view", t("2024-01-01 01:00:00")),
+      (1L, 2L, "click", t("2024-01-01 01:30:00")),
+      (1L, 3L, "view", t("2024-01-01 01:45:00")),
+      (1L, 4L, "purchase", t("2024-01-01 02:00:00")),
+      // user 2: click only then purchase — all three models give click 1.0
+      (2L, 5L, "click", t("2024-01-01 01:00:00")),
+      (2L, 6L, "purchase", t("2024-01-01 01:10:00")),
+      // user 3: touches but no purchase → contributes nothing
+      (3L, 7L, "view", t("2024-01-01 01:00:00")),
+      // user 4: purchase with no prior touch → nothing to credit
+      (4L, 8L, "purchase", t("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.attribution(e, "user_id", "event_type", "ts",
+        "purchase")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("1_first", "view")) == 1.0 && got(("1_first", "click")) == 1.0)
+    assert(got(("2_last", "view")) == 1.0 && got(("2_last", "click")) == 1.0)
+    // linear: user 1 → view 2/3, click 1/3 (rounded to 6dp); user 2 → click 1
+    assert(math.abs(got(("3_linear", "view")) - 0.666666) < 1e-9)
+    assert(math.abs(got(("3_linear", "click")) - 1.333333) < 1e-9)
+    // per-model credit mass == number of crediting converters (2)
+    Seq("1_first", "2_last").foreach { m =>
+      val mass = got.collect { case ((`m`, _), v) => v }.sum
+      assert(mass == 2.0, s"$m mass $mass")
+    }
+  }
+
+  test("diffInDiff: hand 2×2 — a pure additive time trend yields DiD 0; " +
+      "a treatment bump lands only in did_r") {
+    def mk(rows: Seq[(Long, Boolean, String, Long)]) =
+      rows.map { case (u, arm, ts, v) => (u, arm, t(ts), v) }
+        .toDF("user_id", "armb", "ts", "cents")
+    val cut = 1704153600000000L // 2024-01-02T00:00:00Z
+    // both arms +100 cents in the post period → parallel trends, DiD = 0
+    val trend = mk(Seq(
+      (1L, false, "2024-01-01 10:00:00", 100L),
+      (1L, false, "2024-01-03 10:00:00", 200L),
+      (2L, true, "2024-01-01 10:00:00", 300L),
+      (2L, true, "2024-01-03 10:00:00", 400L)))
+    val r0 = Behavior.diffInDiff(trend, "user_id", col("armb"), "ts",
+      col("cents"), cut, scaleDiv = 1.0).head
+    assert(r0.getDouble(8) == 0.0, r0.toString)
+    // arm B gets an extra +50 post → DiD = 50
+    val bump = mk(Seq(
+      (1L, false, "2024-01-01 10:00:00", 100L),
+      (1L, false, "2024-01-03 10:00:00", 200L),
+      (2L, true, "2024-01-01 10:00:00", 300L),
+      (2L, true, "2024-01-03 10:00:00", 450L)))
+    val r1 = Behavior.diffInDiff(bump, "user_id", col("armb"), "ts",
+      col("cents"), cut, scaleDiv = 1.0).head
+    assert(r1.getDouble(8) == 50.0, r1.toString)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      == ((1L, 1L, 1L, 1L)))
+  }
 }
