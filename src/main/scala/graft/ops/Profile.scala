@@ -436,4 +436,37 @@ object Profile {
         round(col("_cum") / col("_tot"), 6).as("cum_share_r"),
         round(col("_gini"), 6).as("gini_r"))
   }
+
+  /** Robust per-group outlier detection via the median absolute
+    * deviation: flag rows with |v − median| > k · 1.4826 · MAD (1.4826
+    * scales MAD to σ under normality — Hampel's rule). The robust
+    * sibling of [[zscoreOutliers]]: mean/stddev are themselves dragged
+    * by the outliers they're meant to find; the median/MAD pair has a
+    * 50% breakdown point.
+    *
+    * Both medians are [[Ranks.exactQuantiles]] (percentile_cont
+    * semantics — interpolated halves are exact binary doubles for
+    * integer inputs), so NO per-group sort or in-memory percentile
+    * buffer: two banded-rank passes over the data, each per-group
+    * median re-entering by broadcast of the |groups|-row frame. Feed
+    * integer-grid values (e.g. cents) — every deviation is then exact
+    * and the single float threshold comparison is one IEEE product,
+    * identical in any engine. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, bandWidth: Double, k: Double = 3.0): DataFrame = {
+    val med = Ranks.exactQuantiles(df, groupCol, valueCol, idCol,
+        bandWidth, nums = Seq(1), den = 2)
+      .select(col(groupCol), col("q_val").as("_med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    val mad = Ranks.exactQuantiles(dev, groupCol, "_dev", idCol,
+        bandWidth, nums = Seq(1), den = 2)
+      .select(col(groupCol), col("q_val").as("_mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), first(col("_med")).as("med"),
+        first(col("_mad")).as("mad"),
+        sum(when(col("_dev") > lit(k) * lit(1.4826) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

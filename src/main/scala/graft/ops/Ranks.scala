@@ -203,4 +203,48 @@ object Ranks {
           round(col("_u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .as("auc"))
   }
+
+  /** Exact per-group LOWER WEIGHTED MEDIAN: the smallest value v whose
+    * cumulative weight (in (value, tie) order) reaches half the group's
+    * total — the discrete definition (no interpolation), so with
+    * integer weights every comparison is integer-exact and no float
+    * boundary can disagree across engines. The weighted generalization
+    * robust aggregation needs when rows carry multiplicities (token
+    * counts, sampling weights): the plain median of a weight-exploded
+    * table, without exploding it.
+    *
+    * Shape: [[bandedRunningMax]]'s two-level pattern applied to weight
+    * sums — per-(group, value-band) weight totals give each band an
+    * exclusive prefix via a window over the tiny band table (which also
+    * carries the group total: no second scan); within a band the
+    * running weight sorts only that band. The threshold test
+    * 2·cumw ≥ totw stays in integers; the group rollup keeps the
+    * minimum qualifying value. Weight ties inside one value are
+    * order-insensitive by construction (the first qualifying VALUE is
+    * unique even when the qualifying ROW is not). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, idCol: String, bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be > 0")
+    val banded = df.withColumn("_band",
+      floor(col(valueCol) / bandWidth).cast("long"))
+    val bandSums = banded.groupBy(col(groupCol), col("_band"))
+      .agg(sum(col(weightCol)).as("_bs"))
+    val wB = Window.partitionBy(groupCol).orderBy("_band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wG = Window.partitionBy(groupCol)
+    val prefixes = bandSums
+      .withColumn("_psum", sum(col("_bs")).over(wB))
+      .withColumn("_totw", sum(col("_bs")).over(wG))
+      .drop("_bs")
+    val wIn = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col(valueCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(prefixes), Seq(groupCol, "_band"))
+      .withColumn("_runw",
+        coalesce(col("_psum"), lit(0L)) + sum(col(weightCol)).over(wIn))
+      .groupBy(col(groupCol))
+      .agg(first(col("_totw")).as("total_w"),
+        min(when(col("_runw") * 2 >= col("_totw"), col(valueCol)))
+          .as("wmedian"))
+  }
 }

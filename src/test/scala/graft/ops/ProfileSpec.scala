@@ -256,4 +256,23 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
     assert(byDigit(1)._3 == 0.30103) // log10(2) rounded to 6
   }
+
+  test("madOutliers: hand case — one gross outlier flagged, median/MAD " +
+      "untouched by it; zero-MAD group flags every off-median row") {
+    import spark.implicits._
+    // g: values 10,12,14,16,1000 → med 14, devs 4,2,0,2,986 → MAD 2;
+    // threshold 3·1.4826·2 = 8.8956 → only 1000 flagged (dev 986)
+    val g = Seq(10L, 12L, 14L, 16L, 1000L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }
+    // h: constant 5 except one 7 → med 5, MAD 0 → any deviation flags
+    val h = Seq(5L, 5L, 5L, 7L).zipWithIndex
+      .map { case (v, i) => ("h", v, 100L + i) }
+    val df = (g ++ h).toDF("grp", "v", "id")
+    val got = Profile.madOutliers(df, "grp", "v", "id", bandWidth = 10.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got("g") == ((5L, 14.0, 2.0, 1L)), got.toString)
+    assert(got("h") == ((4L, 5.0, 0.0, 1L)), got.toString)
+  }
 }

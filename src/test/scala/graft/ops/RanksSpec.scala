@@ -158,4 +158,37 @@ class RanksSpec extends SparkTestBase {
     assert(rows(0).getDouble(3) == 0.125, rows(0).toString)
     assert(rows(1).isNullAt(3), "one-class group must yield null auc")
   }
+
+  test("weightedMedian == the weight-exploded plain lower median, " +
+      "several bandwidths; unit weights reduce to the lower median") {
+    import spark.implicits._
+    // deterministic pseudo-random values/weights, two groups
+    val rows = (0L until 200L).map { i =>
+      (s"g${i % 2}", (i * 37 % 101), 1L + (i * 53 % 7), i)
+    }.toDF("grp", "v", "w", "id")
+    // oracle: explode each row w times; the lower weighted median is the
+    // value at 1-based position ceil(n/2) (first i with 2i ≥ n) of the
+    // sorted multiset
+    val want = rows.as[(String, Long, Long, Long)].collect()
+      .flatMap { case (g, v, w, _) => Seq.fill(w.toInt)((g, v)) }
+      .groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> sorted((sorted.length + 1) / 2 - 1)
+      }
+    for (bw <- Seq(7.0, 50.0, 1000.0)) {
+      val got = Ranks.weightedMedian(rows, "grp", "v", "w", "id", bw)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == want, s"bandWidth $bw: got $got want $want")
+    }
+    // unit weights: matches the plain lower median
+    val unit = rows.withColumn("w", lit(1L))
+    val gotU = Ranks.weightedMedian(unit, "grp", "v", "w", "id", 50.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val wantU = rows.as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> sorted((sorted.length + 1) / 2 - 1)
+      }
+    assert(gotU == wantU)
+  }
 }
