@@ -241,4 +241,126 @@ object Graphs {
       .groupBy("vertex")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Degree histogram + degree assortativity of an oriented undirected
+    * edge list: the two numbers that summarize a graph's shape before
+    * any iterative algorithm is budgeted — a heavy-tailed histogram
+    * says "expect hot vertices in every join", and assortativity's sign
+    * says whether hubs interconnect (r > 0: the hot keys CONCENTRATE —
+    * salt them) or fan out to leaves (r < 0).
+    *
+    * r is the Pearson correlation of (deg u, deg v) over the
+    * symmetrized edge list; by symmetry Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — every moment an exact
+    * integer from one agg over the degree-annotated edges, the ratio
+    * one shared parenthesization. Shape: two joins of the edge list
+    * against the |V|-row degree frame (the same co-partitioned pattern
+    * as pageRank's adjacency annotation), one moment agg, and the
+    * |distinct degrees|-row histogram with the scalar broadcast back. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val hist = deg.groupBy(col("deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val pairs = sym
+      .join(deg.select(col("src").as("_u"), col("deg").as("_du")),
+        col("src") === col("_u"))
+      .join(deg.select(col("src").as("_v"), col("deg").as("_dv")),
+        col("dst") === col("_v"))
+    val m = pairs.agg(count(lit(1)).cast("double").as("_m"),
+      sum(col("_du")).cast("double").as("_sx"),
+      sum(col("_du") * col("_dv")).cast("double").as("_sxy"),
+      sum(col("_du") * col("_du")).cast("double").as("_sxx"))
+    hist.crossJoin(broadcast(m))
+      .select(col("degree"), col("n_nodes"),
+        when(col("_m") * col("_sxx") - col("_sx") * col("_sx") > 0,
+          round((col("_m") * col("_sxy") - col("_sx") * col("_sx"))
+            / (col("_m") * col("_sxx") - col("_sx") * col("_sx")), 6))
+          .as("assort_r"))
+  }
+
+  /** Local clustering coefficient per vertex,
+    * C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), plus the graph-level
+    * transitivity 3T/W and the average clustering — the "is this graph
+    * clique-y or tree-y" diagnostic that decides whether
+    * triangle-heavy ops (community detection, dedup components) will
+    * produce few large blocks or many small ones.
+    *
+    * Exactness: T(v) and deg(v) are integers ([[triangleCounts]] +
+    * one degree agg), each C(v) is one double division rounded to 6,
+    * the average sums those ROUNDED values as DECIMAL(18,6)
+    * (order-independent), and transitivity is ΣT(v)/W with
+    * W = Σ deg·(deg−1)/2 in integer arithmetic (each triangle appears
+    * 3× in ΣT(v), cancelling 3T/W's factor). Shape: the wedge join is
+    * the only superlinear step and is bounded by the edge support
+    * threshold upstream; everything else is |V|-row frames. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg"))
+    val base = deg
+      .join(triangleCounts(edges), Seq("vertex"), "left")
+      .withColumn("n_tri", coalesce(col("n_triangles"), lit(0L)))
+      .drop("n_triangles")
+      .withColumn("c_r",
+        when(col("deg") >= 2, round(lit(2.0) * col("n_tri")
+          / (col("deg") * (col("deg") - 1)), 6)))
+    val g = base.agg(
+      sum(col("n_tri")).as("_t3"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("_w"),
+      sum(col("c_r").cast("decimal(18,6)")).cast("double").as("_cs"),
+      sum(when(col("c_r").isNotNull, 1L).otherwise(0L)).as("_cn"))
+    base.crossJoin(broadcast(g))
+      .select(col("vertex"), col("deg"), col("n_tri"), col("c_r"),
+        when(col("_w") > 0, round(col("_t3") / col("_w"), 6))
+          .as("transitivity_r"),
+        when(col("_cn") > 0, round(col("_cs") / col("_cn"), 6))
+          .as("avg_clustering_r"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg '99) over a DIRECTED edge list,
+    * run a fixed number of UNNORMALIZED iterations with exact integer
+    * arithmetic (DECIMAL(38,0) sums), normalizing by the maximum only
+    * once at the end: per-iteration normalization is the textbook
+    * presentation but turns every score into an order-sensitive float
+    * sum; deferring it keeps all intermediate scores exact integers —
+    * the result is the SAME ranking (normalization is a per-iteration
+    * scalar) and bit-identical across engines. Magnitudes grow like
+    * (σ_max)^iters, which DECIMAL(38,0) absorbs for the small iteration
+    * counts fixed-point HITS uses; at extreme scale, normalize every
+    * few iterations and accept the documented float-drift-below-
+    * rounding-grain argument pageRank makes.
+    *
+    * Shape: each half-step is one co-partitioned join of the static
+    * cached edge list with the |V|-row score frame + one hash agg —
+    * identical posture to [[pageRank]]. */
+  def hits(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    var h = e.select(col("src").as("v")).distinct()
+      .withColumn("s", lit(1L).cast("decimal(38,0)"))
+    var a = h // placeholder; set in the first iteration
+    for (i <- 1 to iters) {
+      a = e.join(h, e("src") === h("v"))
+        .groupBy(col("dst")).agg(sum(col("s")).as("s"))
+        .select(col("dst").as("v"), col("s"))
+      h = e.join(a, e("dst") === a("v"))
+        .groupBy(col("src")).agg(sum(col("s")).as("s"))
+        .select(col("src").as("v"), col("s"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        a = a.localCheckpoint(); h = h.localCheckpoint()
+      }
+    }
+    def normalized(df: DataFrame, side: String) = {
+      val mx = df.agg(max(col("s")).as("_m"))
+      df.crossJoin(broadcast(mx))
+        .select(lit(side).as("side"), col("v"),
+          round(col("s").cast("double") / col("_m").cast("double"), 6)
+            .as("score_r"))
+    }
+    normalized(a, "auth").unionByName(normalized(h, "hub"))
+  }
 }

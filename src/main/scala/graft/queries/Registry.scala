@@ -10,7 +10,8 @@ object Registry {
       CurationQueries.all ++ InsightQueries.all ++ DepthQueries.all ++
       ScaleQueries.all ++ ServeQueries.all ++ WideQueries.all ++
       PipelineQueries.all ++ AuditQueries.all ++ StatQueries.all ++
-      QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all
+      QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all ++
+      GraphMetricQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

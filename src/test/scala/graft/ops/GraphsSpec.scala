@@ -187,4 +187,43 @@ class GraphsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("degreeAssortativity: a star is exactly -1; constant degree " +
+      "(triangle) yields null; histogram counts nodes per degree") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rows = Graphs.degreeAssortativity(star).orderBy("degree")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 3L), (3L, 1L)))
+    assert(rows.forall(_.getDouble(2) == -1.0), rows.mkString(","))
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graphs.degreeAssortativity(tri).collect()
+    assert(t.forall(_.isNullAt(2)), "constant-degree graph: r undefined")
+  }
+
+  test("localClustering: a triangle is all-1 with transitivity 1; a " +
+      "path's center is 0 and its leaves null") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graphs.localClustering(tri).orderBy("vertex").collect()
+    assert(t.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L
+      && r.getDouble(3) == 1.0))
+    assert(t.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graphs.localClustering(path).orderBy("vertex").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(2L).getDouble(3) == 0.0, "center: 0 of 1 possible wedge")
+    assert(p(1L).isNullAt(3) && p(3L).isNullAt(3), "deg-1 leaves: null")
+    assert(p(2L).getDouble(4) == 0.0, "transitivity 0")
+    assert(p(2L).getDouble(5) == 0.0, "avg clustering 0 (only the center)")
+  }
+
+  test("hits: hand bipartite — two integer iterations then one " +
+      "max-normalization; scores match the worked example") {
+    // c1→{s1,s2}, c2→{s1}: a1=(2,1); h1=(3,2); a2=(5,3); h2=(8,5)
+    val e = Seq((10L, 100L), (10L, 200L), (20L, 100L)).toDF("src", "dst")
+    val got = Graphs.hits(e, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("auth", 100L)) == 1.0 && got(("auth", 200L)) == 0.6)
+    assert(got(("hub", 10L)) == 1.0 && got(("hub", 20L)) == 0.625)
+  }
 }
