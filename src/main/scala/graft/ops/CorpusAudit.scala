@@ -205,4 +205,43 @@ object CorpusAudit {
     firstShard.groupBy(col("shard")).agg(count(lit(1)).as("new_grams"))
       .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
   }
+
+  /** Differentially-private group release: per-group count and clamped
+    * sum with Laplace(Δ/ε) noise, plus small-group suppression — the
+    * governance gate for publishing per-slice corpus statistics.
+    * Sensitivities are the textbook ones (count Δ = 1; sum Δ = the
+    * per-row clamp C applied BEFORE aggregation — without the clamp a
+    * single outlier row makes the release non-private).
+    *
+    * Determinism (the testability requirement): the Laplace draw uses
+    * the md5-derived uniform u = (h mod 10⁶ + 0.5)/10⁶ from the group
+    * key + a per-statistic salt, inverted through
+    * noise = −b·sign(u−½)·ln(1−2|u−½|) — reproducible in any engine
+    * with md5, so the oracle checks the released values exactly. A
+    * production deployment swaps ONLY the uniform for a secret-seeded
+    * RNG; shape and scale are already correct. One hash-agg + per-group
+    * scalar arithmetic; the suppression threshold composes the
+    * k-anonymity gate (q163 family). `n_true` stays in this
+    * engine-internal frame for auditability; the PUBLISHABLE projection
+    * is (group, n_released_r, sum_released_r) only. */
+  def dpNoisedRelease(df: DataFrame, groupCol: String,
+      contribCol: String, eps: Double, clamp: Long,
+      minGroup: Long): DataFrame = {
+    def u(salt: String) =
+      ((conv(substring(md5(concat(col(groupCol), lit(salt))), 1, 15),
+        16, 10).cast("long") % 1000000).cast("double") + 0.5) / 1000000.0
+    def lap(uu: Column, b: Column) =
+      -b * signum(uu - 0.5) * log(lit(1.0) - lit(2.0) * abs(uu - 0.5))
+    val agg = df
+      .select(col(groupCol),
+        least(col(contribCol).cast("long"), lit(clamp)).as("_v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"), sum(col("_v")).as("_s"))
+      .where(col("n_true") >= minGroup)
+    agg.select(col(groupCol), col("n_true"),
+      round(col("n_true") + lap(u("#count"), lit(1.0 / eps)), 6)
+        .as("n_released_r"),
+      round(col("_s") + lap(u("#sum"), lit(clamp / eps)), 6)
+        .as("sum_released_r"))
+  }
 }

@@ -644,4 +644,65 @@ object TextOps {
           array_sort(collect_list(struct(col("pos"), col("term")))),
           s => s.getField("term")), " ")).as("chunk_md5"))
   }
+
+  /** Distinct-n diversity per group: for each n in `ns`, the share of
+    * DISTINCT n-grams among all n-gram instances — the standard
+    * "distinct-1/2/3" lexical-diversity readout (Li et al. '16) that
+    * flags template-y or self-repetitive corpus slices before they
+    * teach a model to loop.
+    *
+    * Shape: grams are built MAP-SIDE with a transform/slice lambda over
+    * each doc's token array (no self-join on position), then ONE
+    * (group, n, gram) hash-agg followed by a (group, n) rollup — the
+    * stacked-agg pattern, never a countDistinct Expand. Gram rows ≈
+    * Σ|ns| × tokens, all pipeline-local before the first shuffle. */
+  def distinctNgramRatio(df: DataFrame, groupCol: String,
+      textCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val toks = df.select(col(groupCol),
+      tokens(normalize(col(textCol))).as("_t"))
+    val grams = ns.map { n =>
+      // guard short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+      // slice errors at start 0 — an empty gram array is the semantics
+      toks.select(col(groupCol), lit(n).as("n"),
+        explode(expr(s"if(size(_t) >= $n, " +
+          s"transform(sequence(1, size(_t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(_t, i, $n))), " +
+          "array())")).as("gram"))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy(col(groupCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("_c")).as("n_total"))
+      .select(col(groupCol), col("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct") / col("n_total"), 6)
+          .as("distinct_ratio_r"))
+  }
+
+  /** Flesch reading-ease over aggregate counts per group:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the standard corpus heuristics — sentences = punctuation runs
+    * ([.!?]+, min 1 per doc), syllables = vowel groups ([aeiouy]+ in
+    * the lowercased text). The formula runs ONCE on per-group integer
+    * totals (not per doc then averaged), so the only float arithmetic
+    * is one shared parenthesization over exact sums. */
+  def fleschAggregate(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val per = df.select(col(groupCol),
+      size(tokens(normalize(col(textCol)))).cast("long").as("_w"),
+      greatest(lit(1L), size(regexp_extract_all(col(textCol),
+        lit("[.!?]+"), lit(0))).cast("long")).as("_s"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[aeiouy]+"), lit(0))).cast("long").as("_y"))
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_s")).as("n_sentences"), sum(col("_y")).as("n_syllables"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")), 6)
+          .as("flesch_r"))
+  }
 }

@@ -126,4 +126,38 @@ class CorpusAuditSpec extends SparkTestBase {
     assert(edited("*")._2 != base("*")._2)
     assert(edited("b") == base("b"))
   }
+
+  test("dpNoisedRelease: deterministic across runs; small groups " +
+      "suppressed; contributions clamped; noise bounded by b·ln(10⁶)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: 12 rows of 1000 (clamped to 500); group b: 3 rows (< 10)
+    val rows = (1 to 12).map(i => ("a", 1000L)) ++
+      (1 to 3).map(_ => ("b", 7L))
+    val df = rows.toDF("grp", "v")
+    def run() = CorpusAudit.dpNoisedRelease(df, "grp", "v",
+      eps = 1.0, clamp = 500L, minGroup = 10L).collect()
+    val r1 = run(); val r2 = run()
+    assert(r1.toSeq == r2.toSeq, "released values must be deterministic")
+    assert(r1.length == 1 && r1.head.getString(0) == "a",
+      "group b (n=3 < 10) must be suppressed")
+    val row = r1.head
+    assert(row.getLong(1) == 12L)
+    // exact expectation: replicate the md5-uniform Laplace inversion —
+    // the clamp makes the noiseless sum 12·500 = 6000, not 12000
+    def lap(key: String, b: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000 + 0.5) / 1e6
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) == r6(6000.0 + lap("a#sum", 500.0)),
+      row.toString)
+    assert(row.getDouble(2) == r6(12.0 + lap("a#count", 1.0)),
+      row.toString)
+    assert(row.getDouble(2) != 12.0, "noise must actually perturb")
+  }
 }

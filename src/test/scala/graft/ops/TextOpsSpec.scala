@@ -497,4 +497,37 @@ class TextOpsSpec extends SparkTestBase {
     // the "t5 t6" suffix chunk re-synchronizes despite shifted offsets
     assert(shared.length == 1, ch.toSeq.toString)
   }
+
+  test("distinctNgramRatio: hand counts for n=1..3; docs shorter than n " +
+      "contribute no grams (sequence(1,0) guard)") {
+    import spark.implicits._
+    val df = Seq(("g", "a b a b"), ("h", "x")).toDF("grp", "text")
+    val got = TextOps.distinctNgramRatio(df, "grp", "text", Seq(1, 2, 3))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // g: 1-grams 4/2; 2-grams "a b","b a","a b" → 3/2; 3-grams 2/2
+    assert(got(("g", 1)) == ((4L, 2L, 0.5)))
+    assert(got(("g", 2)) == ((3L, 2L, 0.666667)))
+    assert(got(("g", 3)) == ((2L, 2L, 1.0)))
+    // h ("x"): only the unigram row exists — no 2/3-grams at all
+    assert(got(("h", 1)) == ((1L, 1L, 1.0)))
+    assert(!got.contains(("h", 2)) && !got.contains(("h", 3)))
+  }
+
+  test("fleschAggregate: hand case — 'Hello world.' scores 77.905; a " +
+      "doc with no terminal punctuation still counts one sentence") {
+    import spark.implicits._
+    val df = Seq(("s", "Hello world."), ("t", "no punctuation here"))
+      .toDF("grp", "text")
+    val got = TextOps.fleschAggregate(df, "grp", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // hello world.: w=2 s=1 y=3 ("e","o","o") →
+    // 206.835 − 1.015·2 − 84.6·1.5 = 77.905
+    assert(got("s") == ((2L, 1L, 3L, 77.905)), got.toString)
+    // w=3, s=greatest(1,0)=1, y: o,u,ua,io,e,e → "o","u","ua","io","e","e"
+    val (w2, s2, _, _) = got("t")
+    assert(w2 == 3L && s2 == 1L)
+  }
 }
