@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,5 +151,115 @@ object TimeSeries {
         round(col("_s") - least(col("_smin"), lit(0.0)), 6).as("cusum_r"),
         (col("_s") - least(col("_smin"), lit(0.0)) > threshold)
           .as("alarm"))
+  }
+
+  /** Day-of-week seasonal index per key: mean daily count on each
+    * weekday divided by the key's overall mean daily count — the
+    * "Mondays run 1.3×" profile that separates weekly rhythm from real
+    * trend shifts before an alert fires. dow is 0 = Sunday … 6
+    * (Spark's dayofweek − 1 == DuckDB/Postgres dayofweek).
+    *
+    * Two stacked hash-aggs (events → day grain → (key, dow)) plus a
+    * |keys|-row totals broadcast; the index is a ratio of two integer
+    * means in one shared parenthesization. */
+  def dowSeasonalIndex(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_n"))
+    val perDow = daily
+      .groupBy(col(keyCol), (dayofweek(col("_day")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_n")).as("_s"))
+    val tot = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_td"), sum(col("_n")).as("_tn"))
+    perDow.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("n_days"),
+        round(col("_s") / col("n_days"), 6).as("mean_count_r"),
+        round((col("_s") / col("n_days"))
+          / (col("_tn") / col("_td")), 6).as("seasonal_index_r"))
+  }
+
+  /** Ratio-to-moving-average seasonal decomposition (the classical
+    * multiplicative method): detrend each complete-window day by its
+    * centered 7-day moving average, then average the detrended ratios
+    * per weekday — the trend-adjusted sibling of [[dowSeasonalIndex]]
+    * (a ramping series fools a plain weekday mean; dividing by the
+    * local MA removes the ramp first).
+    *
+    * Determinism: the MA is an exact integer frame sum / 7.0; the
+    * per-weekday mean sums the 6-dp-ROUNDED ratios as DECIMAL(18,6) —
+    * order-independent — and divides once. The rounding itself is the
+    * engine-agnostic ⌊x·10⁶ + ½⌋/10⁶ (pure IEEE ops on identical
+    * doubles): ratios like 7n/Σ land EXACTLY on .xxxxxx5 boundaries,
+    * where Spark's exact-decimal HALF_UP and a multiply-round
+    * implementation can disagree by 1e-6 (caught by the sf0.1 gate).
+    * Windows run over the day-grain table (≤ span rows per key), never
+    * the event table. */
+  def ratioToMaSeasonal(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    def flo6(c: Column): Column =
+      floor(c * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("_ws", sum(col("n")).over(w))
+      .where(col("_wn") === 7) // complete centered windows only
+      .withColumn("_ratio", flo6(col("n") / (col("_ws") / 7.0)))
+    det
+      .groupBy(col(keyCol), (dayofweek(col("day")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("_ratio").cast("decimal(18,6)")).cast("double")
+          .as("_rs"))
+      .select(col(keyCol), col("dow"), col("n_obs"),
+        flo6(col("_rs") / col("n_obs")).as("seasonal_r"))
+  }
+
+  /** Rolling robust anomaly flags: per (key, day), the trailing
+    * `windowDays`-day count window's MEDIAN and MAD (computed exactly
+    * from the sorted window array — percentile_cont interpolation),
+    * flagging days with |n − med| > k · 1.4826 · MAD. The
+    * monitoring-grade outlier rule: a traffic spike inflates a rolling
+    * MEAN/σ enough to mask the next spike; the median/MAD window
+    * doesn't care.
+    *
+    * The window array is ≤ `windowDays` elements over the DAY-GRAIN
+    * table (≤ span rows per key — bounded regardless of event volume),
+    * so the sort-in-a-lambda is constant work per row; counts are
+    * integers, making every median/deviation an exact half-integer and
+    * the threshold one IEEE product. */
+  def rollingMadAnomalies(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int, k: Double = 3.0): DataFrame = {
+    require(windowDays >= 2)
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    // interpolated median of a SORTED double array (percentile_cont)
+    def medOf(arr: Column): Column = {
+      val m = size(arr)
+      // Column./ is double division — cast back for the 1-based index
+      val mid = ((m + 1) / 2).cast("int")
+      val lo = (m / 2).cast("int")
+      when(m % 2 === 1, element_at(arr, mid))
+        .otherwise((element_at(arr, lo)
+          + element_at(arr, lo + 1)) / 2.0)
+    }
+    val withArr = daily
+      .withColumn("_arr",
+        sort_array(collect_list(col("n").cast("double")).over(w)))
+      .withColumn("med", medOf(col("_arr")))
+      .withColumn("_devs",
+        sort_array(transform(col("_arr"),
+          x => abs(x - col("med")))))
+      .withColumn("mad", medOf(col("_devs")))
+    withArr.select(col(keyCol), col("day"), col("n"),
+      round(col("med"), 6).as("med_r"), round(col("mad"), 6).as("mad_r"),
+      (abs(col("n") - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+        .as("is_anomaly"))
   }
 }

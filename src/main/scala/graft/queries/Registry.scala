@@ -11,7 +11,8 @@ object Registry {
       ScaleQueries.all ++ ServeQueries.all ++ WideQueries.all ++
       PipelineQueries.all ++ AuditQueries.all ++ StatQueries.all ++
       QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all ++
-      GraphMetricQueries.all ++ CorpusMetricQueries.all
+      GraphMetricQueries.all ++ CorpusMetricQueries.all ++
+      SeasonalQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -117,4 +117,44 @@ class TimeSeriesSpec extends SparkTestBase {
       .collect().map(_.getDouble(3))
     assert(flat.forall(_ == 0.0), flat.toSeq.toString)
   }
+
+  test("dowSeasonalIndex: hand case — Monday mean 3 vs overall 4 → " +
+      "0.75; dow numbering is 0 = Sunday") {
+    // Mondays 2024-01-01 (4 events) + 2024-01-08 (2), Tuesday 01-02 (6)
+    val e = (Seq.fill(4)("2024-01-01 10:00:00")
+      ++ Seq.fill(2)("2024-01-08 10:00:00")
+      ++ Seq.fill(6)("2024-01-02 10:00:00"))
+      .map(s => ("k", ts(s))).toDF("key", "ts")
+    val got = TimeSeries.dowSeasonalIndex(e, "key", "ts").collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got(1) == ((2L, 3.0, 0.75)), s"Monday: $got") // dow 1 = Monday
+    assert(got(2) == ((1L, 6.0, 1.5)), s"Tuesday: $got")
+  }
+
+  test("ratioToMaSeasonal: a constant series decomposes to seasonal 1.0 " +
+      "on every weekday; incomplete edge windows are dropped") {
+    // 14 days × 2 events/day → MA = 2 everywhere, ratios 1.0; complete
+    // centered windows exist only for days 4..11 (8 days)
+    val e = (1 to 14).flatMap(dd => Seq.fill(2)(
+      ("k", ts(f"2024-01-$dd%02d 10:00:00")))).toDF("key", "ts")
+    val rows = TimeSeries.ratioToMaSeasonal(e, "key", "ts").collect()
+    assert(rows.map(_.getLong(2)).sum == 8L, rows.mkString(","))
+    assert(rows.forall(_.getDouble(3) == 1.0), rows.mkString(","))
+  }
+
+  test("rollingMadAnomalies: a 10× spike against a constant baseline " +
+      "is the ONLY flagged day (zero-MAD window flags any deviation)") {
+    val base = (1 to 10).flatMap(dd => Seq.fill(5)(
+      ("k", ts(f"2024-01-$dd%02d 10:00:00"))))
+    val spike = Seq.fill(50)(("k", ts("2024-01-11 10:00:00")))
+    val e = (base ++ spike).toDF("key", "ts")
+    val got = TimeSeries.rollingMadAnomalies(e, "key", "ts",
+        windowDays = 7)
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got("2024-01-11") == ((5.0, 0.0, true)), got.toString)
+    assert(got.filter(_._1 != "2024-01-11").values.forall(!_._3),
+      got.toString)
+  }
 }
