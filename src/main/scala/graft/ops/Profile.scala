@@ -469,4 +469,39 @@ object Profile {
         sum(when(col("_dev") > lit(k) * lit(1.4826) * col("_mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two binary
+    * raters (two labeling heuristics, a model vs a human pass, two
+    * annotation vendors): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement and p_e the agreement expected from each
+    * rater's marginal rates. The QA readout for "are these two quality
+    * gates measuring the same thing, beyond baseline luck" — raw
+    * agreement alone flatters raters that mostly say the same common
+    * class.
+    *
+    * Shape: ONE hash-agg folds the 2×2 confusion matrix per group;
+    * everything else is arithmetic on those four integers in one
+    * expression, rounded to 6. κ is null when p_e = 1 (degenerate
+    * margins — both raters constant with the same value); that 0/0 is
+    * pinned to null (SQL semantics) rather than NaN. */
+  def cohenKappa(df: DataFrame, groupCol: String, raterA: Column,
+      raterB: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(raterA && raterB, 1L).otherwise(0L)).as("n11"),
+      sum(when(raterA && !raterB, 1L).otherwise(0L)).as("n10"),
+      sum(when(!raterA && raterB, 1L).otherwise(0L)).as("n01"),
+      sum(when(!raterA && !raterB, 1L).otherwise(0L)).as("n00"))
+    // p_o·n² and p_e·n² stay integers; κ = (po·n² − pe·n²)/(n² − pe·n²)
+    val n2 = col("n") * col("n")
+    val po2 = (col("n11") + col("n00")) * col("n")
+    val pe2 = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    agg.select(col(groupCol), col("n"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      round(po2.cast("double") / n2.cast("double"), 6).as("po_r"),
+      when(n2 - pe2 =!= 0,
+        round((po2 - pe2).cast("double") / (n2 - pe2).cast("double"), 6))
+        .as("kappa_r"))
+  }
 }

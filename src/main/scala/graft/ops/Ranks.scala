@@ -247,4 +247,98 @@ object Ranks {
         min(when(col("_runw") * 2 >= col("_totw"), col(valueCol)))
           .as("wmedian"))
   }
+
+  /** Per-group SPEARMAN rank correlation (tie-corrected, average
+    * ranks) between two numeric columns — the monotone-association
+    * reading Pearson (q94) misses when a relationship is nonlinear or
+    * outlier-laden. Average ranks come from the same value-rollup shape
+    * as [[rankSumAuc]]: cumulative counts over the per-(group, value)
+    * TABLE (distinct values per partition, never corpus rows), so heavy
+    * ties cost nothing and no group ever sorts in one task.
+    *
+    * Exactness: DOUBLED average ranks 2r = 2·cum_before + cnt + 1 are
+    * integers; Spearman's r is scale-invariant, so it is computed from
+    * the doubled ranks directly — every aggregate is an exact integer
+    * (products summed as DECIMAL(38,0): Σ(2rx·2ry) ≤ 4n³ needs >64 bits
+    * long before n does) and the only float is the final one-expression
+    * ratio, rounded to 6. Rows where either value is null are dropped
+    * (rank semantics need both coordinates). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(xCol), col(yCol))
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val per = base.groupBy(col(groupCol), col(c))
+        .agg(count(lit(1)).as("_cnt"))
+      val w = Window.partitionBy(groupCol).orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.withColumn("_cum", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+        .select(col(groupCol), col(c),
+          (lit(2) * col("_cum") + col("_cnt") + 1).as(out))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    base
+      .join(doubledRanks(xCol, "_rx"), Seq(groupCol, xCol))
+      .join(doubledRanks(yCol, "_ry"), Seq(groupCol, yCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_rx"))).as("_sx"), sum(dec(col("_ry"))).as("_sy"),
+        sum(dec(col("_rx")) * dec(col("_ry"))).as("_sxy"),
+        sum(dec(col("_rx")) * dec(col("_rx"))).as("_sxx"),
+        sum(dec(col("_ry")) * dec(col("_ry"))).as("_syy"))
+      .select(col(groupCol), col("n"),
+        when((col("n") * col("_sxx") - col("_sx") * col("_sx") > 0) &&
+            (col("n") * col("_syy") - col("_sy") * col("_sy") > 0),
+          round(
+            (col("n") * col("_sxy") - col("_sx") * col("_sy"))
+              .cast("double") /
+            sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double") *
+              (col("n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double")),
+            6)).as("spearman_r"))
+  }
+
+  /** Cumulative-gains / LIFT table: rank the population by a model
+    * score (descending, id tiebreak), cut it into `buckets` equal-width
+    * rank slices, and report per-slice positives, response rate,
+    * cumulative capture of all positives, and lift vs the base rate —
+    * the campaign-targeting readout ("the top decile holds 4× its share
+    * of converters") that decides how deep to act on a ranking.
+    *
+    * Shape: one [[bandedRank]] pass (global total order, no single-task
+    * sort), slice assignment as pure integer arithmetic
+    * ⌊rank·buckets/n⌋, one hash-agg to the `buckets`-row table, and
+    * cumulative windows over that table. Every statistic derives from
+    * integer counts; ratios are evaluated once and rounded to 6. */
+  def liftTable(df: DataFrame, scoreCol: String, idCol: String,
+      labelCol: String, buckets: Int, bandWidth: Double): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val ranked = bandedRank(
+      df.select(lit(0).as("_g"), col(idCol), col(labelCol),
+        (-col(scoreCol)).as("_neg")),
+      "_g", "_neg", idCol, bandWidth)
+    val sliced = ranked.withColumn("bucket",
+      ntileFromRank(col("rnk"), col("grp_n"), buckets).cast("long"))
+    val per = sliced.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+    // cumulative + totals over the `buckets`-row table (spec-frame
+    // windows, not data windows)
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("_tp", sum(col("n_pos")).over(wAll))
+      .withColumn("_tr", sum(col("n_rows")).over(wAll))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round(col("n_pos") / col("n_rows"), 6).as("rate_r"),
+        when(col("_tp") > 0, round(col("cum_pos") / col("_tp"), 6))
+          .as("capture_r"),
+        when(col("_tp") > 0,
+          round((col("n_pos") / col("n_rows")) /
+            (col("_tp") / col("_tr")), 6)).as("lift_r"))
+  }
 }

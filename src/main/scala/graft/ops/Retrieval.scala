@@ -85,4 +85,61 @@ object Retrieval {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topN)
   }
+
+  /** Offline ranking-quality metrics for a retrieval system: given a
+    * ranked candidate list (q_id, rn, neighbor_id — e.g.
+    * [[Similarity.cosineTopK]] or [[bm25TopK]] output) and a relevance
+    * set (q_id, neighbor_id), the standard eval readout per query:
+    * hits@k, precision@k, recall@k, MRR and nDCG@k (binary gains) —
+    * the numbers that gate an ANN index or retriever change before it
+    * ships.
+    *
+    * Scale shape: the ranked list is ≤ k rows/query regardless of
+    * corpus size; one equi-join flags relevance, one hash-agg folds the
+    * metrics, and the ideal-DCG lookup is a broadcast k-row spec frame.
+    * Nothing corpus-sized appears anywhere. Float determinism: MRR is
+    * max(1/rn) over relevant rows (order-free); DCG sums 9-dp-rounded
+    * 1/log2(rn+1) terms as DECIMAL(18,9); the ideal-DCG cumulative is
+    * built from the SAME rounded terms, so nDCG is a ratio of two
+    * order-independent decimals. Queries with no relevant document get
+    * null recall/nDCG (0/0 pinned to null, SQL semantics). */
+  def rankingMetrics(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = ranked.sparkSession
+    val totals = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.where(col("rn") <= k)
+      .join(rel.withColumn("_rel", lit(1)), Seq("q_id", "neighbor_id"),
+        "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0)))
+    val zero = lit(BigDecimal(0).setScale(9)).cast("decimal(18,9)")
+    val perQ = flagged.groupBy("q_id").agg(
+      sum(col("_rel")).cast("long").as("hits"),
+      max(when(col("_rel") === 1,
+        round(lit(1.0) / col("rn"), 9)).otherwise(lit(0.0))).as("_mrr"),
+      sum(when(col("_rel") === 1,
+        round(lit(1.0) / log2(col("rn") + 1), 9).cast("decimal(18,9)"))
+        .otherwise(zero)).as("_dcg"))
+    // ideal DCG after i hits, i = 1..k: cumulative sum of the SAME
+    // 9-dp-rounded gain terms (k rows — the single-partition window is
+    // a spec-frame fold, not a data window)
+    val gains = s.range(1, k + 1L).select(col("id").cast("int").as("_i"),
+      round(lit(1.0) / log2(col("id") + 1), 9).cast("decimal(18,9)")
+        .as("_g"))
+    val idcg = gains.select(col("_i"), sum(col("_g")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("_i")
+          .rowsBetween(Long.MinValue, 0)).as("_idcg"))
+    perQ
+      .join(totals, Seq("q_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .join(broadcast(idcg), least(col("n_rel"), lit(k)) === col("_i"),
+        "left")
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("precision_r"),
+        when(col("n_rel") > 0, round(col("hits") / col("n_rel"), 6))
+          .as("recall_r"),
+        round(col("_mrr"), 6).as("mrr_r"),
+        when(col("n_rel") > 0,
+          round(col("_dcg").cast("double") / col("_idcg").cast("double"),
+            6)).as("ndcg_r"))
+  }
 }

@@ -262,4 +262,62 @@ object TimeSeries {
       (abs(col("n") - col("med")) > lit(k) * lit(1.4826) * col("mad"))
         .as("is_anomaly"))
   }
+
+  /** Per-key autocorrelation function of the DAILY COUNT series at lags
+    * 1..`maxLag` — the readout that picks the seasonal period (a spike
+    * at lag 7 = weekly rhythm) and decides whether "yesterday predicts
+    * today" before any forecasting model is budgeted. Uses the standard
+    * full-series-mean estimator
+    * r(l) = Σ_t (x_t−μ)(x_{t+l}−μ) / Σ_t (x_t−μ)², with the series
+    * gap-filled to zero on missing days (a count series IS zero on a
+    * silent day; skipping gaps would splice non-adjacent days together).
+    *
+    * Exactness: counts are integers, so every aggregate — the lag-pair
+    * products Σ x_t·x_{t+l}, the marginal sums over each pair window,
+    * and the global Σx/Σx² — is integer-exact; the estimator expands to
+    * (P − μ(A+B) + mμ²)/(SS − nμ²) with μ = S/n, ONE float expression
+    * evaluated identically by both engines, rounded to 6.
+    *
+    * Shape: one hash-agg to day grain (≤ span rows/key regardless of
+    * event volume), the spine+zero-fill explode, then ONE equi-join of
+    * the day table against itself shifted by each lag (the lag spec is
+    * a broadcast `maxLag`-row frame), and two tiny rollups. Nothing
+    * event-volume-sized past the first agg. */
+  def acfDaily(events: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val s = events.sparkSession
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val filled = daily
+      .groupBy(keyCol)
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("_x"), lit(0L)).as("x"))
+    val stats = filled.groupBy(keyCol)
+      .agg(count(lit(1)).as("_n"), sum(col("x")).as("_s"),
+        sum(col("x") * col("x")).as("_ss"))
+    val lags = s.range(1, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val lagged = filled.crossJoin(broadcast(lags))
+      .select(col(keyCol), col("lag"),
+        date_add(col("day"), col("lag")).as("day"),
+        col("x").as("_x1"))
+    val pairs = lagged
+      .join(filled.withColumnRenamed("x", "_x2"), Seq(keyCol, "day"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("_m"), sum(col("_x1") * col("_x2")).as("_p"),
+        sum(col("_x1")).as("_a"), sum(col("_x2")).as("_b"))
+    val mu = col("_s").cast("double") / col("_n")
+    pairs.join(stats, Seq(keyCol))
+      .select(col(keyCol), col("lag"), col("_m").as("n_pairs"),
+        when(col("_ss") > mu * col("_s"), // SS − nμ² = SS − μS > 0
+          round((col("_p") - mu * (col("_a") + col("_b"))
+            + col("_m") * mu * mu) /
+            (col("_ss") - mu * col("_s")), 6)).as("acf_r"))
+  }
 }

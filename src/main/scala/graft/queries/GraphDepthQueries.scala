@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graphs
+import graft.util.Tables._
+
+/** Graph-depth batch: k-core extraction and Adamic–Adar link
+  * prediction over the PART co-occurrence graph — the "dense region"
+  * and "missing edge" readouts that complement the shape metrics
+  * (q213–q215) and the iterative algorithms (q89/q103/q128/q140).
+  */
+object GraphDepthQueries {
+
+  /** PART co-occurrence graph (support ≥ 2) — q140/q213's sparse
+    * fixture. */
+  private val partEdges =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |e0 AS (
+      |  SELECT a.i AS src, b.i AS dst
+      |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** One unrolled peel round: degrees of the live subgraph, the
+    * surviving vertex set, the reduced edge list. */
+  private def peel(r: Int, prev: String, k: Int): String =
+    s"""d$r AS (SELECT src, count(*)::BIGINT AS deg FROM $prev GROUP BY 1),
+       |v$r AS (SELECT src AS v FROM d$r WHERE deg >= $k),
+       |s$r AS (SELECT e.src, e.dst FROM $prev e
+       |  JOIN v$r x ON e.src = x.v JOIN v$r y ON e.dst = y.v)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // 3-core of the PART graph after 4 fixed peel rounds (GraphsSpec
+    // asserts 4 rounds reach the fixpoint on both sf fixtures, so this
+    // IS the exact 3-core): survivors with their in-core degree.
+    Q("q224_kcore",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |${peel(1, "sym", 3)},
+              |${peel(2, "s1", 3)},
+              |${peel(3, "s2", 3)},
+              |${peel(4, "s3", 3)}
+              |SELECT src AS vertex, count(*)::BIGINT AS core_deg
+              |FROM s4 GROUP BY 1 HAVING count(*) >= 3
+              |ORDER BY vertex""".stripMargin),
+      (s, d) => Graphs.kCore(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_partkey", 2L),
+          k = 3, rounds = 4)
+        .orderBy("vertex")),
+
+    // Adamic–Adar link prediction on the PART graph: non-adjacent
+    // pairs with ≥2 common neighbors, scored by Σ 1/ln(deg w) — each
+    // term 9-dp-rounded and summed as DECIMAL so the float sum is
+    // order-independent across engines.
+    Q("q225_adamic_adar",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |deg AS (SELECT src AS w, count(*)::BIGINT AS deg
+              |        FROM sym GROUP BY 1),
+              |wedge AS (
+              |  SELECT a.dst AS u, b.dst AS v,
+              |    round(1.0 / ln(deg.deg), 9)::DECIMAL(18,9) AS aa
+              |  FROM sym a JOIN sym b
+              |    ON a.src = b.src AND a.dst < b.dst
+              |  JOIN deg ON deg.w = a.src)
+              |SELECT u, v, count(*)::BIGINT AS common_neighbors,
+              |  round(sum(aa)::DOUBLE, 6) AS aa_score_r
+              |FROM wedge
+              |WHERE NOT EXISTS (SELECT 1 FROM e0
+              |                  WHERE e0.src = wedge.u AND e0.dst = wedge.v)
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY u, v""".stripMargin),
+      (s, d) => Graphs.adamicAdar(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_partkey", 2L),
+          minCommon = 2L)
+        .orderBy("u", "v")))
+}

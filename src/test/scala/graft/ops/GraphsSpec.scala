@@ -217,6 +217,53 @@ class GraphsSpec extends SparkTestBase {
     assert(p(2L).getDouble(5) == 0.0, "avg clustering 0 (only the center)")
   }
 
+  test("kCore: peels a tail off a clique; extra rounds are a no-op " +
+      "(fixpoint); k above the max degree empties the graph") {
+    // K4 on {1,2,3,4} + pendant path 4-5-6: the 3-core is exactly K4,
+    // reached after 2 peel rounds (6 drops, then 5).
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = Graphs.kCore(e, k = 3, rounds = 2).orderBy("vertex")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val more = Graphs.kCore(e, k = 3, rounds = 5).orderBy("vertex")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(more == core, "fixpoint: extra rounds change nothing")
+    assert(Graphs.kCore(e, k = 4, rounds = 3).isEmpty)
+  }
+
+  test("q224 fixture: 4 peel rounds reach the 3-core fixpoint on the " +
+      "sf0.001 PART graph") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val edges = Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2L)
+      .cache()
+    val r4 = Graphs.kCore(edges, k = 3, rounds = 4).orderBy("vertex")
+      .collect().toSeq
+    val r5 = Graphs.kCore(edges, k = 3, rounds = 5).orderBy("vertex")
+      .collect().toSeq
+    assert(r4 == r5, "the registered 4-round run is the exact 3-core")
+  }
+
+  test("adamicAdar: square + one diagonal — the open pair scores " +
+      "1/ln3 + 1/ln3; adjacent pairs are excluded") {
+    // square 1-2-3-4-1 plus chord (1,3): candidate non-edge is (2,4),
+    // common neighbors {1,3} with deg(1)=3, deg(3)=3.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graphs.adamicAdar(e, minCommon = 2L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 4L, 2L))
+    val expect = BigDecimal(1.0 / math.log(3.0)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble * 2
+    assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+  }
+
+  test("adamicAdar: a triangle has no non-adjacent pairs") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graphs.adamicAdar(tri, 1L).isEmpty)
+  }
+
   test("hits: hand bipartite — two integer iterations then one " +
       "max-normalization; scores match the worked example") {
     // c1→{s1,s2}, c2→{s1}: a1=(2,1); h1=(3,2); a2=(5,3); h2=(8,5)

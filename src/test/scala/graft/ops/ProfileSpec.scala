@@ -275,4 +275,46 @@ class ProfileSpec extends SparkTestBase {
     assert(got("g") == ((5L, 14.0, 2.0, 1L)), got.toString)
     assert(got("h") == ((4L, 5.0, 0.0, 1L)), got.toString)
   }
+
+  test("cohenKappa: perfect agreement = 1; independent raters with " +
+      "balanced margins ≈ 0; constant rater → null (pe = 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq(("g", true, true), ("g", false, false),
+      ("g", true, true)).toDF("grp", "a", "b")
+    val p = Profile.cohenKappa(perfect, "grp", col("a"), col("b"))
+      .collect().head
+    assert(p.getDouble(6) == 1.0 && p.getDouble(7) == 1.0)
+    // 2×2 balanced independence: n11=n10=n01=n00=1 → po=0.5, pe=0.5, κ=0
+    val indep = Seq(("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false)).toDF("grp", "a", "b")
+    val i = Profile.cohenKappa(indep, "grp", col("a"), col("b"))
+      .collect().head
+    assert(i.getDouble(6) == 0.5 && i.getDouble(7) == 0.0)
+    // ONE constant rater only shifts pe (A const-true, B 50/50 → κ=0);
+    // pe = 1 — the null case — needs BOTH raters constant and equal
+    val oneConst = Seq(("g", true, true), ("g", true, false))
+      .toDF("grp", "a", "b")
+    assert(Profile.cohenKappa(oneConst, "grp", col("a"), col("b"))
+      .collect().head.getDouble(7) == 0.0)
+    val bothConst = Seq(("g", true, true), ("g", true, true))
+      .toDF("grp", "a", "b")
+    val c = Profile.cohenKappa(bothConst, "grp", col("a"), col("b"))
+      .collect().head
+    assert(c.isNullAt(7), "degenerate margins: κ undefined → null")
+  }
+
+  test("cohenKappa: worked asymmetric example matches the textbook " +
+      "formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // n=10: n11=4, n10=1, n01=2, n00=3 → po=0.7,
+    // pe = (5*6 + 5*4)/100 = 0.5 → κ = 0.2/0.5 = 0.4
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.map { case (a, b) => ("g", a, b) }.toDF("grp", "a", "b")
+    val r = Profile.cohenKappa(df, "grp", col("a"), col("b"))
+      .collect().head
+    assert(r.getDouble(6) == 0.7 && r.getDouble(7) == 0.4, r.toString)
+  }
 }

@@ -191,4 +191,56 @@ class RanksSpec extends SparkTestBase {
       }
     assert(gotU == wantU)
   }
+
+  test("spearman: perfect monotone = 1, reversed = -1, ties use " +
+      "average ranks (hand-checked value), constant column = null") {
+    import spark.implicits._
+    val mono = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 35L))
+      .toDF("grp", "x", "y")
+    assert(Ranks.spearman(mono, "grp", "x", "y").collect()
+      .head.getDouble(2) == 1.0)
+    val rev = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 10L))
+      .toDF("grp", "x", "y")
+    assert(Ranks.spearman(rev, "grp", "x", "y").collect()
+      .head.getDouble(2) == -1.0)
+    // x = (1,2,2,3), y = (1,2,3,4): avg x-ranks (1, 2.5, 2.5, 4).
+    // Pearson on ranks = 3/sqrt(10) ≈ 0.948683
+    val tied = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 2L, 3L),
+      ("g", 3L, 4L)).toDF("grp", "x", "y")
+    val r = Ranks.spearman(tied, "grp", "x", "y").collect().head
+    assert(r.getLong(1) == 4)
+    assert(math.abs(r.getDouble(2) - 3.0 / math.sqrt(10.0)) < 1e-6)
+    val const = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("grp", "x", "y")
+    assert(Ranks.spearman(const, "grp", "x", "y").collect()
+      .head.isNullAt(2), "zero variance → null, not NaN")
+  }
+
+  test("liftTable: two buckets, all positives in the top — capture " +
+      "100% at bucket 1, lift = 2x base") {
+    import spark.implicits._
+    // scores 4..1; ids 1..4; positives are the two high scorers
+    val df = Seq((1L, 4L, true), (2L, 3L, true), (3L, 2L, false),
+      (4L, 1L, false)).toDF("id", "sc", "pos")
+    val got = Ranks.liftTable(df, "sc", "id", "pos", buckets = 2,
+        bandWidth = 2.0)
+      .orderBy("bucket").collect()
+    assert(got.length == 2)
+    val b1 = got(0); val b2 = got(1)
+    assert(b1.getLong(1) == 2 && b1.getLong(2) == 2) // n_rows, n_pos
+    assert(b1.getDouble(3) == 1.0)   // rate
+    assert(b1.getDouble(4) == 1.0)   // capture after bucket 1
+    assert(b1.getDouble(5) == 2.0)   // lift vs base 0.5
+    assert(b2.getLong(2) == 0 && b2.getDouble(3) == 0.0
+      && b2.getDouble(4) == 1.0 && b2.getDouble(5) == 0.0)
+  }
+
+  test("liftTable: bucket sizes follow the ntile law on a non-divisible " +
+      "population") {
+    import spark.implicits._
+    val df = (1L to 7L).map(i => (i, 100L - i, i % 3 == 0))
+      .toDF("id", "sc", "pos")
+    val sizes = Ranks.liftTable(df, "sc", "id", "pos", 3, 10.0)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    assert(sizes == Seq(3L, 2L, 2L), s"ntile(3) over 7 rows: $sizes")
+  }
 }

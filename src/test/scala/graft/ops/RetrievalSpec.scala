@@ -91,4 +91,38 @@ class RetrievalSpec extends SparkTestBase {
     // ties: (5,7) at 1/61 then (6,8) at 1/62 — id breaks each tie
     assert(rows.toSeq == Seq(5L, 7L, 6L))
   }
+
+  test("rankingMetrics: hand example — hits, precision, recall, MRR, " +
+      "nDCG from a 3-deep ranking") {
+    import spark.implicits._
+    // query 1: relevant at rn 1 and 3, one more relevant unretrieved.
+    // query 2: nothing relevant retrieved but 1 relevant exists.
+    // query 3: no relevant documents at all.
+    val ranked = Seq(
+      (1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 1, 201L), (2L, 2, 202L), (2L, 3, 203L),
+      (3L, 1, 301L), (3L, 2, 302L), (3L, 3, 303L)
+    ).toDF("q_id", "rn", "neighbor_id")
+    val rel = Seq((1L, 101L), (1L, 103L), (1L, 199L), (2L, 299L))
+      .toDF("q_id", "neighbor_id")
+    val got = Retrieval.rankingMetrics(ranked, rel, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def log2d(x: Double) = math.log(x) / math.log(2.0)
+    val g = (i: Int) => BigDecimal(1.0 / log2d(i + 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // q1: hits 2/3, recall 2/3, mrr 1, ndcg = (g1+g3)/(g1+g2+g3)
+    assert(got(1L).getLong(1) == 3 && got(1L).getLong(2) == 2)
+    assert(got(1L).getDouble(3) == 0.666667) // precision@3
+    assert(got(1L).getDouble(4) == 0.666667) // recall
+    assert(got(1L).getDouble(5) == 1.0)      // mrr
+    val wantNdcg = ((g(1) + g(3)) / (g(1) + g(2) + g(3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L).getDouble(6) - wantNdcg) < 1e-9)
+    // q2: 0 hits but 1 relevant → zeros, not nulls
+    assert(got(2L).getLong(2) == 0 && got(2L).getDouble(4) == 0.0
+      && got(2L).getDouble(5) == 0.0 && got(2L).getDouble(6) == 0.0)
+    // q3: no relevant → recall/ndcg null, precision/mrr defined
+    assert(got(3L).getLong(1) == 0 && got(3L).isNullAt(4)
+      && got(3L).getDouble(5) == 0.0 && got(3L).isNullAt(6))
+  }
 }

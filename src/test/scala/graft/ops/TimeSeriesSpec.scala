@@ -157,4 +157,36 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.filter(_._1 != "2024-01-11").values.forall(!_._3),
       got.toString)
   }
+
+  test("acfDaily: alternating daily counts — hand-computed lag-1/lag-2 " +
+      "values with the full-series-mean estimator") {
+    // counts (2,1,2,1,2,1) over 6 consecutive days:
+    // μ=1.5, SS−μS=1.5; lag1 num=−1.25 → −0.833333; lag2 num=1 → 0.666667
+    val counts = Seq(2, 1, 2, 1, 2, 1)
+    val e = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("k", ts(f"2024-02-${i + 1}%02d 09:00:00")))
+    }.toDF("key", "ts")
+    val got = TimeSeries.acfDaily(e, "key", "ts", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1) == ((5L, -0.833333)), got.toString)
+    assert(got(2) == ((4L, 0.666667)), got.toString)
+  }
+
+  test("acfDaily: silent days count as ZERO (spine fill), not spliced " +
+      "out — (2,0,2) gives lag-1 acf −2/3") {
+    val e = (Seq.fill(2)(("k", ts("2024-03-01 12:00:00"))) ++
+      Seq.fill(2)(("k", ts("2024-03-03 12:00:00")))).toDF("key", "ts")
+    val got = TimeSeries.acfDaily(e, "key", "ts", maxLag = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 2L)
+    assert(got.head.getDouble(3) == -0.666667, got.head.toString)
+  }
+
+  test("acfDaily: constant series has zero variance → null acf") {
+    val e = (1 to 4).map(i => ("k", ts(f"2024-04-0$i 08:00:00")))
+      .toDF("key", "ts")
+    val got = TimeSeries.acfDaily(e, "key", "ts", maxLag = 1).collect()
+    assert(got.head.isNullAt(3), got.head.toString)
+  }
 }
