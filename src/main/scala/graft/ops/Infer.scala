@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistical inference over warehouse-scale aggregates:
+  * Welch's unequal-variance t-test, normal-tail p-values, and
+  * Benjamini–Hochberg false-discovery-rate control. The reference
+  * pipeline surfaces raw per-video metrics and leaves "is this
+  * difference real" to its SQL consumers
+  * (/root/reference/fetch_youtube_data.py:143-200); these ops make the
+  * engine answer it directly — the metric-review / experiment-readout
+  * layer every analytics warehouse grows.
+  *
+  * Scale posture (100 TB): every test here consumes ONE hash-aggregate
+  * of exact integer/decimal moments (n, Σv, Σv²) — the corpus is
+  * touched once, the statistics are computed on the |groups|-row
+  * aggregate. BH-FDR runs on the HYPOTHESES table (one row per tested
+  * group — thousands at most, never corpus-sized), so its global
+  * rank window is a deliberate single-task step over a tiny input.
+  *
+  * Cross-engine determinism: moments are exact (integer-valued inputs
+  * summed as DECIMAL), every downstream formula is ONE shared
+  * parenthesization evaluated in doubles on both engines, and outputs
+  * are rounded to 6 dp (the [[Profile.poissonBootstrap]] /
+  * corr-matrix posture — ~1e-15 engine drift vs a 1e-6 grid).
+  */
+object Infer {
+
+  /** Abramowitz & Stegun 26.2.17 coefficients for the normal CDF tail
+    * polynomial (|error| < 7.5e-8 — far inside the 6-dp output grid). */
+  private[graft] val AS2617: Seq[Double] =
+    Seq(0.319381530, -0.356563782, 1.781477937,
+      -1.821255978, 1.330274429)
+  private[graft] val AS2617T = 0.2316419
+  private[graft] val InvSqrt2Pi = 0.3989422804014327
+
+  /** Standard normal CDF Φ(z) as a Column — A&S 26.2.17, Horner form.
+    * The SAME Horner chain is emitted by [[normalCdfSql]] so both
+    * engines evaluate an identical double expression tree. */
+  def normalCdf(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(AS2617T) * az)
+    val poly = AS2617.reverse.foldLeft(lit(0.0): Column)(
+      (acc, b) => acc * t + lit(b)) * t
+    val upper = lit(InvSqrt2Pi) * exp(-az * az / lit(2.0)) * poly
+    when(z >= 0, lit(1.0) - upper).otherwise(upper)
+  }
+
+  /** The identical Φ(z) expression for the DuckDB oracle; `z` is a SQL
+    * expression (pre-bind it in a CTE — it is spliced several times). */
+  def normalCdfSql(z: String): String = {
+    val t = s"(1.0 / (1.0 + $AS2617T * abs($z)))"
+    val horner = AS2617.reverse.foldLeft("0.0")(
+      (acc, b) => s"(($acc) * $t + $b)")
+    val upper = s"($InvSqrt2Pi * exp(-abs($z) * abs($z) / 2.0) " +
+      s"* (($horner) * $t))"
+    s"(CASE WHEN $z >= 0 THEN 1.0 - $upper ELSE $upper END)"
+  }
+
+  /** Welch's unequal-variance t-test per group: compare the mean of an
+    * INTEGER-VALUED metric (scale currency to cents upstream) between
+    * arm A (`armB` false) and arm B (true) without assuming equal
+    * variances — the default two-sample mean test when group sizes and
+    * spreads differ (Welch, Biometrika 1947). Emits per group: counts,
+    * 6-dp means, Cohen's d (pooled-SD effect size), the t statistic,
+    * the Welch–Satterthwaite degrees of freedom, and a two-sided
+    * p-value from the NORMAL approximation to the t distribution —
+    * exact-t needs an incomplete beta; at warehouse n (df in the
+    * thousands) the normal tail is indistinguishable and keeps the
+    * formula engine-portable ([[normalCdf]]).
+    *
+    * One hash-agg over the corpus to (n, Σv, Σv²) per (group, arm) —
+    * Σv² summed as DECIMAL(38,0) so 64-bit overflow cannot occur at
+    * any scale; all statistics come off the tiny aggregate. Degenerate
+    * guards: t/df/p null unless both arms have n ≥ 2 and positive
+    * variance; means/d null for an empty/single-row arm. */
+  def welchTTest(units: DataFrame, groupCol: String, armB: Column,
+      valueInt: Column): DataFrame = {
+    val v = valueInt.cast("decimal(38,0)")
+    val agg = units.groupBy(col(groupCol)).agg(
+      sum(when(!armB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!armB, v).otherwise(lit(null))).as("_sa"),
+      sum(when(!armB, v * v).otherwise(lit(null))).as("_ssa"),
+      sum(when(armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(armB, v).otherwise(lit(null))).as("_sb"),
+      sum(when(armB, v * v).otherwise(lit(null))).as("_ssb"))
+    // doubles from exact decimal moments; ONE parenthesization, shared
+    // with the oracle SQL builder below. Divisors go through nullif so
+    // degenerate arms yield null (ANSI Spark would otherwise throw on
+    // the eagerly-evaluated common subexpression even under when(ok));
+    // null never survives to output — every consumer is gated on `ok`.
+    def nz(c: Column) = nullif(c, lit(0))
+    def m(s: String, n: String) = col(s).cast("double") / nz(col(n))
+    val ma = m("_sa", "n_a"); val mb = m("_sb", "n_b")
+    def va(s: String, ss: String, n: String) =
+      (col(ss).cast("double")
+        - col(s).cast("double") * col(s).cast("double") / nz(col(n))) /
+        nz(col(n) - lit(1))
+    val vA = va("_sa", "_ssa", "n_a"); val vB = va("_sb", "_ssb", "n_b")
+    val se2 = vA / nz(col("n_a")) + vB / nz(col("n_b"))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    val t = (mb - ma) / sqrt(se2)
+    val dfw = se2 * se2 /
+      (vA / nz(col("n_a")) * (vA / nz(col("n_a"))) / nz(col("n_a") - lit(1))
+        + vB / nz(col("n_b")) * (vB / nz(col("n_b")))
+          / nz(col("n_b") - lit(1)))
+    val pooled = ((col("n_a") - lit(1)) * vA + (col("n_b") - lit(1)) * vB) /
+      nz(col("n_a") + col("n_b") - lit(2))
+    agg.select(col(groupCol), col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0, ma), 6).as("mean_a_r"),
+      round(when(col("n_b") > 0, mb), 6).as("mean_b_r"),
+      round(when(ok && pooled > 0, (mb - ma) / sqrt(pooled)), 6)
+        .as("cohen_d_r"),
+      round(when(ok, t), 6).as("t_r"),
+      round(when(ok, dfw), 6).as("df_r"),
+      round(when(ok, lit(2.0) * (lit(1.0) - normalCdf(abs(t)))), 6)
+        .as("p_r"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control (JRSS-B 1995) over a
+    * HYPOTHESES table: rank p-values ascending, find the largest k with
+    * p_(k) ≤ k·α/m, and mark ranks ≤ k as discoveries — the standard
+    * multiplicity correction when one screen tests thousands of
+    * segments/terms/features at once.
+    *
+    * Input is one row per hypothesis (already aggregated — never
+    * corpus-sized), so the unpartitioned rank window is a deliberate
+    * single-task pass over a tiny table; `idCol` breaks p ties for a
+    * total order. Adds: `bh_rank`, `bh_thresh_r` (k·α/m, 6 dp),
+    * `discovery` (boolean; all-false when no rank passes). */
+  def bhFdr(hyp: DataFrame, pCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hyp
+      .withColumn("bh_rank",
+        row_number().over(Window.orderBy(col(pCol), col(idCol))))
+      .withColumn("_m", count(lit(1)).over(wAll))
+    val thresh = col("bh_rank") * lit(alpha) / col("_m")
+    ranked
+      .withColumn("_pass", when(col(pCol) <= thresh, col("bh_rank")))
+      .withColumn("_kstar", max(col("_pass")).over(wAll))
+      .select(hyp.columns.toIndexedSeq.map(col) ++ Seq(col("bh_rank"),
+        round(thresh, 6).as("bh_thresh_r"),
+        coalesce(col("bh_rank") <= col("_kstar"), lit(false))
+          .as("discovery")): _*)
+  }
+}

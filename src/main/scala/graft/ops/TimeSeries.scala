@@ -320,4 +320,43 @@ object TimeSeries {
             + col("_m") * mu * mu) /
             (col("_ss") - mu * col("_s")), 6)).as("acf_r"))
   }
+
+  /** Time-weighted average per key over irregularly-sampled events:
+    * hold each observation piecewise-constant until the next one and
+    * integrate over the key's observed span — ∫v dt / (t_last −
+    * t_first). The right mean for sensor/gauge-style metrics where
+    * sample RATE varies (a plain avg over-weights bursts); the last
+    * observation of each key carries no interval and contributes
+    * nothing, the standard left-Riemann convention.
+    *
+    * Exact integration: values are scaled to 1e-6-grid integers
+    * (`round(v·10⁶)` — identical on both engines), durations are
+    * epoch-micros BIGINTs, and each v·Δt product is accumulated as
+    * DECIMAL(38,0) (magnitude ≤ ~1e20 — far inside 38 digits, and
+    * 64-bit-overflow-proof), so the integral is order-independent; the
+    * single final division is 6-dp rounded. Keys whose span is zero
+    * (one event, or all events at one instant) are dropped — no
+    * integrable interval exists.
+    *
+    * Shape: ONE shuffle on the key (the lead window and the final agg
+    * share the `hashpartitioning(key)` exchange); per-key state is the
+    * window frame's single lookahead row. `idCol` makes the order
+    * total under timestamp ties. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_us"), col(idCol))
+    val stepped = events
+      .select(col(keyCol), col(idCol), unix_micros(col(tsCol)).as("_us"),
+        round(col(valueCol) * lit(1000000.0)).cast("long").as("_v6"))
+      .withColumn("_dur", lead(col("_us"), 1).over(w) - col("_us"))
+    stepped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"),
+        sum(col("_v6").cast("decimal(38,0)") * col("_dur")).as("_int"))
+      .where(col("span_us") > 0)
+      .select(col(keyCol), col("n_events"), col("span_us"),
+        round(col("_int").cast("double") / col("span_us")
+          / lit(1000000.0), 6).as("twa_r"))
+  }
 }

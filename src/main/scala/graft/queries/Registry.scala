@@ -12,7 +12,8 @@ object Registry {
       PipelineQueries.all ++ AuditQueries.all ++ StatQueries.all ++
       QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all ++
       GraphMetricQueries.all ++ CorpusMetricQueries.all ++
-      SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all
+      SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all ++
+      InferQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

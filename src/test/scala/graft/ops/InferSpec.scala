@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Infer's statistics must match hand-computed classical values: the
+  * A&S normal CDF against known Φ points, Welch's t against a worked
+  * two-sample example, and BH step-up against the textbook
+  * reject-all-below-k* behavior (including the case where a later p
+  * passes while an earlier one fails). */
+class InferSpec extends SparkTestBase {
+
+  test("normalCdf matches known Φ values to 1e-6") {
+    import spark.implicits._
+    val pts = Seq(
+      0.0 -> 0.5,
+      1.0 -> 0.8413447,
+      -1.0 -> 0.1586553,
+      1.959964 -> 0.975,
+      -2.575829 -> 0.005,
+      3.0 -> 0.9986501)
+    val got = pts.map(_._1).toDF("z")
+      .select(col("z"), Infer.normalCdf(col("z")).as("phi"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((z, want) <- pts)
+      assert(math.abs(got(z) - want) < 1e-6, s"Phi($z)")
+  }
+
+  test("welchTTest: hand-computed two-sample case") {
+    import spark.implicits._
+    // arm A: 1,2,3,4,5 (mean 3, var 2.5); arm B: 6,7,8,9 (mean 7.5,
+    // var 5/3). se2 = 2.5/5 + (5/3)/4 = 0.9166667, t = 4.5/sqrt(se2)
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("g", false, v.toLong)) ++
+      Seq(6, 7, 8, 9).map(v => ("g", true, v.toLong)))
+      .toDF("grp", "armb", "v")
+    val r = Infer.welchTTest(df, "grp", col("armb"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 5 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("mean_a_r") == 3.0)
+    assert(r.getAs[Double]("mean_b_r") == 7.5)
+    val se2 = 2.5 / 5 + (5.0 / 3) / 4
+    assert(math.abs(r.getAs[Double]("t_r") - 4.5 / math.sqrt(se2)) < 1e-6)
+    // Welch–Satterthwaite: se2² / ((.5)²/4 + (.4166667)²/3)
+    val dfw = se2 * se2 /
+      (0.25 / 4 + (5.0 / 3 / 4) * (5.0 / 3 / 4) / 3)
+    assert(math.abs(r.getAs[Double]("df_r") - dfw) < 1e-5)
+    // two-sided normal p for t≈4.7: tiny but positive
+    val p = r.getAs[Double]("p_r")
+    assert(p > 0 && p < 1e-4)
+  }
+
+  test("welchTTest: degenerate arms yield null t/p, not NaN") {
+    import spark.implicits._
+    val df = Seq(("g", false, 1L), ("g", false, 2L), ("g", true, 5L))
+      .toDF("grp", "armb", "v")
+    val r = Infer.welchTTest(df, "grp", col("armb"), col("v"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("t_r")))
+    assert(r.isNullAt(r.fieldIndex("p_r")))
+    assert(r.getAs[Double]("mean_b_r") == 5.0)
+  }
+
+  test("bhFdr: step-up rejects everything at/below the LAST passing rank") {
+    import spark.implicits._
+    // m=5, α=0.25: thresholds .05 .10 .15 .20 .25.
+    // p = .01, .12(>.10 fails), .13(≤.15 passes!), .22, .9
+    // k* = 4? p_(4)=.22 > .20 fails → k* = 3; discoveries = ranks 1..3
+    // — including the rank-2 p that itself failed its threshold.
+    val hyp = Seq(("a", 0.01), ("b", 0.12), ("c", 0.13), ("d", 0.22),
+      ("e", 0.9)).toDF("id", "p")
+    val got = Infer.bhFdr(hyp, "p", "id", 0.25)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("bh_rank"), r.getAs[Boolean]("discovery"))).toMap
+    assert(got("a") == (1, true))
+    assert(got("b") == (2, true))
+    assert(got("c") == (3, true))
+    assert(got("d") == (4, false))
+    assert(got("e") == (5, false))
+  }
+
+  test("bhFdr: no p passes → zero discoveries (null k* coalesced)") {
+    import spark.implicits._
+    val hyp = Seq(("a", 0.5), ("b", 0.9)).toDF("id", "p")
+    val got = Infer.bhFdr(hyp, "p", "id", 0.05).collect()
+    assert(got.forall(!_.getAs[Boolean]("discovery")))
+  }
+}

@@ -189,4 +189,47 @@ class TimeSeriesSpec extends SparkTestBase {
     val got = TimeSeries.acfDaily(e, "key", "ts", maxLag = 1).collect()
     assert(got.head.isNullAt(3), got.head.toString)
   }
+
+  test("timeWeightedAvg: piecewise-constant hold, hand case") {
+    // value 10 for 3s, then 20 for 1s → twa = (30+20)/4 = 12.5; the
+    // last event's value (99) carries no interval and is ignored.
+    val e = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 10.0, 1L),
+      ("k", ts("2024-01-01 00:00:03"), 20.0, 2L),
+      ("k", ts("2024-01-01 00:00:04"), 99.0, 3L))
+      .toDF("key", "ts", "v", "id")
+    val got = TimeSeries.timeWeightedAvg(e, "key", "ts", "v", "id")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_events") == 3)
+    assert(got.head.getAs[Long]("span_us") == 4000000L)
+    assert(got.head.getAs[Double]("twa_r") == 12.5)
+  }
+
+  test("timeWeightedAvg: burst over-sampling does NOT skew the mean") {
+    // 10 held for 10s sampled once vs re-sampled every second — same twa
+    val base = ("k1", ts("2024-01-01 00:00:00"), 10.0, 0L) +:
+      Seq(("k1", ts("2024-01-01 00:00:10"), 50.0, 10L),
+        ("k1", ts("2024-01-01 00:00:20"), 50.0, 20L))
+    val burst = (0 until 10).map(i =>
+      ("k2", ts(f"2024-01-01 00:00:$i%02d"), 10.0, i.toLong)) ++
+      Seq(("k2", ts("2024-01-01 00:00:10"), 50.0, 10L),
+        ("k2", ts("2024-01-01 00:00:20"), 50.0, 20L))
+    val e = (base ++ burst).toDF("key", "ts", "v", "id")
+    val got = TimeSeries.timeWeightedAvg(e, "key", "ts", "v", "id")
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Double]("twa_r")).toMap
+    assert(got("k1") == 30.0) // (10·10 + 50·10)/20
+    assert(got("k2") == 30.0) // identical despite 10× samples in [0,10)
+  }
+
+  test("timeWeightedAvg: zero-span and single-event keys are dropped") {
+    val e = Seq(
+      ("one", ts("2024-01-01 00:00:00"), 5.0, 1L),
+      ("same", ts("2024-01-01 00:00:00"), 5.0, 1L),
+      ("same", ts("2024-01-01 00:00:00"), 7.0, 2L))
+      .toDF("key", "ts", "v", "id")
+    assert(TimeSeries.timeWeightedAvg(e, "key", "ts", "v", "id")
+      .count() == 0)
+  }
 }
