@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Closed-form model fits computed from ONE pass of exact sufficient
+  * statistics: the decision-stump split scan (the inner loop of every
+  * tree learner and the standard univariate feature-importance screen)
+  * and two-regressor ordinary least squares via the normal equations.
+  * The reference leaves modeling to downstream notebooks; these make
+  * the engine answer "which feature/threshold separates the label" and
+  * "what linear trend fits this group" directly.
+  *
+  * Scale posture (100 TB): both ops reduce the corpus to a tiny exact
+  * aggregate in one hash shuffle — the stump to (feature, value) grain
+  * counts (continuous features are pre-bucketed by the caller, so the
+  * grain is bounded), OLS to nine DECIMAL(38,0) moments per group —
+  * and all floating-point algebra runs on that aggregate with ONE
+  * shared parenthesization (the [[Infer]] cross-engine posture).
+  */
+object Fit {
+
+  /** Best binary split per feature by Gini impurity, over LONG-format
+    * input (featureCol names the feature, valueCol its integer-valued
+    * observation, labelCol a 0/1 target). Every candidate threshold
+    * "x ≤ v" (v = each distinct value except the last — an empty right
+    * child is not a split) is scored by the weighted child Gini
+    *   G = (n_L·g_L + n_R·g_R)/n,   g = 1 − p² − (1−p)²,
+    * and the argmax-gain split wins, ties broken by the SMALLEST
+    * threshold. Emits per feature: the chosen threshold, child sizes,
+    * root/split Gini and the gain (6 dp).
+    *
+    * Shape: corpus → (feature, value, n, n_pos) hash-agg; the
+    * threshold scan is a cumulative window over that VALUE-GRAIN table
+    * partitioned by feature — bounded by the caller's bucketing, never
+    * corpus-sized. Counts are exact integers; the impurity algebra is
+    * one shared double parenthesization. */
+  def giniStump(obs: DataFrame, featureCol: String, valueCol: String,
+      labelCol: String): DataFrame = {
+    val grain = obs.groupBy(col(featureCol).as("feature"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col(labelCol).cast("long")).as("p_v"))
+    val wCum = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scan = grain
+      .withColumn("n_l", sum(col("n_v")).over(wCum))
+      .withColumn("p_l", sum(col("p_v")).over(wCum))
+      .withColumn("n", sum(col("n_v")).over(wAll))
+      .withColumn("p", sum(col("p_v")).over(wAll))
+      .where(col("n_l") < col("n")) // last value: no right child
+    // g(pos, n) = 1 − (pos/n)² − ((n−pos)/n)²; weighted child Gini in
+    // the same parenthesization as the oracle builder
+    def g(pos: Column, n: Column) =
+      lit(1.0) - (pos / n) * (pos / n) -
+        ((n - pos) / n) * ((n - pos) / n)
+    val nR = col("n") - col("n_l"); val pR = col("p") - col("p_l")
+    val gSplit = (col("n_l") * g(col("p_l").cast("double"), col("n_l"))
+      + nR * g(pR.cast("double"), nR)) / col("n")
+    val gRoot = g(col("p").cast("double"), col("n"))
+    val scored = scan.select(col("feature"), col("v"), col("n_l"),
+      nR.as("n_r"), gRoot.as("_g0"), gSplit.as("_gs"),
+      (gRoot - gSplit).as("_gain"))
+    val wBest = Window.partitionBy("feature")
+      .orderBy(col("_gain").desc, col("v"))
+    scored.withColumn("_rk", row_number().over(wBest))
+      .where(col("_rk") === 1)
+      .select(col("feature"), col("v").as("split_value"),
+        col("n_l").as("n_left"), col("n_r").as("n_right"),
+        round(col("_g0"), 6).as("gini_root_r"),
+        round(col("_gs"), 6).as("gini_split_r"),
+        round(col("_gain"), 6).as("gain_r"))
+  }
+
+  /** Per-group OLS fit y = b0 + b1·x1 + b2·x2 by the normal equations,
+    * solved in closed form (3×3 Cramer). Inputs must be INTEGER-VALUED
+    * (scale upstream): all ten sufficient statistics (n, Σx1, Σx2, Σy,
+    * Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are exact DECIMAL(38,0) sums
+    * from ONE hash-agg, and the coefficients + R² are computed from
+    * those exact moments in one shared double parenthesization.
+    * Singular designs (|det| ≤ 1e-9·n³-scale or n < 3) yield nulls. */
+  def ols2(df: DataFrame, groupCol: String, yCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(38,0)")
+    val agg = df.select(col(groupCol), d(yCol).as("_y"),
+        d(x1Col).as("_x1"), d(x2Col).as("_x2"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("_x1")).as("_s1"), sum(col("_x2")).as("_s2"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x1") * col("_x1")).as("_s11"),
+        sum(col("_x2") * col("_x2")).as("_s22"),
+        sum(col("_x1") * col("_x2")).as("_s12"),
+        sum(col("_x1") * col("_y")).as("_s1y"),
+        sum(col("_x2") * col("_y")).as("_s2y"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val (s1, s2, sy) = (dd("_s1"), dd("_s2"), dd("_sy"))
+    val (s11, s22, s12) = (dd("_s11"), dd("_s22"), dd("_s12"))
+    val (s1y, s2y, syy) = (dd("_s1y"), dd("_s2y"), dd("_syy"))
+    val det0 = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    // nullif: Spark 4 ANSI throws on /0 even under when(ok) (eager
+    // common-subexpression evaluation) — singular designs divide by null
+    val det = nullif(det0, lit(0.0))
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    val ok = col("n") >= 3 && abs(det0) > lit(1e-9)
+    agg.select(col(groupCol), col("n"),
+      round(when(ok, b0), 6).as("b0_r"),
+      round(when(ok, b1), 6).as("b1_r"),
+      round(when(ok, b2), 6).as("b2_r"),
+      round(when(ok && sst > 0, lit(1.0) - sse / nullif(sst, lit(0.0))),
+        6).as("r2_r"))
+  }
+}

@@ -101,18 +101,21 @@ object Infer {
     val vA = va("_sa", "_ssa", "n_a"); val vB = va("_sb", "_ssb", "n_b")
     val se2 = vA / nz(col("n_a")) + vB / nz(col("n_b"))
     val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
-    val t = (mb - ma) / sqrt(se2)
-    val dfw = se2 * se2 /
-      (vA / nz(col("n_a")) * (vA / nz(col("n_a"))) / nz(col("n_a") - lit(1))
+    // nullif: Spark 4 ANSI throws on double/0 even inside a when(ok)
+    // branch (common-subexpression elimination evaluates eagerly), so a
+    // both-arms-constant input (se2 = 0) must divide by null, not 0
+    val t = (mb - ma) / sqrt(nullif(se2, lit(0.0)))
+    val dfw = se2 * se2 / nullif(
+      vA / nz(col("n_a")) * (vA / nz(col("n_a"))) / nz(col("n_a") - lit(1))
         + vB / nz(col("n_b")) * (vB / nz(col("n_b")))
-          / nz(col("n_b") - lit(1)))
+          / nz(col("n_b") - lit(1)), lit(0.0))
     val pooled = ((col("n_a") - lit(1)) * vA + (col("n_b") - lit(1)) * vB) /
       nz(col("n_a") + col("n_b") - lit(2))
     agg.select(col(groupCol), col("n_a"), col("n_b"),
       round(when(col("n_a") > 0, ma), 6).as("mean_a_r"),
       round(when(col("n_b") > 0, mb), 6).as("mean_b_r"),
-      round(when(ok && pooled > 0, (mb - ma) / sqrt(pooled)), 6)
-        .as("cohen_d_r"),
+      round(when(ok && pooled > 0, (mb - ma) / sqrt(nullif(pooled,
+        lit(0.0)))), 6).as("cohen_d_r"),
       round(when(ok, t), 6).as("t_r"),
       round(when(ok, dfw), 6).as("df_r"),
       round(when(ok, lit(2.0) * (lit(1.0) - normalCdf(abs(t)))), 6)

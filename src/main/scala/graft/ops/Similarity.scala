@@ -309,4 +309,57 @@ object Similarity {
               - (col("_st") / col("n_pairs")) * (col("_st") / col("n_pairs")))),
           6).as("corr_r"))
   }
+
+  /** Label/domain centroid cosine-similarity matrix: mean embedding per
+    * group, then pairwise cosine between the group centroids — the
+    * "how semantically close are these two sources/classes" readout
+    * that scopes mixture design and flags label confusion (classes
+    * whose centroids nearly coincide). Output is |groups|² rows —
+    * tiny — with group_a < group_b orientation.
+    *
+    * Exactness at scale: components are scaled to 1e-6-grid integers
+    * and summed as BIGINT (exact, order-independent — avg of raw
+    * floats would drift with partition merge order), centroids land on
+    * a fixed 9-dp grid, and the dot/norm reductions sum 12-dp-rounded
+    * per-dim terms as DECIMAL — the q226 order-independent-sum
+    * posture, so cosine values are bit-identical cross-engine. Shape:
+    * posexplode to (group, dim) grain → one hash-agg (|groups|·dim
+    * rows), an equi-join on dim for the pair dots, nothing corpus-sized
+    * past the first agg. */
+  def labelCentroidCosine(emb: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val grain = emb
+      .select(col(groupCol).as("g"), posexplode(col(vecCol))
+        .as(Seq("dim", "_v")))
+      .groupBy(col("g"), col("dim"))
+      .agg(count(lit(1)).as("_n"),
+        sum(round(col("_v").cast("double") * lit(1000000.0))
+          .cast("long")).as("_s6"))
+      .select(col("g"), col("dim"),
+        round(col("_s6").cast("double") / col("_n") / lit(1000000.0), 9)
+          .as("c"))
+    val norms = grain.groupBy(col("g"))
+      .agg(sum(round(col("c") * col("c"), 12).cast("decimal(28,12)"))
+        .as("_nn"))
+    val a = grain.select(col("g").as("group_a"), col("dim"),
+      col("c").as("_ca"))
+    val b = grain.select(col("g").as("group_b"), col("dim"),
+      col("c").as("_cb"))
+    val dots = a.join(b, "dim")
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(round(col("_ca") * col("_cb"), 12).cast("decimal(28,12)"))
+        .as("_dot"))
+    dots
+      .join(broadcast(norms.withColumnRenamed("g", "group_a")
+        .withColumnRenamed("_nn", "_na")), "group_a")
+      .join(broadcast(norms.withColumnRenamed("g", "group_b")
+        .withColumnRenamed("_nn", "_nb")), "group_b")
+      .select(col("group_a"), col("group_b"),
+        when(col("_na") > 0 && col("_nb") > 0,
+          round(col("_dot").cast("double") /
+            nullif(sqrt(col("_na").cast("double"))
+              * sqrt(col("_nb").cast("double")), lit(0.0)), 6))
+          .as("cos_r"))
+  }
 }

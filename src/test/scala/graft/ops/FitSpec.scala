@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Fit's closed forms must recover hand-computable models exactly: the
+  * stump picks the textbook perfect split (and honors the
+  * smallest-threshold tiebreak), OLS recovers exact planar
+  * coefficients with R² = 1, and singular designs degrade to null. */
+class FitSpec extends SparkTestBase {
+
+  test("giniStump: perfectly separating threshold wins with gain = root") {
+    import spark.implicits._
+    // y = 1 iff v >= 3: split at v=2 is perfect. p = 1/2 → g0 = 0.5.
+    val obs = Seq((1, 0), (2, 0), (3, 1), (4, 1))
+      .map { case (v, y) => ("f", v.toLong, y) }
+      .toDF("feature", "v", "y")
+    val r = Fit.giniStump(obs, "feature", "v", "y").collect().head
+    assert(r.getAs[Long]("split_value") == 2L)
+    assert(r.getAs[Long]("n_left") == 2 && r.getAs[Long]("n_right") == 2)
+    assert(r.getAs[Double]("gini_root_r") == 0.5)
+    assert(r.getAs[Double]("gini_split_r") == 0.0)
+    assert(r.getAs[Double]("gain_r") == 0.5)
+  }
+
+  test("giniStump: uninformative feature → zero gain, smallest v tiebreak") {
+    import spark.implicits._
+    // label independent of v: every split has gain 0 → tiebreak picks
+    // the smallest candidate threshold
+    val obs = Seq((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1))
+      .map { case (v, y) => ("f", v.toLong, y) }
+      .toDF("feature", "v", "y")
+    val r = Fit.giniStump(obs, "feature", "v", "y").collect().head
+    assert(r.getAs[Double]("gain_r") == 0.0)
+    assert(r.getAs[Long]("split_value") == 1L)
+  }
+
+  test("giniStump: two features ranked independently in one pass") {
+    import spark.implicits._
+    val good = Seq((1, 0), (2, 0), (3, 1), (4, 1))
+      .map { case (v, y) => ("good", v.toLong, y) }
+    val bad = Seq((1, 0), (1, 1), (2, 0), (2, 1))
+      .map { case (v, y) => ("bad", v.toLong, y) }
+    val got = Fit.giniStump((good ++ bad).toDF("feature", "v", "y"),
+        "feature", "v", "y")
+      .collect().map(r => r.getAs[String]("feature") ->
+        r.getAs[Double]("gain_r")).toMap
+    assert(got("good") == 0.5 && got("bad") == 0.0)
+  }
+
+  test("ols2 recovers an exact plane: y = 7 + 3·x1 − 2·x2, R² = 1") {
+    import spark.implicits._
+    val pts = for (x1 <- 0L to 3L; x2 <- 0L to 3L)
+      yield ("g", 7 + 3 * x1 - 2 * x2, x1, x2)
+    val r = Fit.ols2(pts.toDF("grp", "y", "x1", "x2"),
+      "grp", "y", "x1", "x2").collect().head
+    assert(r.getAs[Double]("b0_r") == 7.0)
+    assert(r.getAs[Double]("b1_r") == 3.0)
+    assert(r.getAs[Double]("b2_r") == -2.0)
+    assert(r.getAs[Double]("r2_r") == 1.0)
+  }
+
+  test("ols2: collinear design (x2 = 2·x1) → null coefficients") {
+    import spark.implicits._
+    val pts = (0L to 5L).map(x => ("g", x * 3 + 1, x, x * 2))
+    val r = Fit.ols2(pts.toDF("grp", "y", "x1", "x2"),
+      "grp", "y", "x1", "x2").collect().head
+    assert(r.isNullAt(r.fieldIndex("b1_r")))
+    assert(r.isNullAt(r.fieldIndex("r2_r")))
+  }
+}

@@ -188,4 +188,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(d2._3 > 0.0, d2.toString)
     assert(d4._2 == 39L + 33L, "pair sample size: offsets 1 and 7")
   }
+
+  test("labelCentroidCosine: orthogonal / identical / diagonal centroids") {
+    import spark.implicits._
+    // label 0 centroid (1,0); label 1 centroid (0,1); label 2 = two
+    // vectors averaging to (0.5, 0.5) — cos(0,1)=0, cos(0,2)=cos(1,2)
+    // = 1/√2
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(1.0f, 0.0f), 2),
+      (4L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidCosine(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[Double]("cos_r")).toMap
+    assert(got.size == 3)
+    assert(got((0, 1)) == 0.0)
+    assert(got((0, 2)) == 0.707107)
+    assert(got((1, 2)) == 0.707107)
+  }
+
+  test("labelCentroidCosine: zero centroid yields null, not NaN") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 1.0f), 0),
+      (2L, Seq(1.0f, -1.0f), 1),
+      (3L, Seq(-1.0f, 1.0f), 1)) // label-1 centroid = (0,0)
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidCosine(emb, "label", "embedding")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(got.head.fieldIndex("cos_r")))
+  }
 }
