@@ -92,6 +92,71 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Two-step transition probabilities: the Markov chain's P² — where
+    * does an entity land two events from now? Composes [[transitions]]:
+    * first-order probabilities p(to|from) = n/Σn per from-state, then
+    * one equi-join on the middle state sums p(a→m)·p(m→b) over m.
+    * The standard "what follows what, two hops out" readout that
+    * exposes indirect funnels a first-order matrix hides.
+    *
+    * Shape: the corpus collapses to the |states|² transition matrix in
+    * [[transitions]]' single shuffle; everything after runs on that
+    * tiny matrix. Each p·p term is 12-dp-rounded and summed as DECIMAL,
+    * so the middle-state reduction is order-independent cross-engine
+    * (the q226 posture); the final 6-dp probability divides exact
+    * integer counts first — BIGINT/BIGINT division is double on both
+    * engines. */
+  def twoStepTransitions(events: DataFrame, entityCol: String,
+      typeCol: String, orderBy: Seq[Column]): DataFrame = {
+    val t = transitions(events, entityCol, typeCol, orderBy)
+    val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("ntot"))
+    val p1 = t.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("ntot")).as("p"))
+    val a = p1.select(col("from_type"), col("to_type").as("_mid"),
+      col("p").as("_pa"))
+    val b = p1.select(col("from_type").as("_mid"),
+      col("to_type"), col("p").as("_pb"))
+    a.join(b, "_mid")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(round(col("_pa") * col("_pb"), 12)
+        .cast("decimal(28,12)")).as("_p2"))
+      .select(col("from_type"), col("to_type"),
+        round(col("_p2").cast("double"), 6).as("p2_r"))
+  }
+
+  /** Per-entity behavioral entropy: H = −Σ_type p·ln p over the
+    * entity's event-type distribution, plus the ln(k)-normalized form —
+    * the "how varied is this user/source's behavior" feature that
+    * separates single-purpose accounts (H = 0) from diverse ones, and a
+    * standard bot/spam signal. Normalized entropy is null for
+    * single-type entities (ln 1 = 0 — undefined, not 0/0 = noise).
+    *
+    * Shape: (entity, type) hash-agg, then an entity-grain rollup —
+    * two stacked aggs, nothing wider than the entity×type grain. The
+    * −p·ln p terms are 12-dp-rounded DECIMAL sums (order-independent);
+    * p divides exact integer counts. */
+  def entityEntropy(events: DataFrame, entityCol: String,
+      typeCol: String): DataFrame = {
+    val grain = events.groupBy(col(entityCol), col(typeCol))
+      .agg(count(lit(1)).as("_c"))
+    val wEnt = Window.partitionBy(entityCol)
+    val terms = grain
+      .withColumn("_n", sum(col("_c")).over(wEnt))
+      .withColumn("_p", col("_c").cast("double") / col("_n"))
+    terms.groupBy(col(entityCol))
+      .agg(max(col("_n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(round(-col("_p") * log(col("_p")), 12)
+          .cast("decimal(28,12)")).as("_h"))
+      .select(col(entityCol), col("n_events"), col("n_types"),
+        round(col("_h").cast("double"), 6).as("entropy_r"),
+        when(col("n_types") > 1,
+          round(col("_h").cast("double") /
+            nullif(log(col("n_types").cast("double")), lit(0.0)), 6))
+          .as("entropy_norm_r"))
+  }
+
   /** Rolling `windowDays`-day distinct reach per (day, group): how many
     * distinct entities were active in the trailing window ending on each
     * observed day.

@@ -13,7 +13,7 @@ object Registry {
       QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all ++
       GraphMetricQueries.all ++ CorpusMetricQueries.all ++
       SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all ++
-      InferQueries.all ++ FitQueries.all
+      InferQueries.all ++ FitQueries.all ++ ChainQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

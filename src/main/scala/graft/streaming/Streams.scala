@@ -206,6 +206,25 @@ object Streams {
     runToMemory(spark, dd)
   }
 
+  /** Watermark-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    * keys dedup state by id like [[streamingDedupCounts]], but the
+    * watermark EVICTS entries once they age past `delay` — state is
+    * proportional to the ids seen within the watermark horizon, not to
+    * all ids ever seen. This is the only dedup shape that survives an
+    * unbounded 100 TB stream (plain dropDuplicates state grows without
+    * bound); the trade is the documented contract that duplicates
+    * arriving more than `delay` apart are NOT collapsed. Counted per
+    * type; over the finite fixture every duplicate falls inside the
+    * horizon, so the result equals batch DISTINCT — the oracle. */
+  def streamingDedupCountsWithinWatermark(spark: SparkSession,
+      dir: String, delay: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    runToMemory(spark, dd)
+  }
+
   /** State-store partition count for these local AvailableNow runs —
     * overridable via `spark.graft.stream.partitions` (a cluster job sizes
     * this to key cardinality / executor count instead). Local default 4:

@@ -241,4 +241,45 @@ class BehaviorSpec extends SparkTestBase {
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
       == ((1L, 1L, 1L, 1L)))
   }
+
+  test("twoStepTransitions: deterministic 2-state chain → P² by hand") {
+    import spark.implicits._
+    // u1: A B A B A  → transitions A→B ×2, B→A ×2
+    // u2: A A B      → A→A ×1, A→B ×1
+    // P: A→A 1/4, A→B 3/4; B→A 1, so
+    // P²(A→A) = ¼·¼ + ¾·1 = 0.8125, P²(A→B) = ¼·¾ = 0.1875
+    // P²(B→A) = 1·¼ = 0.25,         P²(B→B) = 1·¾ = 0.75
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (1L, 5L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "B"))
+      .toDF("user_id", "seq", "event_type")
+    val got = Behavior.twoStepTransitions(ev, "user_id", "event_type",
+        Seq(col("seq")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("p2_r")).toMap
+    assert(got(("A", "A")) == 0.8125)
+    assert(got(("A", "B")) == 0.1875)
+    assert(got(("B", "A")) == 0.25)
+    assert(got(("B", "B")) == 0.75)
+  }
+
+  test("entityEntropy: uniform 2-type user = ln 2, single-type user " +
+      "= 0 with null normalized form") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "A"))
+      .toDF("user_id", "event_type")
+    val got = Behavior.entityEntropy(ev, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_events") == 4 &&
+      u1.getAs[Long]("n_types") == 2)
+    assert(u1.getAs[Double]("entropy_r") == 0.693147) // ln 2
+    assert(u1.getAs[Double]("entropy_norm_r") == 1.0)
+    val u2 = got(2L)
+    assert(u2.getAs[Double]("entropy_r") == 0.0)
+    assert(u2.isNullAt(u2.fieldIndex("entropy_norm_r")))
+  }
 }

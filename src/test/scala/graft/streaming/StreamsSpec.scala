@@ -202,6 +202,16 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedupCountsWithinWatermark == unbounded dedup counts " +
+      "when every dup is inside the horizon") {
+    val bounded = Streams.streamingDedupCountsWithinWatermark(
+        spark, sf(), "2 hours")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unbounded = Streams.streamingDedupCounts(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bounded == unbounded)
+  }
+
   test("StreamQuota: the cap carries ACROSS micro-batches (no " +
       "re-admission from zero), admission follows (us, id) order " +
       "within a batch, other keys unaffected") {
