@@ -122,6 +122,35 @@ object Infer {
         .as("p_r"))
   }
 
+  /** Wilson score interval (JASA 1927) for a per-group proportion —
+    * the binomial CI that stays inside [0, 1] and behaves at small n
+    * and extreme rates where the Wald interval collapses; the standard
+    * bound for ranking "best conversion" segments without small-sample
+    * lying. `z` defaults to the two-sided 95% normal quantile.
+    *
+    * One hash-agg to (n, k) per group; the interval algebra is one
+    * shared double parenthesization over those exact integers —
+    * degenerate groups (n = 0) yield null bounds. */
+  def wilsonInterval(units: DataFrame, groupCol: String,
+      success: Column, z: Double = 1.959964): DataFrame = {
+    val agg = units.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(success, 1L).otherwise(0L)).as("k"))
+    // n ≥ 1 by construction (groups only exist from rows); the nullif
+    // keeps any future degenerate aggregation ANSI-safe
+    val n = nullif(col("n").cast("double"), lit(0.0))
+    val p = col("k").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n)) / denom
+    agg.select(col(groupCol), col("n"), col("k"),
+      round(when(col("n") > 0, p), 6).as("rate_r"),
+      round(when(col("n") > 0, center - half), 6).as("lo_r"),
+      round(when(col("n") > 0, center + half), 6).as("hi_r"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control (JRSS-B 1995) over a
     * HYPOTHESES table: rank p-values ascending, find the largest k with
     * p_(k) ≤ k·α/m, and mark ranks ≤ k as discoveries — the standard

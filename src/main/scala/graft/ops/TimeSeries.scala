@@ -321,6 +321,53 @@ object TimeSeries {
             (col("_ss") - mu * col("_s")), 6)).as("acf_r"))
   }
 
+  /** Single changepoint by binary segmentation: per key, the day
+    * boundary that best splits the OBSERVED daily-count series into two
+    * level segments — argmax over split points of the between-segment
+    * sum-of-squares reduction, gain = s_l²/n_l + s_r²/n_r − s²/n (the
+    * one-split step of binary segmentation; Scott & Knott '74 / the
+    * CUSUM-adjacent "did the level shift, and when" monitoring
+    * question [[cusumDaily]] only answers half of). Ties take the
+    * EARLIEST day. Emits per key (≥ 2 observed days): the last day of
+    * the left segment, segment sizes, 6-dp segment means and gain.
+    *
+    * Shape: corpus → (key, day) count grain in one shuffle; the split
+    * scan is a cumulative window over each key's day series — bounded
+    * by the calendar, never corpus-sized. Sums are exact BIGINTs; the
+    * gain algebra is one shared double parenthesization. */
+  def trendBreak(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grain = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wCum = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scan = grain
+      .withColumn("n_l", count(lit(1)).over(wCum))
+      .withColumn("s_l", sum(col("x")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .where(col("n_l") < col("n"))
+    def d(c: String) = col(c).cast("double")
+    val sR = d("s") - d("s_l"); val nR = col("n") - col("n_l")
+    val gain = d("s_l") * d("s_l") / col("n_l") + sR * sR / nR -
+      d("s") * d("s") / col("n")
+    val scored = scan.select(col(keyCol), col("day"), col("n_l"),
+      nR.as("n_r"), (d("s_l") / col("n_l")).as("_ml"),
+      (sR / nR).as("_mr"), gain.as("_gain"))
+    val wBest = Window.partitionBy(keyCol)
+      .orderBy(col("_gain").desc, col("day"))
+    scored.withColumn("_rk", row_number().over(wBest))
+      .where(col("_rk") === 1)
+      .select(col(keyCol), col("day").as("break_day"),
+        col("n_l").as("n_left"), col("n_r").as("n_right"),
+        round(col("_ml"), 6).as("mean_l_r"),
+        round(col("_mr"), 6).as("mean_r_r"),
+        round(col("_gain"), 6).as("gain_r"))
+  }
+
   /** Time-weighted average per key over irregularly-sampled events:
     * hold each observation piecewise-constant until the next one and
     * integrate over the key's observed span — ∫v dt / (t_last −

@@ -13,7 +13,8 @@ object Registry {
       QualityQueries.all ++ CausalQueries.all ++ FeatureQueries.all ++
       GraphMetricQueries.all ++ CorpusMetricQueries.all ++
       SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all ++
-      InferQueries.all ++ FitQueries.all ++ ChainQueries.all
+      InferQueries.all ++ FitQueries.all ++ ChainQueries.all ++
+      SignalQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

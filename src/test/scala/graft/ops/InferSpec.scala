@@ -79,6 +79,33 @@ class InferSpec extends SparkTestBase {
     assert(got("e") == (5, false))
   }
 
+  test("wilsonInterval: 5/10 at 95% — symmetric around 0.5, textbook " +
+      "bounds") {
+    import spark.implicits._
+    val units = (1 to 10).map(i => ("g", i <= 5)).toDF("grp", "ok")
+    val r = Infer.wilsonInterval(units, "grp", col("ok"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("k") == 5)
+    assert(r.getAs[Double]("rate_r") == 0.5)
+    // p̂ = .5 makes the center exactly .5; half-width by hand
+    val z = 1.959964; val z2 = z * z
+    val half = z * math.sqrt(0.5 * 0.5 / 10 + z2 / 400) / (1 + z2 / 10)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r.getAs[Double]("lo_r") == r6(0.5 - half))
+    assert(r.getAs[Double]("hi_r") == r6(0.5 + half))
+    assert(r.getAs[Double]("lo_r") == 0.236593, "textbook 5/10 bound")
+  }
+
+  test("wilsonInterval: extreme rates stay inside [0, 1]") {
+    import spark.implicits._
+    val units = (1 to 20).map(i => ("g", true)).toDF("grp", "ok")
+    val r = Infer.wilsonInterval(units, "grp", col("ok"))
+      .collect().head
+    assert(r.getAs[Double]("rate_r") == 1.0)
+    assert(r.getAs[Double]("hi_r") == 1.0)
+    assert(r.getAs[Double]("lo_r") > 0.8 && r.getAs[Double]("lo_r") < 1.0)
+  }
+
   test("bhFdr: no p passes → zero discoveries (null k* coalesced)") {
     import spark.implicits._
     val hyp = Seq(("a", 0.5), ("b", 0.9)).toDF("id", "p")

@@ -190,6 +190,33 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.head.isNullAt(3), got.head.toString)
   }
 
+  test("trendBreak: clean level shift found at the exact boundary") {
+    // days 1-3 at 1 event/day, days 4-6 at 4 events/day → break after
+    // day 3; means 1 and 4; gain = 3·(1-2.5)² + 3·(4-2.5)² = 13.5
+    val rows = (1 to 3).map(i => ("k", ts(f"2024-05-0$i 08:00:00"))) ++
+      (4 to 6).flatMap(i =>
+        Seq.fill(4)(("k", ts(f"2024-05-0$i 08:00:00"))))
+    val got = TimeSeries.trendBreak(rows.toDF("key", "ts"), "key", "ts")
+      .collect().head
+    assert(got.getAs[java.sql.Date]("break_day").toString == "2024-05-03")
+    assert(got.getAs[Long]("n_left") == 3 && got.getAs[Long]("n_right") == 3)
+    assert(got.getAs[Double]("mean_l_r") == 1.0)
+    assert(got.getAs[Double]("mean_r_r") == 4.0)
+    assert(got.getAs[Double]("gain_r") == 13.5)
+  }
+
+  test("trendBreak: flat series → zero gain, earliest-day tiebreak; " +
+      "single-day key dropped") {
+    val rows = (1 to 4).map(i => ("flat", ts(f"2024-05-0$i 08:00:00"))) :+
+      ("one", ts("2024-05-01 08:00:00"))
+    val got = TimeSeries.trendBreak(rows.toDF("key", "ts"), "key", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("one"))
+    val f = got("flat")
+    assert(f.getAs[Double]("gain_r") == 0.0)
+    assert(f.getAs[java.sql.Date]("break_day").toString == "2024-05-01")
+  }
+
   test("timeWeightedAvg: piecewise-constant hold, hand case") {
     // value 10 for 3s, then 20 for 1s → twa = (30+20)/4 = 12.5; the
     // last event's value (99) carries no interval and is ignored.
