@@ -92,6 +92,67 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Conversion-window funnel: [[funnel]] with a DEADLINE — stage k+1
+    * counts only if it happens within `withinUs` microseconds of the
+    * entity's (earliest-qualifying) stage-k time. The business form of
+    * the question: "did they buy within an hour of clicking", where an
+    * unbounded funnel would credit conversions weeks later. Same
+    * single-shuffle shape as [[funnel]]: all stage times are
+    * whole-partition window mins over one entity partitioning. */
+  def funnelWithin(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String],
+      withinUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(withinUs > 0, "withinUs must be positive")
+    val w = Window.partitionBy(entityCol)
+    val withTimes = stages.zipWithIndex.foldLeft(
+      events.withColumn("_us", unix_micros(col(tsCol)))) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage &&
+            col("_us") > col(s"_t${i - 1}") &&
+            col("_us") <= col(s"_t${i - 1}") + lit(withinUs)
+        df.withColumn(s"_t$i", min(when(cond, col("_us"))).over(w))
+    }
+    val stageExpr = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withTimes
+      .groupBy(entityCol)
+      .agg(max(stageExpr).as("funnel_stage"))
+  }
+
+  /** DAU/MAU stickiness: per observed day, the distinct-entity count
+    * that day (DAU), over the trailing `windowDays` window (MAU), and
+    * their ratio — the standard "how much of the monthly audience shows
+    * up daily" engagement readout.
+    *
+    * Scale path ([[rollingDistinct]]'s): one shuffle to the distinct
+    * (entity, day) grain, a bounded ×windowDays map-side fan-out for
+    * the trailing window, and a semi-join against observed days — no
+    * range self-join over raw events. The ratio divides exact BIGINTs,
+    * 6-dp rounded. */
+  def stickiness(events: DataFrame, entityCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1)
+    val dayGrain = events
+      .select(to_date(col(tsCol)).as("day"), col(entityCol))
+      .distinct()
+    val dau = dayGrain.groupBy(col("day").as("window_day"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = dayGrain
+      .withColumn("window_day",
+        explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))))
+      .select(col("window_day"), col(entityCol)).distinct()
+      .groupBy("window_day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "window_day")
+      .select(col("window_day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6)
+          .as("stickiness_r"))
+  }
+
   /** Two-step transition probabilities: the Markov chain's P² — where
     * does an entity land two events from now? Composes [[transitions]]:
     * first-order probabilities p(to|from) = n/Σn per from-state, then

@@ -242,6 +242,44 @@ class BehaviorSpec extends SparkTestBase {
       == ((1L, 1L, 1L, 1L)))
   }
 
+  test("funnelWithin: a conversion past the deadline does not count") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 clicks 1h after view → stage 2; u2 clicks 7h after → stage 1
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 11:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      (2L, "click", t("2024-01-01 17:00:00")),
+      // u3: click BEFORE view — order still matters
+      (3L, "click", t("2024-01-01 09:00:00")),
+      (3L, "view", t("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelWithin(ev, "user_id", "event_type", "ts",
+        Seq("view", "click"), 6L * 3600 * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 2)
+    assert(got(2L) == 1)
+    assert(got(3L) == 1)
+  }
+
+  test("stickiness: hand DAU/MAU over a 3-day window") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // day1: {a,b}; day2: {a}; day3: {c}. window=3 days:
+    // d1 MAU {a,b}=2, d2 MAU {a,b}=2, d3 MAU {a,b,c}=3
+    val ev = Seq(("a", "2024-01-01"), ("b", "2024-01-01"),
+      ("a", "2024-01-02"), ("c", "2024-01-03"))
+      .map { case (u, d) => (u, t(d)) }.toDF("user", "ts")
+    val got = Behavior.stickiness(ev, "user", "ts", 3)
+      .collect().map(r => r.getAs[java.sql.Date]("window_day").toString ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("stickiness_r")))
+      .toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1.0)))
+    assert(got("2024-01-02") == ((1L, 2L, 0.5)))
+    assert(got("2024-01-03") == ((1L, 3L, 0.333333)))
+  }
+
   test("twoStepTransitions: deterministic 2-state chain → P² by hand") {
     import spark.implicits._
     // u1: A B A B A  → transitions A→B ×2, B→A ×2

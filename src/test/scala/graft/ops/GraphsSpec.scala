@@ -273,4 +273,26 @@ class GraphsSpec extends SparkTestBase {
     assert(got(("auth", 100L)) == 1.0 && got(("auth", 200L)) == 0.6)
     assert(got(("hub", 10L)) == 1.0 && got(("hub", 20L)) == 0.625)
   }
+
+  test("personalizedPageRank: hand 2-node chain, seed-localized mass") {
+    // A–B, seed {A}: r1 = (0.15, 0.85); r2 = (0.15 + .85², .85·.15)
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("vertex")
+    val got = Graphs.personalizedPageRank(e, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.8725)
+    assert(got(2L) == 0.1275)
+  }
+
+  test("personalizedPageRank: restart mass goes ONLY to seeds — an " +
+      "off-seed component gets zero") {
+    // two disjoint edges; seed in the first component only
+    val e = Seq((1L, 2L), (10L, 20L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("vertex")
+    val got = Graphs.personalizedPageRank(e, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(10L) && !got.contains(20L),
+      "unreached vertices carry no rows (sparse frontier)")
+    assert(got.keySet == Set(1L, 2L))
+  }
 }
