@@ -406,4 +406,137 @@ object TimeSeries {
         round(col("_int").cast("double") / col("span_us")
           / lit(1000000.0), 6).as("twa_r"))
   }
+
+  /** Theil–Sen robust trend: per key, the MEDIAN of all pairwise
+    * day-grain slopes (x_j − x_i)/(day_j − day_i) — the
+    * breakdown-point-0.29 slope estimator that one outlier day cannot
+    * drag the way OLS ([[rollingSlope]]) can. Median via
+    * [[Ranks.exactQuantiles]] — distributed exact, no single-task sort.
+    *
+    * Shape: corpus → (key, day) counts in one shuffle; the pair join is
+    * quadratic ONLY in each key's observed-day count (calendar-bounded:
+    * a year of days is ~66k pairs — constant per key, independent of
+    * event volume), then the banded-rank median machinery. Slopes are
+    * identical doubles cross-engine (exact-integer differences,
+    * one division). */
+  def theilSen(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grain = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = grain.select(col(keyCol), col("day").as("_da"),
+      col("x").as("_xa"))
+    val b = grain.select(col(keyCol), col("day").as("_db"),
+      col("x").as("_xb"))
+    val pairs = a.join(b, Seq(keyCol))
+      .where(col("_da") < col("_db"))
+      .select(col(keyCol),
+        // nullif: ANSI Spark evaluates the projection's division before
+        // the _da < _db filter is guaranteed to have run (plan-order
+        // dependent) — same-day pairs must divide by null, not 0; none
+        // survive the filter, so results are unchanged
+        ((col("_xb") - col("_xa")).cast("double")
+          / nullif(datediff(col("_db"), col("_da")), lit(0))).as("slope"),
+        concat(col("_da").cast("string"), lit("#"),
+          col("_db").cast("string")).as("_pid"))
+    Ranks.exactQuantiles(pairs, keyCol, "slope", "_pid",
+        bandWidth = 1.0, nums = Seq(1), den = 2)
+      .select(col(keyCol), col("n"),
+        round(col("q_val"), 6).as("slope_med_r"))
+  }
+
+  /** Seasonal-naïve forecast backtest: predict each day's count by the
+    * count `lagDays` earlier on the ZERO-FILLED spine and score the
+    * prediction — MAE and bias from exact integer errors, MAPE over
+    * positive-actual days with 12-dp DECIMAL term sums (the q226
+    * order-independent posture). The standard "is a model even worth
+    * building" baseline, and the drift alarm when a stable series'
+    * seasonal-naïve error jumps.
+    *
+    * Shape: day-grain agg → per-key spine explode (calendar-bounded) →
+    * one self-join shifted by `lagDays` → a per-key rollup. Evaluated
+    * days are those ≥ lagDays into the key's span. */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String,
+      tsCol: String, lagDays: Int): DataFrame = {
+    require(lagDays >= 1)
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val pred = filled.select(col(keyCol),
+      date_add(col("day"), lagDays).as("day"), col("x").as("p"))
+    val joined = filled.join(pred, Seq(keyCol, "day"))
+    val err = col("x") - col("p")
+    joined.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(err)).as("_sae"), sum(err).as("_se"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("x") > 0,
+          round(abs(err).cast("double") / col("x"), 12)
+            .cast("decimal(28,12)"))).as("_sape"))
+      .select(col(keyCol), col("n_days"),
+        round(col("_sae").cast("double") / col("n_days"), 6).as("mae_r"),
+        round(col("_se").cast("double") / col("n_days"), 6).as("bias_r"),
+        col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("_sape").cast("double") / col("n_pos"), 6))
+          .as("mape_r"))
+  }
+
+  /** Daily cross-correlation of two event slices at lags −L..L: Pearson
+    * r between x_t (`sliceA`) and y_{t+lag} (`sliceB`) over the SHARED
+    * zero-filled spine — "does A lead B, and by how many days". Lag > 0
+    * means A leads B. Emits per lag: aligned-pair count and 6-dp r
+    * (null when either side is constant on the overlap).
+    *
+    * Shape: two day-grain aggs on one spine (global min..max — a
+    * calendar-bounded frame), a broadcast lag-spec fan-out, one
+    * day-equi-join, per-lag integer moments; Pearson in one shared
+    * double parenthesization. */
+  def xcorrDaily(events: DataFrame, tsCol: String, sliceA: Column,
+      sliceB: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val s = events.sparkSession
+    import s.implicits._
+    val days = events.select(to_date(col(tsCol)).as("day"),
+      when(sliceA, 1L).otherwise(0L).as("_a"),
+      when(sliceB, 1L).otherwise(0L).as("_b"))
+    val daily = days.groupBy(col("day"))
+      .agg(sum(col("_a")).as("xa"), sum(col("_b")).as("xb"))
+    val spine = daily.agg(min(col("day")).as("_d0"),
+        max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("xa"), lit(0L)).as("xa"),
+        coalesce(col("xb"), lit(0L)).as("xb"))
+    val lags = (-maxLag to maxLag).toDF("lag")
+    // y at day d is re-keyed to d − lag, so joining on the day pairs
+    // x_t with y_{t+lag}: a high r at lag > 0 means A's today tracks
+    // B's future — A LEADS B by `lag` days
+    val shifted = filled.crossJoin(broadcast(lags))
+      .select(col("lag"), date_sub(col("day"), col("lag")).as("day"),
+        col("xb").as("yb"))
+    val pairs = filled.join(shifted, Seq("day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa")).as("_sx"), sum(col("yb")).as("_sy"),
+        sum(col("xa") * col("xa")).as("_sxx"),
+        sum(col("yb") * col("yb")).as("_syy"),
+        sum(col("xa") * col("yb")).as("_sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_pairs")
+    val cov = d("_sxy") - d("_sx") * d("_sy") / n
+    val vx = d("_sxx") - d("_sx") * d("_sx") / n
+    val vy = d("_syy") - d("_sy") * d("_sy") / n
+    pairs.select(col("lag"), col("n_pairs"),
+      when(vx > 0 && vy > 0,
+        round(cov / nullif(sqrt(vx) * sqrt(vy), lit(0.0)), 6))
+        .as("r_r"))
+  }
 }

@@ -120,8 +120,10 @@ object EngageQueries {
            |FROM r$PprIters ORDER BY vertex""".stripMargin
       },
       (s, d) => {
+        // one materialization feeds the seeds scan AND the op's sym/
+        // adj builds (harness clearCache reclaims — q214's convention)
         val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
-          "l_orderkey", "l_partkey", 2L)
+          "l_orderkey", "l_partkey", 2L).cache()
         val sym = edges.select(col("src"))
           .union(edges.select(col("dst")))
         val seeds = sym.distinct().orderBy("src").limit(PprSeeds)

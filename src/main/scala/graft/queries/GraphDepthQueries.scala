@@ -48,7 +48,7 @@ object GraphDepthQueries {
               |ORDER BY vertex""".stripMargin),
       (s, d) => Graphs.kCore(
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L),
+            "l_partkey", 2L).cache(),
           k = 3, rounds = 4)
         .orderBy("vertex")),
 
@@ -77,7 +77,7 @@ object GraphDepthQueries {
               |ORDER BY u, v""".stripMargin),
       (s, d) => Graphs.adamicAdar(
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L),
+            "l_partkey", 2L).cache(),
           minCommon = 2L)
         .orderBy("u", "v")))
 }

@@ -61,7 +61,7 @@ object GraphMetricQueries {
               |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin),
       (s, d) => Graphs.degreeAssortativity(
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L))
+            "l_partkey", 2L).cache())
         .orderBy("degree")),
 
     // Local clustering + transitivity of the SUPPLIER graph: per-vertex

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class TimeSeriesSpec extends SparkTestBase {
@@ -188,6 +190,64 @@ class TimeSeriesSpec extends SparkTestBase {
       .toDF("key", "ts")
     val got = TimeSeries.acfDaily(e, "key", "ts", maxLag = 1).collect()
     assert(got.head.isNullAt(3), got.head.toString)
+  }
+
+  test("theilSen: one outlier day cannot drag the median slope") {
+    // days 1..5 with counts 1,2,3,4,50 — OLS would explode; the
+    // pairwise-slope median stays at the underlying +1/day... with the
+    // outlier, slopes are {1,1,1, 1,1, 1, 12.25, 16, 23.5, 46} →
+    // median = 1.0
+    val rows = Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 50)).flatMap {
+      case (dayI, n) =>
+        Seq.fill(n)(("k", ts(f"2024-06-0$dayI 08:00:00")))
+    }
+    val got = TimeSeries.theilSen(rows.toDF("key", "ts"), "key", "ts")
+      .collect().head
+    assert(got.getAs[Long]("n") == 10) // C(5,2) pairs
+    assert(got.getAs[Double]("slope_med_r") == 1.0)
+  }
+
+  test("seasonalNaiveBacktest: perfect weekly repetition → zero error; " +
+      "a level jump shows up as bias") {
+    // key p: week 1 == week 2 (2 events/day) → MAE 0, bias 0, MAPE 0
+    val perfect = (1 to 14).flatMap(i =>
+      Seq.fill(2)(("p", ts(f"2024-06-$i%02d 08:00:00"))))
+    // key j: week 1 at 1/day, week 2 at 3/day → err +2 on all 7 eval
+    // days; MAE 2, bias +2, MAPE 2/3
+    val jump = (1 to 7).map(i => ("j", ts(f"2024-06-$i%02d 08:00:00"))) ++
+      (8 to 14).flatMap(i =>
+        Seq.fill(3)(("j", ts(f"2024-06-$i%02d 08:00:00"))))
+    val got = TimeSeries.seasonalNaiveBacktest(
+        (perfect ++ jump).toDF("key", "ts"), "key", "ts", 7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = got("p")
+    assert(p.getAs[Long]("n_days") == 7)
+    assert(p.getAs[Double]("mae_r") == 0.0 &&
+      p.getAs[Double]("bias_r") == 0.0 && p.getAs[Double]("mape_r") == 0.0)
+    val j = got("j")
+    assert(j.getAs[Double]("mae_r") == 2.0)
+    assert(j.getAs[Double]("bias_r") == 2.0)
+    assert(j.getAs[Double]("mape_r") == 0.666667)
+  }
+
+  test("xcorrDaily: B = A shifted one day forward → perfect r at " +
+      "lag +1 only") {
+    // A active days 1,3,5 (2 events), else 1; B mirrors A one day later
+    val aDays = Map(1 -> 2, 2 -> 1, 3 -> 2, 4 -> 1, 5 -> 2, 6 -> 1)
+    val rows = aDays.toSeq.flatMap { case (dayI, n) =>
+      Seq.fill(n)(("A", ts(f"2024-06-0$dayI 08:00:00"))) ++
+        Seq.fill(n)(("B", ts(f"2024-06-0${dayI + 1} 08:00:00")))
+    }
+    val df = rows.toDF("typ", "ts")
+    val got = TimeSeries.xcorrDaily(df, "ts", col("typ") === "A",
+        col("typ") === "B", 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getAs[Double]("r_r") == 1.0, "A leads B by 1 day")
+    assert(got(-1).getAs[Double]("r_r") < 1.0)
+    assert(got(0).getAs[Double]("r_r") < 1.0)
+    // overlap shrinks by |lag| against the 7-day spine
+    assert(got(0).getAs[Long]("n_pairs") == 7)
+    assert(got(2).getAs[Long]("n_pairs") == 5)
   }
 
   test("trendBreak: clean level shift found at the exact boundary") {
