@@ -75,6 +75,30 @@ object Fit {
         round(col("_gain"), 6).as("gain_r"))
   }
 
+  /** Hashing-trick featurizer (Weinberger et al., ICML'09): each token
+    * hashes to one of `dim` buckets with a ±1 sign drawn from an
+    * independent hash bit, and a row's feature vector is the signed
+    * bucket count — the fixed-width, vocabulary-free encoding that
+    * replaces a terabyte-scale string-indexer fit with a stateless
+    * map. Emits LONG format (id, dim, v) — sparse, join-friendly, and
+    * exactly what a downstream linear model or LSH consumes.
+    *
+    * Determinism: md5-hash60 buckets/signs ([[TextOps.hash60]] — the
+    * engine-portable hash the samplers already share), integer sums.
+    * Shape: explode to token grain, one (id, dim) hash-agg; no
+    * vocabulary state anywhere. */
+  def featureHash(rows: DataFrame, idCol: String, tokens: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    rows.select(col(idCol), explode(tokens).as("_t"))
+      .withColumn("_h", TextOps.hash60(col("_t")))
+      .select(col(idCol), (col("_h") % dim).cast("int").as("dim"),
+        when(expr(s"(_h div $dim) % 2") === 0, 1L).otherwise(-1L)
+          .as("_sgn"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("_sgn")).as("v"))
+  }
+
   /** Per-group OLS fit y = b0 + b1·x1 + b2·x2 by the normal equations,
     * solved in closed form (3×3 Cramer). Inputs must be INTEGER-VALUED
     * (scale upstream): all ten sufficient statistics (n, Σx1, Σx2, Σy,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column statistics, fixed-width value
@@ -88,6 +89,71 @@ object Profile {
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
+  /** Pearson residuals of an x × y contingency table: per cell the
+    * observed count (INCLUDING structurally-zero cells), the expected
+    * count under independence e = rowTot·colTot/N, and the
+    * standardized residual (o − e)/√e — the "which cells drive the
+    * association" readout a bare χ² statistic ([[mutualInfo]]'s and
+    * q167's cousin) cannot give. The global χ² rides along as the
+    * order-independent DECIMAL sum of 9-dp-rounded cell terms.
+    *
+    * Shape: corpus → observed-cell hash-agg; margins are two tiny
+    * rollups; the full cell grid is a broadcast cross of the two
+    * margin frames (|x|·|y| rows — categorical cardinalities, never
+    * corpus-sized). One shared double parenthesization. */
+  def chi2Residuals(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val grain = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("_o"))
+    val xs = grain.groupBy(col(xCol)).agg(sum(col("_o")).as("_rt"))
+    val ys = grain.groupBy(col(yCol)).agg(sum(col("_o")).as("_ct"))
+    val n = grain.agg(sum(col("_o")).as("_n"))
+    val cells = xs.crossJoin(broadcast(ys)).crossJoin(broadcast(n))
+      .join(grain, Seq(xCol, yCol), "left")
+      .withColumn("o", coalesce(col("_o"), lit(0L)))
+    val e = col("_rt").cast("double") * col("_ct") / col("_n")
+    val resid = (col("o") - e) / nullif(sqrt(e), lit(0.0))
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("_chi2", sum(round(resid * resid, 9)
+        .cast("decimal(28,9)")).over(wAll))
+      .select(col(xCol), col(yCol), col("o"), round(e, 6).as("e_r"),
+        round(resid, 6).as("resid_r"),
+        round(col("_chi2").cast("double"), 6).as("chi2_r"))
+  }
+
+  /** Trimmed mean per group: the mean of values INSIDE [p_lo, p_hi]
+    * quantile bounds, outliers DROPPED — [[winsorize]]'s sibling
+    * (winsorizing clamps the tails to the bounds; trimming removes
+    * them, the estimator of choice when tail rows are suspected junk
+    * rather than extreme-but-real). Emits bounds, kept/dropped counts
+    * and the 6-dp trimmed mean.
+    *
+    * Same shape as winsorize: one quantile agg, a broadcast bounds
+    * join, one final hash-agg — two passes over the corpus, nothing
+    * widens. Exactness: integer-valued inputs make the quantile bounds
+    * and the kept-sum bit-exact cross-engine (the q95 argument). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(pLo)).as("lo"),
+        percentile(col(valueCol), lit(pHi)).as("hi"))
+    val in = col(valueCol) >= col("lo") && col(valueCol) <= col("hi")
+    df.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("n_total"),
+        sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(in, col(valueCol))).as("_s"))
+      .select(col(groupCol), col("lo"), col("hi"), col("n_total"),
+        col("n_kept"), (col("n_total") - col("n_kept")).as("n_dropped"),
+        when(col("n_kept") > 0,
+          round(col("_s") / nullif(col("n_kept").cast("double"),
+            lit(0.0)), 6)).as("trimmed_mean_r"))
   }
 
   /** Rows whose value deviates from their group mean by more than

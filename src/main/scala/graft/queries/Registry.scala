@@ -14,7 +14,8 @@ object Registry {
       GraphMetricQueries.all ++ CorpusMetricQueries.all ++
       SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all ++
       InferQueries.all ++ FitQueries.all ++ ChainQueries.all ++
-      SignalQueries.all ++ EngageQueries.all ++ TrendQueries.all
+      SignalQueries.all ++ EngageQueries.all ++ TrendQueries.all ++
+      EncodeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -47,6 +47,28 @@ class FitSpec extends SparkTestBase {
     assert(got("good") == 0.5 && got("bad") == 0.0)
   }
 
+  test("featureHash: stable bucket/sign per token, counts scale, " +
+      "dims bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, Seq("a")), (2L, Seq("a", "a")), (3L, Seq("b")))
+      .toDF("id", "toks")
+    val got = Fit.featureHash(rows, "id", col("toks"), 8).collect()
+    val byId = got.groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r =>
+        r.getInt(1) -> r.getLong(2)).toMap }
+    // one token → one row; same token twice → same dim, doubled count
+    assert(byId(1L).size == 1 && byId(2L).size == 1)
+    val (dA, sA) = byId(1L).head
+    assert(math.abs(sA) == 1)
+    assert(byId(2L) == Map(dA -> 2 * sA))
+    assert(got.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    // determinism: a second run is identical
+    val again = Fit.featureHash(rows, "id", col("toks"), 8).collect()
+    assert(got.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("ols2 recovers an exact plane: y = 7 + 3·x1 − 2·x2, R² = 1") {
     import spark.implicits._
     val pts = for (x1 <- 0L to 3L; x2 <- 0L to 3L)

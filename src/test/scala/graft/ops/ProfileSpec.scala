@@ -3,6 +3,44 @@ package graft.ops
 import graft.SparkTestBase
 
 class ProfileSpec extends SparkTestBase {
+
+  test("chi2Residuals: independent table → zero residuals; zero cells " +
+      "included; hand 2×2 residual values") {
+    import spark.implicits._
+    // perfectly independent 2×2: margins (2,2)×(2,2), all e = 1 = o
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val gotInd = Profile.chi2Residuals(ind, "r", "c").collect()
+    assert(gotInd.length == 4)
+    assert(gotInd.forall(_.getAs[Double]("resid_r") == 0.0))
+    assert(gotInd.forall(_.getAs[Double]("chi2_r") == 0.0))
+    // diagonal-only 2×2: o=(2,0,0,2), e=1 everywhere → resid ±1,
+    // χ² = 4; the TWO ZERO CELLS must appear as rows
+    val diag = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val gotDiag = Profile.chi2Residuals(diag, "r", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(gotDiag.size == 4)
+    assert(gotDiag(("a", "y")).getAs[Long]("o") == 0)
+    assert(gotDiag(("a", "x")).getAs[Double]("resid_r") == 1.0)
+    assert(gotDiag(("a", "y")).getAs[Double]("resid_r") == -1.0)
+    assert(gotDiag(("b", "y")).getAs[Double]("chi2_r") == 4.0)
+  }
+
+  test("trimmedMean: outliers dropped, not clamped") {
+    import spark.implicits._
+    // 1,2,...,10 + outlier 1000: winsorized mean would clamp 1000 to
+    // q3; trimmed drops it entirely. q1/q3 of {1..10,1000} (h-index
+    // interpolation) = (3.5, 8.5) → kept {4..8}, mean 6.0
+    val df = ((1 to 10) :+ 1000).map(v => ("g", v.toDouble))
+      .toDF("grp", "v")
+    val r = Profile.trimmedMean(df, "grp", "v", 0.25, 0.75)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == 11)
+    assert(r.getAs[Long]("n_kept") == 5)
+    assert(r.getAs[Long]("n_dropped") == 6)
+    assert(r.getAs[Double]("trimmed_mean_r") == 6.0)
+  }
   import spark.implicits._
 
   private val df = Seq(
