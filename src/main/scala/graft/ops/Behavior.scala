@@ -123,6 +123,114 @@ object Behavior {
       .agg(max(stageExpr).as("funnel_stage"))
   }
 
+  /** Per-entity stage-transition durations from the ordered funnel:
+    * for each consecutive stage pair the entity completed, the
+    * microseconds between its earliest-qualifying stage times
+    * ([[funnel]]'s exact chain semantics — stage k+1 strictly after
+    * stage k). LONG format (stage_pair, entity, dt_us) so a caller can
+    * feed [[Ranks.exactQuantiles]] for "median time to convert" per
+    * step — the funnel readout that tells you WHERE users stall, not
+    * just where they stop. Single shuffle, same whole-partition window
+    * chain as [[funnel]]. */
+  def stageDurations(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two stages")
+    val w = Window.partitionBy(entityCol)
+    val withTimes = stages.zipWithIndex.foldLeft(
+      events.withColumn("_us", unix_micros(col(tsCol)))) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage && col("_us") > col(s"_t${i - 1}")
+        df.withColumn(s"_t$i", min(when(cond, col("_us"))).over(w))
+    }
+    val aggs = stages.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perEntity = withTimes.groupBy(col(entityCol))
+      .agg(aggs.head, aggs.tail: _*)
+    stages.zip(stages.tail).zipWithIndex.map { case ((from, to), i) =>
+      perEntity.where(col(s"_t${i + 1}").isNotNull)
+        .select(lit(s"$from->$to").as("stage_pair"),
+          col(entityCol),
+          (col(s"_t${i + 1}") - col(s"_t$i")).as("dt_us"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Time-decay multi-touch attribution: each conversion distributes
+    * one unit of credit over its preceding touches within `lookbackUs`,
+    * weighted exp(−Δt/τ) — recent touches earn more, the standard
+    * middle ground between last-touch (all credit to the final click)
+    * and linear (flat split). Emits per touch channel: touch count and
+    * total credit (6 dp).
+    *
+    * Determinism: weights are one shared exp() parenthesization,
+    * 12-dp-rounded and summed as DECIMAL per conversion (order-
+    * independent), and each credit ratio divides those exact decimals
+    * cast to double; the final per-channel reduction sums 12-dp-rounded
+    * credits as DECIMAL again. Shape: conversions ⋈ touches equi-join
+    * on the entity bounded by the lookback window (per-entity work ∝
+    * touches in the window, never cross-entity), then two hash-aggs. */
+  def decayAttribution(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      convType: String, touchTypes: Seq[String], lookbackUs: Long,
+      tauUs: Long): DataFrame = {
+    require(lookbackUs > 0 && tauUs > 0)
+    val e = events.select(col(entityCol).as("_ent"),
+      col(typeCol).as("_ty"), unix_micros(col(tsCol)).as("_us"),
+      col(idCol).as("_id"))
+    val convs = e.where(col("_ty") === convType)
+      .select(col("_ent"), col("_us").as("_cus"), col("_id").as("_cid"))
+    val touches = e.where(col("_ty").isInCollection(touchTypes))
+      .select(col("_ent"), col("_ty").as("channel"),
+        col("_us").as("_tus"))
+    val joined = convs.join(touches, Seq("_ent"))
+      .where(col("_tus") < col("_cus") &&
+        col("_cus") - col("_tus") <= lookbackUs)
+      .withColumn("_wr",
+        round(exp((col("_tus") - col("_cus")).cast("double")
+          / lit(tauUs.toDouble)), 12).cast("decimal(28,12)"))
+    val perConv = Window.partitionBy(col("_ent"), col("_cid"))
+    joined
+      .withColumn("_sw", sum(col("_wr")).over(perConv))
+      .withColumn("_credit", col("_wr").cast("double")
+        / col("_sw").cast("double"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(col("_credit"), 12).cast("decimal(28,12)"))
+          .as("_c"))
+      .select(col("channel"), col("n_touches"),
+        round(col("_c").cast("double"), 6).as("credit_r"))
+  }
+
+  /** Cohort LTV curve: entities bucketed by first-seen ISO week, and
+    * per (cohort, weeks-since-cohort) the active-entity count, the
+    * week's metric total (exact integer — scale currency to cents
+    * upstream) and the cohort's RUNNING total — the retention-revenue
+    * surface every growth dashboard draws. Week arithmetic is
+    * date_trunc('week')-based on both engines (q83's cohort
+    * convention).
+    *
+    * Shape: one shuffle to the (entity, week) grain, a broadcast-size
+    * cohort join, a (cohort, week) hash-agg, then a cumulative window
+    * over the tiny cohort×weeks frame. */
+  def cohortLtv(events: DataFrame, entityCol: String, tsCol: String,
+      metricInt: Column): DataFrame = {
+    val wk = events.select(col(entityCol).as("_ent"),
+      date_trunc("week", col(tsCol)).cast("date").as("_week"),
+      metricInt.as("_m"))
+    val coh = wk.groupBy(col("_ent"))
+      .agg(min(col("_week")).as("cohort_week"))
+    val grain = wk.join(coh, Seq("_ent"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_n"))
+      .agg(countDistinct(col("_ent")).as("n_active"),
+        sum(col("_m")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy("week_n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain.withColumn("cum_rev", sum(col("rev")).over(wCum))
+  }
+
   /** DAU/MAU stickiness: per observed day, the distinct-entity count
     * that day (DAU), over the trailing `windowDays` window (MAU), and
     * their ratio — the standard "how much of the monthly audience shows

@@ -242,6 +242,76 @@ class BehaviorSpec extends SparkTestBase {
       == ((1L, 1L, 1L, 1L)))
   }
 
+  test("stageDurations: exact chain deltas; stalled entities drop out " +
+      "of later pairs") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 10:30:00")),
+      (1L, "purchase", t("2024-01-01 12:30:00")),
+      (2L, "view", t("2024-01-01 09:00:00")),
+      (2L, "click", t("2024-01-01 09:10:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.stageDurations(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("view->click", 1L)) == 30L * 60 * 1000000)
+    assert(got(("click->purchase", 1L)) == 120L * 60 * 1000000)
+    assert(got(("view->click", 2L)) == 10L * 60 * 1000000)
+    assert(!got.contains(("click->purchase", 2L)))
+  }
+
+  test("decayAttribution: equal-Δt touches split evenly; decay favors " +
+      "the recent touch; out-of-window touches earn nothing") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val hourUs = 3600L * 1000000
+    val ev = Seq(
+      // u1: view 2h before, click 1h before purchase → click earns
+      // e^{-1/24} / (e^{-1/24} + e^{-2/24}) of the credit (τ = 1 day)
+      (1L, 1L, "view", t("2024-01-01 08:00:00")),
+      (1L, 2L, "click", t("2024-01-01 09:00:00")),
+      (1L, 3L, "purchase", t("2024-01-01 10:00:00")),
+      // u2: a touch 8 days out — outside the 7-day lookback
+      (2L, 4L, "view", t("2024-01-01 00:00:00")),
+      (2L, 5L, "purchase", t("2024-01-09 00:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.decayAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "purchase", Seq("view", "click"),
+        7L * 24 * hourUs, 24L * hourUs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("credit_r"))).toMap
+    val wC = math.exp(-1.0 / 24); val wV = math.exp(-2.0 / 24)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("click")._2 == r6(wC / (wC + wV)))
+    assert(got("view")._2 == r6(wV / (wC + wV)),
+      "u2's out-of-window view earns nothing")
+    assert(got("view")._1 == 1L && got("click")._1 == 1L)
+  }
+
+  test("cohortLtv: two cohorts, exact weekly and cumulative cents") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // cohort of Mon 2024-01-01: u1 spends 100 in wk0, 200 in wk1;
+    // cohort of Mon 2024-01-08: u2 spends 50 in its wk0
+    val ev = Seq(
+      (1L, "purchase", 1.0, t("2024-01-02")),
+      (1L, "purchase", 2.0, t("2024-01-10")),
+      (2L, "purchase", 0.5, t("2024-01-09")))
+      .toDF("user_id", "event_type", "value", "ts")
+    val got = Behavior.cohortLtv(ev, "user_id", "ts",
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_week")
+        .toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("2024-01-01", 0L)) == ((1L, 100L, 100L)))
+    assert(got(("2024-01-01", 1L)) == ((1L, 200L, 300L)))
+    assert(got(("2024-01-08", 0L)) == ((1L, 50L, 50L)))
+  }
+
   test("funnelWithin: a conversion past the deadline does not count") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
