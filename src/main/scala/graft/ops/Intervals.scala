@@ -69,4 +69,46 @@ object Intervals {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval OVERLAP self-join per key: all pairs of a key's intervals
+    * that overlap ([s, e) exclusive ends), with the overlap length in
+    * days — the "which stays/visits/orders coincide" join that a naive
+    * theta join (s_a < e_b AND s_b < e_a) turns into a per-key cross
+    * product. Pairs are oriented id_a < id_b.
+    *
+    * Scale shape: each interval explodes to its covering day-grain
+    * BUCKETS of `bucketDays` (bounded fan-out ∝ duration/bucketDays),
+    * the candidate join is an EQUI-join on (key, bucket), and each
+    * overlapping pair is emitted EXACTLY ONCE — in the bucket holding
+    * max(s_a, s_b), which both intervals cover iff they overlap — so
+    * no post-join distinct is needed. Overlap arithmetic is exact
+    * integer days. */
+  def overlapJoin(iv: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String, bucketDays: Int): DataFrame = {
+    require(bucketDays >= 1)
+    val epoch = to_date(lit("1970-01-01"))
+    val withB = iv.select(col(keyCol), col(idCol).as("_id"),
+        to_date(col(startCol)).as("_s"), to_date(col(endCol)).as("_e"))
+      .withColumn("_db0", (datediff(col("_s"), epoch)
+        / bucketDays).cast("long"))
+      // end exclusive: the last covered day is e − 1
+      .withColumn("_db1", (datediff(date_sub(col("_e"), 1), epoch)
+        / bucketDays).cast("long"))
+      .withColumn("_bucket",
+        explode(sequence(col("_db0"), col("_db1"))))
+    val a = withB.select(col(keyCol), col("_bucket"),
+      col("_id").as("a_id"), col("_s").as("_sa"), col("_e").as("_ea"),
+      col("_db0").as("_b0a"))
+    val b = withB.select(col(keyCol), col("_bucket"),
+      col("_id").as("b_id"), col("_s").as("_sb"), col("_e").as("_eb"),
+      col("_db0").as("_b0b"))
+    a.join(b, Seq(keyCol, "_bucket"))
+      .where(col("a_id") < col("b_id") &&
+        col("_sa") < col("_eb") && col("_sb") < col("_ea") &&
+        col("_bucket") === greatest(col("_b0a"), col("_b0b")))
+      .select(col(keyCol), col("a_id"), col("b_id"),
+        datediff(least(col("_ea"), col("_eb")),
+          greatest(col("_sa"), col("_sb"))).cast("long")
+          .as("overlap_days"))
+  }
 }

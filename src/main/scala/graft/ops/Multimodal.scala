@@ -312,6 +312,157 @@ object Multimodal {
     none
   }
 
+  /** Per-frame RMS energy over PCM16 mono WAV payloads: split the
+    * sample stream into frames of `frameSamples` and emit each frame's
+    * root-mean-square amplitude — the voice-activity / silence-trim /
+    * loudness-bucketing primitive an audio curation pipeline gates on
+    * before any expensive model touches the clip. Non-WAV,
+    * non-16-bit or multi-channel payloads yield NO rows (decode
+    * eligibility is [[audioInfo]]'s job); a short final frame is
+    * emitted with its true `n_samples`.
+    *
+    * Determinism: Σs² per frame is exact integer arithmetic; one
+    * double sqrt per frame, 6-dp rounded. Shape: `mapPartitions` at
+    * the codec boundary (the [[decodeFeatures]] convention) with
+    * bounded per-row output (samples/frameSamples rows); no shuffle —
+    * downstream aggs partition as usual. */
+  def audioEnergy(df: DataFrame, idCol: String, binCol: String,
+      frameSamples: Int): DataFrame = {
+    require(frameSamples >= 1)
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms_r", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        pcm16MonoData(bytes) match {
+          case None => Iterator.empty
+          case Some((off, nSamples)) =>
+            val id = r.get(idIdx)
+            (0 until nSamples by frameSamples).iterator.map { s0 =>
+              val n = math.min(frameSamples, nSamples - s0)
+              var i = 0; var ss = 0L
+              while (i < n) {
+                val p = off + 2 * (s0 + i)
+                val v = ((bytes(p) & 0xff) |
+                  (bytes(p + 1) << 8)).toShort.toInt
+                ss += v.toLong * v
+                i += 1
+              }
+              val rms = math.sqrt(ss.toDouble / n)
+              Row(id, s0 / frameSamples, n,
+                math.rint(rms * 1e6) / 1e6)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** (data offset, sample count) of a PCM16 MONO WAV payload; None for
+    * anything else (other formats, truncated data chunk, corrupt). */
+  private[ops] def pcm16MonoData(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 12) return None
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var ok = false
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        ok = le16(i + 8) == 1 && le16(i + 10) == 1 && le16(i + 22) == 16
+      else if (id == "data") { dataOff = i + 8; dataLen = size }
+      val adv = 8L + size + (size & 1L)
+      if (adv <= 0 || i + adv > Int.MaxValue) i = b.length
+      else i += adv.toInt
+    }
+    if (!ok || dataOff < 0 || dataLen < 2 ||
+      dataOff + dataLen > b.length) None
+    else Some((dataOff, (dataLen / 2).toInt))
+  }
+
+  /** Grayscale luma histogram over UNCOMPRESSED 24-bit BMP payloads:
+    * `bins` equi-width buckets of the integer luma
+    * (299R + 587G + 114B)/1000 ∈ [0, 255] — the exposure/contrast
+    * profile an image curation pass buckets on (all-dark, blown-out,
+    * low-contrast screenshots) without any codec dependency. Non-BMP /
+    * compressed / non-24bpp payloads yield no rows.
+    *
+    * Exact integer arithmetic end to end; one (id, bin, n) row per
+    * non-empty bucket, accumulated in a local `bins`-cell array per
+    * image inside `mapPartitions` — row order never matters. */
+  def imageHistogram(df: DataFrame, idCol: String, binCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 256)
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("bin", IntegerType),
+      StructField("n", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        bmp24Pixels(bytes) match {
+          case None => Iterator.empty
+          case Some((off, w, h, stride)) =>
+            val id = r.get(idIdx)
+            val hist = new Array[Long](bins)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = off + y * stride + 3 * x
+                val bB = bytes(p) & 0xff
+                val g = bytes(p + 1) & 0xff
+                val rr = bytes(p + 2) & 0xff
+                val luma = (299 * rr + 587 * g + 114 * bB) / 1000
+                hist(luma * bins / 256) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            (0 until bins).iterator.filter(hist(_) > 0)
+              .map(bi => Row(id, bi, hist(bi)))
+        }
+      }
+    }(enc)
+  }
+
+  /** (pixel offset, width, |height|, row stride) of an uncompressed
+    * 24-bpp BITMAPINFOHEADER BMP; None otherwise. Row order (bottom-up
+    * vs top-down) is irrelevant to a histogram. */
+  private[ops] def bmp24Pixels(b: Array[Byte])
+      : Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return None
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)
+    val off = le32(10)
+    val w = le32(18); val h = math.abs(le32(22))
+    val bpp = le16(28); val comp = le32(30)
+    if (le32(14) < 40 || bpp != 24 || comp != 0 || w <= 0 || h == 0)
+      return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) None
+    else Some((off, w, h, stride))
+  }
+
   /** Deterministic fake "image dimensions" from the content hash — the
     * metadata-extraction shape (real pipelines read codec headers). */
   def fakeDimensions(df: DataFrame): DataFrame = df

@@ -9,6 +9,31 @@ class IntervalsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("overlapJoin: exact overlap days, disjoint pairs absent, " +
+      "cross-bucket pairs emitted exactly once") {
+    val iv = Seq(
+      // key 1: [Jan1,Jan5) × [Jan3,Jan8) overlap [Jan3,Jan5) = 2 days;
+      // [Jan3,Jan8) × [Jan7,Jan9) overlap [Jan7,Jan8) = 1 day;
+      // [Jan1,Jan5) vs [Jan7,Jan9): disjoint
+      (1L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")),
+      (1L, 20L, ts("2024-01-03 00:00:00"), ts("2024-01-08 00:00:00")),
+      (1L, 30L, ts("2024-01-07 00:00:00"), ts("2024-01-09 00:00:00")),
+      // key 2: touching ends are NOT overlap ([s,e) exclusive)
+      (2L, 40L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      (2L, 50L, ts("2024-01-03 00:00:00"), ts("2024-01-05 00:00:00")))
+      .toDF("k", "id", "s", "e")
+    for (bucketDays <- Seq(1, 3, 100)) {
+      val got = Intervals.overlapJoin(iv, "k", "id", "s", "e",
+          bucketDays)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          r.getLong(3)).toMap
+      assert(got.size == 2, s"bucketDays=$bucketDays: $got")
+      assert(got((1L, 10L, 20L)) == 2L)
+      assert(got((1L, 20L, 30L)) == 1L)
+    }
+  }
+
   test("overlapping intervals stack; disjoint ones do not") {
     val iv = Seq(
       // key 1: [1,5), [2,6), [3,4) → all three open at t=3
