@@ -460,6 +460,36 @@ object Graphs {
       .where(col("common_neighbors") >= minCommon)
   }
 
+  /** Item–item cosine similarity from (group, item) co-occurrence —
+    * the classic collaborative-filtering item similarity (Sarwar et
+    * al., WWW'01, binarized): sim(i, j) = co(i,j) / (√deg(i)·√deg(j)),
+    * where deg counts the groups containing the item and co the groups
+    * containing both. Normalization is what [[coOccurrenceEdges]]'
+    * raw support lacks: it stops ubiquitous items from dominating
+    * every pair. Pairs oriented src < dst, support-thresholded.
+    *
+    * Shape: the pair join is [[coOccurrenceEdges]]' within-group
+    * self-join (quadratic only inside a group, bounded by the support
+    * valve); degrees are one hash-agg broadcast onto the thresholded
+    * pair table. Cosine divides exact integers in one shared
+    * parenthesization, 6-dp rounded. */
+  def itemCosine(df: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val items = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .distinct()
+    val deg = items.groupBy(col("_i")).agg(count(lit(1)).as("_deg"))
+    coOccurrenceEdges(df, groupCol, itemCol, minSupport)
+      .join(broadcast(deg.select(col("_i").as("src"),
+        col("_deg").as("_da"))), "src")
+      .join(broadcast(deg.select(col("_i").as("dst"),
+        col("_deg").as("_db"))), "dst")
+      .select(col("src"), col("dst"), col("support"),
+        round(col("support").cast("double") /
+          nullif(sqrt(col("_da").cast("double"))
+            * sqrt(col("_db").cast("double")), lit(0.0)), 6)
+          .as("cos_r"))
+  }
+
   /** Personalized PageRank from a seed set (random walk with restart —
     * Haveliwala, WWW'02): r₀ = uniform over seeds, then
     * r_{k+1}(v) = (1−d)·restart(v) + d·Σ_{u→v} r_k(u)/deg(u),

@@ -122,6 +122,88 @@ object Infer {
         .as("p_r"))
   }
 
+  /** Sequential probability ratio test (Wald 1945) over a daily
+    * conversion stream: per day the binomial log-likelihood-ratio
+    * increment k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) and its running
+    * total, plus the Wald decision against the ln B / ln A boundaries
+    * (B = (1−β)/α, A = β/(1−α) at the given error rates) — the
+    * "stop the experiment as soon as the evidence is in" monitor that
+    * fixed-horizon tests ([[welchTTest]], two-proportion z) cannot
+    * give. `decision` reports the state AT each day (accept_h1 /
+    * accept_h0 / continue); the first non-continue day is the
+    * sequential stopping point.
+    *
+    * Determinism: daily (n, k) are exact integers from one hash-agg;
+    * the two ln() coefficients are Scala-computed double literals
+    * shared verbatim with the oracle SQL, so every increment is the
+    * identical double; the running sum accumulates in day order on
+    * both engines. The day-grain table is calendar-bounded — the
+    * cumulative window is over dozens of rows, not the corpus. */
+  def sprtDaily(events: DataFrame, tsCol: String, success: Column,
+      p0: Double, p1: Double, alpha: Double,
+      beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0)
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val cPos = math.log(p1 / p0)
+    val cNeg = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = col("k") * lit(cPos) + (col("n") - col("k")) * lit(cNeg)
+    daily
+      .withColumn("_cum", sum(llr).over(wCum))
+      .select(col("day"), col("n"), col("k"),
+        round(llr, 6).as("llr_r"),
+        round(col("_cum"), 6).as("cum_llr_r"),
+        when(col("_cum") >= upper, lit("accept_h1"))
+          .when(col("_cum") <= lower, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-segment rates:
+    * fit Beta(α, β) to the observed segment rates by method of
+    * moments, then report each segment's posterior-mean rate
+    * (k + α)/(n + α + β) — small segments shrink hard toward the
+    * global mean, big ones barely move, and ranking by the shrunken
+    * rate stops tiny-n segments from topping every leaderboard
+    * (Robbins 1956; the baseball-averages classic).
+    *
+    * Moment fit: m and v are the UNWEIGHTED mean/variance of the
+    * segment rates, accumulated as 12-dp DECIMAL sums of rounded
+    * p and p² (order-independent — the q226 posture); α, β and each
+    * shrunken rate are one shared double parenthesization. Degenerate
+    * fits (v = 0, or the MoM precision m(1−m)/v − 1 ≤ 0) yield null
+    * shrunken rates with the raw rate still reported. */
+  def ebShrinkage(units: DataFrame, segCol: String,
+      success: Column): DataFrame = {
+    val seg = units.groupBy(col(segCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(success, 1L).otherwise(0L)).as("k"))
+    val p = col("k").cast("double") / col("n")
+    val mom = seg.agg(
+      count(lit(1)).as("_m0"),
+      sum(round(p, 12).cast("decimal(28,12)")).as("_sp"),
+      sum(round(p * p, 12).cast("decimal(28,12)")).as("_spp"))
+    val m = col("_sp").cast("double") / col("_m0")
+    val v = col("_spp").cast("double") / col("_m0") - m * m
+    val prec = m * (lit(1.0) - m) / nullif(v, lit(0.0)) - lit(1.0)
+    val ok = col("_m0") >= 2 && v > 0 && prec > 0
+    val alpha = m * prec
+    val beta = (lit(1.0) - m) * prec
+    seg.crossJoin(broadcast(mom))
+      .select(col(segCol), col("n"), col("k"),
+        round(p, 6).as("rate_r"),
+        round(when(ok, alpha), 6).as("alpha_r"),
+        round(when(ok, beta), 6).as("beta_r"),
+        round(when(ok, (col("k") + alpha) /
+          (col("n") + alpha + beta)), 6).as("shrunk_r"))
+  }
+
   /** Wilson score interval (JASA 1927) for a per-group proportion —
     * the binomial CI that stays inside [0, 1] and behaves at small n
     * and extreme rates where the Wald interval collapses; the standard

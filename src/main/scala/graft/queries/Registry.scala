@@ -15,7 +15,8 @@ object Registry {
       SeasonalQueries.all ++ GraphDepthQueries.all ++ EvalQueries.all ++
       InferQueries.all ++ FitQueries.all ++ ChainQueries.all ++
       SignalQueries.all ++ EngageQueries.all ++ TrendQueries.all ++
-      EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all
+      EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all ++
+      RecoQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -274,6 +274,21 @@ class GraphsSpec extends SparkTestBase {
     assert(got(("hub", 10L)) == 1.0 && got(("hub", 20L)) == 0.625)
   }
 
+  test("itemCosine: hand degrees — ubiquitous items are normalized down") {
+    import spark.implicits._
+    // baskets: {a,b}, {a,b}, {a,c} → deg a=3, b=2, c=1;
+    // cos(a,b) = 2/(√3·√2), cos(a,c) = 1/√3
+    val bk = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L)).toDF("g", "i")
+    val got = Graphs.itemCosine(bk, "g", "i", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("cos_r"))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got((1L, 2L)) == ((2L, r6(2 / (math.sqrt(3) * math.sqrt(2))))))
+    assert(got((1L, 3L)) == ((1L, r6(1 / math.sqrt(3)))))
+    assert(!got.contains((2L, 3L)), "b,c never co-occur")
+  }
+
   test("personalizedPageRank: hand 2-node chain, seed-localized mass") {
     // A–B, seed {A}: r1 = (0.15, 0.85); r2 = (0.15 + .85², .85·.15)
     val e = Seq((1L, 2L)).toDF("src", "dst")

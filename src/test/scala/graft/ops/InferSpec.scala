@@ -79,6 +79,53 @@ class InferSpec extends SparkTestBase {
     assert(got("e") == (5, false))
   }
 
+  test("sprtDaily: evidence accumulates in day order and crosses the " +
+      "Wald boundary exactly when the hand-computed LLR does") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // p0=0.2, p1=0.8 → llr/day = (2k−n)·ln4; upper = ln 19 ≈ 2.944
+    // d1: 2/2 → cum 2.773 (continue); d2: 2/2 → 5.545 (accept_h1);
+    // d3: 0/2 → back to 2.773 (continue — state AT each day)
+    val ev = Seq(
+      ("2024-01-01", true), ("2024-01-01", true),
+      ("2024-01-02", true), ("2024-01-02", true),
+      ("2024-01-03", false), ("2024-01-03", false))
+      .map { case (d, ok) => (t(d + " 10:00:00"), ok) }
+      .toDF("ts", "ok")
+    val got = Infer.sprtDaily(ev, "ts", col("ok"), 0.2, 0.8, 0.05, 0.05)
+      .orderBy("day").collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val step = 2 * math.log(0.8 / 0.2)
+    assert(got.map(_.getAs[String]("decision")).toSeq ==
+      Seq("continue", "accept_h1", "continue"))
+    assert(got(0).getAs[Double]("cum_llr_r") == r6(step))
+    assert(got(1).getAs[Double]("cum_llr_r") == r6(step + step))
+    assert(got(2).getAs[Double]("cum_llr_r") == r6(step))
+  }
+
+  test("ebShrinkage: hand MoM fit — small segments pull to the mean; " +
+      "identical rates give null shrinkage (v = 0)") {
+    import spark.implicits._
+    // A: 5/10, B: 1/10 → m=.3, v=.04, prec=4.25, α=1.275, β=2.975
+    val units = ((1 to 10).map(i => ("A", i <= 5)) ++
+      (1 to 10).map(i => ("B", i <= 1))).toDF("seg", "ok")
+    val got = Infer.ebShrinkage(units, "seg", col("ok"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("A").getAs[Double]("alpha_r") == r6(1.275))
+    assert(got("A").getAs[Double]("beta_r") == r6(2.975))
+    assert(got("A").getAs[Double]("shrunk_r") == r6(6.275 / 14.25))
+    assert(got("B").getAs[Double]("shrunk_r") == r6(2.275 / 14.25))
+    // shrunken rates sit strictly between the raw rate and m = .3
+    assert(got("A").getAs[Double]("shrunk_r") < 0.5 &&
+      got("A").getAs[Double]("shrunk_r") > 0.3)
+    val same = ((1 to 4).map(i => ("A", i <= 2)) ++
+      (1 to 4).map(i => ("B", i <= 2))).toDF("seg", "ok")
+    val g2 = Infer.ebShrinkage(same, "seg", col("ok")).collect().head
+    assert(g2.isNullAt(g2.fieldIndex("shrunk_r")))
+    assert(g2.getAs[Double]("rate_r") == 0.5)
+  }
+
   test("wilsonInterval: 5/10 at 95% — symmetric around 0.5, textbook " +
       "bounds") {
     import spark.implicits._
