@@ -122,6 +122,60 @@ object Infer {
         .as("p_r"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * BS = REL − RES + UNC over `bins` forecast-probability bins, where
+    * reliability Σn_b(f̄_b−ō_b)²/N is the calibration error, resolution
+    * Σn_b(ō_b−ō)²/N the forecast's discrimination, and uncertainty
+    * ō(1−ō) the base-rate floor — the verification readout that says
+    * WHY a probability forecast's Brier score is what it is (badly
+    * calibrated vs just undiscriminating), one level deeper than a
+    * reliability diagram (q187). The direct Brier Σ(p−y)²/N rides
+    * along; it exceeds REL−RES+UNC by the within-bin forecast
+    * variance, which binning absorbs.
+    *
+    * Shape: one hash-agg to the ≤`bins` bin grain (counts, positives,
+    * 9-dp DECIMAL forecast sums, 9-dp DECIMAL (p−y)² sums), then a
+    * single rollup whose squared-gap terms are 12-dp DECIMAL sums —
+    * everything after the first agg is bins-sized. Bin assignment
+    * floors p·bins (identical doubles cross-engine), clamped to the
+    * top bin. */
+  def brierDecomposition(df: DataFrame, probCol: String, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2)
+    val binned = df.select(col(probCol).as("_p"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .withColumn("_bin", least(floor(col("_p") * bins),
+        lit(bins - 1L)).cast("int"))
+    val perBin = binned.groupBy(col("_bin")).agg(
+      count(lit(1)).as("_nb"), sum(col("_y")).as("_kb"),
+      sum(round(col("_p"), 9).cast("decimal(28,9)")).as("_sp"),
+      sum(round((col("_p") - col("_y")) * (col("_p") - col("_y")), 9)
+        .cast("decimal(28,9)")).as("_sq"))
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = perBin
+      .withColumn("_n", sum(col("_nb")).over(wAll))
+      .withColumn("_k", sum(col("_kb")).over(wAll))
+    val fb = col("_sp").cast("double") / col("_nb")
+    val ob = col("_kb").cast("double") / col("_nb")
+    val obar = col("_k").cast("double") / col("_n")
+    withTot.groupBy(col("_n").as("n"), col("_k").as("k"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(round(col("_nb") * ((fb - ob) * (fb - ob)), 12)
+          .cast("decimal(28,12)")).as("_rel"),
+        sum(round(col("_nb") * ((ob - obar) * (ob - obar)), 12)
+          .cast("decimal(28,12)")).as("_res"),
+        sum(col("_sq")).as("_br"))
+      .select(col("n"), col("n_bins"),
+        round(col("k").cast("double") / col("n"), 6).as("base_rate_r"),
+        round(col("_br").cast("double") / col("n"), 6).as("brier_r"),
+        round(col("_rel").cast("double") / col("n"), 6).as("rel_r"),
+        round(col("_res").cast("double") / col("n"), 6).as("res_r"),
+        round(col("k").cast("double") / col("n") *
+          (lit(1.0) - col("k").cast("double") / col("n")), 6)
+          .as("unc_r"))
+  }
+
   /** Sequential probability ratio test (Wald 1945) over a daily
     * conversion stream: per day the binomial log-likelihood-ratio
     * increment k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) and its running

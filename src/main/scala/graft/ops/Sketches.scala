@@ -1,7 +1,27 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Bounded k-minimum-values buffer: keeps the k smallest DISTINCT hash
+  * values per group with map-side combine — the [[TopKByScore]] shape
+  * applied to the KMV sketch's state. Buffer is ≤ k longs regardless
+  * of group size. */
+class KMinValues(k: Int)
+    extends Aggregator[Long, List[Long], Seq[Long]] {
+  require(k >= 2)
+  private def trim(l: List[Long]): List[Long] = l.distinct.sorted.take(k)
+  override def zero: List[Long] = Nil
+  override def reduce(b: List[Long], a: Long): List[Long] = trim(a :: b)
+  override def merge(x: List[Long], y: List[Long]): List[Long] =
+    trim(x ::: y)
+  override def finish(b: List[Long]): Seq[Long] = trim(b)
+  override def bufferEncoder: Encoder[List[Long]] =
+    Encoders.kryo[List[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
 
 /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
   * summary: the count-min sketch and its applications", J. Algorithms
@@ -250,5 +270,39 @@ object Sketches {
             lit(alphaMM) / col("_z") <= lit(lcThreshold),
           lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
           .otherwise(lit(alphaMM) / col("_z")), 6).as("est"))
+  }
+
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch per group
+    * (Bar-Yossef et al., RANDOM'02): keep the k smallest distinct
+    * md5-hash60 values; if the group has ≥ k distinct keys, estimate
+    * D̂ = (k−1)·2⁶⁰ / h_(k) (the k-th minimum pins the density of the
+    * uniform hash points); below k the sketch IS the exact distinct
+    * count. σ ≈ 1/√(k−2) relative error. Unlike [[hllRegisters]], the
+    * state is the hash VALUES themselves — so the sketch is exactly
+    * engine-reproducible (the oracle recomputes the identical k-th
+    * minimum) and mergeable by list-union.
+    *
+    * Shape: the [[KMinValues]] Aggregator keeps ≤ k longs per group in
+    * every partial buffer (map-side combine — shuffle volume is
+    * k·groups, never corpus rows, the [[TopKByScore]] argument).
+    * Emits per group: `k_used`, the k-th minimum (null below k), and
+    * the 6-dp estimate. */
+  def kmvDistinct(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val agg = udaf(new KMinValues(k))
+    val dom = 1152921504606846976.0 // 2^60 — hash60's domain
+    df.select(col(groupCol),
+        graft.ops.TextOps.hash60(col(idCol).cast("string")).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(agg(col("_h")).as("_mins"))
+      .select(col(groupCol),
+        size(col("_mins")).cast("long").as("k_used"),
+        when(size(col("_mins")) === k, element_at(col("_mins"), k))
+          .as("kth_hash"),
+        round(when(size(col("_mins")) === k,
+          lit((k - 1).toDouble) * lit(dom) /
+            element_at(col("_mins"), k).cast("double"))
+          .otherwise(size(col("_mins")).cast("double")), 6).as("est_r"))
   }
 }

@@ -489,6 +489,45 @@ object TimeSeries {
           .as("mape_r"))
   }
 
+  /** Pinball (quantile) loss of the seasonal-naïve forecast at several
+    * quantile levels: L_τ(e) = max(τ·e, (τ−1)·e) with e = actual −
+    * forecast — the asymmetric score that grades a forecast AS a
+    * τ-quantile (τ=0.5 halves the MAE; τ=0.9 punishes under-forecasts
+    * 9× harder). Complements [[seasonalNaiveBacktest]]'s symmetric
+    * MAE/bias with the tail-risk view a capacity-planning consumer
+    * needs. Same spine/lag-join shape; τ levels fan out by a broadcast
+    * spec; per-(key, τ) losses are 9-dp DECIMAL term sums. */
+  def pinballBacktest(events: DataFrame, keyCol: String, tsCol: String,
+      lagDays: Int, taus: Seq[Double]): DataFrame = {
+    require(lagDays >= 1 && taus.nonEmpty)
+    require(taus.forall(t => t > 0 && t < 1))
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val pred = filled.select(col(keyCol),
+      date_add(col("day"), lagDays).as("day"), col("x").as("p"))
+    val tauSpec = taus.toDF("tau")
+    val e = (col("x") - col("p")).cast("double")
+    filled.join(pred, Seq(keyCol, "day"))
+      .crossJoin(broadcast(tauSpec))
+      .groupBy(col(keyCol), col("tau"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(round(greatest(col("tau") * e, (col("tau") - lit(1.0)) * e),
+          9).cast("decimal(28,9)")).as("_l"))
+      .select(col(keyCol), col("tau"), col("n_days"),
+        round(col("_l").cast("double") / col("n_days"), 6)
+          .as("pinball_r"))
+  }
+
   /** Daily cross-correlation of two event slices at lags −L..L: Pearson
     * r between x_t (`sliceA`) and y_{t+lag} (`sliceB`) over the SHARED
     * zero-filled spine — "does A lead B, and by how many days". Lag > 0

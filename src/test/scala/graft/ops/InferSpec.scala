@@ -79,6 +79,30 @@ class InferSpec extends SparkTestBase {
     assert(got("e") == (5, false))
   }
 
+  test("brierDecomposition: perfect forecasts → BS=REL=0, RES=UNC; " +
+      "constant 0.5 on balanced labels → BS=UNC=0.25, REL=RES=0") {
+    import spark.implicits._
+    // perfect: p = y exactly (0.95 binned high, 0.05 low would leave
+    // REL>0 — use 1.0/0.0 for the clean identity)
+    val perfect = (Seq.fill(10)((1.0, true)) ++
+      Seq.fill(10)((0.0, false))).toDF("p", "y")
+    val g1 = Infer.brierDecomposition(perfect, "p", col("y"), 10)
+      .collect().head
+    assert(g1.getAs[Double]("brier_r") == 0.0)
+    assert(g1.getAs[Double]("rel_r") == 0.0)
+    assert(g1.getAs[Double]("res_r") == 0.25) // ō_b ∈ {0,1}, ō = .5
+    assert(g1.getAs[Double]("unc_r") == 0.25)
+    val constant = (Seq.fill(10)((0.5, true)) ++
+      Seq.fill(10)((0.5, false))).toDF("p", "y")
+    val g2 = Infer.brierDecomposition(constant, "p", col("y"), 10)
+      .collect().head
+    assert(g2.getAs[Double]("brier_r") == 0.25)
+    assert(g2.getAs[Double]("rel_r") == 0.0)
+    assert(g2.getAs[Double]("res_r") == 0.0)
+    assert(g2.getAs[Double]("unc_r") == 0.25)
+    assert(g2.getAs[Long]("n_bins") == 1)
+  }
+
   test("sprtDaily: evidence accumulates in day order and crosses the " +
       "Wald boundary exactly when the hand-computed LLR does") {
     import spark.implicits._

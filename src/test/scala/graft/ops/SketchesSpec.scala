@@ -188,4 +188,28 @@ class SketchesSpec extends SparkTestBase {
     val p2 = Sketches.amsF2(perm, "key", trials = 9).head
     assert(p.getLong(1) == p2.getLong(1) && p.getDouble(2) == p2.getDouble(2))
   }
+
+  test("kmvDistinct: EXACT below k (kth_hash null), estimates within " +
+      "the sketch error above k, duplicates never inflate the sketch") {
+    val rows = ((1 to 30).map(i => ("small", i)) ++
+      (1 to 30).map(i => ("small", i)) ++ // duplicates
+      (1 to 5000).map(i => ("big", i)))
+      .toDF("grp", "id")
+    val got = Sketches.kmvDistinct(rows, "grp", "id", 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val small = got("small")
+    assert(small.getAs[Long]("k_used") == 30)
+    assert(small.isNullAt(small.fieldIndex("kth_hash")))
+    assert(small.getAs[Double]("est_r") == 30.0, "below k the sketch is exact")
+    val big = got("big")
+    assert(big.getAs[Long]("k_used") == 64)
+    val est = big.getAs[Double]("est_r")
+    // σ ≈ 1/√62 ≈ 12.7%; allow 4σ
+    assert(math.abs(est - 5000) / 5000 < 0.51, s"est=$est")
+    // determinism
+    val again = Sketches.kmvDistinct(rows, "grp", "id", 64)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("est_r")).toMap
+    assert(again("big") == est)
+  }
 }

@@ -230,6 +230,22 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(j.getAs[Double]("mape_r") == 0.666667)
   }
 
+  test("pinballBacktest: perfect forecast scores 0; constant +2 " +
+      "under-forecast costs 1.0 at τ=.5 and 1.8 at τ=.9") {
+    // week 1 at 1/day, week 2 at 3/day → e = +2 on all eval days
+    val jump = (1 to 7).map(i => ("j", ts(f"2024-06-$i%02d 08:00:00"))) ++
+      (8 to 14).flatMap(i =>
+        Seq.fill(3)(("j", ts(f"2024-06-$i%02d 08:00:00"))))
+    val flat = (1 to 14).map(i => ("f", ts(f"2024-06-$i%02d 08:00:00")))
+    val got = TimeSeries.pinballBacktest((jump ++ flat).toDF("key", "ts"),
+        "key", "ts", 7, Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("pinball_r")).toMap
+    assert(got(("f", 0.5)) == 0.0 && got(("f", 0.9)) == 0.0)
+    assert(got(("j", 0.5)) == 1.0) // max(.5·2, −.5·2) = 1
+    assert(got(("j", 0.9)) == 1.8) // max(.9·2, −.1·2) = 1.8
+  }
+
   test("xcorrDaily: B = A shifted one day forward → perfect r at " +
       "lag +1 only") {
     // A active days 1,3,5 (2 events), else 1; B mirrors A one day later
