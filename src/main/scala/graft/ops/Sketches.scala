@@ -305,4 +305,50 @@ object Sketches {
             element_at(col("_mins"), k).cast("double"))
           .otherwise(size(col("_mins")).cast("double")), 6).as("est_r"))
   }
+
+  /** KMV set algebra: pairwise union/Jaccard/intersection estimates
+    * between every two groups' bottom-k sketches (Beyer et al.,
+    * SIGMOD'07). The union of two KMV sketches is the bottom-k of
+    * their merged hash lists; Ĵ = |bottom-k(U) present in BOTH
+    * sketches| / k; D̂_∩ = Ĵ·D̂_U. When the merged list holds fewer
+    * than k values, BOTH sets were complete — union, Jaccard and
+    * intersection are then EXACT. Like [[kmvDistinct]], the state is
+    * hash values, so the oracle reproduces every estimate identically
+    * — the audit-friendly complement to [[hllOverlap]]'s
+    * register-merge estimates.
+    *
+    * Shape: one [[KMinValues]] agg to |groups| sketch rows, then a
+    * |groups|²/2 self-join whose per-pair work is array ops over ≤ 2k
+    * longs — nothing corpus-sized after the first agg. */
+  def kmvSetAlgebra(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val agg = udaf(new KMinValues(k))
+    val dom = 1152921504606846976.0
+    val sk = df.select(col(groupCol),
+        graft.ops.TextOps.hash60(col(idCol).cast("string")).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(agg(col("_h")).as("_mins"))
+    val a = sk.select(col(groupCol).as("group_a"), col("_mins").as("_ma"))
+    val b = sk.select(col(groupCol).as("group_b"), col("_mins").as("_mb"))
+    val uk = slice(array_sort(array_union(col("_ma"), col("_mb"))),
+      1, k)
+    val paired = a.join(b, col("group_a") < col("group_b"))
+      .withColumn("_uk", uk)
+      .withColumn("_ku", size(col("_uk")))
+      .withColumn("_nboth", size(filter(col("_uk"),
+        x => array_contains(col("_ma"), x) &&
+          array_contains(col("_mb"), x))))
+    val estU = when(col("_ku") === k,
+      lit((k - 1).toDouble) * lit(dom) /
+        element_at(col("_uk"), k).cast("double"))
+      .otherwise(col("_ku").cast("double"))
+    val j = col("_nboth").cast("double") / col("_ku")
+    paired.select(col("group_a"), col("group_b"),
+      col("_ku").cast("long").as("k_union"),
+      col("_nboth").cast("long").as("n_both"),
+      round(estU, 6).as("est_union_r"),
+      round(j, 6).as("jaccard_r"),
+      round(j * estU, 6).as("est_inter_r"))
+  }
 }

@@ -48,6 +48,67 @@ object ForecastQueries {
           "user_id", KmvK)
         .orderBy("event_type")),
 
+    // KMV set algebra: pairwise union/Jaccard/intersection estimates
+    // between event types' user sets from the bottom-64 sketches —
+    // exactly reproducible state, so every estimate is oracle-checked
+    // (the auditable complement of q190's HLL overlap).
+    Q("q263_kmv_set_algebra",
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT event_type,
+              |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+              |      AS h
+              |  FROM events),
+              |bk AS (
+              |  SELECT event_type, h FROM (
+              |    SELECT event_type, h,
+              |      row_number() OVER (PARTITION BY event_type
+              |        ORDER BY h) AS rn
+              |    FROM h) t
+              |  WHERE rn <= $KmvK),
+              |pairs AS (
+              |  SELECT DISTINCT a.event_type AS group_a,
+              |    b.event_type AS group_b
+              |  FROM bk a JOIN bk b ON a.event_type < b.event_type),
+              |pu AS (
+              |  SELECT p.group_a, p.group_b, x.h
+              |  FROM pairs p JOIN bk x
+              |    ON x.event_type = p.group_a OR x.event_type = p.group_b
+              |  GROUP BY 1, 2, 3),
+              |u AS (
+              |  SELECT group_a, group_b, h,
+              |    row_number() OVER (PARTITION BY group_a, group_b
+              |      ORDER BY h) AS rn
+              |  FROM pu),
+              |uk AS (SELECT * FROM u WHERE rn <= $KmvK),
+              |fl AS (
+              |  SELECT uk.group_a, uk.group_b, uk.h, uk.rn,
+              |    CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+              |      THEN 1 ELSE 0 END AS bo
+              |  FROM uk
+              |  LEFT JOIN bk ia ON ia.event_type = uk.group_a
+              |    AND ia.h = uk.h
+              |  LEFT JOIN bk ib ON ib.event_type = uk.group_b
+              |    AND ib.h = uk.h),
+              |agg AS (
+              |  SELECT group_a, group_b, count(*)::BIGINT AS k_union,
+              |    sum(bo)::BIGINT AS n_both,
+              |    max(CASE WHEN rn = $KmvK THEN h END) AS kth
+              |  FROM fl GROUP BY 1, 2)
+              |SELECT group_a, group_b, k_union, n_both,
+              |  round(CASE WHEN k_union = $KmvK
+              |    THEN ${(KmvK - 1).toDouble} * 1152921504606846976.0 / kth
+              |    ELSE k_union::DOUBLE END, 6) AS est_union_r,
+              |  round(n_both::DOUBLE / k_union, 6) AS jaccard_r,
+              |  round(n_both::DOUBLE / k_union *
+              |    (CASE WHEN k_union = $KmvK
+              |     THEN ${(KmvK - 1).toDouble} * 1152921504606846976.0
+              |       / kth
+              |     ELSE k_union::DOUBLE END), 6) AS est_inter_r
+              |FROM agg ORDER BY group_a, group_b""".stripMargin),
+      (s, d) => Sketches.kmvSetAlgebra(events(s, d), "event_type",
+          "user_id", KmvK)
+        .orderBy("group_a", "group_b")),
+
     // Pinball loss of the lag-7 seasonal-naïve forecast at τ = 0.5 and
     // 0.9: the asymmetric quantile score over the zero-filled spine.
     Q("q260_pinball_loss",

@@ -679,5 +679,100 @@ object TextQueries {
         .prefixFilterPairs(documents(s, d), "doc_id", "text", 0.5)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
         .orderBy("doc_a", "doc_b"))
+  ,
+
+    // LSH honesty audit: MinHash-LSH's verified pairs vs the EXACT
+    // prefix-filter ground truth at the same threshold and shingle
+    // space — the recall/precision numbers a dedup pipeline must
+    // publish before anyone trusts "we removed the near-dups". The
+    // banding theory says recall ≈ 1−(1−s^4)^4 per pair; this measures
+    // it on the actual corpus.
+    Q("q262_lsh_recall",
+      Some(s"""$bandsCte,
+              |sizes AS (SELECT doc_id, count(*) AS n FROM hashed
+              |          GROUP BY 1),
+              |linter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2),
+              |lsh AS (
+              |  SELECT l.doc_a, l.doc_b FROM linter l
+              |  JOIN sizes sa ON sa.doc_id = l.doc_a
+              |  JOIN sizes sb ON sb.doc_id = l.doc_b
+              |  WHERE CAST(l.n_inter AS DOUBLE)
+              |      / (sa.n + sb.n - l.n_inter) >= 0.5),
+              |pdfreq AS (SELECT h, count(*) AS df FROM hashed GROUP BY 1),
+              |ppref AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT s.doc_id, s.h, z.n,
+              |      row_number() OVER (PARTITION BY s.doc_id
+              |        ORDER BY d.df, s.h) AS rn
+              |    FROM hashed s JOIN pdfreq d USING (h)
+              |      JOIN sizes z USING (doc_id)) t
+              |  WHERE rn <= n - ceil(0.5 * n) + 1),
+              |pok AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bn
+              |    FROM ppref) t
+              |  WHERE bn <= ${graft.ops.Dedup.MaxBucket}),
+              |pcand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM pok a JOIN pok b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |pinter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM pcand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2),
+              |exact AS (
+              |  SELECT i.doc_a, i.doc_b FROM pinter i
+              |  JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b
+              |  WHERE CAST(i.n_inter AS DOUBLE)
+              |      / (sa.n + sb.n - i.n_inter) >= 0.5),
+              |m AS (SELECT
+              |  (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+              |  (SELECT count(*) FROM exact e JOIN lsh l
+              |     ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)::BIGINT
+              |    AS n_found,
+              |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+              |  (SELECT count(*) FROM lsh)::BIGINT AS n_verified)
+              |SELECT n_exact, n_found,
+              |  CASE WHEN n_exact > 0
+              |    THEN round(n_found::DOUBLE / n_exact, 6) END AS recall_r,
+              |  n_candidates, n_verified,
+              |  CASE WHEN n_candidates > 0
+              |    THEN round(n_verified::DOUBLE / n_candidates, 6) END
+              |    AS precision_r
+              |FROM m""".stripMargin),
+      (s, d) => {
+        import graft.ops.Dedup
+        val docs = documents(s, d)
+        val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val cand = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
+          .where(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b").cache()
+        val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", 0.5)
+          .select("doc_a", "doc_b").cache()
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(exact.join(lsh, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_found")))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_verified")))
+          .select(col("n_exact"), col("n_found"),
+            when(col("n_exact") > 0, round(col("n_found").cast("double")
+              / nullif(col("n_exact").cast("double"), lit(0.0)), 6))
+              .as("recall_r"),
+            col("n_candidates"), col("n_verified"),
+            when(col("n_candidates") > 0,
+              round(col("n_verified").cast("double")
+                / nullif(col("n_candidates").cast("double"), lit(0.0)),
+                6)).as("precision_r"))
+      })
   )
 }

@@ -212,4 +212,29 @@ class SketchesSpec extends SparkTestBase {
         r.getAs[Double]("est_r")).toMap
     assert(again("big") == est)
   }
+
+  test("kmvSetAlgebra: disjoint small sets are EXACT (J=0); identical " +
+      "sets give J=1; half-overlap is exact below k") {
+    val rows = ((1 to 20).map(i => ("a", i)) ++
+      (21 to 40).map(i => ("b", i)) ++ // disjoint from a
+      (1 to 20).map(i => ("c", i)) ++ // identical to a
+      (11 to 30).map(i => ("d", i))) // half-overlaps a
+      .toDF("grp", "id")
+    val got = Sketches.kmvSetAlgebra(rows, "grp", "id", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Long]("k_union") == 40)
+    assert(ab.getAs[Double]("jaccard_r") == 0.0)
+    assert(ab.getAs[Double]("est_inter_r") == 0.0)
+    assert(ab.getAs[Double]("est_union_r") == 40.0)
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Double]("jaccard_r") == 1.0)
+    assert(ac.getAs[Double]("est_union_r") == 20.0)
+    assert(ac.getAs[Double]("est_inter_r") == 20.0)
+    val ad = got(("a", "d"))
+    assert(ad.getAs[Long]("k_union") == 30)
+    assert(ad.getAs[Long]("n_both") == 10)
+    assert(ad.getAs[Double]("jaccard_r") == 0.333333)
+    assert(ad.getAs[Double]("est_inter_r") == 10.0)
+  }
 }
