@@ -460,6 +460,53 @@ object Graphs {
       .where(col("common_neighbors") >= minCommon)
   }
 
+  /** Newman modularity of a community assignment:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over an ORIENTED undirected edge list
+    * (each edge once) — the standard "are these communities denser
+    * than chance" score that turns [[labelPropagation]]'s labels into
+    * a quality number (Newman & Girvan '04). Emits one row per
+    * community (size, intra-edges, degree mass, 6-dp contribution)
+    * plus the global Q as an order-independent 12-dp DECIMAL sum.
+    *
+    * Shape: two broadcast-size joins of the edge list against the
+    * |V|-row assignment, one hash-agg to the |communities| grain,
+    * exact integer counts throughout; the Q reduction runs on the tiny
+    * community frame. */
+  def modularity(edges: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val asg = communities.select(col("vertex"), col("label"))
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("_deg"))
+    val dMass = deg.join(asg, "vertex")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("_deg")).as("d_c"))
+    val intra = edges
+      .join(asg.select(col("vertex").as("src"),
+        col("label").as("_la")), "src")
+      .join(asg.select(col("vertex").as("dst"),
+        col("label").as("_lb")), "dst")
+      .where(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label"))
+      .agg(count(lit(1)).as("e_c"))
+    val m = edges.agg(count(lit(1)).as("_m"))
+    val perC = dMass.join(intra, Seq("label"), "left")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+    val contrib = col("e_c").cast("double") / col("_m") -
+      (col("d_c").cast("double") / (lit(2.0) * col("_m"))) *
+        (col("d_c").cast("double") / (lit(2.0) * col("_m")))
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perC
+      .withColumn("_q", sum(round(contrib, 12).cast("decimal(28,12)"))
+        .over(wAll))
+      .select(col("label"), col("n_vertices"), col("e_c"), col("d_c"),
+        round(contrib, 6).as("contrib_r"),
+        round(col("_q").cast("double"), 6).as("modularity_r"))
+  }
+
   /** Item–item cosine similarity from (group, item) co-occurrence —
     * the classic collaborative-filtering item similarity (Sarwar et
     * al., WWW'01, binarized): sim(i, j) = co(i,j) / (√deg(i)·√deg(j)),

@@ -91,6 +91,34 @@ object Profile {
         least(greatest(col(valueCol), col("lo")), col("hi")))
   }
 
+  /** Anonymity generalization ladder: for each proposed generalization
+    * level of the quasi-identifier (caller-supplied grouping
+    * expressions, coarsest last), the equivalence-class profile —
+    * class count, smallest class (the k in k-anonymity), exact median
+    * class size, and how many classes fall below the k threshold. The
+    * "how much must we coarsen before release" planning table that
+    * precedes [[CorpusAudit.dpNoisedRelease]]-style publication.
+    *
+    * Shape: one hash-agg per level to its class grain (levels are few;
+    * each agg is one shuffle), then a |classes|-row rollup per level;
+    * class sizes are exact integers, the median is `percentile` over
+    * the integer sizes (bit-exact cross-engine — the q95 argument). */
+  def anonymityLadder(df: DataFrame,
+      levels: Seq[(String, Seq[Column])], k: Long): DataFrame = {
+    require(levels.nonEmpty && k >= 1)
+    levels.map { case (name, exprs) =>
+      df.groupBy(exprs: _*).agg(count(lit(1)).as("_sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("_sz")).as("min_k"),
+          percentile(col("_sz"), lit(0.5)).as("_med"),
+          sum(when(col("_sz") < k, 1L).otherwise(0L))
+            .as("n_below_k"))
+        .select(lit(name).as("level"), col("n_classes"), col("min_k"),
+          round(col("_med"), 6).as("median_k_r"), col("n_below_k"),
+          (col("n_below_k") === 0).as("k_anonymous"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pearson residuals of an x × y contingency table: per cell the
     * observed count (INCLUDING structurally-zero cells), the expected
     * count under independence e = rowTot·colTot/N, and the

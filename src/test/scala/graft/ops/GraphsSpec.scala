@@ -274,6 +274,27 @@ class GraphsSpec extends SparkTestBase {
     assert(got(("hub", 10L)) == 1.0 && got(("hub", 20L)) == 0.625)
   }
 
+  test("modularity: two clean cliques → Q = 0.5 exactly; a random-mix " +
+      "assignment scores ~0") {
+    import spark.implicits._
+    // two triangles, no cross edges; m = 6
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("vertex", "label")
+    val gotG = Graphs.modularity(e, good).collect()
+    // per community: e_c=3, d_c=6, contrib = 3/6 − (6/12)² = 0.25
+    assert(gotG.forall(_.getAs[Double]("contrib_r") == 0.25))
+    assert(gotG.forall(_.getAs[Double]("modularity_r") == 0.5))
+    assert(gotG.map(r => r.getAs[Long]("e_c")).sorted.toSeq ==
+      Seq(3L, 3L))
+    // everything in ONE community: Q = 1 − 1 = 0
+    val one = (1L to 6L).map(v => (v, 1L)).toDF("vertex", "label")
+    val gotO = Graphs.modularity(e, one).collect()
+    assert(gotO.length == 1)
+    assert(gotO.head.getAs[Double]("modularity_r") == 0.0)
+  }
+
   test("itemCosine: hand degrees — ubiquitous items are normalized down") {
     import spark.implicits._
     // baskets: {a,b}, {a,b}, {a,c} → deg a=3, b=2, c=1;

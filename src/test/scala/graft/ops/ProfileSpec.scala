@@ -27,6 +27,27 @@ class ProfileSpec extends SparkTestBase {
     assert(gotDiag(("b", "y")).getAs[Double]("chi2_r") == 4.0)
   }
 
+  test("anonymityLadder: coarsening turns k-anonymity from violated " +
+      "to satisfied, with exact class profiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    // ids AA1 AA2 AB1: fine level (full id) → classes of 1 (k=2
+    // violated); coarse level (first letter) → one class of 3
+    val df = Seq("AA1", "AA2", "AB1").toDF("id")
+    val got = Profile.anonymityLadder(df, Seq(
+        "fine" -> Seq(col("id")),
+        "coarse" -> Seq(substring(col("id"), 1, 1))), k = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = got("fine")
+    assert(f.getAs[Long]("n_classes") == 3 && f.getAs[Long]("min_k") == 1)
+    assert(f.getAs[Long]("n_below_k") == 3 &&
+      !f.getAs[Boolean]("k_anonymous"))
+    val c = got("coarse")
+    assert(c.getAs[Long]("n_classes") == 1 && c.getAs[Long]("min_k") == 3)
+    assert(c.getAs[Boolean]("k_anonymous"))
+    assert(c.getAs[Double]("median_k_r") == 3.0)
+  }
+
   test("trimmedMean: outliers dropped, not clamped") {
     import spark.implicits._
     // 1,2,...,10 + outlier 1000: winsorized mean would clamp 1000 to
