@@ -294,6 +294,40 @@ object Behavior {
         round(col("_p2").cast("double"), 6).as("p2_r"))
   }
 
+  /** Markov entropy rate of the event process: the conditional entropy
+    * H(next | current) = Σ_c P(c)·H_c over the [[transitions]] matrix,
+    * with per-state conditional entropies H_c = −Σ_n p(n|c)·ln p(n|c)
+    * — how PREDICTABLE the next event is given the current one. 0 =
+    * deterministic flows, ln(|states|) = uniform chaos; the drop from
+    * the marginal entropy is exactly what first-order structure buys a
+    * sequence model. Emits one row per current state (its out-degree,
+    * transition count, 6-dp H_c) with the global rate on every row.
+    *
+    * Everything runs on the |states|² matrix after [[transitions]]'
+    * single shuffle; −p·ln p and P(c)·H_c terms are 12-dp DECIMAL sums
+    * (order-independent), probabilities divide exact BIGINTs. */
+  def entropyRate(events: DataFrame, entityCol: String,
+      typeCol: String, orderBy: Seq[Column]): DataFrame = {
+    val t = transitions(events, entityCol, typeCol, orderBy)
+    val wFrom = Window.partitionBy("from_type")
+    val rows = t.withColumn("_rt", sum(col("n")).over(wFrom))
+    val p = col("n").cast("double") / col("_rt")
+    val perFrom = rows.groupBy(col("from_type"))
+      .agg(max(col("_rt")).as("n_trans"), count(lit(1)).as("n_next"),
+        sum(round(-p * log(p), 12).cast("decimal(28,12)")).as("_h"))
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perFrom
+      .withColumn("_N", sum(col("n_trans")).over(wAll))
+      .withColumn("_rate",
+        sum(round(col("n_trans").cast("double") / col("_N") *
+          col("_h").cast("double"), 12).cast("decimal(28,12)"))
+          .over(wAll))
+      .select(col("from_type"), col("n_trans"), col("n_next"),
+        round(col("_h").cast("double"), 6).as("h_cond_r"),
+        round(col("_rate").cast("double"), 6).as("entropy_rate_r"))
+  }
+
   /** Per-entity behavioral entropy: H = −Σ_type p·ln p over the
     * entity's event-type distribution, plus the ln(k)-normalized form —
     * the "how varied is this user/source's behavior" feature that

@@ -39,6 +39,64 @@ object Intervals {
       .agg(max(col("_conc")).as("max_concurrent"))
   }
 
+  /** Time-WEIGHTED concurrency percentiles per key: the sweep line
+    * ([[maxConcurrent]]'s boundary machinery) yields constant-
+    * concurrency segments; weighting each level by the microseconds it
+    * held gives the duration distribution of load — "the system sat at
+    * ≤ conc_p for p of the observed span", the capacity-planning
+    * readout max-concurrency alone can't give. `ps` are quantile
+    * levels; the pick is the LOWER weighted quantile (smallest level
+    * whose cumulative duration reaches p·span — exact integer
+    * arithmetic, no interpolation).
+    *
+    * Shape: 2 boundary rows per interval, one shuffle on the key, a
+    * (key, level) duration rollup, then cumulative sums over the tiny
+    * per-key level ladder crossed with the broadcast p-spec. The
+    * p·span comparison is integer-exact: cum·den ≥ p_num·span with
+    * rational p = num/den avoids float boundaries entirely. */
+  def concurrencyProfile(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String, tieCol: String,
+      pNums: Seq[Int], pDen: Int): DataFrame = {
+    require(pDen > 0 && pNums.nonEmpty &&
+      pNums.forall(n => n > 0 && n <= pDen))
+    val s = df.sparkSession
+    import s.implicits._
+    val starts = df.select(col(keyCol), col(startCol).as("_ts"),
+      lit(1).as("_delta"), col(tieCol).as("_tie"))
+    val ends = df.select(col(keyCol), col(endCol).as("_ts"),
+      lit(-1).as("_delta"), col(tieCol).as("_tie"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_ts"), col("_delta"), col("_tie"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val segs = starts.union(ends)
+      .withColumn("_conc", sum(col("_delta")).over(wCum))
+      .withColumn("_dur",
+        unix_micros(lead(col("_ts"), 1).over(w)) -
+          unix_micros(col("_ts")))
+      .where(col("_dur").isNotNull && col("_dur") > 0)
+    val ladder = segs.groupBy(col(keyCol), col("_conc"))
+      .agg(sum(col("_dur")).as("_d"))
+    val wL = Window.partitionBy(keyCol).orderBy(col("_conc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val spec = pNums.toDF("p_num")
+    val wPick = Window.partitionBy(col(keyCol), col("p_num"))
+      .orderBy(col("_conc"))
+    ladder
+      .withColumn("_cum", sum(col("_d")).over(wL))
+      .withColumn("_span", sum(col("_d")).over(wT))
+      .crossJoin(broadcast(spec))
+      .where(col("_cum") * pDen >= col("p_num") * col("_span"))
+      .withColumn("_rk", row_number().over(wPick))
+      .where(col("_rk") === 1)
+      .select(col(keyCol),
+        (col("p_num").cast("double") / pDen).as("p"),
+        col("_conc").cast("long").as("conc_p"),
+        col("_span").as("span_us"))
+  }
+
   /** BUCKETED point-in-interval join — the scale-correct shape for the
     * interval/theta join Spark would otherwise plan as a broadcast
     * nested loop (or refuse, when neither side fits in memory). Each

@@ -16,7 +16,8 @@ object Registry {
       InferQueries.all ++ FitQueries.all ++ ChainQueries.all ++
       SignalQueries.all ++ EngageQueries.all ++ TrendQueries.all ++
       EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all ++
-      RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all
+      RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
+      OpsMetricsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

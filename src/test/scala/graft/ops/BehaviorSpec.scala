@@ -372,6 +372,30 @@ class BehaviorSpec extends SparkTestBase {
     assert(got(("B", "B")) == 0.75)
   }
 
+  test("entropyRate: hand chain — deterministic state has H=0, the " +
+      "rate is the P(c)-weighted mean") {
+    import spark.implicits._
+    // from A: A×1, B×3 (rt 4); from B: A×2 (rt 2, deterministic)
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (1L, 5L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "B"))
+      .toDF("user_id", "seq", "event_type")
+    val got = Behavior.entropyRate(ev, "user_id", "event_type",
+        Seq(col("seq")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val hA = -(0.25 * math.log(0.25)) - 0.75 * math.log(0.75)
+    assert(got("B").getAs[Double]("h_cond_r") == 0.0)
+    assert(math.abs(got("A").getAs[Double]("h_cond_r") - r6(hA)) <= 1e-6)
+    val rate = got("A").getAs[Double]("entropy_rate_r")
+    assert(math.abs(rate - r6(4.0 / 6 * hA)) <= 1e-6)
+    assert(got("B").getAs[Double]("entropy_rate_r") == rate,
+      "global rate identical on every row")
+    assert(got("A").getAs[Long]("n_trans") == 4 &&
+      got("B").getAs[Long]("n_trans") == 2)
+  }
+
   test("entityEntropy: uniform 2-type user = ln 2, single-type user " +
       "= 0 with null normalized form") {
     import spark.implicits._

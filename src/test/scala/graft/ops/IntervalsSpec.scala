@@ -9,6 +9,24 @@ class IntervalsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("concurrencyProfile: duration-weighted quantiles of the sweep " +
+      "line — hand ladder") {
+    // [0h,4h) and [1h,3h): conc 1 for 2h total, conc 2 for 2h.
+    // p50 → conc 1 (cum 2h·20 = 40 ≥ 10·4h = 40); p95 → conc 2.
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00"), 1L),
+      (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"), 2L))
+      .toDF("k", "s", "e", "tie")
+    val got = Intervals.concurrencyProfile(iv, "k", "s", "e", "tie",
+        pNums = Seq(10, 19), pDen = 20)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(got(0.5) == 1L)
+    assert(got(0.95) == 2L)
+    val span = Intervals.concurrencyProfile(iv, "k", "s", "e", "tie",
+      Seq(10), 20).collect().head.getAs[Long]("span_us")
+    assert(span == 4L * 3600 * 1000000)
+  }
+
   test("overlapJoin: exact overlap days, disjoint pairs absent, " +
       "cross-bucket pairs emitted exactly once") {
     val iv = Seq(
