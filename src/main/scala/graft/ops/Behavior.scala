@@ -294,6 +294,31 @@ object Behavior {
         round(col("_p2").cast("double"), 6).as("p2_r"))
   }
 
+  /** Activity streaks (gaps-and-islands): per entity, the count of
+    * active days, the number of maximal consecutive-day runs, and the
+    * longest run — the classic engagement/habit metric. The island key
+    * is the textbook day − row_number() constant: consecutive days
+    * share it, any gap breaks it.
+    *
+    * Shape: one shuffle to the distinct (entity, day) grain; the
+    * row_number window and both rollups ride the same entity
+    * partitioning; everything is exact integer arithmetic. */
+  def activityStreaks(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(entityCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(entityCol).orderBy("day")
+    days
+      .withColumn("_isl", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(entityCol), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(entityCol))
+      .agg(sum(col("_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"))
+  }
+
   /** Markov entropy rate of the event process: the conditional entropy
     * H(next | current) = Σ_c P(c)·H_c over the [[transitions]] matrix,
     * with per-state conditional entropies H_c = −Σ_n p(n|c)·ln p(n|c)

@@ -489,6 +489,65 @@ object TimeSeries {
           .as("mape_r"))
   }
 
+  /** Spectral power of the daily-count series at a FIXED integer
+    * period: S_P = (Σ_t x_t·cos(2πt/P))² + (Σ_t x_t·sin(2πt/P))² —
+    * one DFT bin, the "is there a P-day cycle" test that [[acfDaily]]
+    * approaches from the lag domain. Emitted per key for each period
+    * in `periods`, with the mean-removed power (the DC component
+    * otherwise dominates): x is replaced by x − x̄ via the identity
+    * Σ(x−x̄)w = Σxw − x̄Σw computed on exact sums.
+    *
+    * Cross-engine exactness: the only transcendentals are the P
+    * distinct cos/sin values per period, which are SCALA-COMPUTED
+    * literals keyed by t mod P (a broadcast weight table shared
+    * verbatim with the oracle SQL) — no engine trig in the plan.
+    * Weighted sums accumulate as 12-dp DECIMAL of rounded terms.
+    * Shape: zero-filled spine → broadcast weight-table join → one
+    * (key, period) hash-agg. */
+  def spectralPower(events: DataFrame, keyCol: String, tsCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2))
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.groupBy(keyCol)
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol), col("_d0"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), datediff(col("day"), col("_d0")).as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val weights = periods.flatMap(p => (0 until p).map(r =>
+      (p, r, math.cos(2 * math.Pi * r / p),
+        math.sin(2 * math.Pi * r / p))))
+      .toDF("period", "r", "c", "sn")
+    val joined = filled.crossJoin(broadcast(weights.select(
+        col("period")).distinct()))
+      .withColumn("r", col("t") % col("period"))
+      .join(broadcast(weights), Seq("period", "r"))
+    joined.groupBy(col(keyCol), col("period"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("_sx"),
+        sum(round(col("x") * col("c"), 12).cast("decimal(28,12)"))
+          .as("_sc"),
+        sum(round(col("x") * col("sn"), 12).cast("decimal(28,12)"))
+          .as("_ss"),
+        sum(round(col("c"), 12).cast("decimal(28,12)")).as("_wc"),
+        sum(round(col("sn"), 12).cast("decimal(28,12)")).as("_ws"))
+      .select(col(keyCol), col("period"), col("n_days"),
+        round(
+          (col("_sc").cast("double") - col("_sx").cast("double")
+            / col("n_days") * col("_wc").cast("double")) *
+          (col("_sc").cast("double") - col("_sx").cast("double")
+            / col("n_days") * col("_wc").cast("double")) +
+          (col("_ss").cast("double") - col("_sx").cast("double")
+            / col("n_days") * col("_ws").cast("double")) *
+          (col("_ss").cast("double") - col("_sx").cast("double")
+            / col("n_days") * col("_ws").cast("double")), 6)
+          .as("power_r"))
+  }
+
   /** Pinball (quantile) loss of the seasonal-naïve forecast at several
     * quantile levels: L_τ(e) = max(τ·e, (τ−1)·e) with e = actual −
     * forecast — the asymmetric score that grades a forecast AS a

@@ -372,6 +372,21 @@ class BehaviorSpec extends SparkTestBase {
     assert(got(("B", "B")) == 0.75)
   }
 
+  test("activityStreaks: gaps split islands; exact run profile") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    // u1: days 1,2,3, gap, 5,6, gap, 9 → runs of 3, 2, 1
+    val ev = Seq("01", "02", "03", "05", "06", "09")
+      .map(d => (1L, t(s"2024-07-$d"))) ++
+      Seq((1L, t("2024-07-02"))) // duplicate day — must not inflate
+    val got = Behavior.activityStreaks(ev.toDF("user_id", "ts"),
+        "user_id", "ts")
+      .collect().head
+    assert(got.getAs[Long]("n_active_days") == 6)
+    assert(got.getAs[Long]("n_streaks") == 3)
+    assert(got.getAs[Long]("longest_streak") == 3)
+  }
+
   test("entropyRate: hand chain — deterministic state has H=0, the " +
       "rate is the P(c)-weighted mean") {
     import spark.implicits._

@@ -230,6 +230,28 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(j.getAs[Double]("mape_r") == 0.666667)
   }
 
+  test("spectralPower: a pure period-5 square wave lights the period-5 " +
+      "bin and leaves period-7 near zero; constant series → 0 power") {
+    // 20 days: 3 events on days ≡ 0 (mod 5), 1 otherwise
+    val wave = (0 until 20).flatMap { t =>
+      val n = if (t % 5 == 0) 3 else 1
+      Seq.fill(n)(("w", ts(f"2024-06-${t + 1}%02d 08:00:00")))
+    }
+    val const = (0 until 20).map(t =>
+      ("c", ts(f"2024-06-${t + 1}%02d 08:00:00")))
+    val got = TimeSeries.spectralPower((wave ++ const).toDF("key", "ts"),
+        "key", "ts", Seq(5, 7))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Double]("power_r")).toMap
+    assert(got(("c", 5)) == 0.0 && got(("c", 7)) == 0.0,
+      "mean removal kills the DC-only series")
+    // hand value: 4 cycles × amplitude 2 at lag-0 phase → |Σ(x−x̄)e|²
+    // = (4·2·cos0 + ...)²; exact: deviations +1.6 at t≡0, −0.4 else
+    assert(got(("w", 5)) > 20.0, got.toString)
+    assert(got(("w", 7)) < got(("w", 5)) / 10,
+      "off-period bin stays an order of magnitude down")
+  }
+
   test("pinballBacktest: perfect forecast scores 0; constant +2 " +
       "under-forecast costs 1.0 at τ=.5 and 1.8 at τ=.9") {
     // week 1 at 1/day, week 2 at 3/day → e = +2 on all eval days
