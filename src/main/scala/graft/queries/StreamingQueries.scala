@@ -59,6 +59,37 @@ object StreamingQueries {
 
     // Stream-stream inner join with event-time bounds (state bounded by
     // watermarks); equals the batch conditional join over finite input.
+    // LEFT OUTER stream-stream join: matched rows emit immediately;
+    // null-padded unmatched purchases emit only once the global
+    // watermark (min of both sides' max event time, minus the 1-hour
+    // delay) proves no signup can still arrive — the oracle applies
+    // the same final-watermark gate to its unmatched rows (q57's
+    // closed-window discipline applied to join state).
+    Q("q272_stream_stream_left",
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |s AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'signup'),
+             |wm AS (
+             |  SELECT least((SELECT max(ts) FROM p),
+             |    (SELECT max(ts) FROM s)) - INTERVAL '1 hour' AS w)
+             |SELECT p.event_id AS p_id, s.event_id AS s_id
+             |FROM p JOIN s
+             |  ON p.user_id = s.user_id
+             | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '1 day'
+             |UNION ALL
+             |SELECT p.event_id, NULL
+             |FROM p CROSS JOIN wm
+             |WHERE p.ts < wm.w
+             |  AND NOT EXISTS (SELECT 1 FROM s
+             |    WHERE s.user_id = p.user_id AND s.ts <= p.ts
+             |      AND s.ts >= p.ts - INTERVAL '1 day')
+             |ORDER BY p_id, s_id""".stripMargin),
+      (s, d) => Streams.streamStreamLeftJoin(s, d, "1 DAY")
+        .orderBy("p_id", "s_id")),
+
     Q("q62_stream_stream_join",
       Some("""SELECT p.event_id AS p_id, s.event_id AS s_id
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -99,6 +99,36 @@ object Streams {
     runToFiles(spark, joined)
   }
 
+  /** LEFT OUTER stream-stream join: every purchase, matched signups
+    * when they exist inside the event-time bound, NULL-padded
+    * otherwise — the streaming capability [[streamStreamJoin]]'s inner
+    * form can't give (an unmatched row can only be EMITTED once the
+    * watermark proves no match can still arrive, so the null rows are
+    * the watermark machinery made visible). State on both sides is
+    * bounded by the same watermark + time-range condition as the inner
+    * join; over the finite fixture every unmatched purchase's
+    * no-match proof completes, so the result equals the batch left
+    * join — the oracle. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String,
+      lookback: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .select(col("p_id"), col("s_id"))
+    runToFiles(spark, joined)
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (here customer segments), then windowed per segment. The
     * static side is a plain batch DataFrame — Spark re-plans it per
