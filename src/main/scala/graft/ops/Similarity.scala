@@ -310,6 +310,75 @@ object Similarity {
           6).as("corr_r"))
   }
 
+  /** Label-outlier detection: each vector's cosine to its OWN label
+    * centroid, standardized within the label — vectors whose z-score
+    * falls below `zCut` are flagged as probable mislabels / junk (the
+    * confident-learning-lite pass a labeled-data pipeline runs before
+    * training). Complements [[labelCentroidCosine]] (which asks if two
+    * LABELS coincide; this asks if a VECTOR belongs to its label).
+    *
+    * Exactness: centroids on the 1e-6-integer/9-dp grid as in
+    * [[labelCentroidCosine]]; per-vector dot/norms sum 12-dp-rounded
+    * per-dim terms as DECIMAL (order-independent); cosines land on a
+    * 9-dp grid before the label-moment reduction (12-dp DECIMAL sums),
+    * so z-scores are one shared double parenthesization over exact
+    * aggregates. Shape: posexplode grain → (label, dim) centroid agg →
+    * dim equi-join back → per-vector agg → per-label moments joined
+    * broadcast. Nothing wider than |vectors|·dim, one pass each. */
+  def labelOutliers(emb: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, zCut: Double): DataFrame = {
+    val grain = emb.select(col(idCol).as("_id"),
+        col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("dim", "_vf")))
+      .withColumn("_v", round(col("_vf").cast("double")
+        * lit(1000000.0)).cast("long"))
+    val cent = grain.groupBy(col("_g"), col("dim"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s6"))
+      .select(col("_g"), col("dim"),
+        round(col("_s6").cast("double") / col("_n") / lit(1000000.0), 9)
+          .as("_c"))
+    // Scaled-INTEGER sums, not DECIMAL: a DECIMAL(28,12) → double cast
+    // is DOUBLE-rounded differently across engines (measured: one
+    // structural half-boundary at sf0.1 flipped the 9-dp cos grid);
+    // int64 → double is a SINGLE correctly-rounded conversion on both.
+    // The 1e12 scale cancels inside cos (dot·1e12 / √(nv·1e12·nc·1e12)).
+    val perVec = grain
+      .withColumn("_vd", col("_v").cast("double") / lit(1000000.0))
+      .join(cent, Seq("_g", "dim"))
+      .groupBy(col("_id"), col("_g"))
+      .agg(
+        sum(round(col("_vd") * col("_c") * lit(1.0e12)).cast("long"))
+          .as("_dot"),
+        sum(round(col("_vd") * col("_vd") * lit(1.0e12)).cast("long"))
+          .as("_nv"),
+        sum(round(col("_c") * col("_c") * lit(1.0e12)).cast("long"))
+          .as("_nc"))
+      .select(col("_id"), col("_g"),
+        when(col("_nv") > 0 && col("_nc") > 0,
+          round(col("_dot").cast("double") /
+            nullif(sqrt(col("_nv").cast("double"))
+              * sqrt(col("_nc").cast("double")), lit(0.0)), 9))
+          .as("cos_r"))
+    val moments = perVec.where(col("cos_r").isNotNull)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_m"),
+        sum(round(col("cos_r") * lit(1.0e9)).cast("long")).as("_sm"),
+        sum(round(col("cos_r") * col("cos_r") * lit(1.0e12))
+          .cast("long")).as("_sq"))
+    val mu = col("_sm").cast("double") / lit(1.0e9) / col("_m")
+    val sd = sqrt((col("_sq").cast("double") / lit(1.0e12)
+      - col("_sm").cast("double") / lit(1.0e9)
+        * (col("_sm").cast("double") / lit(1.0e9)) / col("_m"))
+      / nullif(col("_m") - lit(1), lit(0)))
+    val z = (col("cos_r") - mu) / nullif(sd, lit(0.0))
+    perVec.join(broadcast(moments), Seq("_g"))
+      .select(col("_id").as(idCol), col("_g").as(groupCol),
+        col("cos_r"),
+        round(when(col("_m") >= 2, z), 6).as("z_r"),
+        coalesce(when(col("_m") >= 2, z) < lit(zCut), lit(false))
+          .as("is_outlier"))
+  }
+
   /** Label/domain centroid cosine-similarity matrix: mean embedding per
     * group, then pairwise cosine between the group centroids — the
     * "how semantically close are these two sources/classes" readout

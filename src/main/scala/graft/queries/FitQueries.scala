@@ -133,6 +133,64 @@ object FitQueries {
           "l_returnflag", "_y", "_x1", "_x2")
         .orderBy("l_returnflag")),
 
+    // Mislabel screening: each vector's cosine to its OWN label
+    // centroid, standardized within the label (z < −2 flags). All
+    // reductions are scaled-INTEGER sums — a DECIMAL→double cast is
+    // double-rounded differently across engines and flipped one
+    // structural 9-dp boundary at sf0.1; int64→double is one correctly
+    // rounded conversion on both.
+    Q("q273_label_outliers",
+      Some("""WITH dims AS (SELECT range::INT AS dim FROM range(1, 65)),
+             |g AS (
+             |  SELECT vec_id, label, dim,
+             |    CAST(round(embedding[dim]::DOUBLE * 1000000.0)
+             |      AS BIGINT) AS v6
+             |  FROM embeddings, dims),
+             |cent AS (
+             |  SELECT label, dim,
+             |    round(sum(v6)::DOUBLE / count(*) / 1000000.0, 9) AS c
+             |  FROM g GROUP BY 1, 2),
+             |pv AS (
+             |  SELECT g.vec_id, g.label,
+             |    sum(CAST(round(g.v6::DOUBLE / 1000000.0 * c.c
+             |      * 1000000000000.0) AS BIGINT))::BIGINT AS dot,
+             |    sum(CAST(round((g.v6::DOUBLE / 1000000.0)
+             |        * (g.v6::DOUBLE / 1000000.0)
+             |      * 1000000000000.0) AS BIGINT))::BIGINT AS nv,
+             |    sum(CAST(round(c.c * c.c * 1000000000000.0)
+             |      AS BIGINT))::BIGINT AS nc
+             |  FROM g JOIN cent c USING (label, dim) GROUP BY 1, 2),
+             |cosv AS (
+             |  SELECT vec_id, label,
+             |    CASE WHEN nv > 0 AND nc > 0
+             |      THEN round(dot::DOUBLE
+             |        / (sqrt(nv::DOUBLE) * sqrt(nc::DOUBLE)), 9)
+             |    END AS cos_r
+             |  FROM pv),
+             |mom AS (
+             |  SELECT label, count(*)::BIGINT AS m,
+             |    sum(CAST(round(cos_r * 1000000000.0) AS BIGINT))
+             |      ::BIGINT AS sm,
+             |    sum(CAST(round(cos_r * cos_r * 1000000000000.0)
+             |      AS BIGINT))::BIGINT AS sq
+             |  FROM cosv WHERE cos_r IS NOT NULL GROUP BY 1),
+             |zs AS (
+             |  SELECT c.vec_id, c.label, c.cos_r, mom.m,
+             |    (c.cos_r - sm::DOUBLE / 1000000000.0 / m)
+             |      / sqrt((sq::DOUBLE / 1000000000000.0
+             |        - sm::DOUBLE / 1000000000.0
+             |          * (sm::DOUBLE / 1000000000.0) / m) / (m - 1))
+             |      AS z
+             |  FROM cosv c JOIN mom USING (label))
+             |SELECT vec_id, label, cos_r,
+             |  CASE WHEN m >= 2 THEN round(z, 6) END AS z_r,
+             |  coalesce(CASE WHEN m >= 2 THEN z END < -2.0, false)
+             |    AS is_outlier
+             |FROM zs ORDER BY vec_id""".stripMargin),
+      (s, d) => Similarity.labelOutliers(embeddings(s, d), "vec_id",
+          "label", "embedding", zCut = -2.0)
+        .orderBy("vec_id")),
+
     // Label-centroid cosine matrix over the 64-dim embeddings: exact
     // integer-grid centroid sums, 12-dp DECIMAL dot/norm reductions
     // (order-independent), 45 pair rows out of 500 vectors.

@@ -209,6 +209,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got((1, 2)) == 0.707107)
   }
 
+  test("labelOutliers: a planted mislabel is the ONLY z < -2 flag; " +
+      "clean members stay positive") {
+    import spark.implicits._
+    // 11 vectors at (1,0) + one mislabeled (0,1) in label 0; a clean
+    // label 1 cluster must produce no flags (sd≈0 → null z, not noise)
+    val emb = ((1L to 11L).map(i => (i, Seq(1.0f, 0.0f), 0)) :+
+      (99L, Seq(0.0f, 1.0f), 0)) ++
+      (201L to 205L).map(i => (i, Seq(0.0f, 1.0f), 1))
+    val got = Similarity.labelOutliers(emb.toDF("vec_id", "embedding",
+        "label"), "vec_id", "label", "embedding", zCut = -2.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("cos_r"), r.getAs[Boolean]("is_outlier"))).toMap
+    val flagged = got.filter(_._2._2).keySet
+    assert(flagged == Set(99L), s"flags: $flagged")
+    assert(got(99L)._1 < got(1L)._1, "outlier is farther from centroid")
+    assert((201L to 205L).forall(i => !got(i)._2),
+      "constant cluster (sd = 0) produces null z, never a flag")
+  }
+
   test("labelCentroidCosine: zero centroid yields null, not NaN") {
     import spark.implicits._
     val emb = Seq(
