@@ -17,7 +17,8 @@ object Registry {
       SignalQueries.all ++ EngageQueries.all ++ TrendQueries.all ++
       EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all ++
       RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
-      OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all
+      OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
+      UpliftQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
