@@ -407,8 +407,11 @@ object Similarity {
       .select(col("g"), col("dim"),
         round(col("_s6").cast("double") / col("_n") / lit(1000000.0), 9)
           .as("c"))
+    // scaled-INT64 sums, not DECIMAL — the q273 lesson applied
+    // preemptively: same centroid grids, same structural-boundary
+    // exposure; int64 → double is single-rounded on both engines
     val norms = grain.groupBy(col("g"))
-      .agg(sum(round(col("c") * col("c"), 12).cast("decimal(28,12)"))
+      .agg(sum(round(col("c") * col("c") * lit(1.0e12)).cast("long"))
         .as("_nn"))
     val a = grain.select(col("g").as("group_a"), col("dim"),
       col("c").as("_ca"))
@@ -417,7 +420,7 @@ object Similarity {
     val dots = a.join(b, "dim")
       .where(col("group_a") < col("group_b"))
       .groupBy(col("group_a"), col("group_b"))
-      .agg(sum(round(col("_ca") * col("_cb"), 12).cast("decimal(28,12)"))
+      .agg(sum(round(col("_ca") * col("_cb") * lit(1.0e12)).cast("long"))
         .as("_dot"))
     dots
       .join(broadcast(norms.withColumnRenamed("g", "group_a")

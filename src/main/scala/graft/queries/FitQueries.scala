@@ -210,11 +210,13 @@ object FitQueries {
              |  FROM grain),
              |norms AS (
              |  SELECT g,
-             |    sum(round(c * c, 12)::DECIMAL(28,12)) AS nn
+             |    sum(CAST(round(c * c * 1000000000000.0) AS BIGINT))
+             |      ::BIGINT AS nn
              |  FROM c GROUP BY 1),
              |dots AS (
              |  SELECT a.g AS group_a, b.g AS group_b,
-             |    sum(round(a.c * b.c, 12)::DECIMAL(28,12)) AS dot
+             |    sum(CAST(round(a.c * b.c * 1000000000000.0) AS BIGINT))
+             |      ::BIGINT AS dot
              |  FROM c a JOIN c b ON a.dim = b.dim AND a.g < b.g
              |  GROUP BY 1, 2)
              |SELECT d.group_a, d.group_b,
