@@ -18,7 +18,7 @@ object Registry {
       EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all ++
       RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
       OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
-      UpliftQueries.all ++ DriftQueries.all
+      UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
