@@ -105,7 +105,14 @@ object Fit {
     * Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are exact DECIMAL(38,0) sums
     * from ONE hash-agg, and the coefficients + R² are computed from
     * those exact moments in one shared double parenthesization.
-    * Singular designs (|det| ≤ 1e-9·n³-scale or n < 3) yield nulls. */
+    * The singularity guard is EXACT-singularity only: with
+    * integer-scaled moments det is integer-valued (×10^…-scaled), so
+    * `abs(det) > 1e-9` fires iff det == 0 exactly — collinear designs
+    * null out, but NEAR-singular (ill-conditioned) designs pass with
+    * coefficients whose stability the caller must judge (the oracle
+    * SQL encodes the identical det != 0 condition, which is why the
+    * guard is deliberately not a relative-magnitude threshold).
+    * n < 3 also yields nulls. */
   def ols2(df: DataFrame, groupCol: String, yCol: String, x1Col: String,
       x2Col: String): DataFrame = {
     def d(c: String) = col(c).cast("decimal(38,0)")

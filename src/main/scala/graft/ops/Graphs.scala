@@ -451,8 +451,12 @@ object Graphs {
       .select(col("u"), col("v"),
         round(lit(1.0) / log(col("_deg").cast("double")), 9)
           .cast("decimal(18,9)").as("_aa"))
+    // anti-join against the SYMMETRIZED list: wedge pairs are emitted
+    // u < v, so an edge stored in either orientation must suppress them
+    // — anti-joining only the stored orientation would let a (b,a)-
+    // stored edge's pair (a,b) leak through as a predicted link.
     wedges
-      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+      .join(sym.select(col("src").as("u"), col("dst").as("v")),
         Seq("u", "v"), "left_anti")
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"),

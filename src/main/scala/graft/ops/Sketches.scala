@@ -11,9 +11,25 @@ import org.apache.spark.sql.functions._
 class KMinValues(k: Int)
     extends Aggregator[Long, List[Long], Seq[Long]] {
   require(k >= 2)
+  // Invariant: the buffer is ALWAYS sorted ascending, distinct, ≤ k —
+  // zero/reduce/merge all preserve it, so the per-ROW reduce (the hot
+  // aggregation path) is a single O(k) walk with an early exit when the
+  // buffer is full and the value can't displace the max, instead of the
+  // naive O(k log k) distinct+sort rebuild per element.
   private def trim(l: List[Long]): List[Long] = l.distinct.sorted.take(k)
   override def zero: List[Long] = Nil
-  override def reduce(b: List[Long], a: Long): List[Long] = trim(a :: b)
+  override def reduce(b: List[Long], a: Long): List[Long] = {
+    val full = b.lengthCompare(k) >= 0
+    if (full && a >= b.last) b // can't enter a full buffer
+    else {
+      val (lo, hi) = b.span(_ < a)
+      if (hi.nonEmpty && hi.head == a) b // already present
+      else {
+        val ins = lo ::: (a :: hi)
+        if (full) ins.init else ins // drop the displaced max
+      }
+    }
+  }
   override def merge(x: List[Long], y: List[Long]): List[Long] =
     trim(x ::: y)
   override def finish(b: List[Long]): Seq[Long] = trim(b)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
@@ -65,9 +65,14 @@ object UpliftQueries {
           .withColumn("armb",
             conv(substring(md5(col("user_id").cast("string")), 1, 8),
               16, 10).cast("long") % 100 >= 50)
-        val dec = u.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("n_events"),
-            col("user_id"))))
+        // deciles via bandedRank + ntileFromRank (the liftTable shape):
+        // a bare ntile window would funnel the whole per-user table into
+        // ONE task; this ranks within (band of n_events) tasks and
+        // reproduces SQL ntile exactly from the rank (RanksSpec property)
+        val dec = graft.ops.Ranks.bandedRank(
+            u.withColumn("_g", lit(0)), "_g", "n_events", "user_id", 8.0)
+          .withColumn("decile",
+            graft.ops.Ranks.ntileFromRank(col("rnk"), col("grp_n"), 10))
         val a = dec.groupBy(col("decile")).agg(
           sum(when(!col("armb"), 1L).otherwise(0L)).as("n_c"),
           sum(when(!col("armb") && col("conv") === 1, 1L)

@@ -106,9 +106,11 @@ object Streams {
     * watermark proves no match can still arrive, so the null rows are
     * the watermark machinery made visible). State on both sides is
     * bounded by the same watermark + time-range condition as the inner
-    * join; over the finite fixture every unmatched purchase's
-    * no-match proof completes, so the result equals the batch left
-    * join — the oracle. */
+    * join. The result is NOT the plain batch left join: an unmatched
+    * purchase emits its null row only once the FINAL watermark
+    * (min(max p_ts, max s_ts) − delay) passes it, so purchases near
+    * the end of input never get their no-match proof and stay absent.
+    * The q272 oracle encodes exactly that watermark gate. */
   def streamStreamLeftJoin(spark: SparkSession, dir: String,
       lookback: String): DataFrame = {
     val ev = eventsStream(spark, dir)

@@ -237,4 +237,29 @@ class SketchesSpec extends SparkTestBase {
     assert(ad.getAs[Double]("jaccard_r") == 0.333333)
     assert(ad.getAs[Double]("est_inter_r") == 10.0)
   }
+
+  test("KMinValues reduce/merge: sorted-insert short-circuit path equals " +
+      "the naive distinct-sort-take over any input order and split") {
+    val kmv = new KMinValues(8)
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val n = 1 + rng.nextInt(40)
+      val xs = Seq.fill(n)(rng.nextInt(20).toLong) // dense → many dups
+      val want = xs.distinct.sorted.take(8)
+      // single-fold path (reduce only)
+      val folded = xs.foldLeft(kmv.zero)(kmv.reduce)
+      assert(kmv.finish(folded) == want, s"reduce path, xs=$xs")
+      // split-fold + merge path, at every split point
+      for (cut <- 0 to n) {
+        val (l, r) = xs.splitAt(cut)
+        val m = kmv.merge(l.foldLeft(kmv.zero)(kmv.reduce),
+          r.foldLeft(kmv.zero)(kmv.reduce))
+        assert(kmv.finish(m) == want, s"merge at $cut, xs=$xs")
+      }
+      // invariant after every reduce step: sorted ascending, distinct, ≤ k
+      xs.scanLeft(kmv.zero)(kmv.reduce).foreach { b =>
+        assert(b == b.distinct.sorted && b.size <= 8, s"invariant, b=$b")
+      }
+    }
+  }
 }
