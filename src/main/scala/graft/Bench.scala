@@ -142,21 +142,29 @@ object Bench {
     // multi-second contention noise (observed: the same sub-second query
     // jumping 0.8s -> 6s between runs) plus first-run Catalyst
     // analysis/codegen cost that amortizes to nothing at scale. The min
-    // over N runs is the steady-state per-query time; N is small enough
-    // to keep the whole bench a few minutes.
+    // over N runs is the steady-state per-query time.
+    //
+    // The N runs are DECORRELATED IN TIME (round-robin passes over the
+    // whole shard, min across passes) rather than back-to-back: a
+    // contention burst lasts seconds, so adjacent runs both land inside
+    // it and the min still reports the spike — which is exactly how the
+    // r7 driver bench flagged q84/q57/q86 at 2-8x their steady state
+    // while the isolated re-measure (tools/adjudicate.sh) showed all
+    // three at ~1x. With a full pass (~a minute of other queries)
+    // between a query's runs, one burst can no longer inflate both.
+    // Pass 2+ still amortizes first-run cost: identical generated code
+    // hits the codegen cache, only cheap re-analysis repeats.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var i = 0
-    val results = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // drop caches a query may have built (dedup pipelines cache
-          // shared stages) so later queries aren't squeezed by stale blocks
-          spark.sqlContext.clearCache()
-          dt
-        }.min
+    for (pass <- 1 to runs; name <- names) {
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches a query may have built (dedup pipelines cache
+        // shared stages) so later queries aren't squeezed by stale blocks
+        spark.sqlContext.clearCache()
         // inter-query hygiene: finished streaming queries leave their
         // memory-sink temp views behind (rows pinned in storage memory),
         // and 260+ query executions accumulate broadcast/codegen garbage
@@ -167,12 +175,14 @@ object Bench {
           .foreach(t => spark.catalog.dropTempView(t.name))
         i += 1
         if (i % 16 == 0) System.gc()
-        System.err.println(f"[bench] $name%-28s $t%8.3f s (best of $runs)")
-        name -> t
+        val cur = best.get(name).fold(dt)(math.min(_, dt))
+        best(name) = cur
+        if (pass == runs)
+          System.err.println(f"[bench] $name%-28s $cur%8.3f s (best of $runs)")
       }
     }
     spark.stop()
-    results
+    names.flatMap(n => best.get(n).map(n -> _))
   }
 
   private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
