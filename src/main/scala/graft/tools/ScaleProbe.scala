@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *    keep the vertex set fixed and multiply every edge's support by
   *    10, silently densifying the graph past its support thresholds —
   *    a harsher but unrepresentative scaling.
+  *  - `orders` (round 8, q215 HITS on the customer⋈supplier bipartite
+  *    graph): o_orderkey remapped with the SAME offset as
+  *    l_orderkey (the join key stays consistent) and o_custkey
+  *    remapped per copy — 10 disjoint bipartite graphs, matching the
+  *    lineitem convention.
   *
   * Usage: `sbt "runMain graft.tools.ScaleProbe"` writes
   * /tmp/graft_sf1synth (idempotent: skips tables already present),
@@ -82,8 +87,17 @@ object ScaleProbe {
         System.err.println(s"[scaleprobe] wrote $path")
       } else System.err.println(s"[scaleprobe] kept existing $path")
     }
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val ordX = copies(ord) { (o, i) =>
+      if (i == 0) o
+      else o
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+    }
+
     write(docsX, "documents")
     write(liX, "lineitem")
+    write(ordX, "orders")
     spark.stop()
   }
 }
