@@ -589,4 +589,60 @@ object Graphs {
     }
     ranks.select(col("vertex"), round(col("pr"), 9).as("ppr"))
   }
+
+  /** Landmark harmonic centrality (Eppstein & Wang SODA '01 sampling
+    * form of closeness; harmonic per Boldi & Vigna "Axioms for
+    * centrality" 2014 — the variant that handles disconnection without
+    * infinite distances): BFS from a DETERMINISTIC set of `landmarks`
+    * seed vertices (the s smallest md5-hash60 vertex ids — reproducible
+    * across engines/retries, no RNG), distances capped at `maxHops`,
+    * then per vertex H(v) = Σ_{l reached, d>0} 1/d(l,v) with each term
+    * 9-dp-rounded and DECIMAL-summed so the float total is
+    * order-independent.
+    *
+    * This is the 100 TB form of closeness: exact all-pairs BFS is
+    * O(V·E) and dead on arrival, but s landmark BFS runs are s frontier
+    * propagations — each round one co-partitioned join of the frontier
+    * with the cached adjacency plus an anti-join against the reached
+    * set (the [[kHopReach]] shell optimization with a distance label).
+    * State is (landmark, vertex, d) for REACHED pairs only: s·|ball|
+    * rows, linear in vertices for bounded-degree graphs at small
+    * maxHops. Per-round localCheckpoint truncates lineage (the q224
+    * k-core lesson). */
+  def landmarkHarmonic(edges: DataFrame, landmarks: Int, maxHops: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(landmarks >= 1, "landmarks must be >= 1")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    // deterministic seed set: s smallest (hash60(v), v) — an unbiased
+    // uniform draw that every engine reproduces; TakeOrdered, no sort
+    val seeds = sym.select(col("src").as("l")).distinct()
+      .orderBy(TextOps.hash60(col("l").cast("string")), col("l"))
+      .limit(landmarks)
+    var reach = seeds.select(col("l"), col("l").as("v"),
+      lit(0).as("d")).cache()
+    var frontier = reach
+    for (i <- 1 to maxHops) {
+      val expanded = frontier
+        .join(sym, frontier("v") === sym("src"))
+        .select(col("l"), col("dst").as("v"))
+        .distinct()
+      // new shell = expansion minus already-reached: BFS monotonicity
+      // makes `i` the exact shortest distance for every shell member
+      frontier = expanded.join(reach, Seq("l", "v"), "left_anti")
+        .select(col("l"), col("v"), lit(i).as("d"))
+        .cache()
+      reach = reach.union(frontier)
+      if (i % checkpointEvery == 0 && i < maxHops)
+        reach = reach.localCheckpoint()
+    }
+    reach.where(col("d") > 0)
+      .groupBy(col("v").as("vertex"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        round(sum(round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))
+          .cast("double"), 6).as("harmonic_r"))
+  }
 }

@@ -316,4 +316,49 @@ object Infer {
         coalesce(col("bh_rank") <= col("_kstar"), lit(false))
           .as("discovery")): _*)
   }
+
+  /** Isotonic (PAV) calibration over a BINNED score→label table — the
+    * monotone fit p(label | score bin) that reliability diagrams
+    * (q187) show the need for, in its closed MINIMAX form
+    * (Barlow et al. 1972, "Statistical inference under order
+    * restrictions"): iso(i) = max_{h≤i} min_{j≥i} mean(h..j), where
+    * mean(h..j) is the pooled k/n over the bin interval. Equals the
+    * pool-adjacent-violators output exactly, but as three relational
+    * steps instead of a sequential pooling loop.
+    *
+    * Input is the per-bin aggregate (one row per score bin — bounded
+    * by the binning, never corpus-sized), so the cumulative window and
+    * the B² interval frame are deliberate spec-table passes, the
+    * [[bhFdr]] class. The corpus itself was already reduced to
+    * (bin, n, k) by the caller's single hash-agg. All interval means
+    * derive from exact integer cumulative sums; one double division
+    * per interval, min/max exact → cross-engine deterministic.
+    * Returns the input columns plus `iso_rate_r` (6 dp). */
+  def pavIsotonic(bins: DataFrame, binCol: String, nCol: String,
+      kCol: String): DataFrame = {
+    val w = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .select(col(binCol).as("_b"), col(nCol).as("_n"), col(kCol).as("_k"))
+      .withColumn("_cn", sum(col("_n")).over(w))
+      .withColumn("_ck", sum(col("_k")).over(w))
+    val lo = cum.select(col("_b").as("h"),
+      (col("_cn") - col("_n")).as("_cnl"),
+      (col("_ck") - col("_k")).as("_ckl"))
+    val hi = cum.select(col("_b").as("j"), col("_cn").as("_cnh"),
+      col("_ck").as("_ckh"))
+    val intervals = lo.join(broadcast(hi), col("h") <= col("j"))
+      .select(col("h"), col("j"),
+        ((col("_ckh") - col("_ckl")).cast("double") /
+          nullif((col("_cnh") - col("_cnl")).cast("double"), lit(0.0)))
+          .as("_mean"))
+    val mn = intervals
+      .join(broadcast(bins.select(col(binCol).as("_i"))),
+        col("h") <= col("_i") && col("j") >= col("_i"))
+      .groupBy(col("_i"), col("h"))
+      .agg(min(col("_mean")).as("_mn"))
+    val iso = mn.groupBy(col("_i").as(binCol))
+      .agg(round(max(col("_mn")), 6).as("iso_rate_r"))
+    bins.join(iso, binCol)
+  }
 }

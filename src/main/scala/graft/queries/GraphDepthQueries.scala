@@ -12,6 +12,14 @@ import graft.util.Tables._
   */
 object GraphDepthQueries {
 
+  /** q281: landmark count and BFS depth cap, shared verbatim with the
+    * oracle SQL. 32 landmarks because the sf0.1 part graph is highly
+    * FRAGMENTED (support ≥ 2 thins as the part domain outgrows repeat
+    * pairs), so a small seed set lands in a few tiny components; more
+    * seeds = more components audited. */
+  private val Landmarks = 32
+  private val MaxHops = 3
+
   /** PART co-occurrence graph (support ≥ 2) — q140/q213's sparse
     * fixture. */
   private val partEdges =
@@ -79,5 +87,37 @@ object GraphDepthQueries {
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
             "l_partkey", 2L).cache(),
           minCommon = 2L)
-        .orderBy("u", "v")))
+        .orderBy("u", "v")),
+
+    // Landmark harmonic centrality (Graphs.landmarkHarmonic): BFS from
+    // the 8 smallest-md5 seed vertices with distances capped at 3,
+    // H(v) = Σ 1/d over reached landmarks — the sampled form of
+    // closeness that replaces the O(V·E) all-pairs BFS at scale. Each
+    // 1/d term 9-dp DECIMAL so the sum is order-independent.
+    Q("q281_landmark_harmonic",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |seeds AS (
+              |  SELECT l FROM (SELECT DISTINCT src AS l FROM sym) t
+              |  ORDER BY ('0x' || substr(md5(l::VARCHAR), 1, 15))
+              |    ::BIGINT, l LIMIT $Landmarks),
+              |rec AS (
+              |  SELECT l, l AS v, 0 AS d FROM seeds
+              |  UNION
+              |  SELECT r.l, s.dst AS v, r.d + 1 AS d
+              |  FROM rec r JOIN sym s ON r.v = s.src
+              |  WHERE r.d < $MaxHops),
+              |dist AS (SELECT l, v, min(d) AS d FROM rec GROUP BY 1, 2)
+              |SELECT v AS vertex, count(*)::BIGINT AS n_landmarks,
+              |  round(sum(round(1.0 / d, 9)::DECIMAL(18,9))::DOUBLE, 6)
+              |    AS harmonic_r
+              |FROM dist WHERE d > 0 GROUP BY 1
+              |ORDER BY vertex""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+      (s, d) => Graphs.landmarkHarmonic(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_partkey", 2L).cache(),
+          landmarks = Landmarks, maxHops = MaxHops)
+        .orderBy("vertex")))
 }

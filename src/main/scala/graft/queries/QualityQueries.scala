@@ -1072,6 +1072,62 @@ object QualityQueries {
               |FROM x CROSS JOIN med""".stripMargin)
     },
       (s, d) => graft.ops.Sketches.amsF2(
-          lineitem(s, d).select("l_orderkey"), "l_orderkey", trials = 9))
+          lineitem(s, d).select("l_orderkey"), "l_orderkey", trials = 9)),
+
+    // Isotonic (PAV) recalibration of q187's reliability diagram, in
+    // closed minimax form on the 10-bin aggregate (Infer.pavIsotonic):
+    // the monotone p(label | score bin) fit that pools adjacent rate
+    // violations — raw rate next to the isotonic fit per bin. The
+    // corpus reduces to (bin, n, k) in one hash-agg; the B² interval
+    // minimax runs on the spec frame.
+    Q("q280_isotonic_calibration",
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, substr(source, 4)::INT % 2 = 0 AS label,
+              |    len(string_split($normSql, ' '))::BIGINT AS n,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT AS wsum
+              |  FROM documents),
+              |b AS (
+              |  SELECT least(((wsum + 1000 * n) * 10) // (2000 * n), 9)
+              |      AS bin,
+              |    CASE WHEN label THEN 1 ELSE 0 END AS pos
+              |  FROM s WHERE n > 0),
+              |bins AS (
+              |  SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+              |    sum(pos)::BIGINT AS n_pos
+              |  FROM b GROUP BY bin),
+              |cum AS (
+              |  SELECT bin, n_docs, n_pos,
+              |    sum(n_docs) OVER (ORDER BY bin) AS cn,
+              |    sum(n_pos) OVER (ORDER BY bin) AS ck
+              |  FROM bins),
+              |iv AS (
+              |  SELECT l.bin AS h, r.bin AS j,
+              |    (r.ck - (l.ck - l.n_pos))::DOUBLE
+              |      / (r.cn - (l.cn - l.n_docs)) AS mean
+              |  FROM cum l JOIN cum r ON l.bin <= r.bin),
+              |mn AS (
+              |  SELECT i.bin AS bin, v.h, min(v.mean) AS mn
+              |  FROM bins i JOIN iv v ON v.h <= i.bin AND v.j >= i.bin
+              |  GROUP BY 1, 2),
+              |iso AS (SELECT bin, max(mn) AS iso FROM mn GROUP BY 1)
+              |SELECT b2.bin, -1.0 + 2.0 * b2.bin / 10 AS bin_lo,
+              |  b2.n_docs, b2.n_pos,
+              |  round(b2.n_pos / b2.n_docs, 6) AS pos_rate_r,
+              |  round(iso.iso, 6) AS iso_rate_r
+              |FROM bins b2 JOIN iso USING (bin)
+              |ORDER BY bin""".stripMargin),
+      (s, d) => {
+        val cal = TextOps.scoreCalibration(documents(s, d),
+          "doc_id", "text",
+          substring(col("source"), 4, 8).cast("int") % 2 === 0, bins = 10)
+          .select(col("bin"), col("bin_lo"), col("n_docs"),
+            col("n_pos"), col("pos_rate_r"))
+        graft.ops.Infer.pavIsotonic(cal, "bin", "n_docs", "n_pos")
+          .select(col("bin"), col("bin_lo"), col("n_docs"),
+            col("n_pos"), col("pos_rate_r"), col("iso_rate_r"))
+          .orderBy("bin")
+      })
   )
 }

@@ -331,4 +331,40 @@ class GraphsSpec extends SparkTestBase {
       "unreached vertices carry no rows (sparse frontier)")
     assert(got.keySet == Set(1L, 2L))
   }
+
+  test("landmarkHarmonic: with every vertex a landmark on a path graph " +
+      "it is exact harmonic centrality; maxHops caps the sum") {
+    // path 1-2-3-4-5; landmarks = all 5 vertices → exact H(v)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.landmarkHarmonic(e, landmarks = 5, maxHops = 4)
+      .collect()
+      .map(r => r.getAs[Long]("vertex") ->
+        (r.getAs[Long]("n_landmarks"), r.getAs[Double]("harmonic_r")))
+      .toMap
+    // H(1) = 1 + 1/2 + 1/3 + 1/4 (9-dp terms) = 2.083333
+    assert(got(1L) == ((4L, 2.083333)) && got(5L) == ((4L, 2.083333)))
+    // H(2) = 1 + 1 + 1/2 + 1/3 = 2.833333
+    assert(got(2L) == ((4L, 2.833333)) && got(4L) == ((4L, 2.833333)))
+    // H(3) = 1/2 + 1 + 1 + 1/2 = 3.0
+    assert(got(3L) == ((4L, 3.0)))
+    // maxHops = 1 → only direct neighbors: H = degree
+    val capped = Graphs.landmarkHarmonic(e, landmarks = 5, maxHops = 1)
+      .collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("harmonic_r"))
+      .toMap
+    assert(capped(1L) == 1.0 && capped(2L) == 2.0 && capped(3L) == 2.0)
+  }
+
+  test("landmarkHarmonic: the landmark subset is the s smallest md5 " +
+      "hashes — deterministic across runs; unreached vertices absent") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("src", "dst")
+    val a = Graphs.landmarkHarmonic(e, landmarks = 2, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val b = Graphs.landmarkHarmonic(e, landmarks = 2, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b, "two runs must agree bit-for-bit")
+    assert(a.nonEmpty)
+  }
 }

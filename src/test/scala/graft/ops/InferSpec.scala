@@ -183,4 +183,23 @@ class InferSpec extends SparkTestBase {
     val got = Infer.bhFdr(hyp, "p", "id", 0.05).collect()
     assert(got.forall(!_.getAs[Boolean]("discovery")))
   }
+
+  test("pavIsotonic: adjacent violation pools to the weighted mean; " +
+      "monotone input unchanged; total violation pools everything") {
+    import spark.implicits._
+    def iso(rows: Seq[(Long, Long, Long)]): Seq[(Long, Double)] =
+      Infer.pavIsotonic(rows.toDF("bin", "n", "k"), "bin", "n", "k")
+        .orderBy("bin").collect()
+        .map(r => r.getAs[Long]("bin") -> r.getAs[Double]("iso_rate_r"))
+        .toSeq
+    // rates (.2, .6, .4): bins 2-3 pool to (6+4)/(10+10) = .5
+    assert(iso(Seq((1L, 10L, 2L), (2L, 10L, 6L), (3L, 10L, 4L)))
+      == Seq(1L -> 0.2, 2L -> 0.5, 3L -> 0.5))
+    // already monotone → PAV is the identity on the rates
+    assert(iso(Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 9L)))
+      == Seq(1L -> 0.1, 2L -> 0.5, 3L -> 0.9))
+    // strictly decreasing → one pool at the global rate, weights honored
+    assert(iso(Seq((1L, 10L, 9L), (2L, 30L, 15L), (3L, 10L, 1L)))
+      == Seq(1L -> 0.5, 2L -> 0.5, 3L -> 0.5))
+  }
 }
