@@ -148,6 +148,94 @@ object VectorQueries {
         val emb = embeddings(s, d)
         Similarity.centroidUpdate(emb, emb.filter(col("vec_id") % 50 === 0))
           .orderBy("cid", "dim")
+      }),
+
+    // ANN honesty audit — the vector twin of q262/q279: recall@5 of
+    // the IVF path (q33's centroids/nprobe) against the brute-force
+    // exact top-5 (q32's baseline) per query vector. The number an ANN
+    // index must publish before anyone trusts "approximate": how much
+    // of the true neighborhood does nprobe=2 actually see. Both sides
+    // rank with the same (sim DESC, neighbor_id) total order, so the
+    // set intersection is engine-stable.
+    Q("q282_ann_recall",
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+              |  FROM embeddings WHERE vec_id < $QLim),
+              |sims AS (
+              |  SELECT q.q_id, e.vec_id AS neighbor_id,
+              |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+              |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+              |exact AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT q_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY q_id
+              |        ORDER BY sim DESC, neighbor_id) AS rn
+              |    FROM sims WHERE sim IS NOT NULL) t
+              |  WHERE rn <= 5),
+              |cent AS (
+              |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |assign AS (
+              |  SELECT vec_id, cid, embedding FROM (
+              |    SELECT e.vec_id, c.cid, e.embedding,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |          DESC, c.cid) AS crn
+              |    FROM embeddings e, cent c
+              |    WHERE list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |      IS NOT NULL) t
+              |  WHERE crn = 1),
+              |probes AS (
+              |  SELECT q_id, qe, cid FROM (
+              |    SELECT e.vec_id AS q_id, e.embedding::DOUBLE[] AS qe, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |          DESC, c.cid) AS qcrn
+              |    FROM embeddings e, cent c
+              |    WHERE e.vec_id < $QLim
+              |      AND list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+              |        IS NOT NULL) t
+              |  WHERE qcrn <= 2),
+              |ivf AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT p.q_id, a.vec_id AS neighbor_id,
+              |      row_number() OVER (PARTITION BY p.q_id
+              |        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], p.qe)
+              |          DESC, a.vec_id) AS rn
+              |    FROM assign a JOIN probes p ON a.cid = p.cid
+              |    WHERE a.vec_id <> p.q_id
+              |      AND list_cosine_similarity(a.embedding::DOUBLE[], p.qe)
+              |        IS NOT NULL) t
+              |  WHERE rn <= 5)
+              |SELECT e.q_id, count(*)::BIGINT AS n_exact,
+              |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+              |    END)::BIGINT AS n_found,
+              |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1
+              |    ELSE 0 END) / count(*), 6) AS recall_r
+              |FROM exact e LEFT JOIN ivf i
+              |  ON e.q_id = i.q_id AND e.neighbor_id = i.neighbor_id
+              |GROUP BY 1 ORDER BY e.q_id""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < QLim)
+        val exact = Similarity.cosineTopK(emb, qs, 5)
+          .select(col("q_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") % 50 === 0), qs,
+            k = 5, nprobe = 2)
+          .select(col("q_id"), col("neighbor_id"))
+        exact
+          .join(ivf.withColumn("_hit", lit(1)),
+            Seq("q_id", "neighbor_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("_hit").isNotNull, 1L).otherwise(0L))
+              .as("n_found"))
+          .select(col("q_id"), col("n_exact"), col("n_found"),
+            round(col("n_found").cast("double")
+              / nullif(col("n_exact").cast("double"), lit(0.0)), 6)
+              .as("recall_r"))
+          .orderBy("q_id")
       })
   )
 }
