@@ -610,6 +610,23 @@ object Graphs {
     * maxHops. Per-round localCheckpoint truncates lineage (the q224
     * k-core lesson). */
   def landmarkHarmonic(edges: DataFrame, landmarks: Int, maxHops: Int,
+      checkpointEvery: Int = 5): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops, checkpointEvery)
+      .where(col("d") > 0)
+      .groupBy(col("v").as("vertex"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        round(sum(round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))
+          .cast("double"), 6).as("harmonic_r"))
+
+  /** The shared landmark-BFS core of [[landmarkHarmonic]] and the
+    * distance-distribution audit (q283): exact shortest distances
+    * (l, v, d ≤ maxHops) from the deterministic seed set to every
+    * reached vertex. The (landmark, vertex) distance SAMPLE is the
+    * scalable estimator of the pairwise-distance distribution /
+    * effective diameter (the HyperANF readout, Boldi-Rosa-Vigna WWW'11
+    * — here by explicit landmark BFS instead of HLL counters, trading
+    * a factor s in work for exact per-pair distances). */
+  def landmarkDistances(edges: DataFrame, landmarks: Int, maxHops: Int,
       checkpointEvery: Int = 5): DataFrame = {
     require(landmarks >= 1, "landmarks must be >= 1")
     require(maxHops >= 1, "maxHops must be >= 1")
@@ -639,10 +656,6 @@ object Graphs {
       if (i % checkpointEvery == 0 && i < maxHops)
         reach = reach.localCheckpoint()
     }
-    reach.where(col("d") > 0)
-      .groupBy(col("v").as("vertex"))
-      .agg(count(lit(1)).as("n_landmarks"),
-        round(sum(round(lit(1.0) / col("d"), 9).cast("decimal(18,9)"))
-          .cast("double"), 6).as("harmonic_r"))
+    reach
   }
 }

@@ -119,5 +119,67 @@ object GraphDepthQueries {
           Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
             "l_partkey", 2L).cache(),
           landmarks = Landmarks, maxHops = MaxHops)
-        .orderBy("vertex")))
+        .orderBy("vertex")),
+
+    // Sampled pairwise-distance distribution + effective diameter at
+    // 90% (the HyperANF readout, by landmark BFS): per hop count d ≤ 3,
+    // how many sampled (landmark, vertex) pairs sit at exactly d, the
+    // cumulative fraction, and the INTEGER-EXACT "first d covering 90%
+    // of reached pairs" flag (cum·10 ≥ tot·9 and the previous cum
+    // wasn't) — no float threshold at the boundary.
+    Q("q283_distance_distribution",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |seeds AS (
+              |  SELECT l FROM (SELECT DISTINCT src AS l FROM sym) t
+              |  ORDER BY ('0x' || substr(md5(l::VARCHAR), 1, 15))
+              |    ::BIGINT, l LIMIT $Landmarks),
+              |rec AS (
+              |  SELECT l, l AS v, 0 AS d FROM seeds
+              |  UNION
+              |  SELECT r.l, s.dst AS v, r.d + 1 AS d
+              |  FROM rec r JOIN sym s ON r.v = s.src
+              |  WHERE r.d < $MaxHops),
+              |dist AS (
+              |  SELECT l, v, min(d) AS d FROM rec GROUP BY 1, 2
+              |  HAVING min(d) > 0),
+              |byd AS (
+              |  SELECT d::BIGINT AS d, count(*)::BIGINT AS n_pairs
+              |  FROM dist GROUP BY 1),
+              |c AS (
+              |  SELECT d, n_pairs,
+              |    sum(n_pairs) OVER (ORDER BY d)::BIGINT AS cum_pairs
+              |  FROM byd),
+              |tot AS (SELECT count(*)::BIGINT AS t FROM dist)
+              |SELECT d, n_pairs, cum_pairs,
+              |  round(cum_pairs / t, 6) AS reached_frac_r,
+              |  (cum_pairs * 10 >= t * 9
+              |    AND (cum_pairs - n_pairs) * 10 < t * 9) AS is_eff_d90
+              |FROM c CROSS JOIN tot ORDER BY d""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dist = Graphs.landmarkDistances(
+            Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+              "l_partkey", 2L).cache(),
+            landmarks = Landmarks, maxHops = MaxHops)
+          .where(col("d") > 0)
+          .cache()
+        val byD = dist.groupBy(col("d").cast("bigint").as("d"))
+          .agg(count(lit(1)).as("n_pairs"))
+        // ≤ MaxHops rows: the cumulative window is a spec-frame pass
+        val w = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byD.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+          .crossJoin(broadcast(dist.agg(count(lit(1)).as("_t"))))
+          .select(col("d"), col("n_pairs"), col("cum_pairs"),
+            round(col("cum_pairs").cast("double")
+              / nullif(col("_t").cast("double"), lit(0.0)), 6)
+              .as("reached_frac_r"),
+            (col("cum_pairs") * 10 >= col("_t") * 9 &&
+              (col("cum_pairs") - col("n_pairs")) * 10 < col("_t") * 9)
+              .as("is_eff_d90"))
+          .orderBy("d")
+      }))
 }

@@ -367,4 +367,16 @@ class GraphsSpec extends SparkTestBase {
     assert(a == b, "two runs must agree bit-for-bit")
     assert(a.nonEmpty)
   }
+
+  test("landmarkDistances: exact BFS distances on a path; d=0 rows are " +
+      "the seeds themselves; landmarks > |V| degrades to all-sources") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dist = Graphs.landmarkDistances(e, landmarks = 10, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(dist((1L, 1L)) == 0 && dist((1L, 2L)) == 1
+      && dist((1L, 3L)) == 2)
+    assert(dist((3L, 1L)) == 2, "symmetrized: distance is undirected")
+    assert(dist.size == 9, "3 sources x 3 reached vertices")
+  }
 }

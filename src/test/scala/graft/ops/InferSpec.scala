@@ -201,5 +201,7 @@ class InferSpec extends SparkTestBase {
     // strictly decreasing → one pool at the global rate, weights honored
     assert(iso(Seq((1L, 10L, 9L), (2L, 30L, 15L), (3L, 10L, 1L)))
       == Seq(1L -> 0.5, 2L -> 0.5, 3L -> 0.5))
+    // single bin → the fit IS the rate
+    assert(iso(Seq((7L, 4L, 3L))) == Seq(7L -> 0.75))
   }
 }
