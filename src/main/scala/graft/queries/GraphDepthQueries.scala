@@ -20,6 +20,9 @@ object GraphDepthQueries {
   private val Landmarks = 32
   private val MaxHops = 3
 
+  /** q284: hubs removed in the percolation audit. */
+  private val HubK = 10
+
   /** PART co-occurrence graph (support ≥ 2) — q140/q213's sparse
     * fixture. */
   private val partEdges =
@@ -181,5 +184,85 @@ object GraphDepthQueries {
               (col("cum_pairs") - col("n_pairs")) * 10 < col("_t") * 9)
               .as("is_eff_d90"))
           .orderBy("d")
+      }),
+
+    // Percolation / hub-robustness audit (Albert-Jeong-Barabási,
+    // Nature 2000): component profile of the part graph BEFORE and
+    // AFTER removing the top-10 degree hubs (ties by id —
+    // deterministic). The "does the corpus graph shatter without its
+    // hubs" readout; also exercises the dedup components trunk
+    // (union-find fast path / distributed fixpoint) on a second graph
+    // family. Vertices = endpoints of surviving edges in both phases.
+    Q("q284_hub_percolation",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |deg AS (SELECT src AS v, count(*)::BIGINT AS deg
+              |        FROM sym GROUP BY 1),
+              |hubs AS (SELECT v FROM deg ORDER BY deg DESC, v
+              |         LIMIT $HubK),
+              |e1 AS (
+              |  SELECT src, dst FROM e0
+              |  WHERE src NOT IN (SELECT v FROM hubs)
+              |    AND dst NOT IN (SELECT v FROM hubs)),
+              |sym1 AS (SELECT src, dst FROM e1
+              |         UNION ALL SELECT dst, src FROM e1),
+              |r0 AS (
+              |  SELECT src AS r, src AS node FROM sym
+              |  UNION
+              |  SELECT r0.r, s.dst FROM r0 JOIN sym s
+              |    ON r0.node = s.src),
+              |c0 AS (SELECT node, min(r) AS label FROM r0 GROUP BY 1),
+              |r1 AS (
+              |  SELECT src AS r, src AS node FROM sym1
+              |  UNION
+              |  SELECT r1.r, s.dst FROM r1 JOIN sym1 s
+              |    ON r1.node = s.src),
+              |c1 AS (SELECT node, min(r) AS label FROM r1 GROUP BY 1)
+              |SELECT 'after' AS phase,
+              |  (SELECT count(*) FROM c1)::BIGINT AS n_vertices,
+              |  (SELECT count(*) FROM e1)::BIGINT AS n_edges,
+              |  (SELECT count(DISTINCT label) FROM c1)::BIGINT
+              |    AS n_components,
+              |  (SELECT max(n) FROM (SELECT count(*) AS n FROM c1
+              |     GROUP BY label) t)::BIGINT AS largest_comp
+              |UNION ALL
+              |SELECT 'before',
+              |  (SELECT count(*) FROM c0)::BIGINT,
+              |  (SELECT count(*) FROM e0)::BIGINT,
+              |  (SELECT count(DISTINCT label) FROM c0)::BIGINT,
+              |  (SELECT max(n) FROM (SELECT count(*) AS n FROM c0
+              |     GROUP BY label) t)::BIGINT
+              |ORDER BY phase""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+      (s, d) => {
+        val e0 = Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+          "l_partkey", 2L).cache()
+        val sym = e0.select(col("src"), col("dst"))
+          .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val hubs = sym.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("v")).limit(HubK)
+          .select("v")
+        val e1 = e0
+          .join(hubs.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(hubs.select(col("v").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst").cache()
+        def profile(edges: org.apache.spark.sql.DataFrame,
+            phase: String) = {
+          val comp = graft.ops.Dedup.nearDupComponents(
+            edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+          val sizes = comp.groupBy(col("label"))
+            .agg(count(lit(1)).as("_n"))
+          comp.agg(count(lit(1)).as("n_vertices"))
+            .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+            .crossJoin(broadcast(sizes.agg(
+              count(lit(1)).as("n_components"),
+              max(col("_n")).as("largest_comp"))))
+            .select(lit(phase).as("phase"), col("n_vertices"),
+              col("n_edges"), col("n_components"), col("largest_comp"))
+        }
+        profile(e1, "after").unionAll(profile(e0, "before"))
+          .orderBy("phase")
       }))
 }
