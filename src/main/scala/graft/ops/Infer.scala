@@ -334,6 +334,38 @@ object Infer {
     * derive from exact integer cumulative sums; one double division
     * per interval, min/max exact → cross-engine deterministic.
     * Returns the input columns plus `iso_rate_r` (6 dp). */
+  /** McNemar's test (Psychometrika 1947) for PAIRED classifier
+    * comparison per group: on the same units, is model A right where B
+    * is wrong more often than the reverse? Only the DISCORDANT pairs
+    * carry signal — b = #(A right, B wrong), c = #(A wrong, B right);
+    * χ² = (b−c)²/(b+c) ~ χ²(1), plus the Edwards continuity-corrected
+    * form (max(|b−c|−1, 0))²/(b+c). The standard "is the new filter
+    * actually better on the same corpus" readout, where a two-sample
+    * test would throw away the pairing.
+    *
+    * One hash-agg to (n, b, c) per group; both statistics are one
+    * double division over those exact integers — cross-engine
+    * deterministic. Degenerate groups (b+c = 0: the models never
+    * disagree) yield null χ². */
+  def mcnemar(units: DataFrame, groupCol: String, aCorrect: Column,
+      bCorrect: Column): DataFrame = {
+    val agg = units.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b_disc"),
+      sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("c_disc"))
+    val b = col("b_disc").cast("double")
+    val c = col("c_disc").cast("double")
+    val denom = nullif(b + c, lit(0.0))
+    val diff = b - c
+    val cc = greatest(abs(col("b_disc") - col("c_disc")) - 1, lit(0L))
+      .cast("double")
+    agg.select(col(groupCol), col("n"), col("b_disc"), col("c_disc"),
+      round(when(col("b_disc") + col("c_disc") > 0,
+        diff * diff / denom), 6).as("chi2_r"),
+      round(when(col("b_disc") + col("c_disc") > 0,
+        cc * cc / denom), 6).as("chi2_cc_r"))
+  }
+
   def pavIsotonic(bins: DataFrame, binCol: String, nCol: String,
       kCol: String): DataFrame = {
     val w = Window.orderBy("_b")

@@ -14,6 +14,7 @@ import graft.util.Tables._
 object InferQueries {
 
   private val BhAlpha = 0.05
+  private val normSql = TextQueries.normSql
 
   val all: Seq[Q] = Seq(
 
@@ -158,5 +159,57 @@ object InferQueries {
              |ORDER BY user_id""".stripMargin),
       (s, d) => TimeSeries.timeWeightedAvg(events(s, d), "user_id",
           "ts", "value", "event_id")
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // McNemar paired comparison per lang: the q113/q187 hashed-linear
+    // classifier (A) vs a length rule (B, n_chars ≥ 200), both
+    // predicting the source-parity label ON THE SAME DOCUMENTS — only
+    // discordant pairs carry signal. The "is the new quality filter
+    // actually better on this corpus" readout a two-sample test can't
+    // give (it would throw away the pairing).
+    Q("q285_mcnemar",
+      Some(s"""WITH s AS (
+              |  SELECT lang,
+              |    substr(source, 4)::INT % 2 = 0 AS label,
+              |    n_chars >= 200 AS bpred,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT > 0 AS apred,
+              |    len(string_split($normSql, ' '))::BIGINT AS n
+              |  FROM documents),
+              |u AS (SELECT lang, apred = label AS ac,
+              |        bpred = label AS bc
+              |      FROM s WHERE n > 0),
+              |a AS (SELECT lang, count(*)::BIGINT AS n,
+              |  sum(CASE WHEN ac AND NOT bc THEN 1 ELSE 0 END)::BIGINT
+              |    AS b_disc,
+              |  sum(CASE WHEN NOT ac AND bc THEN 1 ELSE 0 END)::BIGINT
+              |    AS c_disc
+              |  FROM u GROUP BY 1)
+              |SELECT lang, n, b_disc, c_disc,
+              |  CASE WHEN b_disc + c_disc > 0 THEN
+              |    round((b_disc - c_disc)::DOUBLE * (b_disc - c_disc)
+              |      / (b_disc + c_disc), 6) END AS chi2_r,
+              |  CASE WHEN b_disc + c_disc > 0 THEN
+              |    round(greatest(abs(b_disc - c_disc) - 1, 0)::DOUBLE
+              |      * greatest(abs(b_disc - c_disc) - 1, 0)
+              |      / (b_disc + c_disc), 6) END AS chi2_cc_r
+              |FROM a ORDER BY lang""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val scored = graft.ops.TextOps
+          .hashedLinearScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_terms"), col("keep"))
+        val units = docs.select(col("doc_id"), col("lang"),
+            (substring(col("source"), 4, 8).cast("int") % 2 === 0)
+              .as("_label"),
+            (col("n_chars") >= 200).as("_bpred"))
+          .join(scored, "doc_id")
+          .where(col("n_terms") > 0)
+          .select(col("lang"),
+            (col("keep") === col("_label")).as("_ac"),
+            (col("_bpred") === col("_label")).as("_bc"))
+        Infer.mcnemar(units, "lang", col("_ac"), col("_bc"))
+          .orderBy("lang")
+      }))
 }

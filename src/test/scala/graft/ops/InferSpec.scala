@@ -204,4 +204,25 @@ class InferSpec extends SparkTestBase {
     // single bin → the fit IS the rate
     assert(iso(Seq((7L, 4L, 3L))) == Seq(7L -> 0.75))
   }
+
+  test("mcnemar: discordant-pair counts, chi2 and continuity-corrected " +
+      "form from hand counts; never-disagree group yields null chi2") {
+    import spark.implicits._
+    // group g: b=3 (A right/B wrong), c=1, 4 both-right, 2 both-wrong
+    val g = Seq.fill(3)(("g", true, false)) ++ Seq(("g", false, true)) ++
+      Seq.fill(4)(("g", true, true)) ++ Seq.fill(2)(("g", false, false))
+    // group h: models always agree -> b = c = 0
+    val h = Seq(("h", true, true), ("h", false, false))
+    val got = Infer.mcnemar((g ++ h).toDF("grp", "ac", "bc"),
+        "grp", col("ac"), col("bc"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rg = got("g")
+    assert(rg.getAs[Long]("n") == 10 && rg.getAs[Long]("b_disc") == 3
+      && rg.getAs[Long]("c_disc") == 1)
+    assert(rg.getAs[Double]("chi2_r") == 1.0) // (3-1)^2 / 4
+    assert(rg.getAs[Double]("chi2_cc_r") == 0.25) // (|2|-1)^2 / 4
+    val rh = got("h")
+    assert(rh.isNullAt(rh.fieldIndex("chi2_r"))
+      && rh.isNullAt(rh.fieldIndex("chi2_cc_r")))
+  }
 }
