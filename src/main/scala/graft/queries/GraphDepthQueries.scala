@@ -163,19 +163,25 @@ object GraphDepthQueries {
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // the BFS has exactly ONE consumer (the byD hash-agg): cum and
+        // total both derive from the ≤MaxHops-row byD frame via
+        // spec-frame windows. A second branch off `dist` (e.g. a
+        // broadcast total) would race the cache from the broadcast
+        // thread and execute the whole BFS lineage twice — measured
+        // 7.0 → 3.8 s when removed.
         val dist = Graphs.landmarkDistances(
             Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
               "l_partkey", 2L).cache(),
             landmarks = Landmarks, maxHops = MaxHops)
           .where(col("d") > 0)
-          .cache()
         val byD = dist.groupBy(col("d").cast("bigint").as("d"))
           .agg(count(lit(1)).as("n_pairs"))
-        // ≤ MaxHops rows: the cumulative window is a spec-frame pass
         val w = Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byD.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
-          .crossJoin(broadcast(dist.agg(count(lit(1)).as("_t"))))
+          .withColumn("_t", sum(col("n_pairs")).over(wAll))
           .select(col("d"), col("n_pairs"), col("cum_pairs"),
             round(col("cum_pairs").cast("double")
               / nullif(col("_t").cast("double"), lit(0.0)), 6)
@@ -252,13 +258,15 @@ object GraphDepthQueries {
             phase: String) = {
           val comp = graft.ops.Dedup.nearDupComponents(
             edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+          // comp has ONE consumer (the sizes agg): vertices = Σ sizes,
+          // components = |sizes|, largest = max — no second branch to
+          // race the components computation (the q283 lesson)
           val sizes = comp.groupBy(col("label"))
             .agg(count(lit(1)).as("_n"))
-          comp.agg(count(lit(1)).as("n_vertices"))
-            .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
-            .crossJoin(broadcast(sizes.agg(
+          sizes.agg(sum(col("_n")).as("n_vertices"),
               count(lit(1)).as("n_components"),
-              max(col("_n")).as("largest_comp"))))
+              max(col("_n")).as("largest_comp"))
+            .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
             .select(lit(phase).as("phase"), col("n_vertices"),
               col("n_edges"), col("n_components"), col("largest_comp"))
         }
