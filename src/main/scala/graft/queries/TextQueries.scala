@@ -759,12 +759,20 @@ object TextQueries {
         val docs = documents(s, d)
         val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
         val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
-        val cand = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        // the four audit branches below evaluate CONCURRENTLY (each is
+        // a broadcast side of the final crossJoin), so multi-consumer
+        // frames must be MATERIALIZED before the plan is built — lazy
+        // cache() races from the parallel broadcast jobs and the whole
+        // LSH/exact pipeline executes more than once (the q283 lesson).
+        // localCheckpoint is eager: one computation, branches read
+        // blocks.
+        val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+          .localCheckpoint()
         val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
           .where(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b").cache()
+          .select("doc_a", "doc_b").localCheckpoint()
         val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", 0.5)
-          .select("doc_a", "doc_b").cache()
+          .select("doc_a", "doc_b").localCheckpoint()
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(exact.join(lsh, Seq("doc_a", "doc_b"))
             .agg(count(lit(1)).as("n_found")))
