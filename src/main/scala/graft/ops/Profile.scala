@@ -598,4 +598,47 @@ object Profile {
         round((po2 - pe2).cast("double") / (n2 - pe2).cast("double"), 6))
         .as("kappa_r"))
   }
+
+  /** Concentration profile per group: Gini coefficient (rank form
+    * G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n over ascending ranks — tie-order
+    * invariant, since swapping equal values' ranks leaves Σr·x
+    * unchanged), Herfindahl–Hirschman index (Σxᵢ²/(Σx)² — needs no
+    * ranks at all), and the value share held by the top ⌈n/topDen⌉
+    * units (topDen=100 → "top 1% share"). The "how unequal is this
+    * distribution" readout for revenue, token counts per source, or
+    * corpus domain mass — the scalar complements of q271's ABC cut.
+    *
+    * Scale shape: ONE [[Ranks.bandedRank]] pass (no single-task
+    * per-group sort), then one hash-agg; Σr·x and Σx² accumulate as
+    * DECIMAL(38,0) (r·x and x² overflow longs long before 100 TB),
+    * every ratio is one double evaluation over exact integers.
+    * Degenerate groups (Σx = 0) yield null ratios. */
+  def concentrationProfile(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String, bandWidth: Double,
+      topDen: Int = 100): DataFrame = {
+    require(topDen >= 1, "topDen must be >= 1")
+    val ranked = Ranks.bandedRank(df, groupCol, valueCol, idCol,
+      bandWidth)
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val topN = expr(s"(grp_n + ${topDen - 1}) div $topDen")
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol)).as("total"),
+      sum((col("rnk") + 1).cast("decimal(38,0)") * xd).as("_rx"),
+      sum(xd * xd).as("_xx"),
+      sum(when(col("rnk") + 1 > col("grp_n") - topN, col(valueCol))
+        .otherwise(lit(0L))).as("_topx"),
+      max(topN).as("top_n"))
+    val nD = col("n").cast("double")
+    val totD = col("total").cast("double")
+    agg.select(col(groupCol), col("n"), col("total"),
+      round(when(col("total") > 0,
+        lit(2.0) * col("_rx").cast("double") / (nD * totD)
+          - (col("n") + 1).cast("double") / nD), 6).as("gini_r"),
+      round(when(col("total") > 0,
+        col("_xx").cast("double") / (totD * totD)), 6).as("hhi_r"),
+      col("top_n"),
+      round(when(col("total") > 0,
+        col("_topx").cast("double") / totD), 6).as("top_share_r"))
+  }
 }

@@ -108,5 +108,57 @@ object SupplyQueries {
             round(sum(col("cents")).cast("double") / max(col("_t")), 6)
               .as("share_r"))
           .orderBy("abc_class")
+      }),
+
+    // Concentration profile per market segment: Gini coefficient, HHI
+    // and top-1%-customer revenue share (Profile.concentrationProfile)
+    // over exact per-customer cents — the scalar inequality readouts
+    // complementing q271's ABC cut. One banded rank + one hash-agg;
+    // Σr·x and Σx² as DECIMAL/HUGEINT so nothing overflows.
+    Q("q286_revenue_concentration",
+      Some("""WITH v AS (
+             |  SELECT c_mktsegment AS seg, o_custkey AS k,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      ::BIGINT AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT seg, k, x,
+             |    row_number() OVER (PARTITION BY seg ORDER BY x, k)
+             |      AS r,
+             |    count(*) OVER (PARTITION BY seg) AS n
+             |  FROM v),
+             |a AS (
+             |  SELECT seg, max(n)::BIGINT AS n, sum(x)::BIGINT AS total,
+             |    sum(r::HUGEINT * x) AS rx,
+             |    sum(x::HUGEINT * x) AS xx,
+             |    sum(CASE WHEN r > n - (n + 99) // 100 THEN x
+             |      ELSE 0 END)::BIGINT AS topx,
+             |    max((n + 99) // 100)::BIGINT AS top_n
+             |  FROM r GROUP BY 1)
+             |SELECT seg, n, total,
+             |  CASE WHEN total > 0 THEN
+             |    round(2.0 * rx::DOUBLE / (n::DOUBLE * total::DOUBLE)
+             |      - (n + 1)::DOUBLE / n::DOUBLE, 6) END AS gini_r,
+             |  CASE WHEN total > 0 THEN
+             |    round(xx::DOUBLE / (total::DOUBLE * total::DOUBLE), 6)
+             |    END AS hhi_r,
+             |  top_n,
+             |  CASE WHEN total > 0 THEN
+             |    round(topx::DOUBLE / total::DOUBLE, 6)
+             |    END AS top_share_r
+             |FROM a ORDER BY seg""".stripMargin),
+      (s, d) => {
+        val v = orders(s, d)
+          .join(customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_custkey").as("k"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("x"))
+        graft.ops.Profile.concentrationProfile(v, "seg", "x", "k",
+            bandWidth = 1e6)
+          .orderBy("seg")
       }))
 }

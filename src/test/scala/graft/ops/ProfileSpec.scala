@@ -376,4 +376,36 @@ class ProfileSpec extends SparkTestBase {
       .collect().head
     assert(r.getDouble(6) == 0.7 && r.getDouble(7) == 0.4, r.toString)
   }
+
+  test("concentrationProfile: equal values → Gini 0 / HHI 1/n; one " +
+      "unit holds everything → Gini (n-1)/n, top share 1; tie-order " +
+      "invariance") {
+    import spark.implicits._
+    val df = (
+      (1L to 4L).map(k => ("eq", k, 10L)) ++       // perfectly equal
+      Seq(("uneq", 1L, 0L), ("uneq", 2L, 0L),
+        ("uneq", 3L, 0L), ("uneq", 4L, 40L))       // one holds all
+    ).toDF("grp", "k", "x")
+    val got = Profile.concentrationProfile(df, "grp", "x", "k",
+        bandWidth = 8.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val eq = got("eq")
+    assert(eq.getAs[Long]("n") == 4 && eq.getAs[Long]("total") == 40)
+    assert(eq.getAs[Double]("gini_r") == 0.0)
+    assert(eq.getAs[Double]("hhi_r") == 0.25) // 1/n
+    // top ⌈4/100⌉ = 1 unit of 4 equal → share 1/4
+    assert(eq.getAs[Long]("top_n") == 1
+      && eq.getAs[Double]("top_share_r") == 0.25)
+    val un = got("uneq")
+    assert(un.getAs[Double]("gini_r") == 0.75) // (n−1)/n
+    assert(un.getAs[Double]("hhi_r") == 1.0)
+    assert(un.getAs[Double]("top_share_r") == 1.0)
+    // tie-order invariance: permuting ids of the equal group's rows
+    // changes which id gets which rank but not Σr·x → same Gini
+    val perm = (1L to 4L).map(k => ("eq", 5L - k, 10L))
+      .toDF("grp", "k", "x")
+    val g2 = Profile.concentrationProfile(perm, "grp", "x", "k", 8.0)
+      .collect().head.getAs[Double]("gini_r")
+    assert(g2 == 0.0)
+  }
 }
