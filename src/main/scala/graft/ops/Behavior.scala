@@ -639,4 +639,92 @@ object Behavior {
         - (m("_s_a_post", "n_a_post") - m("_s_a_pre", "n_a_pre")), 6)
         .as("did_r"))
   }
+
+  /** Top user journeys: each entity's first `pathLen` events (by the
+    * caller's total order) concatenated into a path string, counted
+    * across entities, top `topN` by frequency — the "what do users
+    * actually do first" readout behind funnel design. One per-entity
+    * window (partitioned — no global sort), the path assembled
+    * row-locally from a rank-sorted struct array, one hash-agg on the
+    * path string, TakeOrdered for the top slice. */
+  def topPaths(events: DataFrame, entityCol: String, typeCol: String,
+      orderBy: Seq[Column], pathLen: Int, topN: Int): DataFrame = {
+    require(pathLen >= 1 && topN >= 1, "pathLen and topN must be >= 1")
+    val w = Window.partitionBy(entityCol).orderBy(orderBy: _*)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= pathLen)
+      .groupBy(col(entityCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn").as("r"),
+          col(typeCol).as("t")))),
+        x => x.getField("t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(topN)
+  }
+
+  /** Stationary distribution of the [[transitions]] Markov chain by
+    * `iters` fixed power-iteration steps from the uniform start — the
+    * long-run "where does a user's session settle" vector that the
+    * per-state [[entropyRate]] conditions on. Fixed iteration count →
+    * deterministic function of the chain (no convergence test), and
+    * every matrix-vector term is 12-dp-rounded and DECIMAL-summed so
+    * the float reduction is order-independent across engines.
+    * Everything after the one transitions agg lives on the |S|²
+    * matrix frame. States with no incoming transitions drop out after
+    * the first step (their long-run mass is 0). */
+  def stationaryDistribution(events: DataFrame, entityCol: String,
+      typeCol: String, orderBy: Seq[Column], iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val t = transitions(events, entityCol, typeCol, orderBy)
+    val rowTot = t.groupBy(col("from_type")).agg(sum(col("n")).as("_rt"))
+    val p = t.join(rowTot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(col("n").cast("double") / col("_rt").cast("double"), 12)
+          .as("p"))
+      .localCheckpoint() // consumed every iteration: materialize once
+    val states = p.select(col("from_type").as("state"))
+      .union(p.select(col("to_type").as("state"))).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("_k"))))
+      .select(col("state"),
+        round(lit(1.0) / col("_k").cast("double"), 12).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, p("from_type") === pi("state"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(round(col("pi") * col("p"), 12)
+          .cast("decimal(28,12)")).cast("double").as("pi"))
+    }
+    pi.select(col("state"), round(col("pi"), 6).as("pi_r"))
+  }
+
+  /** Cohort LTV curve: entities bucketed by first-seen week (the
+    * [[weeklyRetention]] cohorts), cumulative value per cohort by week
+    * offset, divided by the cohort's size — "how much is a week-W
+    * signup worth after k weeks", the payback readout acquisition
+    * spend is judged against. Value accumulates in exact cents; the
+    * cumulative window runs over the small (cohorts × offsets) grid,
+    * partitioned by cohort. */
+  def ltvCurve(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val week = to_date(date_trunc("week", col(tsCol)))
+    val ev = events.select(col(entityCol).as("_u"), week.as("_week"),
+      round(col(valueCol) * 100).cast("long").as("_cents"))
+    val coh = ev.groupBy(col("_u")).agg(min(col("_week")).as("cohort_week"))
+    val sized = coh.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val aged = ev.join(coh, "_u")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("_week"), col("cohort_week")) / 7)
+          .as("week_offset"))
+      .agg(sum(col("_cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sized), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("rev_cents"), col("cum_cents"),
+        round(col("cum_cents").cast("double")
+          / col("n_users").cast("double"), 6).as("ltv_cents_r"))
+  }
 }

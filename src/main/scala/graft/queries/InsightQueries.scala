@@ -14,6 +14,9 @@ import graft.util.Tables._
   */
 object InsightQueries {
 
+  /** q288: fixed power-iteration count, shared with the oracle SQL. */
+  private val StationaryIters = 4
+
   val all: Seq[Q] = Seq(
 
     // Ordered funnel view → click → purchase: highest stage per user,
@@ -317,5 +320,98 @@ object InsightQueries {
           .select(col("event_id"), col("event_type"),
             ntile(10).over(w).as("decile"))
           .orderBy("event_id")
-      }))
+      }),
+
+    // Top user journeys: each user's first-5 event-type path, counted
+    // across users, top 20 — the "what do users actually do first"
+    // readout behind funnel design (Behavior.topPaths).
+    Q("q287_top_paths",
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |    string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY user_id),
+             |c AS (SELECT path, count(*)::BIGINT AS n_users FROM p
+             |      GROUP BY 1)
+             |SELECT path, n_users FROM c
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin),
+      (s, d) => Behavior.topPaths(events(s, d), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")), pathLen = 5, topN = 20)),
+
+    // Stationary distribution of q90's transition chain: 4 fixed
+    // power-iteration steps from uniform, every matrix-vector term
+    // 12-dp-rounded and DECIMAL-summed (order-independent float
+    // reduction) — the long-run state mass q267's entropy rate
+    // conditions on.
+    Q("q288_stationary_dist", {
+      val iters = (1 to StationaryIters).map { i =>
+        s"""pi$i AS (
+           |  SELECT p.tt AS state,
+           |    sum(round(pi${i - 1}.pi * p.p, 12)::DECIMAL(28,12))
+           |      ::DOUBLE AS pi
+           |  FROM p JOIN pi${i - 1} ON p.f = pi${i - 1}.state
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH seq AS (
+              |  SELECT user_id, event_type,
+              |    lag(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              |t AS (SELECT prev AS f, event_type AS tt,
+              |        count(*)::BIGINT AS n
+              |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+              |rt AS (SELECT f, sum(n)::BIGINT AS r FROM t GROUP BY 1),
+              |p AS (SELECT f, tt, round(n::DOUBLE / r::DOUBLE, 12) AS p
+              |      FROM t JOIN rt USING (f)),
+              |s AS (SELECT f AS state FROM p
+              |      UNION SELECT tt FROM p),
+              |k AS (SELECT count(*)::BIGINT AS k FROM s),
+              |pi0 AS (SELECT state, round(1.0 / k::DOUBLE, 12) AS pi
+              |        FROM s CROSS JOIN k),
+              |$iters
+              |SELECT state, round(pi, 6) AS pi_r
+              |FROM pi$StationaryIters ORDER BY state""".stripMargin)
+    },
+      (s, d) => Behavior.stationaryDistribution(events(s, d), "user_id",
+          "event_type", Seq(col("ts"), col("event_id")),
+          iters = StationaryIters)
+        .orderBy("state")),
+
+    // Cohort LTV curve: cumulative cents per first-seen-week cohort by
+    // week offset, per cohort member — the payback readout acquisition
+    // spend is judged against (Behavior.ltvCurve; q83's cohorts).
+    Q("q289_ltv_curve",
+      Some("""WITH wk AS (
+             |  SELECT user_id, date_trunc('week', ts)::DATE AS week,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |coh AS (SELECT user_id, min(week) AS cohort_week FROM wk
+             |        GROUP BY 1),
+             |sz AS (SELECT cohort_week, count(*)::BIGINT AS n_users
+             |       FROM coh GROUP BY 1),
+             |aged AS (
+             |  SELECT c.cohort_week,
+             |    ((w.week - c.cohort_week) // 7)::BIGINT AS week_offset,
+             |    sum(w.cents)::BIGINT AS rev_cents
+             |  FROM wk w JOIN coh c USING (user_id)
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cohort_week, week_offset, rev_cents,
+             |    sum(rev_cents) OVER (PARTITION BY cohort_week
+             |      ORDER BY week_offset
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cum_cents
+             |  FROM aged)
+             |SELECT c.cohort_week, c.week_offset, s.n_users,
+             |  c.rev_cents, c.cum_cents,
+             |  round(c.cum_cents::DOUBLE / s.n_users::DOUBLE, 6)
+             |    AS ltv_cents_r
+             |FROM cum c JOIN sz s USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      (s, d) => Behavior.ltvCurve(events(s, d), "user_id", "ts", "value")
+        .orderBy("cohort_week", "week_offset")))
 }

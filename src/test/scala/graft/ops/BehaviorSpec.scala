@@ -429,4 +429,39 @@ class BehaviorSpec extends SparkTestBase {
     assert(u2.getAs[Double]("entropy_r") == 0.0)
     assert(u2.isNullAt(u2.fieldIndex("entropy_norm_r")))
   }
+
+  test("topPaths: first-k events in time order form the path; counts " +
+      "across users; top-N slice deterministic") {
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L),
+      (2L, "a", 1L), (2L, "b", 2L), (2L, "c", 3L),
+      (3L, "a", 5L), (3L, "b", 6L), (3L, "c", 7L),
+      (4L, "x", 1L), (4L, "y", 2L)
+    ).toDF("user_id", "event_type", "ord")
+    val got = Behavior.topPaths(rows, "user_id", "event_type",
+        Seq(col("ord")), pathLen = 3, topN = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // users 1-3 share a>b>c (user 1's 4th event ignored); user 4 has x>y
+    assert(got == Seq("a>b>c" -> 3L, "x>y" -> 1L))
+  }
+
+  test("stationaryDistribution: alternating 2-state chain stays " +
+      "uniform; absorbing state collects all mass") {
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "event_type", "ord")
+    // A->B->A->B...: P swaps mass, uniform start is stationary
+    val alt = Behavior.stationaryDistribution(
+        ev(Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "A", 3L),
+          (1L, "B", 4L))),
+        "user_id", "event_type", Seq(col("ord")), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(alt == Map("A" -> 0.5, "B" -> 0.5))
+    // A->B, B->B: B absorbs everything; A has no incoming -> drops out
+    val abs = Behavior.stationaryDistribution(
+        ev(Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "B", 3L),
+          (1L, "B", 4L))),
+        "user_id", "event_type", Seq(col("ord")), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(abs == Map("B" -> 1.0), abs.toString)
+  }
 }
