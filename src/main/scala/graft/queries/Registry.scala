@@ -18,7 +18,8 @@ object Registry {
       EncodeQueries.all ++ GrowthQueries.all ++ OverlapQueries.all ++
       RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
       OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
-      UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all
+      UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all ++
+      TemporalQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
