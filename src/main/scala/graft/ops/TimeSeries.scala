@@ -445,6 +445,56 @@ object TimeSeries {
         round(col("q_val"), 6).as("slope_med_r"))
   }
 
+  /** Mann–Kendall trend test — the SIGNIFICANCE companion to
+    * [[theilSen]]'s magnitude: S = Σ_{i<j} sign(x_j − x_i) over the
+    * day-ordered per-key series, Kendall τ = S/(n(n−1)/2), and the
+    * tie-corrected normal z (Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    * continuity-corrected ±1) — "is there a monotone trend at all"
+    * before the slope is believed. S, τ's denominator and Var·18 are
+    * exact integers; z is one double division over them plus one sqrt.
+    *
+    * Same pair shape as [[theilSen]]: quadratic only in each key's
+    * observed-day count (calendar-bounded), one hash-agg for S, a
+    * (key, x)-grain agg for the tie correction. */
+  def mannKendall(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grain = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val nn = grain.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val a = grain.select(col(keyCol), col("day").as("_da"),
+      col("x").as("_xa"))
+    val b = grain.select(col(keyCol), col("day").as("_db"),
+      col("x").as("_xb"))
+    val s = a.join(b, Seq(keyCol))
+      .where(col("_da") < col("_db"))
+      .select(col(keyCol),
+        when(col("_xb") > col("_xa"), 1L)
+          .when(col("_xb") < col("_xa"), -1L).otherwise(0L).as("_sg"))
+      .groupBy(col(keyCol)).agg(sum(col("_sg")).as("s_stat"))
+    val tc = grain.groupBy(col(keyCol), col("x"))
+      .agg(count(lit(1)).as("_t"))
+      .where(col("_t") > 1)
+      .groupBy(col(keyCol))
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+        .as("_tcorr"))
+    val joined = s.join(nn, Seq(keyCol)).join(tc, Seq(keyCol), "left")
+      .withColumn("_var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - coalesce(col("_tcorr"), lit(0L)))
+    val sd = sqrt(col("_var18").cast("double") / lit(18.0))
+    joined.select(col(keyCol), col("n"), col("s_stat"),
+      round(col("s_stat").cast("double")
+        / (col("n").cast("double") * (col("n") - 1).cast("double")
+          / lit(2.0)), 6).as("tau_r"),
+      when(col("_var18") > 0 && col("s_stat") > 0,
+        round((col("s_stat") - 1).cast("double") / sd, 6))
+        .when(col("_var18") > 0 && col("s_stat") < 0,
+          round((col("s_stat") + 1).cast("double") / sd, 6))
+        .when(col("_var18") > 0, lit(0.0))
+        .as("z_r"))
+  }
+
   /** Seasonal-naïve forecast backtest: predict each day's count by the
     * count `lagDays` earlier on the ZERO-FILLED spine and score the
     * prediction — MAE and bias from exact integer errors, MAPE over

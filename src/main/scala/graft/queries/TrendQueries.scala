@@ -33,6 +33,48 @@ object TrendQueries {
       (s, d) => TimeSeries.theilSen(events(s, d), "event_type", "ts")
         .orderBy("event_type")),
 
+    // Mann–Kendall trend test: the significance companion to q246's
+    // Theil–Sen slope — S, Kendall τ and the tie-corrected,
+    // continuity-corrected normal z over the same day-grain series.
+    Q("q293_mann_kendall",
+      Some("""WITH grain AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |nn AS (SELECT event_type, count(*)::BIGINT AS n FROM grain
+             |       GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type,
+             |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+             |      ELSE 0 END AS sg
+             |  FROM grain a JOIN grain b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |s AS (SELECT event_type, sum(sg)::BIGINT AS s_stat FROM p
+             |      GROUP BY 1),
+             |ties AS (SELECT event_type, x, count(*)::BIGINT AS t
+             |         FROM grain GROUP BY 1, 2),
+             |tc AS (SELECT event_type,
+             |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tcorr
+             |  FROM ties WHERE t > 1 GROUP BY 1),
+             |a AS (
+             |  SELECT s.event_type, nn.n, s.s_stat,
+             |    (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+             |      - coalesce(tc.tcorr, 0))::BIGINT AS var18
+             |  FROM s JOIN nn USING (event_type)
+             |  LEFT JOIN tc USING (event_type))
+             |SELECT event_type, n, s_stat,
+             |  round(s_stat::DOUBLE
+             |    / (n::DOUBLE * (n - 1)::DOUBLE / 2.0), 6) AS tau_r,
+             |  CASE WHEN var18 > 0 AND s_stat > 0 THEN
+             |      round((s_stat - 1)::DOUBLE
+             |        / sqrt(var18::DOUBLE / 18.0), 6)
+             |    WHEN var18 > 0 AND s_stat < 0 THEN
+             |      round((s_stat + 1)::DOUBLE
+             |        / sqrt(var18::DOUBLE / 18.0), 6)
+             |    WHEN var18 > 0 THEN 0.0 END AS z_r
+             |FROM a ORDER BY event_type""".stripMargin),
+      (s, d) => TimeSeries.mannKendall(events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
     // Seasonal-naïve backtest at lag 7 on the zero-filled spine: MAE /
     // bias from exact integer errors; MAPE over positive-actual days
     // as 12-dp DECIMAL term sums.

@@ -357,4 +357,26 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(TimeSeries.timeWeightedAvg(e, "key", "ts", "v", "id")
       .count() == 0)
   }
+
+  test("mannKendall: strictly rising daily counts → τ=1, hand z; " +
+      "constant series → all-tied variance 0, null z, τ=0") {
+    // key "up": 1,2,3,4,5 events on 5 consecutive days; key "flat":
+    // 2 events on each of 5 days
+    val rows = (1 to 5).flatMap { d =>
+      (1 to d).map(i => ("up", ts(f"2024-01-0$d 0$i:00:00"))) ++
+        (1 to 2).map(i => ("flat", ts(f"2024-01-0$d 0$i:00:00")))
+    }.toDF("key", "ts")
+    val got = TimeSeries.mannKendall(rows, "key", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getAs[Long]("n") == 5 && up.getAs[Long]("s_stat") == 10)
+    assert(up.getAs[Double]("tau_r") == 1.0)
+    // z = (10−1)/sqrt(5·4·15/18) = 9/sqrt(300/18) = 2.204541
+    assert(up.getAs[Double]("z_r") == 2.204541)
+    val fl = got("flat")
+    assert(fl.getAs[Long]("s_stat") == 0
+      && fl.getAs[Double]("tau_r") == 0.0)
+    assert(fl.isNullAt(fl.fieldIndex("z_r")),
+      "all-tied series has Var 0 -> null z")
+  }
 }
