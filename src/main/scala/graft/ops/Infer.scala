@@ -334,6 +334,45 @@ object Infer {
     * derive from exact integer cumulative sums; one double division
     * per interval, min/max exact → cross-engine deterministic.
     * Returns the input columns plus `iso_rate_r` (6 dp). */
+  /** One-way ANOVA per group: does the mean of an INTEGER-VALUED
+    * measure differ across cells? Decomposes SST = SSB + SSW from the
+    * cell-grain sufficient statistics (n_c, Σx, Σx² — Σx² as
+    * DECIMAL(38,0)), reports effect size η² = SSB/SST and
+    * F = (SSB/(k−1))/(SSW/(n−k)). The one float sum over cells
+    * (Σ_c S_c²/n_c) takes the house order-independent form: each term
+    * 12-dp-rounded, summed as DECIMAL — and SSW = ΣΣx² − that sum
+    * needs no second pass. Degenerate groups (SST ≤ 0, k ≤ 1, n ≤ k,
+    * SSW ≤ 0) yield nulls.
+    *
+    * Two hash-aggs (unit → cell grain, cell → group grain); nothing
+    * wider than the cell table ever aggregates in float. */
+  def oneWayAnova(units: DataFrame, groupCol: String, cellCol: String,
+      valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val cell = units.groupBy(col(groupCol), col(cellCol)).agg(
+      count(lit(1)).as("_nc"), sum(col(valueCol)).as("_sc"),
+      sum(xd * xd).as("_ssc"))
+    val g = cell.groupBy(col(groupCol)).agg(
+      sum(col("_nc")).as("n"), count(lit(1)).as("k"),
+      sum(col("_sc")).as("_s"), sum(col("_ssc")).as("_ss"),
+      sum(round(col("_sc").cast("double") * col("_sc").cast("double")
+        / col("_nc").cast("double"), 12).cast("decimal(28,12)"))
+        .as("_t12"))
+    val nD = col("n").cast("double")
+    val sD = col("_s").cast("double")
+    val ssD = col("_ss").cast("double")
+    val t12D = col("_t12").cast("double")
+    val sst = ssD - sD * sD / nD
+    val ssb = t12D - sD * sD / nD
+    val ssw = ssD - t12D
+    g.select(col(groupCol), col("n"), col("k"),
+      round(when(sst > 0, ssb / nullif(sst, lit(0.0))), 6).as("eta2_r"),
+      round(when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        (ssb / (col("k") - 1).cast("double"))
+          / nullif(ssw / (col("n") - col("k")).cast("double"),
+            lit(0.0))), 6).as("f_r"))
+  }
+
   /** McNemar's test (Psychometrika 1947) for PAIRED classifier
     * comparison per group: on the same units, is model A right where B
     * is wrong more often than the reverse? Only the DISCORDANT pairs

@@ -98,5 +98,131 @@ object SeasonalQueries {
              |FROM x ORDER BY event_type, day""".stripMargin),
       (s, d) => TimeSeries.rollingMadAnomalies(events(s, d),
           "event_type", "ts", windowDays = 14)
-        .orderBy("event_type", "day")))
+        .orderBy("event_type", "day")),
+
+    // Wald–Wolfowitz runs test on daily counts vs their exact median:
+    // too FEW runs = trending/clustered days, too MANY = oscillating —
+    // the randomness gate under q221's seasonal indices. Median-equal
+    // days are excluded (standard); R, n1, n0 exact integers, E[R] and
+    // Var[R] one shared double parenthesization.
+    Q("q294_runs_test",
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |med AS (
+             |  SELECT event_type, quantile_cont(x, 0.5) AS m FROM daily
+             |  GROUP BY 1),
+             |f AS (
+             |  SELECT d.event_type, d.day,
+             |    CASE WHEN d.x > m THEN 1 ELSE 0 END AS above
+             |  FROM daily d JOIN med USING (event_type)
+             |  WHERE d.x <> m),
+             |r AS (
+             |  SELECT event_type, above,
+             |    CASE WHEN lag(above) OVER (PARTITION BY event_type
+             |        ORDER BY day) IS DISTINCT FROM above
+             |      THEN 1 ELSE 0 END AS newrun
+             |  FROM f),
+             |a AS (
+             |  SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(above)::BIGINT AS n1,
+             |    (count(*) - sum(above))::BIGINT AS n0,
+             |    sum(newrun)::BIGINT AS runs
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n, n1, n0, runs,
+             |  round(2.0 * n1::DOUBLE * n0::DOUBLE / n::DOUBLE + 1.0, 6)
+             |    AS e_runs_r,
+             |  CASE WHEN n > 1 AND 2.0 * n1::DOUBLE * n0::DOUBLE
+             |      * (2.0 * n1::DOUBLE * n0::DOUBLE - n::DOUBLE) > 0
+             |    THEN round((runs::DOUBLE
+             |      - (2.0 * n1::DOUBLE * n0::DOUBLE / n::DOUBLE + 1.0))
+             |      / sqrt(2.0 * n1::DOUBLE * n0::DOUBLE
+             |        * (2.0 * n1::DOUBLE * n0::DOUBLE - n::DOUBLE)
+             |        / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)), 6)
+             |    END AS z_r
+             |FROM a ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val med = graft.ops.Ranks.exactQuantiles(
+            daily.withColumn("_id", col("day").cast("string")),
+            "event_type", "x", "_id", bandWidth = 64.0,
+            nums = Seq(1), den = 2)
+          .select(col("event_type"), col("q_val").as("_m"))
+        val f = daily.join(broadcast(med), Seq("event_type"))
+          .where(col("x") =!= col("_m"))
+          .select(col("event_type"), col("day"),
+            when(col("x") > col("_m"), 1L).otherwise(0L).as("above"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val r = f.withColumn("newrun",
+          when(lag(col("above"), 1).over(w).isNull
+            || lag(col("above"), 1).over(w) =!= col("above"), 1L)
+            .otherwise(0L))
+        val a = r.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("above")).as("n1"),
+          (count(lit(1)) - sum(col("above"))).as("n0"),
+          sum(col("newrun")).as("runs"))
+        val nD = col("n").cast("double")
+        val n1D = col("n1").cast("double")
+        val n0D = col("n0").cast("double")
+        val e = lit(2.0) * n1D * n0D / nD + lit(1.0)
+        val varNum = lit(2.0) * n1D * n0D *
+          (lit(2.0) * n1D * n0D - nD)
+        a.select(col("event_type"), col("n"), col("n1"), col("n0"),
+          col("runs"),
+          round(e, 6).as("e_runs_r"),
+          round(when(col("n") > 1 && varNum > 0,
+            (col("runs").cast("double") - e)
+              / sqrt(varNum
+                / (nD * nD * (col("n") - 1).cast("double")))), 6)
+            .as("z_r"))
+          .orderBy("event_type")
+      }),
+
+    // One-way ANOVA of daily counts across day-of-week cells per type
+    // (Infer.oneWayAnova): η² = share of daily-count variance explained
+    // by weekday, F against the k−1 / n−k split — "is the weekly
+    // seasonality real" as a test, where q221 only reports indices.
+    Q("q295_dow_anova",
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |u AS (SELECT event_type, dayofweek(day) AS dow, x
+             |      FROM daily),
+             |cell AS (
+             |  SELECT event_type, dow, count(*)::BIGINT AS nc,
+             |    sum(x)::BIGINT AS sc, sum(x::HUGEINT * x) AS ssc
+             |  FROM u GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, sum(nc)::BIGINT AS n,
+             |    count(*)::BIGINT AS k, sum(sc)::BIGINT AS s,
+             |    sum(ssc) AS ss,
+             |    sum(round(sc::DOUBLE * sc::DOUBLE / nc::DOUBLE, 12)
+             |      ::DECIMAL(28,12)) AS t12
+             |  FROM cell GROUP BY 1)
+             |SELECT event_type, n, k,
+             |  CASE WHEN ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
+             |      > 0 THEN
+             |    round((t12::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+             |      / (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE),
+             |      6) END AS eta2_r,
+             |  CASE WHEN k > 1 AND n > k
+             |      AND ss::DOUBLE - t12::DOUBLE > 0 THEN
+             |    round(((t12::DOUBLE - s::DOUBLE * s::DOUBLE
+             |        / n::DOUBLE) / (k - 1)::DOUBLE)
+             |      / ((ss::DOUBLE - t12::DOUBLE) / (n - k)::DOUBLE), 6)
+             |    END AS f_r
+             |FROM a ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.ops.Infer.oneWayAnova(
+            daily.select(col("event_type"),
+              (dayofweek(col("day")) - 1).as("dow"), col("x")),
+            "event_type", "dow", "x")
+          .orderBy("event_type")
+      }))
 }

@@ -205,6 +205,25 @@ class InferSpec extends SparkTestBase {
     assert(iso(Seq((7L, 4L, 3L))) == Seq(7L -> 0.75))
   }
 
+  test("oneWayAnova: perfect separation → eta2 1 / F null (SSW 0); " +
+      "identical cells → eta2 0, F 0") {
+    import spark.implicits._
+    def anova(rows: Seq[(String, Int, Long)]) =
+      Infer.oneWayAnova(rows.toDF("g", "c", "x"), "g", "c", "x")
+        .collect().map(r => r.getString(0) -> r).toMap
+    // cells (1,1) vs (3,3): all variance is between → eta2 = 1, SSW = 0
+    val sep = anova(Seq(("g", 1, 1L), ("g", 1, 1L), ("g", 2, 3L),
+      ("g", 2, 3L)))("g")
+    assert(sep.getAs[Long]("n") == 4 && sep.getAs[Long]("k") == 2)
+    assert(sep.getAs[Double]("eta2_r") == 1.0)
+    assert(sep.isNullAt(sep.fieldIndex("f_r")), "SSW=0 -> F undefined")
+    // cells (1,3) vs (1,3): no between-variance → eta2 = 0, F = 0
+    val same = anova(Seq(("g", 1, 1L), ("g", 1, 3L), ("g", 2, 1L),
+      ("g", 2, 3L)))("g")
+    assert(same.getAs[Double]("eta2_r") == 0.0)
+    assert(same.getAs[Double]("f_r") == 0.0)
+  }
+
   test("mcnemar: discordant-pair counts, chi2 and continuity-corrected " +
       "form from hand counts; never-disagree group yields null chi2") {
     import spark.implicits._
