@@ -224,5 +224,69 @@ object SeasonalQueries {
               (dayofweek(col("day")) - 1).as("dow"), col("x")),
             "event_type", "dow", "x")
           .orderBy("event_type")
+      }),
+
+    // Brown–Forsythe (median-Levene) variance-homogeneity test: the
+    // ANOVA machinery applied to DEVIATIONS |x − cell median| — "do
+    // weekdays differ in VOLATILITY, not just level", the check q295's
+    // equal-variance assumption rests on. Deviations stay exactly
+    // integer by scaling ×2 (an interpolated median of integers ends
+    // in .0 or .5; F is scale-invariant), so the whole pipeline rides
+    // Infer.oneWayAnova's exact-moment path unchanged.
+    Q("q296_levene_dow",
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |u AS (SELECT event_type, dayofweek(day) AS dow, x
+             |      FROM daily),
+             |med AS (
+             |  SELECT event_type, dow, quantile_cont(x, 0.5) AS m
+             |  FROM u GROUP BY 1, 2),
+             |v AS (
+             |  SELECT u.event_type, u.dow,
+             |    abs(2 * u.x - CAST(2 * m AS BIGINT))::BIGINT AS y
+             |  FROM u JOIN med USING (event_type, dow)),
+             |cell AS (
+             |  SELECT event_type, dow, count(*)::BIGINT AS nc,
+             |    sum(y)::BIGINT AS sc, sum(y::HUGEINT * y) AS ssc
+             |  FROM v GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, sum(nc)::BIGINT AS n,
+             |    count(*)::BIGINT AS k, sum(sc)::BIGINT AS s,
+             |    sum(ssc) AS ss,
+             |    sum(round(sc::DOUBLE * sc::DOUBLE / nc::DOUBLE, 12)
+             |      ::DECIMAL(28,12)) AS t12
+             |  FROM cell GROUP BY 1)
+             |SELECT event_type, n, k,
+             |  CASE WHEN ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE
+             |      > 0 THEN
+             |    round((t12::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+             |      / (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE),
+             |      6) END AS eta2_r,
+             |  CASE WHEN k > 1 AND n > k
+             |      AND ss::DOUBLE - t12::DOUBLE > 0 THEN
+             |    round(((t12::DOUBLE - s::DOUBLE * s::DOUBLE
+             |        / n::DOUBLE) / (k - 1)::DOUBLE)
+             |      / ((ss::DOUBLE - t12::DOUBLE) / (n - k)::DOUBLE), 6)
+             |    END AS f_r
+             |FROM a ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val u = daily.select(col("event_type"),
+            (dayofweek(col("day")) - 1).as("dow"), col("day"), col("x"))
+          .withColumn("_g",
+            concat_ws("#", col("event_type"), col("dow")))
+        val med = graft.ops.Ranks.exactQuantiles(
+            u.withColumn("_id", col("day").cast("string")),
+            "_g", "x", "_id", bandWidth = 64.0, nums = Seq(1), den = 2)
+          .select(col("_g"), col("q_val").as("_m"))
+        val v = u.join(broadcast(med), Seq("_g"))
+          .select(col("event_type"), col("dow"),
+            abs(lit(2) * col("x")
+              - (lit(2.0) * col("_m")).cast("long")).as("y"))
+        graft.ops.Infer.oneWayAnova(v, "event_type", "dow", "y")
+          .orderBy("event_type")
       }))
 }
