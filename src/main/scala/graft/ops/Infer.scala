@@ -373,6 +373,53 @@ object Infer {
             lit(0.0))), 6).as("f_r"))
   }
 
+  /** Kruskal–Wallis rank test per group (JASA 1952): the DISTRIBUTION-
+    * FREE "do these cells differ in level" — [[oneWayAnova]] without
+    * the normality assumption, and the k-cell generalization of
+    * [[graft.ops.Ranks.rankSumAuc]]'s Mann–Whitney machinery. Pooled
+    * MIDRANKS stay exactly integer ×2 (R·2 = 2·N_less + t + 1 from the
+    * value-grain tie counts), so per-cell rank sums are exact; H's one
+    * float cell-sum (Σ S_c²/(4 n_c)) takes the 12-dp DECIMAL
+    * order-independent form, and the tie-correction divisor
+    * 1 − Σ(t³−t)/(n³−n) is a ratio of exact integers.
+    *
+    * Shape: one (group, value) tie-count agg, a cumulative window over
+    * that VALUE-GRAIN table (distinct values per group — never the
+    * unit table), a join back, two hash-aggs. Degenerate groups
+    * (n < 2, k < 2, all values tied → divisor 0) yield null H. */
+  def kruskalWallis(units: DataFrame, groupCol: String, cellCol: String,
+      valueCol: String): DataFrame = {
+    val vg = units.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_t"))
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // midrank ×2 of every unit with this value: 2·N_less + t + 1
+    val ranked = vg
+      .withColumn("_nle", sum(col("_t")).over(w))
+      .select(col(groupCol), col(valueCol), col("_t"),
+        (lit(2) * (col("_nle") - col("_t")) + col("_t") + 1).as("_r2"))
+    val cells = units.join(ranked, Seq(groupCol, valueCol))
+      .groupBy(col(groupCol), col(cellCol))
+      .agg(count(lit(1)).as("_nc"), sum(col("_r2")).as("_s2"))
+    val ties = vg.groupBy(col(groupCol))
+      .agg(sum(col("_t") * col("_t") * col("_t") - col("_t"))
+        .as("_tie"))
+    val g = cells.groupBy(col(groupCol)).agg(
+      sum(col("_nc")).as("n"), count(lit(1)).as("k"),
+      sum(round(col("_s2").cast("double") * col("_s2").cast("double")
+        / (lit(4.0) * col("_nc").cast("double")), 12)
+        .cast("decimal(28,12)")).as("_t12"))
+      .join(ties, Seq(groupCol))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) *
+      col("_t12").cast("double") - lit(3.0) * (nD + lit(1.0))
+    val divisor = lit(1.0) - col("_tie").cast("double") /
+      (nD * nD * nD - nD)
+    g.select(col(groupCol), col("n"), col("k"),
+      round(when(col("n") >= 2 && col("k") >= 2 && divisor > 0,
+        h / nullif(divisor, lit(0.0))), 6).as("h_r"))
+  }
+
   /** McNemar's test (Psychometrika 1947) for PAIRED classifier
     * comparison per group: on the same units, is model A right where B
     * is wrong more often than the reverse? Only the DISCORDANT pairs

@@ -288,5 +288,59 @@ object SeasonalQueries {
               - (lit(2.0) * col("_m")).cast("long")).as("y"))
         graft.ops.Infer.oneWayAnova(v, "event_type", "dow", "y")
           .orderBy("event_type")
+      }),
+
+    // Kruskal–Wallis rank test on the same weekday cells: q295's
+    // question without the normality assumption — H from exact ×2
+    // midranks with the tie-correction divisor (Infer.kruskalWallis).
+    Q("q297_kruskal_wallis_dow",
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |u AS (SELECT event_type, dayofweek(day) AS dow, x
+             |      FROM daily),
+             |vg AS (SELECT event_type, x, count(*)::BIGINT AS t
+             |       FROM u GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT event_type, x, t,
+             |    (2 * (sum(t) OVER (PARTITION BY event_type ORDER BY x
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       - t) + t + 1)::BIGINT AS r2
+             |  FROM vg),
+             |cells AS (
+             |  SELECT u.event_type, u.dow, count(*)::BIGINT AS nc,
+             |    sum(rk.r2)::BIGINT AS s2
+             |  FROM u JOIN rk
+             |    ON u.event_type = rk.event_type AND u.x = rk.x
+             |  GROUP BY 1, 2),
+             |ties AS (SELECT event_type,
+             |    sum(t * t * t - t)::BIGINT AS tie
+             |  FROM vg GROUP BY 1),
+             |a AS (
+             |  SELECT event_type, sum(nc)::BIGINT AS n,
+             |    count(*)::BIGINT AS k,
+             |    sum(round(s2::DOUBLE * s2::DOUBLE
+             |      / (4.0 * nc::DOUBLE), 12)::DECIMAL(28,12)) AS t12
+             |  FROM cells GROUP BY 1)
+             |SELECT a.event_type, n, k,
+             |  CASE WHEN n >= 2 AND k >= 2
+             |      AND 1.0 - tie::DOUBLE / (n::DOUBLE * n::DOUBLE
+             |        * n::DOUBLE - n::DOUBLE) > 0
+             |    THEN round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0))
+             |        * t12::DOUBLE - 3.0 * (n::DOUBLE + 1.0))
+             |      / (1.0 - tie::DOUBLE / (n::DOUBLE * n::DOUBLE
+             |        * n::DOUBLE - n::DOUBLE)), 6)
+             |    END AS h_r
+             |FROM a JOIN ties USING (event_type)
+             |ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.ops.Infer.kruskalWallis(
+            daily.select(col("event_type"),
+              (dayofweek(col("day")) - 1).as("dow"), col("x")),
+            "event_type", "dow", "x")
+          .orderBy("event_type")
       }))
 }

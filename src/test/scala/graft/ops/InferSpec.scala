@@ -224,6 +224,29 @@ class InferSpec extends SparkTestBase {
     assert(same.getAs[Double]("f_r") == 0.0)
   }
 
+  test("kruskalWallis: hand H on untied cells; all-tied group → null " +
+      "(divisor 0)") {
+    import spark.implicits._
+    def kw(rows: Seq[(String, Int, Long)]) =
+      Infer.kruskalWallis(rows.toDF("g", "c", "x"), "g", "c", "x")
+        .collect().map(r => r.getString(0) -> r).toMap
+    // cells {1,2} vs {3,4}: ranks 1..4, R_A=3, R_B=7 →
+    // H = 12/20·(9/2 + 49/2) − 15 = 2.4; no ties → divisor 1
+    val sep = kw(Seq(("g", 1, 1L), ("g", 1, 2L), ("g", 2, 3L),
+      ("g", 2, 4L)))("g")
+    assert(sep.getAs[Long]("n") == 4 && sep.getAs[Long]("k") == 2)
+    assert(sep.getAs[Double]("h_r") == 2.4)
+    // every value identical → tie sum = n³−n → divisor 0 → null H
+    val tied = kw(Seq(("g", 1, 5L), ("g", 1, 5L), ("g", 2, 5L),
+      ("g", 2, 5L)))("g")
+    assert(tied.isNullAt(tied.fieldIndex("h_r")))
+    // midranks: {1,1} vs {2,2} — ranks (1.5,1.5,3.5,3.5), R_A=3, R_B=7
+    // → same raw H; ties: 2·(2³−2)=12, divisor 1−12/60=0.8 → H=3.0
+    val mid = kw(Seq(("g", 1, 1L), ("g", 1, 1L), ("g", 2, 2L),
+      ("g", 2, 2L)))("g")
+    assert(mid.getAs[Double]("h_r") == 3.0, mid.toString)
+  }
+
   test("mcnemar: discordant-pair counts, chi2 and continuity-corrected " +
       "form from hand counts; never-disagree group yields null chi2") {
     import spark.implicits._
