@@ -420,6 +420,35 @@ object Infer {
         h / nullif(divisor, lit(0.0))), 6).as("h_r"))
   }
 
+  /** Cochran's Q (Biometrika 1950): the k-classifier generalization of
+    * [[mcnemar]] — on the SAME units, do k binary raters/filters
+    * succeed at different rates? Q = (k−1)·(k·ΣG_j² − T²)/(k·T − ΣL_i²)
+    * with G_j = per-classifier successes, L_i = per-unit success count,
+    * T = ΣG — every term an exact integer from ONE hash-agg, the
+    * statistic a single double division (~χ² with k−1 df). Degenerate
+    * groups (every unit all-right or all-wrong: denominator 0) yield
+    * null. For k = 2 this reduces exactly to McNemar's uncorrected χ². */
+  def cochranQ(units: DataFrame, groupCol: String,
+      correct: Seq[Column]): DataFrame = {
+    val k = correct.length
+    require(k >= 2, "need at least two classifiers")
+    val inds = correct.map(c => when(c, 1L).otherwise(0L))
+    val li = inds.reduce(_ + _)
+    val aggCols = count(lit(1)).as("n") +:
+      inds.zipWithIndex.map { case (c, j) => sum(c).as(s"g${j + 1}") } :+
+      sum(li * li).as("_sl2")
+    val a = units.groupBy(col(groupCol)).agg(aggCols.head,
+      aggCols.tail: _*)
+    val gs = (1 to k).map(j => col(s"g$j"))
+    val t = gs.reduce(_ + _)
+    val sumG2 = gs.map(g => g * g).reduce(_ + _)
+    val den = lit(k) * t - col("_sl2")
+    a.select(col(groupCol) +: col("n") +: gs :+
+      round(when(den > 0,
+        lit((k - 1).toDouble) * (lit(k) * sumG2 - t * t).cast("double")
+          / nullif(den.cast("double"), lit(0.0))), 6).as("q_r"): _*)
+  }
+
   /** McNemar's test (Psychometrika 1947) for PAIRED classifier
     * comparison per group: on the same units, is model A right where B
     * is wrong more often than the reverse? Only the DISCORDANT pairs

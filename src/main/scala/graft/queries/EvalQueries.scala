@@ -170,6 +170,72 @@ object EvalQueries {
       (s, d) => TimeSeries.acfDaily(events(s, d), "event_type", "ts", 7)
         .orderBy("event_type", "lag")),
 
+    // Ljung–Box portmanteau test over q228's ACF at lags 1..7:
+    // Q = n(n+2)·Σ r_k²/(n−k) — "is the daily series white noise at
+    // all" in one number, the go/no-go before any forecasting model.
+    // Built from the 6-dp ACF values both engines already agree on;
+    // the 7-term float sum is 12-dp-rounded + DECIMAL-summed.
+    Q("q299_ljung_box",
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT event_type,
+             |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+             |  FROM bounds),
+             |filled AS (
+             |  SELECT s.event_type, s.day, coalesce(d.x, 0)::BIGINT AS x
+             |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+             |stats AS (
+             |  SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS ss
+             |  FROM filled GROUP BY 1),
+             |pairs AS (
+             |  SELECT f1.event_type, l.lag, count(*)::BIGINT AS m,
+             |    sum(f1.x * f2.x)::BIGINT AS p,
+             |    sum(f1.x)::BIGINT AS a, sum(f2.x)::BIGINT AS b
+             |  FROM filled f1
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 7))::INTEGER
+             |              AS lag) l
+             |  JOIN filled f2 ON f2.event_type = f1.event_type
+             |    AND f2.day = f1.day + l.lag
+             |  GROUP BY 1, 2),
+             |acf AS (
+             |  SELECT p.event_type, p.lag, p.m, stats.n,
+             |    CASE WHEN ss > (s::DOUBLE / n) * s THEN
+             |      round((p.p - (s::DOUBLE / n) * (p.a + p.b)
+             |        + p.m * (s::DOUBLE / n) * (s::DOUBLE / n))
+             |        / (ss - (s::DOUBLE / n) * s), 6)
+             |    END AS r
+             |  FROM pairs p JOIN stats USING (event_type)),
+             |q AS (
+             |  SELECT event_type, max(n)::BIGINT AS n,
+             |    count(*)::BIGINT AS m_lags,
+             |    sum(round(r * r / m::DOUBLE, 12)::DECIMAL(28,12))
+             |      AS t12
+             |  FROM acf GROUP BY 1)
+             |SELECT event_type, n, m_lags,
+             |  round(n::DOUBLE * (n::DOUBLE + 2.0) * t12::DOUBLE, 6)
+             |    AS q_r
+             |FROM q ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val acf = TimeSeries.acfDaily(events(s, d), "event_type", "ts", 7)
+        acf.withColumn("_n", col("n_pairs") + col("lag"))
+          .groupBy(col("event_type"))
+          .agg(max(col("_n")).as("n"), count(lit(1)).as("m_lags"),
+            sum(round(col("acf_r") * col("acf_r")
+              / col("n_pairs").cast("double"), 12)
+              .cast("decimal(28,12)")).as("_t12"))
+          .select(col("event_type"), col("n"), col("m_lags"),
+            round(col("n").cast("double")
+              * (col("n").cast("double") + lit(2.0))
+              * col("_t12").cast("double"), 6).as("q_r"))
+          .orderBy("event_type")
+      }),
+
     // Cohen's κ between two document-quality gates (char-length vs
     // token-count thresholds) per language: chance-corrected agreement
     // from one 2x2 confusion-matrix hash-agg.

@@ -211,5 +211,58 @@ object InferQueries {
             (col("_bpred") === col("_label")).as("_bc"))
         Infer.mcnemar(units, "lang", col("_ac"), col("_bc"))
           .orderBy("lang")
+      }),
+
+    // Cochran's Q per lang over THREE quality filters on the same
+    // documents (hashed-linear keep, n_chars ≥ 200, token count ≥ 40,
+    // all vs the source-parity label) — q285's pairwise question
+    // generalized to the whole filter panel in one test.
+    Q("q300_cochran_q",
+      Some(s"""WITH s AS (
+              |  SELECT lang,
+              |    substr(source, 4)::INT % 2 = 0 AS label,
+              |    n_chars >= 200 AS bpred,
+              |    list_sum(list_transform(string_split($normSql, ' '),
+              |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+              |        - 1000))::BIGINT > 0 AS apred,
+              |    len(string_split($normSql, ' '))::BIGINT AS n
+              |  FROM documents),
+              |u AS (
+              |  SELECT lang,
+              |    CASE WHEN apred = label THEN 1 ELSE 0 END AS a,
+              |    CASE WHEN bpred = label THEN 1 ELSE 0 END AS b,
+              |    CASE WHEN (n >= 40) = label THEN 1 ELSE 0 END AS c
+              |  FROM s WHERE n > 0),
+              |a AS (
+              |  SELECT lang, count(*)::BIGINT AS n,
+              |    sum(a)::BIGINT AS g1, sum(b)::BIGINT AS g2,
+              |    sum(c)::BIGINT AS g3,
+              |    sum((a + b + c) * (a + b + c))::BIGINT AS sl2
+              |  FROM u GROUP BY 1)
+              |SELECT lang, n, g1, g2, g3,
+              |  CASE WHEN 3 * (g1 + g2 + g3) - sl2 > 0 THEN
+              |    round(2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+              |        - (g1 + g2 + g3) * (g1 + g2 + g3))::DOUBLE
+              |      / (3 * (g1 + g2 + g3) - sl2)::DOUBLE, 6)
+              |    END AS q_r
+              |FROM a ORDER BY lang""".stripMargin),
+      (s, d) => {
+        val docs = documents(s, d)
+        val scored = graft.ops.TextOps
+          .hashedLinearScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_terms"), col("keep"))
+        val units = docs.select(col("doc_id"), col("lang"),
+            (substring(col("source"), 4, 8).cast("int") % 2 === 0)
+              .as("_label"),
+            (col("n_chars") >= 200).as("_bpred"))
+          .join(scored, "doc_id")
+          .where(col("n_terms") > 0)
+          .select(col("lang"),
+            (col("keep") === col("_label")).as("_a"),
+            (col("_bpred") === col("_label")).as("_b"),
+            ((col("n_terms") >= 40) === col("_label")).as("_c"))
+        Infer.cochranQ(units, "lang",
+            Seq(col("_a"), col("_b"), col("_c")))
+          .orderBy("lang")
       }))
 }

@@ -342,5 +342,73 @@ object SeasonalQueries {
               (dayofweek(col("day")) - 1).as("dow"), col("x")),
             "event_type", "dow", "x")
           .orderBy("event_type")
+      }),
+
+    // Pearson χ² of independence + Cramér's V for the event_type ×
+    // day-of-week contingency table — is WHAT happens associated with
+    // WHEN, and how strongly (V ∈ [0,1] comparable across tables).
+    // The full margin grid (zero cells included) is rows×cols tiny;
+    // each (O−E)²/E term 12-dp-rounded + DECIMAL-summed, V one sqrt.
+    Q("q298_dow_association",
+      Some("""WITH u AS (
+             |  SELECT event_type AS t, dayofweek(ts::DATE) AS d
+             |  FROM events),
+             |o AS (SELECT t, d, count(*)::BIGINT AS o FROM u
+             |      GROUP BY 1, 2),
+             |rm AS (SELECT t, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+             |cm AS (SELECT d, sum(o)::BIGINT AS c FROM o GROUP BY 1),
+             |nn AS (SELECT sum(o)::BIGINT AS n FROM o),
+             |rc AS (SELECT count(*)::BIGINT AS n_rows FROM rm),
+             |cc AS (SELECT count(*)::BIGINT AS n_cols FROM cm),
+             |grid AS (
+             |  SELECT rm.t, cm.d, rm.r, cm.c, coalesce(o.o, 0)::BIGINT
+             |    AS o
+             |  FROM rm CROSS JOIN cm
+             |  LEFT JOIN o ON o.t = rm.t AND o.d = cm.d),
+             |x AS (
+             |  SELECT sum(round(
+             |    (o::DOUBLE - r::DOUBLE * c::DOUBLE / n::DOUBLE)
+             |    * (o::DOUBLE - r::DOUBLE * c::DOUBLE / n::DOUBLE)
+             |    / (r::DOUBLE * c::DOUBLE / n::DOUBLE), 12)
+             |    ::DECIMAL(28,12)) AS chi12,
+             |    count(*)::BIGINT AS n_cells
+             |  FROM grid CROSS JOIN nn)
+             |SELECT nn.n, rc.n_rows, cc.n_cols, x.n_cells,
+             |  round(x.chi12::DOUBLE, 6) AS chi2_r,
+             |  round(sqrt(x.chi12::DOUBLE / (nn.n::DOUBLE
+             |    * (least(rc.n_rows, cc.n_cols) - 1)::DOUBLE)), 6)
+             |    AS cramers_v_r
+             |FROM x CROSS JOIN nn CROSS JOIN rc CROSS JOIN cc""".stripMargin),
+      (s, d) => {
+        val u = events(s, d).select(col("event_type").as("t"),
+          (dayofweek(to_date(col("ts"))) - 1).as("d"))
+        val o = u.groupBy(col("t"), col("d"))
+          .agg(count(lit(1)).as("o"))
+        val rm = o.groupBy(col("t")).agg(sum(col("o")).as("r"))
+        val cm = o.groupBy(col("d")).agg(sum(col("o")).as("c"))
+        val nn = o.agg(sum(col("o")).as("n"))
+        val rc = rm.agg(count(lit(1)).as("n_rows"))
+        val cc = cm.agg(count(lit(1)).as("n_cols"))
+        val grid = rm.crossJoin(broadcast(cm))
+          .join(o, Seq("t", "d"), "left")
+          .select(col("r"), col("c"),
+            coalesce(col("o"), lit(0L)).as("o"))
+        val rD = col("r").cast("double")
+        val cD = col("c").cast("double")
+        val e = rD * cD / col("n").cast("double")
+        val x = grid.crossJoin(broadcast(nn))
+          .agg(sum(round((col("o").cast("double") - e)
+            * (col("o").cast("double") - e) / e, 12)
+            .cast("decimal(28,12)")).as("chi12"),
+            count(lit(1)).as("n_cells"))
+        x.crossJoin(broadcast(nn)).crossJoin(broadcast(rc))
+          .crossJoin(broadcast(cc))
+          .select(col("n"), col("n_rows"), col("n_cols"),
+            col("n_cells"),
+            round(col("chi12").cast("double"), 6).as("chi2_r"),
+            round(sqrt(col("chi12").cast("double")
+              / (col("n").cast("double")
+                * (least(col("n_rows"), col("n_cols")) - 1)
+                  .cast("double"))), 6).as("cramers_v_r"))
       }))
 }

@@ -247,6 +247,30 @@ class InferSpec extends SparkTestBase {
     assert(mid.getAs[Double]("h_r") == 3.0, mid.toString)
   }
 
+  test("cochranQ: k=2 reduces to McNemar's uncorrected chi2; hand Q for " +
+      "k=3; all-agree group → null (denominator 0)") {
+    import spark.implicits._
+    // same fixture as the mcnemar test: b=3, c=1 → Q = (3−1)²/4 = 1.0
+    val two = Seq.fill(3)(("g", true, false)) ++ Seq(("g", false, true)) ++
+      Seq.fill(4)(("g", true, true)) ++ Seq.fill(2)(("g", false, false))
+    val q2 = Infer.cochranQ(two.toDF("grp", "a", "b"), "grp",
+        Seq(col("a"), col("b"))).collect().head
+    assert(q2.getAs[Double]("q_r") == 1.0)
+    // k=3 hand case: G=(3,3,1), T=7, ΣG²=19, ΣL²=15 →
+    // Q = 2·(3·19−49)/(21−15) = 16/6 = 2.666667
+    val three = Seq(("g", true, true, false), ("g", true, false, false),
+      ("g", true, true, true), ("g", false, true, false))
+    val q3 = Infer.cochranQ(three.toDF("grp", "a", "b", "c"), "grp",
+        Seq(col("a"), col("b"), col("c"))).collect().head
+    assert(q3.getAs[Long]("g1") == 3 && q3.getAs[Long]("g3") == 1)
+    assert(q3.getAs[Double]("q_r") == 2.666667)
+    // every unit all-right or all-wrong → k·T = ΣL² → null
+    val flat = Seq(("g", true, true, true), ("g", false, false, false))
+    val qf = Infer.cochranQ(flat.toDF("grp", "a", "b", "c"), "grp",
+        Seq(col("a"), col("b"), col("c"))).collect().head
+    assert(qf.isNullAt(qf.fieldIndex("q_r")))
+  }
+
   test("mcnemar: discordant-pair counts, chi2 and continuity-corrected " +
       "form from hand counts; never-disagree group yields null chi2") {
     import spark.implicits._
