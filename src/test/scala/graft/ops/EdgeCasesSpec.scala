@@ -91,4 +91,28 @@ class EdgeCasesSpec extends SparkTestBase {
       "id", "w", 100L).isEmpty)
     assert(graft.ops.TextOps.collocations(noDocs, "text", 1L).isEmpty)
   }
+
+  test("round-8 inference/graph ops on empty input: empty, never throw") {
+    val noUnits = Seq.empty[(String, Int, Long)].toDF("g", "c", "x")
+    assert(Infer.oneWayAnova(noUnits, "g", "c", "x").isEmpty)
+    assert(Infer.kruskalWallis(noUnits, "g", "c", "x").isEmpty)
+    val noBins = Seq.empty[(Long, Long, Long)].toDF("bin", "n", "k")
+    assert(Infer.pavIsotonic(noBins, "bin", "n", "k").isEmpty)
+    val noPairs = Seq.empty[(String, Boolean, Boolean)]
+      .toDF("g", "a", "b")
+    assert(Infer.mcnemar(noPairs, "g", col("a"), col("b")).isEmpty)
+    assert(Infer.cochranQ(noPairs, "g", Seq(col("a"), col("b"))).isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.landmarkDistances(noEdges, 4, 2).isEmpty)
+    assert(Graphs.landmarkHarmonic(noEdges, 4, 2).isEmpty)
+    val noVals = Seq.empty[(String, Long, Long)].toDF("g", "k", "x")
+    assert(Profile.concentrationProfile(noVals, "g", "x", "k", 8.0)
+      .isEmpty)
+    val noEv = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "ord")
+    assert(Behavior.topPaths(noEv, "user_id", "event_type",
+      Seq(col("ord")), 3, 5).isEmpty)
+    assert(Behavior.stationaryDistribution(noEv, "user_id",
+      "event_type", Seq(col("ord")), 2).isEmpty)
+  }
 }
