@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
   * prints ONE JSON line of per-query best-of-N seconds.
   *
   * Sharded by default across fresh JVMs (SPARK_GRAFT_BENCH_FORK_EVERY,
-  * default 64 -> 4 shards for the 203-query suite): rounds 2-6 showed that
+  * default 64 -> 5 shards for the 300-query suite): rounds 2-6 showed that
   * a single long-lived JVM accumulates codegen/broadcast garbage and GC
   * pressure that inflates a shifting subset of late queries by >1.5x per
   * run, forcing manual best-of-3 spike adjudication every round. A fresh
