@@ -672,7 +672,15 @@ object Behavior {
     * the float reduction is order-independent across engines.
     * Everything after the one transitions agg lives on the |S|²
     * matrix frame. States with no incoming transitions drop out after
-    * the first step (their long-run mass is 0). */
+    * the first step (their long-run mass is 0). Conversely SINK states
+    * (no outgoing transitions — possible only for a type that is
+    * always last in its entity's sequence) have no row in P, so mass
+    * flowing into them vanishes at the next step and Σpi drifts below
+    * 1: the result is the distribution over the chain restricted to
+    * states with outgoing edges, not a renormalized one. The events
+    * fixture has no such state (every type appears mid-sequence), so
+    * the oracle agrees; callers on other data should pad P with
+    * self-loops for sinks if conservation matters. */
   def stationaryDistribution(events: DataFrame, entityCol: String,
       typeCol: String, orderBy: Seq[Column], iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

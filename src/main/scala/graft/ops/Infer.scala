@@ -317,23 +317,6 @@ object Infer {
           .as("discovery")): _*)
   }
 
-  /** Isotonic (PAV) calibration over a BINNED score→label table — the
-    * monotone fit p(label | score bin) that reliability diagrams
-    * (q187) show the need for, in its closed MINIMAX form
-    * (Barlow et al. 1972, "Statistical inference under order
-    * restrictions"): iso(i) = max_{h≤i} min_{j≥i} mean(h..j), where
-    * mean(h..j) is the pooled k/n over the bin interval. Equals the
-    * pool-adjacent-violators output exactly, but as three relational
-    * steps instead of a sequential pooling loop.
-    *
-    * Input is the per-bin aggregate (one row per score bin — bounded
-    * by the binning, never corpus-sized), so the cumulative window and
-    * the B² interval frame are deliberate spec-table passes, the
-    * [[bhFdr]] class. The corpus itself was already reduced to
-    * (bin, n, k) by the caller's single hash-agg. All interval means
-    * derive from exact integer cumulative sums; one double division
-    * per interval, min/max exact → cross-engine deterministic.
-    * Returns the input columns plus `iso_rate_r` (6 dp). */
   /** One-way ANOVA per group: does the mean of an INTEGER-VALUED
     * measure differ across cells? Decomposes SST = SSB + SSW from the
     * cell-grain sufficient statistics (n_c, Σx, Σx² — Σx² as
@@ -481,6 +464,23 @@ object Infer {
         cc * cc / denom), 6).as("chi2_cc_r"))
   }
 
+  /** Isotonic (PAV) calibration over a BINNED score→label table — the
+    * monotone fit p(label | score bin) that reliability diagrams
+    * (q187) show the need for, in its closed MINIMAX form
+    * (Barlow et al. 1972, "Statistical inference under order
+    * restrictions"): iso(i) = max_{h≤i} min_{j≥i} mean(h..j), where
+    * mean(h..j) is the pooled k/n over the bin interval. Equals the
+    * pool-adjacent-violators output exactly, but as three relational
+    * steps instead of a sequential pooling loop.
+    *
+    * Input is the per-bin aggregate (one row per score bin — bounded
+    * by the binning, never corpus-sized), so the cumulative window and
+    * the B² interval frame are deliberate spec-table passes, the
+    * [[bhFdr]] class. The corpus itself was already reduced to
+    * (bin, n, k) by the caller's single hash-agg. All interval means
+    * derive from exact integer cumulative sums; one double division
+    * per interval, min/max exact → cross-engine deterministic.
+    * Returns the input columns plus `iso_rate_r` (6 dp). */
   def pavIsotonic(bins: DataFrame, binCol: String, nCol: String,
       kCol: String): DataFrame = {
     val w = Window.orderBy("_b")

@@ -93,7 +93,7 @@ object GraphDepthQueries {
         .orderBy("u", "v")),
 
     // Landmark harmonic centrality (Graphs.landmarkHarmonic): BFS from
-    // the 8 smallest-md5 seed vertices with distances capped at 3,
+    // the `Landmarks` (32) smallest-md5 seed vertices, distances capped,
     // H(v) = Σ 1/d over reached landmarks — the sampled form of
     // closeness that replaces the O(V·E) all-pairs BFS at scale. Each
     // 1/d term 9-dp DECIMAL so the sum is order-independent.

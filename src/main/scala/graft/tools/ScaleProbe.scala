@@ -34,7 +34,13 @@ import org.apache.spark.sql.functions._
   *    graph): o_orderkey remapped with the SAME offset as
   *    l_orderkey (the join key stays consistent) and o_custkey
   *    remapped per copy — 10 disjoint bipartite graphs, matching the
-  *    lineitem convention.
+  *    lineitem convention. NOTE: orders-scaling is join-consistent
+  *    with lineitem ONLY. `customer` is not emitted/scaled, so the
+  *    remapped o_custkey values of copies i > 0 have no customer row —
+  *    probing a query that joins orders⋈customer against this dir
+  *    would silently drop 9/10 of orders at the join and under-measure
+  *    growth. Add a matching customer remap here first if such a query
+  *    ever needs probing.
   *
   * Usage: `sbt "runMain graft.tools.ScaleProbe"` writes
   * /tmp/graft_sf1synth (idempotent: skips tables already present),
