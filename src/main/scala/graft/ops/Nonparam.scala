@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric / distribution-free statistics over pre-aggregated
+  * grains — the round-9 depth batch: Kendall's τ-b + Somers' D,
+  * Mann–Whitney U (tie- and continuity-corrected z, Cliff's δ),
+  * Jarque–Bera normality, Durbin–Watson serial correlation, the
+  * Friedman blocked rank test, Goodman–Kruskal λ + Theil's U
+  * categorical association, and the Hodges–Lehmann pseudo-median.
+  *
+  * The reference (a linear pandas ETL, `fetch_youtube_data.py`) has no
+  * statistics surface at all; these generalize its analytics intent
+  * (SURVEY.md §2.12) the way q227/q293/q295–q300 did in earlier
+  * rounds. Scale posture is uniform: ONE corpus-scale hash-agg reduces
+  * the input to a bounded grain (per-day / per-distinct-value /
+  * per-cell), and every O(n²) pairwise structure (Kendall pairs, Walsh
+  * averages) lives on that bounded spec table — never on corpus rows.
+  * Determinism posture: comparisons and counts are exact integers
+  * (values pre-scaled to cents by callers); the only doubles are final
+  * closed-form combinations with one shared parenthesization, rounded
+  * to 6 dp.
+  */
+object Nonparam {
+
+  /** Kendall rank correlation τ-b between two integer series on a
+    * bounded grain (one row per `idCol`), plus Somers' D of `yCol`
+    * given `xCol` — the ordinal-association pair behind "do busier
+    * days bring proportionally more revenue". Pairwise concordance is
+    * counted over the grain's self-join (i < j by `idCol`):
+    * τ-b = (C−D)/√((n₀−t_x)(n₀−t_y)) with n₀ = n(n−1)/2 and t the
+    * within-ties pair counts; D_{y|x} = (C−D)/(n₀−t_x). All counts are
+    * exact BIGINTs; two doubles at the end.
+    *
+    * Shape: the grain is |days|-sized, so the self-join is a bounded
+    * spec-table pass (the theilSen class), broadcast on one side by
+    * AQE. Returns one row: n, concordant, discordant, tau_b_r,
+    * somers_d_r. */
+  def kendallTau(grain: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = grain.select(col(idCol).as("_ia"), col(xCol).as("_xa"),
+      col(yCol).as("_ya"))
+    val b = grain.select(col(idCol).as("_ib"), col(xCol).as("_xb"),
+      col(yCol).as("_yb"))
+    val pairs = a.join(b, col("_ia") < col("_ib"))
+      .select((signum(col("_xb") - col("_xa"))
+        * signum(col("_yb") - col("_ya"))).cast("long").as("_s"))
+      .agg(sum(when(col("_s") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("_s") < 0, 1L).otherwise(0L)).as("discordant"))
+    def tiePairs(c: String): DataFrame = grain.groupBy(col(c))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1) / 2), lit(0L))
+        .as(s"_tie$c"))
+    val nRow = grain.agg(count(lit(1)).as("n"))
+    val joined = pairs.crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(tiePairs(xCol)))
+      .crossJoin(broadcast(tiePairs(yCol)))
+    val n0 = (col("n") * (col("n") - 1) / 2).cast("double")
+    val cd = (col("concordant") - col("discordant")).cast("double")
+    val denX = n0 - col(s"_tie$xCol").cast("double")
+    val denY = n0 - col(s"_tie$yCol").cast("double")
+    joined.select(col("n"), col("concordant"), col("discordant"),
+      round(when(denX * denY > 0, cd / sqrt(denX * denY)), 6)
+        .as("tau_b_r"),
+      round(when(denX > 0, cd / denX), 6).as("somers_d_r"))
+  }
+
+  /** Mann–Whitney U two-sample location test between the `aVal` and
+    * `bVal` levels of `groupCol`, with midrank ties, the tie-corrected
+    * variance, a ±0.5 continuity-corrected normal z, and Cliff's
+    * δ = 2U/(n_a·n_b) − 1 (the effect size the test statistic hides).
+    * Carries 2U so everything stays integer until the final division:
+    * 2U_a = Σ_s n_a(s)·(2·N_b(<s) + n_b(s)) over distinct values s.
+    *
+    * Shape: one corpus hash-agg to per-(value) class counts, a
+    * cumulative window over THAT bounded table, one rollup — the
+    * rankSumAuc posture; no corpus sort, no quadratic pair join.
+    * Returns one row: n_a, n_b, u2 (= 2U_a), z_r, cliffs_r. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame = {
+    val per = df.where(col(groupCol).isin(aVal, bVal))
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === aVal, 1L).otherwise(0L)).as("_na"),
+        sum(when(col(groupCol) === bVal, 1L).otherwise(0L)).as("_nb"))
+    val w = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = per
+      .withColumn("_cumb", coalesce(sum(col("_nb")).over(w), lit(0L)))
+      .agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+        sum(col("_na") * (lit(2) * col("_cumb") + col("_nb"))).as("u2"),
+        sum((col("_na") + col("_nb")) * (col("_na") + col("_nb"))
+          * (col("_na") + col("_nb")) - (col("_na") + col("_nb")))
+          .as("_tieterm"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val mu2 = col("n_a") * col("n_b") // = 2·E[U]
+    val diff = (col("u2") - mu2).cast("double")
+    val sigma = sqrt(naD * nbD / 12.0
+      * ((nD + 1) - col("_tieterm").cast("double") / (nD * (nD - 1))))
+    agg.select(col("n_a"), col("n_b"), col("u2"),
+      round(when(sigma > 0 && diff =!= 0,
+        (diff - signum(diff)) / (lit(2.0) * sigma))
+        .otherwise(when(sigma > 0, 0.0)), 6).as("z_r"),
+      round(col("u2").cast("double") / (naD * nbD) - 1, 6)
+        .as("cliffs_r"))
+  }
+
+  /** Jarque–Bera normality test per group over an exact-integer
+    * measure (cents): skewness, excess kurtosis, and
+    * JB = n/6·(S² + K²/4) from the raw power sums Σc..Σc⁴ carried as
+    * DECIMAL(38,0) (c ≤ 1e7 ⇒ Σc⁴ ≤ ~1e34 at sf0.1 — inside both
+    * engines' 38-digit exact range). Central moments come from the one
+    * shared raw-sum parenthesization; no per-row doubles, so the
+    * reduction order can't drift cross-engine. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      centsCol: String): DataFrame = {
+    val c = col(centsCol).cast("decimal(38,0)")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(c).as("_s1"),
+      sum(c * c).as("_s2"), sum(c * c * c).as("_s3"),
+      sum(c * c * c * c).as("_s4"))
+    val nD = col("n").cast("double")
+    val mu = col("_s1").cast("double") / nD
+    val r2 = col("_s2").cast("double") / nD
+    val r3 = col("_s3").cast("double") / nD
+    val r4 = col("_s4").cast("double") / nD
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - 3.0
+    agg.select(col(groupCol), col("n"),
+      round(when(m2 > 0, skew), 6).as("skew_r"),
+      round(when(m2 > 0, exk), 6).as("exkurt_r"),
+      round(when(m2 > 0,
+        nD / 6.0 * (skew * skew + exk * exk / 4.0)), 6).as("jb_r"))
+  }
+
+  /** Durbin–Watson serial-correlation statistic of the residuals from
+    * the straight-line OLS fit of an integer daily series — "is the
+    * trend model leaving autocorrelated errors" (DW→2 independent,
+    * →0 positive serial correlation). The fit uses exact integer sums
+    * (t as a 0-based day index, y in cents; Σty as DECIMAL); residuals
+    * are doubles from ONE shared (a, b) pair, and both DW sums take
+    * 6-dp-rounded DECIMAL terms so the final ratio is reduction-order
+    * independent. Returns one row: n_days, slope_r, dw_r.
+    *
+    * Shape: one corpus hash-agg to the daily grain; the lag window and
+    * both sums run on |days| rows. */
+  def durbinWatson(daily: DataFrame, tCol: String,
+      yCentsCol: String): DataFrame = {
+    val t = col(tCol).cast("double")
+    val y = col(yCentsCol).cast("double")
+    val sums = daily.agg(count(lit(1)).as("n"),
+      sum(col(tCol)).as("_st"),
+      sum(col(tCol).cast("decimal(38,0)") * col(tCol)).as("_stt"),
+      sum(col(yCentsCol).cast("decimal(38,0)")).as("_sy"),
+      sum(col(tCol).cast("decimal(38,0)") * col(yCentsCol)).as("_sty"))
+    val nD = col("n").cast("double")
+    val stD = col("_st").cast("double")
+    val sttD = col("_stt").cast("double")
+    val syD = col("_sy").cast("double")
+    val styD = col("_sty").cast("double")
+    val b = (nD * styD - stD * syD) / (nD * sttD - stD * stD)
+    val a = (syD - b * stD) / nD
+    val fit = daily.crossJoin(broadcast(
+      sums.select(b.as("_b"), a.as("_a"), col("n"))))
+    val e = y - col("_a") - col("_b") * t
+    val wl = Window.orderBy(tCol)
+    val terms = fit.select(col("n"), col("_b"),
+      round(e * e, 6).cast("decimal(38,6)").as("_e2"),
+      round((e - lag(e, 1).over(wl)) * (e - lag(e, 1).over(wl)), 6)
+        .cast("decimal(38,6)").as("_d2"))
+    terms.groupBy(col("n"), col("_b"))
+      .agg(sum(col("_e2")).as("_den"), sum(col("_d2")).as("_num"))
+      .select(col("n").as("n_days"), round(col("_b"), 6).as("slope_r"),
+        round(when(col("_den") > 0,
+          col("_num").cast("double") / col("_den").cast("double")), 6)
+          .as("dw_r"))
+  }
+
+  /** Friedman blocked rank test: do the `k` treatment levels differ
+    * when values are ranked WITHIN each block (the repeated-measures
+    * cousin of q297's Kruskal–Wallis — blocks absorb the level shift
+    * between weeks that a pooled rank test would smear)? Midranks
+    * within block; only blocks observing all k treatments count. The
+    * tie-safe form χ² = (k−1)·Σ_j (R_j − b(k+1)/2)² / (A − b·k(k+1)²/4)
+    * with A = Σ r²; ranks are .5-grid rationals, so every sum is exact
+    * in doubles. Emits one row per treatment (rank_sum_r, mean_rank_r)
+    * with the shared n_blocks and chi2_r repeated — the per-level view
+    * plus the test in one relational result.
+    *
+    * Shape: one hash-agg to the (block, treatment, value) grain, rank
+    * windows partitioned by block (bounded: k rows each), one k-row
+    * rollup. */
+  def friedman(cells: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val k = cells.select(col(treatCol)).distinct().count()
+    val complete = cells.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("_kb")).where(col("_kb") === k)
+      .select(col(blockCol))
+    val inBlocks = cells.join(complete, Seq(blockCol))
+    val wr = Window.partitionBy(blockCol).orderBy(valueCol)
+    val eq = Window.partitionBy(blockCol, valueCol)
+    val ranked = inBlocks
+      .withColumn("_r", rank().over(wr).cast("double")
+        + (count(lit(1)).over(eq).cast("double") - 1) / 2)
+    val perTreat = ranked.groupBy(col(treatCol))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("_r")).as("_rsum"),
+        sum(col("_r") * col("_r")).as("_rsq"))
+    val tot = perTreat.agg(max(col("n_blocks")).as("_b"),
+      sum(col("_rsq")).as("_a"))
+    val bD = col("_b").cast("double")
+    val kD = lit(k.toDouble)
+    val cf = bD * kD * (kD + 1) * (kD + 1) / 4.0
+    val dev = col("_rsum") - bD * (kD + 1) / 2.0
+    val joined = perTreat.crossJoin(broadcast(tot))
+    val ssDev = joined.agg(sum(dev * dev).as("_ss")).select(col("_ss"))
+    joined.crossJoin(broadcast(ssDev))
+      .select(col(treatCol), col("n_blocks"),
+        round(col("_rsum"), 2).as("rank_sum_r"),
+        round(col("_rsum") / col("n_blocks"), 6).as("mean_rank_r"),
+        round(when(col("_a") - cf > 0,
+          (kD - 1) * col("_ss") / (col("_a") - cf)), 6).as("chi2_r"))
+  }
+
+  /** Goodman–Kruskal λ (proportional reduction in prediction error)
+    * and Theil's uncertainty coefficient U, both directions, between
+    * two categorical columns — the "how much does knowing X help
+    * predict Y" pair: λ counts modal-prediction errors (exact integer
+    * ratio), U measures entropy reduction (U(y|x) = I(X;Y)/H(Y)).
+    * λ(y|x) = (Σ_x max_y n_xy − max_y n_y)/(n − max_y n_y), null when
+    * Y is constant. One joint |X|·|Y| count table feeds everything
+    * (the mutualInfo posture); log terms are double sums over that
+    * bounded table, rounded 6. Returns one row: n, lambda_yx_r,
+    * lambda_xy_r, u_yx_r, u_xy_r. */
+  def assocMeasures(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val jd = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("_nxy")).cache()
+    val nx = jd.groupBy(col(xCol)).agg(sum(col("_nxy")).as("_m"))
+    val ny = jd.groupBy(col(yCol)).agg(sum(col("_nxy")).as("_m"))
+    val tot = jd.agg(sum(col("_nxy")).as("_n"))
+    val maxInX = jd.groupBy(col(xCol)).agg(max(col("_nxy")).as("_mx"))
+      .agg(sum(col("_mx")).as("_sumMaxInX"))
+    val maxInY = jd.groupBy(col(yCol)).agg(max(col("_nxy")).as("_my"))
+      .agg(sum(col("_my")).as("_sumMaxInY"))
+    val maxX = nx.agg(max(col("_m")).as("_maxX"))
+    val maxY = ny.agg(max(col("_m")).as("_maxY"))
+    val nD = col("_n").cast("double")
+    def entropy(m: DataFrame, outName: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .agg(sum(-(col("_m").cast("double") / nD)
+        * log(col("_m").cast("double") / nD)).as(outName))
+    val hxy = jd.join(nx.withColumnRenamed("_m", "_nx"), Seq(xCol))
+      .crossJoin(broadcast(tot))
+      .agg(sum(-(col("_nxy").cast("double") / nD)
+        * log(col("_nxy").cast("double")
+          / col("_nx").cast("double"))).as("_hyGx"))
+    tot.crossJoin(broadcast(maxInX)).crossJoin(broadcast(maxInY))
+      .crossJoin(broadcast(maxX)).crossJoin(broadcast(maxY))
+      .crossJoin(broadcast(entropy(nx, "_hx")))
+      .crossJoin(broadcast(entropy(ny, "_hy")))
+      .crossJoin(broadcast(hxy))
+      .select(col("_n").as("n"),
+        round(when(col("_n") - col("_maxY") > 0,
+          (col("_sumMaxInX") - col("_maxY")).cast("double")
+            / (col("_n") - col("_maxY")).cast("double")), 6)
+          .as("lambda_yx_r"),
+        round(when(col("_n") - col("_maxX") > 0,
+          (col("_sumMaxInY") - col("_maxX")).cast("double")
+            / (col("_n") - col("_maxX")).cast("double")), 6)
+          .as("lambda_xy_r"),
+        round(when(col("_hy") > 0,
+          (col("_hy") - col("_hyGx")) / col("_hy")), 6).as("u_yx_r"),
+        round(when(col("_hx") > 0,
+          (col("_hy") - col("_hyGx")) / col("_hx")), 6).as("u_xy_r"))
+  }
+
+  /** Hodges–Lehmann pseudo-median per group: the median of all Walsh
+    * averages (x_i + x_j)/2, i ≤ j, over a bounded integer grain — the
+    * rank-based location estimate that keeps 29% efficiency advantage
+    * over the median under normality while staying outlier-robust.
+    * Walsh averages sit on the .5 grid, and the median reuses
+    * [[Ranks.exactQuantiles]] (quantile_cont parity, .25-grid
+    * interpolation — exact binary doubles), so the estimate is
+    * bit-reproducible cross-engine. Returns per group: n_pairs, hl_r.
+    *
+    * Shape: the pair join is grain × grain within group (the
+    * kendallTau class — bounded spec table, never corpus rows). */
+  def hodgesLehmann(grain: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val a = grain.select(col(groupCol), col(idCol).as("_ia"),
+      col(valueCol).as("_xa"))
+    val b = grain.select(col(groupCol), col(idCol).as("_ib"),
+      col(valueCol).as("_xb"))
+    val walsh = a.join(b, Seq(groupCol))
+      .where(col("_ia") <= col("_ib"))
+      .select(col(groupCol),
+        ((col("_xa") + col("_xb")).cast("double") / 2).as("_w"),
+        concat(col("_ia").cast("string"), lit("#"),
+          col("_ib").cast("string")).as("_pid"))
+    Ranks.exactQuantiles(walsh, groupCol, "_w", "_pid",
+        bandWidth = 1.0, nums = Seq(1), den = 2)
+      .select(col(groupCol), col("n").as("n_pairs"),
+        round(col("q_val"), 6).as("hl_r"))
+  }
+}

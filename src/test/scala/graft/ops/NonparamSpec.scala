@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Nonparam's statistics against hand-computed classical values:
+  * Kendall τ-b on perfect/tied orderings, Mann–Whitney U on the
+  * rank-sum worked example, Jarque–Bera symmetric-case moments,
+  * Durbin–Watson on residuals computed by hand, the textbook Friedman
+  * two-block example (with an incomplete block excluded), λ/U at
+  * perfect association and independence, and the Hodges–Lehmann Walsh
+  * median. */
+class NonparamSpec extends SparkTestBase {
+
+  test("kendallTau: perfect concordance gives tau=1, somers=1") {
+    import spark.implicits._
+    val g = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))
+      .toDF("id", "x", "y")
+    val r = Nonparam.kendallTau(g, "id", "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Long]("concordant") == 3)
+    assert(r.getAs[Long]("discordant") == 0)
+    assert(r.getAs[Double]("tau_b_r") == 1.0)
+    assert(r.getAs[Double]("somers_d_r") == 1.0)
+  }
+
+  test("kendallTau: x-ties use tau-b denominators") {
+    import spark.implicits._
+    // pairs: (1,2) x-tie s=0; (1,3) concordant; (2,3) discordant
+    val g = Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 2L, 6L))
+      .toDF("id", "x", "y")
+    val r = Nonparam.kendallTau(g, "id", "x", "y").collect().head
+    assert(r.getAs[Long]("concordant") == 1)
+    assert(r.getAs[Long]("discordant") == 1)
+    assert(r.getAs[Double]("tau_b_r") == 0.0)
+    assert(r.getAs[Double]("somers_d_r") == 0.0)
+  }
+
+  test("mannWhitney: worked midrank example A=[1,2] B=[2,3]") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = Nonparam.mannWhitney(df, "v", "g", "a", "b")
+      .collect().head
+    // ranks of [1,2,2,3] are [1,2.5,2.5,4]; R_A=3.5, U_A=0.5 → u2=1
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("u2") == 1)
+    // sigma = sqrt(4/12·(5 − 6/12)) = sqrt(1.5); z = (−3+1)/(2σ)
+    val z = -2.0 / (2 * math.sqrt(1.5))
+    assert(math.abs(r.getAs[Double]("z_r") - z) < 1e-6)
+    assert(r.getAs[Double]("cliffs_r") == -0.75)
+  }
+
+  test("jarqueBera: symmetric three-point case") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("grp", "c")
+    val r = Nonparam.jarqueBera(df, "grp", "c").collect().head
+    // m2=2/3, m3=0, m4=2/3 → skew 0, exkurt 1.5−3, JB = .5·(2.25/4)
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Double]("skew_r") == 0.0)
+    assert(r.getAs[Double]("exkurt_r") == -1.5)
+    assert(r.getAs[Double]("jb_r") == 0.28125)
+  }
+
+  test("durbinWatson: hand-computed residual chain; null on exact fit") {
+    import spark.implicits._
+    // y=[1,0,1,0] on t=0..3: b=−0.2, a=0.8, e=[.2,−.6,.6,−.2]
+    // den=0.8, num=2.72 → DW=3.4
+    val df = Seq((0L, 1L), (1L, 0L), (2L, 1L), (3L, 0L)).toDF("t", "y")
+    val r = Nonparam.durbinWatson(df, "t", "y").collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    assert(r.getAs[Double]("slope_r") == -0.2)
+    assert(r.getAs[Double]("dw_r") == 3.4)
+    // perfect line → zero residuals → DW undefined (null)
+    val lin = Seq((0L, 10L), (1L, 20L), (2L, 30L)).toDF("t", "y")
+    val r2 = Nonparam.durbinWatson(lin, "t", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("dw_r")))
+  }
+
+  test("friedman: textbook two-block example, incomplete block dropped") {
+    import spark.implicits._
+    val cells = Seq(
+      (1L, "t1", 1L), (1L, "t2", 2L), (1L, "t3", 3L),
+      (2L, "t1", 2L), (2L, "t2", 4L), (2L, "t3", 6L),
+      (3L, "t1", 9L)) // incomplete block: must be excluded
+      .toDF("blk", "treat", "y")
+    val rows = Nonparam.friedman(cells, "blk", "treat", "y")
+      .orderBy("treat").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("n_blocks") == 2))
+    assert(rows.map(_.getAs[Double]("mean_rank_r")).toSeq ==
+      Seq(1.0, 2.0, 3.0))
+    // R=[2,4,6], A=28, Cf=24, ss=8 → chi2 = 2·8/4 = 4
+    assert(rows.forall(_.getAs[Double]("chi2_r") == 4.0))
+  }
+
+  test("assocMeasures: perfect association and independence") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val p = Nonparam.assocMeasures(perfect, "x", "y").collect().head
+    assert(p.getAs[Double]("lambda_yx_r") == 1.0)
+    assert(p.getAs[Double]("lambda_xy_r") == 1.0)
+    assert(p.getAs[Double]("u_yx_r") == 1.0)
+    assert(p.getAs[Double]("u_xy_r") == 1.0)
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val i = Nonparam.assocMeasures(indep, "x", "y").collect().head
+    assert(i.getAs[Double]("lambda_yx_r") == 0.0)
+    assert(i.getAs[Double]("u_yx_r") == 0.0)
+    assert(i.getAs[Double]("u_xy_r") == 0.0)
+  }
+
+  test("hodgesLehmann: Walsh-average median of [1,2,4]") {
+    import spark.implicits._
+    val g = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 4L))
+      .toDF("grp", "id", "x")
+    val r = Nonparam.hodgesLehmann(g, "grp", "id", "x").collect().head
+    // walsh = [1, 1.5, 2, 2.5, 3, 4] → median (2+2.5)/2 = 2.25
+    assert(r.getAs[Long]("n_pairs") == 6)
+    assert(r.getAs[Double]("hl_r") == 2.25)
+  }
+}
