@@ -641,4 +641,62 @@ object Profile {
       round(when(col("total") > 0,
         col("_topx").cast("double") / totD), 6).as("top_share_r"))
   }
+
+  /** One inclusion-dependency probe — the foreign-key-candidate
+    * discovery primitive schema crawlers run before trusting joins:
+    * what fraction of the child column's DISTINCT non-null values
+    * appears in the parent column? containment = 1 ⇒ the pair is a
+    * referential-integrity candidate (Bauckmann et al., SPIDER).
+    * Returns one row: child_col, parent_col (the caller's labels),
+    * n_child_distinct, n_matched, containment_r, is_candidate.
+    *
+    * Shape: both sides reduce to their distinct value sets first
+    * (column-pruned scans — each side reads ONE column), then a
+    * left-semi-shaped join on values; no row-grain data moves. */
+  def inclusion(child: DataFrame, childCol: String, parent: DataFrame,
+      parentCol: String, childLabel: String,
+      parentLabel: String): DataFrame = {
+    val cd = child.select(col(childCol).cast("long").as("_v"))
+      .where(col("_v").isNotNull).distinct()
+    val pd = parent.select(col(parentCol).cast("long").as("_v"))
+      .where(col("_v").isNotNull).distinct()
+    cd.join(pd.withColumn("_hit", lit(1L)), Seq("_v"), "left")
+      .agg(count(lit(1)).as("n_child_distinct"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_matched"))
+      .select(lit(childLabel).as("child_col"),
+        lit(parentLabel).as("parent_col"),
+        col("n_child_distinct"), col("n_matched"),
+        round(when(col("n_child_distinct") > 0,
+          col("n_matched").cast("double")
+            / col("n_child_distinct").cast("double")), 6)
+          .as("containment_r"),
+        (col("n_child_distinct") > 0 &&
+          col("n_matched") === col("n_child_distinct"))
+          .as("is_candidate"))
+  }
+
+  /** Candidate-key / uniqueness profile: per listed column, row count,
+    * exact distinct count, null count, uniqueness ratio, and the
+    * candidate-key verdict (all-distinct, no nulls) — the first scan a
+    * catalog runs over an unknown table. One pass PER column rather
+    * than one multi-countDistinct pass: each scan is column-pruned to
+    * a single column and the Expand blow-up of n simultaneous
+    * count(DISTINCT)s never materializes — at 100 TB, k cheap pruned
+    * scans beat one scan carrying k× the rows. */
+  def keyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val frames = cols.map { c =>
+      df.select(col(c).cast("string").as("_v"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("_v")).as("n_distinct"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_null"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          col("n_distinct"), col("n_null"),
+          round(when(col("n_rows") > 0, col("n_distinct").cast("double")
+            / col("n_rows").cast("double")), 6).as("uniq_r"),
+          (col("n_rows") > 0 && col("n_distinct") === col("n_rows") &&
+            col("n_null") === 0).as("candidate_key"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

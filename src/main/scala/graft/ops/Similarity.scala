@@ -434,4 +434,91 @@ object Similarity {
               * sqrt(col("_nb").cast("double")), lit(0.0)), 6))
           .as("cos_r"))
   }
+
+  /** Simplified (centroid-based) silhouette per cell over cosine
+    * distance: with s₁ = sim to the nearest centroid (the assigned
+    * cell) and s₂ = sim to the runner-up, a = 1−s₁ ≤ b = 1−s₂ and
+    * s = (b−a)/max(a,b) = (s₁−s₂)/(1−s₂) — the O(n·k)
+    * cluster-quality readout that replaces the O(n²) full silhouette
+    * at corpus scale (Hruschka et al.'s simplified form; the validity
+    * gate for semantic-dedup cells, q115/q33). Point terms are
+    * 12-dp-rounded + DECIMAL-summed per cell so the mean is
+    * reduction-order independent; emits (cid, n, mean_sil_r).
+    *
+    * Shape: one broadcast-centroid pass (the assignCells join),
+    * row_number over the per-vector k-row sim set, one hash-agg. */
+  def simplifiedSilhouette(collection: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val ranked = collection.crossJoin(c)
+      .withColumn("csim", cosine_sim(col("embedding"), col("c_emb")))
+      .filter(col("csim").isNotNull)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= 2)
+    val top2 = ranked.groupBy(col("vec_id"))
+      .agg(max(when(col("crn") === 1, col("cid"))).as("cid"),
+        max(when(col("crn") === 1, col("csim"))).as("_s1"),
+        max(when(col("crn") === 2, col("csim"))).as("_s2"))
+      .where(col("_s2").isNotNull)
+    top2
+      .withColumn("_sil", when(lit(1.0) - col("_s2") > 0,
+        (col("_s1") - col("_s2")) / (lit(1.0) - col("_s2"))))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("_sil"), 12).cast("decimal(28,12)"))
+          .cast("double") / count(col("_sil")), 6).as("mean_sil_r"))
+  }
+
+  /** Davies–Bouldin cluster-validity profile over cosine distance:
+    * per-cell scatter Sᵢ = mean(1 − sim to own centroid), pairwise
+    * centroid separation M_ij = 1 − cos(cᵢ, cⱼ), and each cell's worst
+    * ratio Rᵢ = max_{j≠i} (Sᵢ+Sⱼ)/M_ij — lower is better-separated;
+    * the global DB index (mean of Rᵢ) rides along on every row. The
+    * k×k centroid-pair frame is bounded (k ≪ n); scatters are
+    * 12-dp-DECIMAL-summed before the one division, so the max's
+    * argument set is engine-deterministic. Emits
+    * (cid, n, scatter_r, r_max_r, db_r) — the per-cell diagnosis plus
+    * the headline index. */
+  def daviesBouldin(collection: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = collection.crossJoin(c)
+      .withColumn("csim", cosine_sim(col("embedding"), col("c_emb")))
+      .filter(col("csim").isNotNull)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+    val scat = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(lit(1.0) - col("csim"), 12).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("_s"))
+    val ci = centroids.select(col("vec_id").as("_ci"),
+      col("embedding").as("_ei"))
+    val cj = centroids.select(col("vec_id").as("_cj"),
+      col("embedding").as("_ej"))
+    val sep = ci.crossJoin(broadcast(cj))
+      .where(col("_ci") =!= col("_cj"))
+      .select(col("_ci"), col("_cj"),
+        (lit(1.0) - cosine_sim(col("_ei"), col("_ej"))).as("_m"))
+      .where(col("_m").isNotNull && col("_m") > 0)
+    val si = scat.select(col("cid").as("_ci"), col("_s").as("_si"))
+    val sj = scat.select(col("cid").as("_cj"), col("_s").as("_sj"))
+    val rmax = sep.join(broadcast(si), Seq("_ci"))
+      .join(broadcast(sj), Seq("_cj"))
+      .groupBy(col("_ci").as("cid"))
+      .agg(max((col("_si") + col("_sj")) / col("_m")).as("_rmax"))
+    val db = rmax.agg(
+      (sum(round(col("_rmax"), 12).cast("decimal(28,12)"))
+        .cast("double") / count(lit(1))).as("_db"))
+    scat.join(rmax, Seq("cid"))
+      .crossJoin(broadcast(db))
+      .select(col("cid"), col("n"), round(col("_s"), 6).as("scatter_r"),
+        round(col("_rmax"), 6).as("r_max_r"),
+        round(col("_db"), 6).as("db_r"))
+  }
 }

@@ -19,7 +19,7 @@ object Registry {
       RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
       OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
       UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all ++
-      TemporalQueries.all ++ NonparamQueries.all
+      TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -408,4 +408,40 @@ class ProfileSpec extends SparkTestBase {
       .collect().head.getAs[Double]("gini_r")
     assert(g2 == 0.0)
   }
+
+  test("inclusion: partial and full containment, nulls excluded") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(2L), None)
+      .toDF("c")
+    val parent = Seq(1L, 2L, 4L).toDF("p")
+    val r = Profile.inclusion(child, "c", parent, "p", "t1.c", "t2.p")
+      .collect().head
+    assert(r.getAs[String]("child_col") == "t1.c")
+    assert(r.getAs[Long]("n_child_distinct") == 3) // null dropped
+    assert(r.getAs[Long]("n_matched") == 2)
+    assert(r.getAs[Double]("containment_r") == 0.666667)
+    assert(!r.getAs[Boolean]("is_candidate"))
+    val full = Profile.inclusion(parent, "p", parent, "p", "a", "b")
+      .collect().head
+    assert(full.getAs[Boolean]("is_candidate"))
+    assert(full.getAs[Double]("containment_r") == 1.0)
+  }
+
+  test("keyProfile: candidate key vs dup/null column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "v")
+    val got = Profile.keyProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val id = got("id")
+    assert(id.getAs[Long]("n_rows") == 3 &&
+      id.getAs[Long]("n_distinct") == 3 && id.getAs[Long]("n_null") == 0)
+    assert(id.getAs[Boolean]("candidate_key"))
+    assert(id.getAs[Double]("uniq_r") == 1.0)
+    val v = got("v")
+    assert(v.getAs[Long]("n_distinct") == 1 &&
+      v.getAs[Long]("n_null") == 1)
+    assert(!v.getAs[Boolean]("candidate_key"))
+    assert(v.getAs[Double]("uniq_r") == 0.333333)
+  }
 }

@@ -240,4 +240,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.length == 1)
     assert(got.head.isNullAt(got.head.fieldIndex("cos_r")))
   }
+
+  test("simplifiedSilhouette: hand sims on axis-aligned centroids") {
+    import spark.implicits._
+    val cents = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // p1 sits ON centroid 10: s1=1, s2=0 → sil = 1
+    // p2=(0.6,0.8): s1=0.8 (cell 20), s2=0.6 → sil = 0.2/0.4 = 0.5
+    val pts = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.simplifiedSilhouette(pts, cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_sil_r"))).toMap
+    assert(got(10L) == (1L, 1.0))
+    assert(got(20L) == (1L, 0.5))
+  }
+
+  test("daviesBouldin: symmetric two-cell layout") {
+    import spark.implicits._
+    val cents = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // cells get one on-centroid point (d=0) and one at cosine 0.8
+    // (d=0.2): S₁=S₂=0.1; M₁₂=1 → R₁=R₂=0.2 → DB=0.2
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.daviesBouldin(pts, cents).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == 2)
+      assert(math.abs(r.getAs[Double]("scatter_r") - 0.1) < 1e-9)
+      assert(math.abs(r.getAs[Double]("r_max_r") - 0.2) < 1e-9)
+      assert(math.abs(r.getAs[Double]("db_r") - 0.2) < 1e-9)
+    }
+  }
 }
