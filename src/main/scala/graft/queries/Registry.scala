@@ -19,7 +19,8 @@ object Registry {
       RecoQueries.all ++ ForecastQueries.all ++ CommunityQueries.all ++
       OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
       UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all ++
-      TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all
+      TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all ++
+      MarkovQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Markov journey machinery against hand-solved chains: transition
+  * construction (truncate-at-conversion, START/END bookkeeping),
+  * removal-effect attribution on a symmetric two-path chain and on a
+  * single-path chain (the stranded-START edge case), and the
+  * absorption profile's closed-form values. */
+class MarkovSpec extends SparkTestBase {
+
+  test("journeyTransitions: truncation, START prefix, END close") {
+    import spark.implicits._
+    // user 1 converts at step 2 (step-3 view must be cut);
+    // user 2 never converts (gets the END edge)
+    val ev = Seq(
+      (1L, 1L, "click"), (1L, 2L, "purchase"), (1L, 3L, "view"),
+      (2L, 1L, "view"), (2L, 2L, "click"))
+      .toDF("user_id", "event_id", "event_type")
+    val got = Markov.journeyTransitions(ev, "user_id", "event_type",
+        Seq(col("event_id")), "purchase")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("START", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("START", "view") -> 1L, ("view", "click") -> 1L,
+      ("click", "END") -> 1L))
+  }
+
+  test("removalAttribution: symmetric two-path chain splits 50/50") {
+    import spark.implicits._
+    val trans = Seq(
+      ("START", "a", 1L), ("START", "b", 1L),
+      ("a", "purchase", 1L), ("b", "purchase", 1L))
+      .toDF("from_state", "to_state", "n")
+    val got = Markov.removalAttribution(trans, "purchase", 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (s <- Seq("a", "b")) {
+      val r = got(s)
+      assert(r.getAs[Double]("p_full_r") == 1.0)
+      assert(r.getAs[Double]("p_removed_r") == 0.5)
+      assert(r.getAs[Double]("removal_effect_r") == 0.5)
+      assert(r.getAs[Double]("attribution_r") == 0.5)
+    }
+  }
+
+  test("removalAttribution: stranded START reports p_removed=0") {
+    import spark.implicits._
+    val trans = Seq(("START", "a", 1L), ("a", "purchase", 1L))
+      .toDF("from_state", "to_state", "n")
+    val r = Markov.removalAttribution(trans, "purchase", 8)
+      .collect()
+    assert(r.length == 1 && r.head.getString(0) == "a")
+    assert(r.head.getAs[Double]("p_removed_r") == 0.0)
+    assert(r.head.getAs[Double]("removal_effect_r") == 1.0)
+    assert(r.head.getAs[Double]("attribution_r") == 1.0)
+  }
+
+  test("absorptionProfile: closed-form two-state chain") {
+    import spark.implicits._
+    // START→a always; a converts half the time, else END.
+    val trans = Seq(
+      ("START", "a", 2L), ("a", "purchase", 1L), ("a", "END", 1L))
+      .toDF("from_state", "to_state", "n")
+    val got = Markov.absorptionProfile(trans, "purchase", 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Double]("p_conv_r") == 0.5)
+    assert(got("a").getAs[Double]("steps_r") == 1.0)
+    assert(got("START").getAs[Double]("p_conv_r") == 0.5)
+    assert(got("START").getAs[Double]("steps_r") == 2.0)
+  }
+}
