@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval scoring: Okapi BM25 over the corpus, the standard
@@ -141,5 +142,51 @@ object Retrieval {
         when(col("n_rel") > 0,
           round(col("_dcg").cast("double") / col("_idcg").cast("double"),
             6)).as("ndcg_r"))
+  }
+
+  /** Average precision @k per query plus the corpus MAP — the
+    * rank-position-weighted companion to [[rankingMetrics]]'s set
+    * metrics: AP@k = Σ_{rel hits at rank i} P@i / min(n_rel, k), the
+    * area under the precision–recall steps a single precision@k
+    * number flattens. Each P@i term is 9-dp-rounded and
+    * DECIMAL-summed (the DCG posture) so the per-query AP and the MAP
+    * over queries are reduction-order independent. Queries with no
+    * relevant documents carry null AP and are excluded from MAP.
+    * Emits per query: n_rel, hits, ap_r, map_r (MAP repeated — the
+    * headline rides every row).
+    *
+    * Shape: same as rankingMetrics — the ≤k-row/query ranked list is
+    * the only input grain; one window over it, two rollups. */
+  def averagePrecision(ranked: DataFrame, rel: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val totals = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.where(col("rn") <= k)
+      .join(rel.withColumn("_rel", lit(1)), Seq("q_id", "neighbor_id"),
+        "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rn"))
+    val zero = lit(BigDecimal(0).setScale(9)).cast("decimal(18,9)")
+    val perQ = flagged
+      .withColumn("_cum", sum(col("_rel")).over(w))
+      .groupBy("q_id")
+      .agg(sum(col("_rel")).cast("long").as("hits"),
+        sum(when(col("_rel") === 1,
+          round(col("_cum").cast("double") / col("rn"), 9)
+            .cast("decimal(18,9)")).otherwise(zero)).as("_apsum"))
+      .join(broadcast(totals), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(col("_apsum").cast("double")
+            / least(col("n_rel"), lit(k.toLong)).cast("double"), 9))
+          .as("_ap"))
+    val map = perQ.agg(
+      (sum(round(col("_ap"), 9).cast("decimal(18,9)")).cast("double")
+        / count(col("_ap"))).as("_map"))
+    perQ.crossJoin(broadcast(map))
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        round(col("_ap"), 6).as("ap_r"),
+        round(col("_map"), 6).as("map_r"))
   }
 }

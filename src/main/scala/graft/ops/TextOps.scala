@@ -705,4 +705,57 @@ object TextOps {
           - lit(84.6) * (col("n_syllables") / col("n_words")), 6)
           .as("flesch_r"))
   }
+
+  /** Clipped-count ROUGE-2 between explicit document pairs: overlap =
+    * Σ_g min(count_a(g), count_b(g)) over word bigrams (the q141
+    * zip_with idiom on the shared normalize/tokens convention),
+    * recall = overlap/|B_b| (b is the reference), precision =
+    * overlap/|B_a|, F1 — the summarization-eval staple, useful in a
+    * data pipeline as the asymmetric n-gram-containment complement to
+    * symmetric Jaccard dedup. All counts exact integers; three
+    * divisions at the end, round 6.
+    *
+    * `pairs` carries (keyCol, aCol, bCol); only documents referenced
+    * by a pair are tokenized (semi-join prune), so cost scales with
+    * the audited pair set, not the corpus. */
+  def rouge2Pairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, keyCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val ids = pairs.select(col(aCol).as("_id"))
+      .unionByName(pairs.select(col(bCol).as("_id"))).distinct()
+    val toks = docs.select(col(idCol).as("_id"),
+        tokens(normalize(col(textCol))).as("t"))
+      .join(ids, Seq("_id"), "left_semi")
+    val bi = toks.select(col("_id"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = bi.groupBy(col("_id")).agg(sum(col("cnt")).as("_nbi"))
+    val ga = bi.select(col("_id").as("_ga"), col("w1"), col("w2"),
+      col("cnt").as("_ca"))
+    val gb = bi.select(col("_id").as("_gb"), col("w1").as("_w1b"),
+      col("w2").as("_w2b"), col("cnt").as("_cb"))
+    val ov = pairs
+      .join(ga, col(aCol) === col("_ga"))
+      .join(gb, col(bCol) === col("_gb") &&
+        col("w1") === col("_w1b") && col("w2") === col("_w2b"))
+      .groupBy(col(keyCol))
+      .agg(sum(least(col("_ca"), col("_cb"))).as("overlap"))
+    val withTotals = pairs
+      .join(broadcast(totals.withColumnRenamed("_id", "_ta")
+        .withColumnRenamed("_nbi", "n_bi_a")), col(aCol) === col("_ta"))
+      .join(broadcast(totals.withColumnRenamed("_id", "_tb")
+        .withColumnRenamed("_nbi", "n_bi_b")), col(bCol) === col("_tb"))
+      .join(ov, Seq(keyCol), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+    val p = col("overlap").cast("double") / col("n_bi_a").cast("double")
+    val r = col("overlap").cast("double") / col("n_bi_b").cast("double")
+    withTotals.select(col(keyCol), col(aCol), col(bCol),
+      col("n_bi_a"), col("n_bi_b"), col("overlap"),
+      round(when(col("n_bi_b") > 0, r), 6).as("rouge2_recall_r"),
+      round(when(col("n_bi_a") > 0, p), 6).as("rouge2_precision_r"),
+      round(when(col("n_bi_a") > 0 && col("n_bi_b") > 0 && p + r > 0,
+        lit(2.0) * p * r / (p + r)), 6).as("rouge2_f1_r"))
+  }
 }

@@ -304,5 +304,149 @@ object EvalQueries {
               (max(when(col("o_orderpriority") === "1-URGENT", 1)
                 .otherwise(0)) === 1).as("pos")),
           "sc", "o_custkey", "pos", buckets = 10, bandWidth = 4.0)
-        .orderBy("bucket")))
+        .orderBy("bucket")),
+
+    // Average precision @10 + MAP on the q226 fixture (cosine top-10,
+    // label relevance): the rank-position-weighted retrieval readout —
+    // P@i terms 9-dp DECIMAL-summed, MAP over answerable queries.
+    Q("q314_average_precision",
+      Some("""WITH q AS (
+             |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label
+             |  FROM embeddings WHERE vec_id < 5),
+             |sims AS (
+             |  SELECT q.q_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+             |      AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+             |ranked AS (
+             |  SELECT q_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY sim DESC, neighbor_id) AS rn
+             |  FROM sims WHERE sim IS NOT NULL),
+             |rel AS (
+             |  SELECT q.q_id, e.vec_id AS neighbor_id
+             |  FROM embeddings e, q
+             |  WHERE e.vec_id <> q.q_id AND e.label = q.label),
+             |tot AS (
+             |  SELECT q_id, count(*)::BIGINT AS n_rel FROM rel
+             |  GROUP BY 1),
+             |fl AS (
+             |  SELECT r.q_id, r.rn,
+             |    CASE WHEN rel.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             |      END AS is_rel
+             |  FROM ranked r LEFT JOIN rel
+             |    ON r.q_id = rel.q_id AND r.neighbor_id = rel.neighbor_id
+             |  WHERE r.rn <= 10),
+             |cum AS (
+             |  SELECT q_id, rn, is_rel,
+             |    sum(is_rel) OVER (PARTITION BY q_id ORDER BY rn) AS c
+             |  FROM fl),
+             |perq AS (
+             |  SELECT q_id, sum(is_rel)::BIGINT AS hits,
+             |    sum(CASE WHEN is_rel = 1
+             |      THEN round(c::DOUBLE / rn, 9)::DECIMAL(18,9)
+             |      ELSE 0::DECIMAL(18,9) END) AS apsum
+             |  FROM cum GROUP BY 1),
+             |pq AS (
+             |  SELECT p.q_id, coalesce(tot.n_rel, 0)::BIGINT AS n_rel,
+             |    p.hits,
+             |    CASE WHEN tot.n_rel > 0 THEN
+             |      round(p.apsum::DOUBLE
+             |        / least(tot.n_rel, 10)::DOUBLE, 9) END AS ap
+             |  FROM perq p LEFT JOIN tot USING (q_id)),
+             |m AS (SELECT sum(round(ap, 9)::DECIMAL(18,9))::DOUBLE
+             |    / count(ap) AS map FROM pq)
+             |SELECT q_id, n_rel, hits, round(ap, 6) AS ap_r,
+             |  round(map, 6) AS map_r
+             |FROM pq, m ORDER BY q_id""".stripMargin),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val rel = broadcast(
+            q.select(col("vec_id").as("q_id"), col("label").as("_l")))
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("label")),
+            col("label") === col("_l") &&
+              col("neighbor_id") =!= col("q_id"))
+          .select("q_id", "neighbor_id")
+        Retrieval.averagePrecision(
+            graft.ops.Similarity.cosineTopK(emb, q, 10), rel, 10)
+          .orderBy("q_id")
+      }),
+
+    // Clipped-count ROUGE-2 between each source's two lowest-id
+    // documents: the asymmetric n-gram containment readout (recall
+    // against the reference, precision against the candidate, F1) —
+    // all counts exact integers on the shared tokenization.
+    Q("q315_rouge_pairs", {
+      val norm = TextQueries.normSql
+      Some(s"""WITH pr AS (
+              |  SELECT source,
+              |    max(CASE WHEN rn = 1 THEN doc_id END) AS doc_a,
+              |    max(CASE WHEN rn = 2 THEN doc_id END) AS doc_b
+              |  FROM (SELECT source, doc_id, row_number() OVER (
+              |      PARTITION BY source ORDER BY doc_id) AS rn
+              |    FROM documents) t
+              |  WHERE rn <= 2 GROUP BY 1
+              |  HAVING max(CASE WHEN rn = 2 THEN doc_id END)
+              |    IS NOT NULL),
+              |toks AS (
+              |  SELECT doc_id, string_split($norm, ' ') AS t
+              |  FROM documents
+              |  WHERE doc_id IN (SELECT doc_a FROM pr
+              |    UNION SELECT doc_b FROM pr)),
+              |bi AS (
+              |  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+              |  FROM toks, unnest(generate_series(1, len(t) - 1))
+              |    AS g(i)),
+              |bc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS cnt
+              |       FROM bi GROUP BY 1, 2, 3),
+              |tt AS (SELECT doc_id, sum(cnt)::BIGINT AS nbi FROM bc
+              |       GROUP BY 1),
+              |ov AS (
+              |  SELECT pr.source,
+              |    sum(least(a.cnt, b.cnt))::BIGINT AS overlap
+              |  FROM pr JOIN bc a ON a.doc_id = pr.doc_a
+              |  JOIN bc b ON b.doc_id = pr.doc_b
+              |    AND a.w1 = b.w1 AND a.w2 = b.w2
+              |  GROUP BY 1)
+              |SELECT pr.source, pr.doc_a, pr.doc_b,
+              |  ta.nbi AS n_bi_a, tb.nbi AS n_bi_b,
+              |  coalesce(ov.overlap, 0)::BIGINT AS overlap,
+              |  CASE WHEN tb.nbi > 0 THEN
+              |    round(coalesce(ov.overlap, 0)::DOUBLE
+              |      / tb.nbi::DOUBLE, 6) END AS rouge2_recall_r,
+              |  CASE WHEN ta.nbi > 0 THEN
+              |    round(coalesce(ov.overlap, 0)::DOUBLE
+              |      / ta.nbi::DOUBLE, 6) END AS rouge2_precision_r,
+              |  CASE WHEN ta.nbi > 0 AND tb.nbi > 0
+              |      AND coalesce(ov.overlap, 0)::DOUBLE / ta.nbi::DOUBLE
+              |        + coalesce(ov.overlap, 0)::DOUBLE / tb.nbi::DOUBLE
+              |        > 0 THEN
+              |    round(2.0 * (coalesce(ov.overlap, 0)::DOUBLE
+              |        / ta.nbi::DOUBLE)
+              |      * (coalesce(ov.overlap, 0)::DOUBLE / tb.nbi::DOUBLE)
+              |      / ((coalesce(ov.overlap, 0)::DOUBLE
+              |          / ta.nbi::DOUBLE)
+              |        + (coalesce(ov.overlap, 0)::DOUBLE
+              |          / tb.nbi::DOUBLE)), 6) END AS rouge2_f1_r
+              |FROM pr JOIN tt ta ON ta.doc_id = pr.doc_a
+              |JOIN tt tb ON tb.doc_id = pr.doc_b
+              |LEFT JOIN ov ON ov.source = pr.source
+              |ORDER BY pr.source""".stripMargin)
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pr = documents(s, d).select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .groupBy(col("source"))
+          .agg(max(when(col("rn") === 1, col("doc_id"))).as("doc_a"),
+            max(when(col("rn") === 2, col("doc_id"))).as("doc_b"))
+          .where(col("doc_b").isNotNull)
+        graft.ops.TextOps.rouge2Pairs(documents(s, d), "doc_id", "text",
+            pr, "source", "doc_a", "doc_b")
+          .orderBy("source")
+      }))
 }

@@ -125,4 +125,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(3L).getLong(1) == 0 && got(3L).isNullAt(4)
       && got(3L).getDouble(5) == 0.0 && got(3L).isNullAt(6))
   }
+
+  test("averagePrecision: hand AP and MAP, no-rel query excluded") {
+    import spark.implicits._
+    // q1: rel hits at ranks 1 and 3 of 2 relevant →
+    // AP = (P@1 + P@3)/2 = (1 + 2/3)/2 = 0.833333
+    // q2: no relevant docs → null AP, excluded from MAP
+    val ranked = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("q_id", "rn", "neighbor_id")
+    val rel = Seq((1L, 10L), (1L, 12L)).toDF("q_id", "neighbor_id")
+    val got = Retrieval.averagePrecision(ranked, rel, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("n_rel") == 2 && q1.getAs[Long]("hits") == 2)
+    assert(q1.getAs[Double]("ap_r") == 0.833333)
+    assert(q1.getAs[Double]("map_r") == 0.833333)
+    val q2 = got(2L)
+    assert(q2.getAs[Long]("n_rel") == 0 && q2.isNullAt(
+      q2.fieldIndex("ap_r")))
+    assert(q2.getAs[Double]("map_r") == 0.833333)
+  }
 }

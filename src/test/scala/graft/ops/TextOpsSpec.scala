@@ -530,4 +530,31 @@ class TextOpsSpec extends SparkTestBase {
     val (w2, s2, _, _) = got("t")
     assert(w2 == 3L && s2 == 1L)
   }
+
+  test("rouge2Pairs: hand overlap and clipped counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "y z w q"),
+      (3L, "x y x y x"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq(("p1", 1L, 2L), ("p2", 3L, 4L))
+      .toDF("k", "a", "b")
+    val got = TextOps.rouge2Pairs(docs, "doc_id", "text", pairs,
+        "k", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // p1: bigrams a={xy,yz,zw}, b={yz,zw,wq} → overlap 2, all 2/3
+    val p1 = got("p1")
+    assert(p1.getAs[Long]("n_bi_a") == 3 &&
+      p1.getAs[Long]("n_bi_b") == 3 && p1.getAs[Long]("overlap") == 2)
+    assert(p1.getAs[Double]("rouge2_recall_r") == 0.666667)
+    assert(p1.getAs[Double]("rouge2_f1_r") == 0.666667)
+    // p2: a has xy×2, yx×2 (4 bigrams); b has xy×1 → clipped
+    // overlap = min(2,1) = 1; recall 1/1, precision 1/4
+    val p2 = got("p2")
+    assert(p2.getAs[Long]("n_bi_a") == 4 &&
+      p2.getAs[Long]("n_bi_b") == 1 && p2.getAs[Long]("overlap") == 1)
+    assert(p2.getAs[Double]("rouge2_recall_r") == 1.0)
+    assert(p2.getAs[Double]("rouge2_precision_r") == 0.25)
+    assert(p2.getAs[Double]("rouge2_f1_r") == 0.4)
+  }
 }
