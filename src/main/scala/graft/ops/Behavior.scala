@@ -455,6 +455,85 @@ object Behavior {
       .select(col("t"), col("n_risk"), col("d"), col("survival_r"))
   }
 
+  /** Nelson–Aalen cumulative hazard over the same (duration, observed)
+    * input as [[kaplanMeier]]: H(t) = Σ_{t_j ≤ t} d_j/n_j, plus the
+    * Fleming–Harrington survival S̃ = e^{−H} — the estimator of choice
+    * when n_risk gets small (KM's product form loses precision there)
+    * and the additive decomposition capacity models want ("hazard
+    * contributed per day"). Hazard increments are 12-dp-rounded and
+    * DECIMAL-cumulated on the bounded time axis, so the running sum is
+    * reduction-order independent. Same rolled-up-axis shape as KM. */
+  def nelsonAalen(subjects: DataFrame, tCol: String,
+      observedCol: String): DataFrame = {
+    val perT = subjects
+      .groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("_all"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perT.agg(sum(col("_all")).as("_n")).select(col("_n"))
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("_n") - coalesce(sum(col("_all")).over(wOrd), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("_ch",
+        sum(round(col("d").cast("double") / col("n_risk").cast("double"),
+          12).cast("decimal(28,12)")).over(wRun).cast("double"))
+      .select(col("t"), col("n_risk"), col("d"),
+        round(col("_ch"), 6).as("cumhaz_r"),
+        round(exp(-col("_ch")), 6).as("fh_survival_r"))
+  }
+
+  /** Log-rank (Mantel–Cox) test: do two survival curves differ?
+    * At each event time the group-1 event count is compared to its
+    * hypergeometric expectation E₁ = d·n₁/n with variance
+    * V = d·(n₁/n)·((n−n₁)/n)·((n−d)/(n−1)); z = (O₁−ΣE₁)/√ΣV and
+    * χ² = z² — the censoring-correct significance companion to the
+    * q132/q316 curves (a mean-time t-test would be biased by
+    * censoring). `group1` is a boolean Column over `subjects`. Every
+    * count is integer; E/V terms are 12-dp DECIMAL sums on the bounded
+    * time axis; one row out: n_g1, n_g0, o1, e1_r, z_r, chi2_r. */
+  def logRank(subjects: DataFrame, tCol: String, observedCol: String,
+      group1: Column): DataFrame = {
+    val perT = subjects
+      .groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) && group1, 1L).otherwise(0L))
+        .as("d1"),
+        sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(group1, 1L).otherwise(0L)).as("_a1"),
+        count(lit(1)).as("_all"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = perT.agg(sum(col("_a1")).as("_t1"),
+      sum(col("_all")).as("_tn"))
+    val r = perT.crossJoin(broadcast(total))
+      .withColumn("n1",
+        col("_t1") - coalesce(sum(col("_a1")).over(wOrd), lit(0L)))
+      .withColumn("n",
+        col("_tn") - coalesce(sum(col("_all")).over(wOrd), lit(0L)))
+      .filter(col("d") > 0)
+    val dD = col("d").cast("double")
+    val n1D = col("n1").cast("double")
+    val nD = col("n").cast("double")
+    val a = r.groupBy(col("_t1"), col("_tn"))
+      .agg(sum(col("d1")).as("o1"),
+        sum(round(dD * n1D / nD, 12).cast("decimal(28,12)")).as("_e1"),
+        sum(when(col("n") > 1,
+          round(dD * (n1D / nD) * ((nD - n1D) / nD)
+            * ((nD - dD) / (nD - 1)), 12))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).as("_v"))
+    val diff = col("o1").cast("double") - col("_e1").cast("double")
+    a.select(col("_t1").as("n_g1"),
+      (col("_tn") - col("_t1")).as("n_g0"), col("o1"),
+      round(col("_e1").cast("double"), 6).as("e1_r"),
+      round(when(col("_v") > 0, diff / sqrt(col("_v").cast("double"))),
+        6).as("z_r"),
+      round(when(col("_v") > 0,
+        diff * diff / col("_v").cast("double")), 6).as("chi2_r"))
+  }
+
   /** Two-proportion z-test between experiment arms: per arm the unit
     * count and converted count, then lift and the pooled z statistic
     * z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) — the A/B readout

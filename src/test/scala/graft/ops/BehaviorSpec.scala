@@ -464,4 +464,40 @@ class BehaviorSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(abs == Map("B" -> 1.0), abs.toString)
   }
+
+  test("nelsonAalen: hand cumulative hazard with censoring") {
+    import spark.implicits._
+    // events at t=1 (2 of 2 at risk=4) and t=3 (1 of 1); censor at t=2
+    val subj = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("t", "observed")
+    val got = Behavior.nelsonAalen(subj, "t", "observed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_risk") == 4 &&
+      got(1L).getAs[Long]("d") == 2)
+    assert(got(1L).getAs[Double]("cumhaz_r") == 0.5)
+    assert(got(1L).getAs[Double]("fh_survival_r") == 0.606531)
+    assert(got(3L).getAs[Long]("n_risk") == 1)
+    assert(got(3L).getAs[Double]("cumhaz_r") == 1.5)
+    assert(got(3L).getAs[Double]("fh_survival_r") == 0.22313)
+  }
+
+  test("logRank: hand hypergeometric O-E on separated groups") {
+    import spark.implicits._
+    // group1 events at t=1,2; group0 at t=3,4 — fully separated
+    val subj = Seq((1L, true, true), (2L, true, true),
+      (3L, true, false), (4L, true, false))
+      .toDF("t", "observed", "g")
+    val r = Behavior.logRank(subj, "t", "observed", col("g"))
+      .collect().head
+    assert(r.getAs[Long]("n_g1") == 2 && r.getAs[Long]("n_g0") == 2)
+    assert(r.getAs[Long]("o1") == 2)
+    // E1 = 1·2/4 + 1·1/3 (12-dp terms); V = 0.25 + (1/3)(2/3)
+    val e1 = 0.5 + 0.333333333333
+    val v = 0.25 + 0.222222222222
+    assert(r.getAs[Double]("e1_r") == 0.833333)
+    assert(math.abs(r.getAs[Double]("z_r")
+      - (2 - e1) / math.sqrt(v)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2_r")
+      - (2 - e1) * (2 - e1) / v) < 1e-6)
+  }
 }
