@@ -341,4 +341,74 @@ object Ranks {
           round((col("n_pos") / col("n_rows")) /
             (col("_tp") / col("_tr")), 6)).as("lift_r"))
   }
+
+  /** Qini curve + area: the uplift-model analogue of [[liftTable]] —
+    * rank by the targeting score (descending, id tiebreak), cut into
+    * `buckets` slices, and at each cumulative depth report
+    * Q(k) = C_T(k) − C_C(k)·N_T(k)/N_C(k) (incremental conversions vs
+    * the control-scaled counterfactual) against the random-targeting
+    * diagonal R(k) = x_k·Q(total), x_k = treated fraction targeted.
+    * The Qini area (trapezoid of Q−R over x, the AUQC) rides every
+    * row — the single number that says whether the model targets
+    * persuadables or just the already-converting.
+    *
+    * Every curve point is a pure function of cumulative integer counts
+    * (one shared parenthesization); only the trapezoid area crosses
+    * rows — its terms are 12-dp-rounded and DECIMAL-summed over the
+    * `buckets`-row frame. `armCol` boolean (true = treated), `convCol`
+    * 0/1. Same bandedRank shape as liftTable — no single-task sort. */
+  def qiniCurve(df: DataFrame, scoreCol: String, idCol: String,
+      armCol: String, convCol: String, buckets: Int,
+      bandWidth: Double): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val ranked = bandedRank(
+      df.select(lit(0).as("_g"), col(idCol), col(armCol), col(convCol),
+        (-col(scoreCol)).as("_neg")),
+      "_g", "_neg", idCol, bandWidth)
+    val per = ranked.withColumn("bucket",
+        ntileFromRank(col("rnk"), col("grp_n"), buckets).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col(armCol), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col(armCol) && col(convCol) === 1, 1L).otherwise(0L))
+          .as("c_t"),
+        sum(when(!col(armCol), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col(armCol) && col(convCol) === 1, 1L).otherwise(0L))
+          .as("c_c"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = per
+      .withColumn("nt_cum", sum(col("n_t")).over(wCum))
+      .withColumn("ct_cum", sum(col("c_t")).over(wCum))
+      .withColumn("nc_cum", sum(col("n_c")).over(wCum))
+      .withColumn("cc_cum", sum(col("c_c")).over(wCum))
+      .withColumn("_NT", sum(col("n_t")).over(wAll))
+      .withColumn("_CT", sum(col("c_t")).over(wAll))
+      .withColumn("_NC", sum(col("n_c")).over(wAll))
+      .withColumn("_CC", sum(col("c_c")).over(wAll))
+    def d(c: String) = col(c).cast("double")
+    val qq = cum.select(col("bucket"), col("nt_cum"), col("ct_cum"),
+      col("nc_cum"), col("cc_cum"),
+      when(col("nc_cum") > 0,
+        d("ct_cum") - d("cc_cum") * (d("nt_cum") / d("nc_cum")))
+        .as("_qini"),
+      when(col("_NT") > 0, d("nt_cum") / d("_NT")).as("_x"),
+      when(col("_NT") > 0 && col("_NC") > 0,
+        (d("nt_cum") / d("_NT"))
+          * (d("_CT") - d("_CC") * (d("_NT") / d("_NC")))).as("_rand"))
+    val wl = Window.orderBy("bucket")
+    val tr = qq.select(col("bucket"),
+      round(((col("_qini") + lag(col("_qini"), 1, 0.0).over(wl)) / 2
+        - (col("_rand") + lag(col("_rand"), 1, 0.0).over(wl)) / 2)
+        * (col("_x") - lag(col("_x"), 1, 0.0).over(wl)), 12)
+        .cast("decimal(28,12)").as("_term"))
+    val auc = tr.agg(sum(col("_term")).cast("double").as("_auc"))
+    qq.crossJoin(broadcast(auc))
+      .select(col("bucket"), col("nt_cum"), col("ct_cum"),
+        col("nc_cum"), col("cc_cum"),
+        round(col("_qini"), 6).as("qini_r"),
+        round(col("_rand"), 6).as("rand_r"),
+        round(col("_auc"), 6).as("qini_auc_r"))
+  }
 }

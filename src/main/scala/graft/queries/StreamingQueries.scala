@@ -90,6 +90,43 @@ object StreamingQueries {
       (s, d) => Streams.streamStreamLeftJoin(s, d, "1 DAY")
         .orderBy("p_id", "s_id")),
 
+    // FULL OUTER stream-stream join: q272's null-padded purchases PLUS
+    // null-padded unmatched signups — whose no-match proof needs the
+    // watermark past s_ts + lookback (a matching purchase may arrive
+    // that much later). Nulls-last ordering pinned on both engines.
+    Q("q319_stream_stream_full",
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |s AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'signup'),
+             |wm AS (
+             |  SELECT least((SELECT max(ts) FROM p),
+             |    (SELECT max(ts) FROM s)) - INTERVAL '1 hour' AS w)
+             |SELECT p_id, s_id FROM (
+             |  SELECT p.event_id AS p_id, s.event_id AS s_id
+             |  FROM p JOIN s
+             |    ON p.user_id = s.user_id
+             |   AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '1 day'
+             |  UNION ALL
+             |  SELECT p.event_id, NULL
+             |  FROM p CROSS JOIN wm
+             |  WHERE p.ts < wm.w
+             |    AND NOT EXISTS (SELECT 1 FROM s
+             |      WHERE s.user_id = p.user_id AND s.ts <= p.ts
+             |        AND s.ts >= p.ts - INTERVAL '1 day')
+             |  UNION ALL
+             |  SELECT NULL, s.event_id
+             |  FROM s CROSS JOIN wm
+             |  WHERE s.ts + INTERVAL '1 day' < wm.w
+             |    AND NOT EXISTS (SELECT 1 FROM p
+             |      WHERE p.user_id = s.user_id AND p.ts >= s.ts
+             |        AND p.ts <= s.ts + INTERVAL '1 day'))
+             |ORDER BY p_id NULLS LAST, s_id NULLS LAST""".stripMargin),
+      (s, d) => Streams.streamStreamFullJoin(s, d, "1 DAY")
+        .orderBy(col("p_id").asc_nulls_last, col("s_id").asc_nulls_last)),
+
     Q("q62_stream_stream_join",
       Some("""SELECT p.event_id AS p_id, s.event_id AS s_id
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -143,5 +143,78 @@ object UpliftQueries {
               nullif(col("n") * col("sxx") - col("sx") * col("sx"),
                 lit(0.0))), 6).as("elasticity_r"))
           .orderBy("l_returnflag")
+      }),
+
+    // Qini curve + area over the q274 fixture (activity score, md5
+    // arm): incremental conversions vs the control-scaled
+    // counterfactual at each targeting depth, against the random
+    // diagonal — did the score find persuadables, or just converters.
+    Q("q318_qini",
+      Some("""WITH u AS (
+             |  SELECT user_id, count(*)::BIGINT AS n_events,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END) AS conv,
+             |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+             |      % 100 >= 50 AS armb
+             |  FROM events GROUP BY user_id),
+             |dec AS (
+             |  SELECT user_id, conv, armb,
+             |    ntile(10) OVER (ORDER BY -n_events, user_id) AS bucket
+             |  FROM u),
+             |a AS (
+             |  SELECT bucket,
+             |    sum(CASE WHEN armb THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             |    sum(CASE WHEN armb AND conv = 1 THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_t,
+             |    sum(CASE WHEN NOT armb THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_c,
+             |    sum(CASE WHEN NOT armb AND conv = 1 THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_c
+             |  FROM dec GROUP BY 1),
+             |cum AS (
+             |  SELECT bucket,
+             |    sum(n_t) OVER w AS nt_cum, sum(c_t) OVER w AS ct_cum,
+             |    sum(n_c) OVER w AS nc_cum, sum(c_c) OVER w AS cc_cum,
+             |    sum(n_t) OVER () AS tnt, sum(c_t) OVER () AS tct,
+             |    sum(n_c) OVER () AS tnc, sum(c_c) OVER () AS tcc
+             |  FROM a WINDOW w AS (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |qq AS (
+             |  SELECT bucket, nt_cum::BIGINT AS nt_cum,
+             |    ct_cum::BIGINT AS ct_cum, nc_cum::BIGINT AS nc_cum,
+             |    cc_cum::BIGINT AS cc_cum,
+             |    CASE WHEN nc_cum > 0 THEN ct_cum::DOUBLE
+             |      - cc_cum::DOUBLE * (nt_cum::DOUBLE
+             |        / nc_cum::DOUBLE) END AS qini,
+             |    CASE WHEN tnt > 0 THEN nt_cum::DOUBLE / tnt::DOUBLE
+             |      END AS x,
+             |    CASE WHEN tnt > 0 AND tnc > 0 THEN
+             |      (nt_cum::DOUBLE / tnt::DOUBLE) * (tct::DOUBLE
+             |        - tcc::DOUBLE * (tnt::DOUBLE / tnc::DOUBLE)) END
+             |      AS rand
+             |  FROM cum),
+             |tr AS (
+             |  SELECT round(((qini + lag(qini, 1, 0)
+             |      OVER (ORDER BY bucket)) / 2
+             |    - (rand + lag(rand, 1, 0) OVER (ORDER BY bucket)) / 2)
+             |    * (x - lag(x, 1, 0) OVER (ORDER BY bucket)), 12)
+             |    ::DECIMAL(28,12) AS term
+             |  FROM qq),
+             |ar AS (SELECT sum(term)::DOUBLE AS auc FROM tr)
+             |SELECT bucket, nt_cum, ct_cum, nc_cum, cc_cum,
+             |  round(qini, 6) AS qini_r, round(rand, 6) AS rand_r,
+             |  round(auc, 6) AS qini_auc_r
+             |FROM qq, ar ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("conv"))
+          .withColumn("armb",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 100 >= 50)
+        graft.ops.Ranks.qiniCurve(u, "n_events", "user_id", "armb",
+            "conv", buckets = 10, bandWidth = 8.0)
+          .orderBy("bucket")
       }))
 }

@@ -131,6 +131,36 @@ object Streams {
     runToFiles(spark, joined)
   }
 
+  /** FULL OUTER stream-stream join — both no-match proofs at once:
+    * unmatched purchases null-pad on the signup side exactly as in
+    * [[streamStreamLeftJoin]] (emitted once the watermark passes p_ts,
+    * since a matching signup must have s_ts ≤ p_ts), and unmatched
+    * SIGNUPS null-pad on the purchase side with the LONGER wait their
+    * condition implies: a matching purchase may arrive with
+    * p_ts ≤ s_ts + lookback, so the signup's null row emits only once
+    * the final watermark passes s_ts + lookback. The q319 oracle
+    * encodes both gates; state on each side is bounded by the same
+    * watermark + range condition as the inner join. */
+  def streamStreamFullJoin(spark: SparkSession, dir: String,
+      lookback: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+      "full_outer")
+      .select(col("p_id"), col("s_id"))
+    runToFiles(spark, joined)
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (here customer segments), then windowed per segment. The
     * static side is a plain batch DataFrame — Spark re-plans it per

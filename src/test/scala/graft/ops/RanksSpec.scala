@@ -243,4 +243,26 @@ class RanksSpec extends SparkTestBase {
       .orderBy("bucket").collect().map(_.getLong(1)).toSeq
     assert(sizes == Seq(3L, 2L, 2L), s"ntile(3) over 7 rows: $sizes")
   }
+
+  test("qiniCurve: hand two-bucket curve and area") {
+    import spark.implicits._
+    // top bucket: treated converter vs control non-converter (qini 1);
+    // bottom bucket: treated non-converter vs control converter —
+    // overall uplift 0, so the curve returns to 0 and AUQC = 0.5
+    val df = Seq(
+      (1L, 4L, true, 1L), (2L, 3L, false, 0L),
+      (3L, 2L, true, 0L), (4L, 1L, false, 1L))
+      .toDF("id", "sc", "armb", "conv")
+    val rows = Ranks.qiniCurve(df, "sc", "id", "armb", "conv",
+        buckets = 2, bandWidth = 8.0)
+      .orderBy("bucket").collect()
+    assert(rows.length == 2)
+    val b1 = rows(0); val b2 = rows(1)
+    assert(b1.getAs[Long]("nt_cum") == 1 && b1.getAs[Long]("ct_cum") == 1)
+    assert(b1.getAs[Double]("qini_r") == 1.0)
+    assert(b1.getAs[Double]("rand_r") == 0.0)
+    assert(b2.getAs[Double]("qini_r") == 0.0)
+    assert(b1.getAs[Double]("qini_auc_r") == 0.5)
+    assert(b2.getAs[Double]("qini_auc_r") == 0.5)
+  }
 }

@@ -263,4 +263,18 @@ class StreamsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed == batch, s"$streamed vs $batch")
   }
+
+  test("streamStreamFullJoin ⊇ left join; extras are null-p_id rows") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val left = pairs(Streams.streamStreamLeftJoin(spark, sf(), "1 DAY"))
+    val full = pairs(Streams.streamStreamFullJoin(spark, sf(), "1 DAY"))
+    assert(left.subsetOf(full),
+      s"left rows missing from full: ${left.diff(full).take(5)}")
+    val extras = full.diff(left)
+    assert(extras.forall(_._1 == -1L),
+      s"non-null-p extras: ${extras.filter(_._1 != -1L).take(5)}")
+    assert(extras.nonEmpty, "expected some watermark-proven signups")
+  }
 }
