@@ -356,6 +356,163 @@ object Infer {
             lit(0.0))), 6).as("f_r"))
   }
 
+  /** Bartlett's variance-homogeneity test per group — the PARAMETRIC
+    * sibling of Brown–Forsythe (q296): χ² = [(N−k)·ln(S_p²) −
+    * Σ(nᵢ−1)·ln(Sᵢ²)] / C with C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)).
+    * More powerful under normality, fragile otherwise — publishing
+    * both (q296/q320) is the honest pairing. Cells with nᵢ ≤ 1 are
+    * excluded (their variance is undefined); any zero cell variance →
+    * null (ln undefined). Cell moments exact; the three cross-cell
+    * float sums (ln terms, 1/(nᵢ−1), s²/n) are 12-dp DECIMAL. */
+  def bartlett(units: DataFrame, groupCol: String, cellCol: String,
+      valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val cell = units.groupBy(col(groupCol), col(cellCol)).agg(
+      count(lit(1)).as("_nc"), sum(col(valueCol)).as("_sc"),
+      sum(xd * xd).as("_ssc"))
+      .where(col("_nc") > 1)
+    val ncD = col("_nc").cast("double")
+    val scD = col("_sc").cast("double")
+    val sscD = col("_ssc").cast("double")
+    val s2 = (sscD - scD * scD / ncD) / (ncD - 1)
+    val g = cell.groupBy(col(groupCol)).agg(
+      sum(col("_nc")).as("n"), count(lit(1)).as("k"),
+      sum(col("_ssc")).as("_ss"),
+      sum(round(scD * scD / ncD, 12).cast("decimal(28,12)"))
+        .as("_t12"),
+      // guard the ln: a zero-variance cell must yield a NULL term in
+      // BOTH engines (Spark ln(0)=null is sum-skipped; DuckDB's −inf
+      // would fail the DECIMAL cast) — the _mins2 output guard then
+      // nullifies the statistic identically
+      sum(when(s2 > 0, round((ncD - 1) * log(s2), 12))
+        .cast("decimal(28,12)")).as("_lt"),
+      sum(round(lit(1.0) / (ncD - 1), 12).cast("decimal(28,12)"))
+        .as("_inv"),
+      min(s2).as("_mins2"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssw = col("_ss").cast("double") - col("_t12").cast("double")
+    val sp2 = ssw / (nD - kD)
+    val c = lit(1.0) + (col("_inv").cast("double")
+      - lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - 1))
+    g.select(col(groupCol), col("n"), col("k"),
+      round(when(col("k") > 1 && col("n") > col("k") &&
+        col("_mins2") > 0 && ssw > 0,
+        ((nD - kD) * log(sp2) - col("_lt").cast("double")) / c), 6)
+        .as("chi2_r"))
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1) per group:
+    * how much of the measure's variance lives BETWEEN cells (e.g.
+    * between users) vs within — the reliability number behind "is one
+    * day enough to characterize a user". ICC = (MSB − MSW) /
+    * (MSB + (n₀−1)·MSW) with the unbalanced-design cell size
+    * n₀ = (N − Σnᵢ²/N)/(k−1). Rides [[oneWayAnova]]'s exact-moment
+    * sums plus one extra exact Σnᵢ². */
+  def icc1(units: DataFrame, groupCol: String, cellCol: String,
+      valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val cell = units.groupBy(col(groupCol), col(cellCol)).agg(
+      count(lit(1)).as("_nc"), sum(col(valueCol)).as("_sc"),
+      sum(xd * xd).as("_ssc"))
+    val g = cell.groupBy(col(groupCol)).agg(
+      sum(col("_nc")).as("n"), count(lit(1)).as("k"),
+      sum(col("_sc")).as("_s"), sum(col("_ssc")).as("_ss"),
+      sum(col("_nc").cast("decimal(38,0)") * col("_nc")).as("_nc2"),
+      sum(round(col("_sc").cast("double") * col("_sc").cast("double")
+        / col("_nc").cast("double"), 12).cast("decimal(28,12)"))
+        .as("_t12"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val sD = col("_s").cast("double")
+    val ssD = col("_ss").cast("double")
+    val t12D = col("_t12").cast("double")
+    val msb = (t12D - sD * sD / nD) / (kD - 1)
+    val msw = (ssD - t12D) / (nD - kD)
+    val n0 = (nD - col("_nc2").cast("double") / nD) / (kD - 1)
+    val denom = msb + (n0 - 1) * msw
+    g.select(col(groupCol), col("n"), col("k"),
+      round(when(col("k") > 1 && col("n") > col("k"), n0), 6)
+        .as("n0_r"),
+      round(when(col("k") > 1 && col("n") > col("k") && denom > 0,
+        (msb - msw) / denom), 6).as("icc_r"))
+  }
+
+  /** Cronbach's α over a COMPLETE subject × item value grid (caller
+    * zero-fills): α = k/(k−1)·(1 − Σσᵢ²/σ_total²) — internal
+    * consistency of the k items as one scale ("do the event types
+    * move together per user"). Population variances from exact
+    * integer moments; the k-term Σσᵢ² is 12-dp DECIMAL. Null when the
+    * total score is constant. Returns one row: n_subjects, k_items,
+    * sum_item_var_r, total_var_r, alpha_r. */
+  def cronbachAlpha(grid: DataFrame, subjectCol: String,
+      itemCol: String, valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val item = grid.groupBy(col(itemCol)).agg(
+      count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"),
+      sum(xd * xd).as("_ss"))
+    val nD = col("_n").cast("double")
+    val vI = (col("_ss").cast("double") / nD) -
+      ((col("_s").cast("double") / nD) * (col("_s").cast("double") / nD))
+    val items = item.agg(count(lit(1)).as("k_items"),
+      sum(round(vI, 12).cast("decimal(28,12)")).cast("double")
+        .as("_sumvar"))
+    val subj = grid.groupBy(col(subjectCol))
+      .agg(sum(col(valueCol)).as("_tot"))
+    val td = col("_tot").cast("decimal(38,0)")
+    val tot = subj.agg(count(lit(1)).as("n_subjects"),
+      sum(col("_tot")).as("_ts"), sum(td * td).as("_tss"))
+    val nsD = col("n_subjects").cast("double")
+    val vT = (col("_tss").cast("double") / nsD) -
+      ((col("_ts").cast("double") / nsD) *
+        (col("_ts").cast("double") / nsD))
+    val kD = col("k_items").cast("double")
+    tot.crossJoin(broadcast(items))
+      .select(col("n_subjects"), col("k_items"),
+        round(col("_sumvar"), 6).as("sum_item_var_r"),
+        round(vT, 6).as("total_var_r"),
+        round(when(col("k_items") > 1 && vT > 0,
+          kD / (kD - 1) * (lit(1.0) - col("_sumvar") / vT)), 6)
+          .as("alpha_r"))
+  }
+
+  /** Cohen's d + Hedges' g between two arms over an integer measure:
+    * standardized mean difference d = (m_t − m_c)/s_pooled with the
+    * small-sample-corrected g = d·(1 − 3/(4N−9)) — the effect size
+    * that belongs next to every significance test (q198/q231's z/t
+    * say "real", d says "big"). All moments exact integers; one
+    * shared parenthesization. */
+  def cohensD(units: DataFrame, group1: Column,
+      valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(38,0)")
+    val agg = units.agg(
+      sum(when(group1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(group1, col(valueCol))).as("_st"),
+      sum(when(group1, xd * xd)).as("_sst"),
+      sum(when(!group1, 1L).otherwise(0L)).as("n_c"),
+      sum(when(!group1, col(valueCol))).as("_sc"),
+      sum(when(!group1, xd * xd)).as("_ssc"))
+    val ntD = col("n_t").cast("double")
+    val ncD = col("n_c").cast("double")
+    val mt = col("_st").cast("double") / ntD
+    val mc = col("_sc").cast("double") / ncD
+    val pooled = (col("_sst").cast("double")
+      - col("_st").cast("double") * col("_st").cast("double") / ntD
+      + col("_ssc").cast("double")
+      - col("_sc").cast("double") * col("_sc").cast("double") / ncD) /
+      (ntD + ncD - 2)
+    val d = (mt - mc) / sqrt(pooled)
+    val nD = ntD + ncD
+    agg.select(col("n_t"), col("n_c"),
+      round(when(col("n_t") > 0, mt), 6).as("mean_t_r"),
+      round(when(col("n_c") > 0, mc), 6).as("mean_c_r"),
+      round(when(col("n_t") > 1 && col("n_c") > 1 && pooled > 0, d), 6)
+        .as("d_r"),
+      round(when(col("n_t") > 1 && col("n_c") > 1 && pooled > 0,
+        d * (lit(1.0) - lit(3.0) / (lit(4.0) * nD - 9))), 6)
+        .as("g_r"))
+  }
+
   /** Kruskal–Wallis rank test per group (JASA 1952): the DISTRIBUTION-
     * FREE "do these cells differ in level" — [[oneWayAnova]] without
     * the normality assumption, and the k-cell generalization of

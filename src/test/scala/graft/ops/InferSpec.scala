@@ -291,4 +291,57 @@ class InferSpec extends SparkTestBase {
     assert(rh.isNullAt(rh.fieldIndex("chi2_r"))
       && rh.isNullAt(rh.fieldIndex("chi2_cc_r")))
   }
+
+  test("bartlett: equal variances give 0, hand unequal case") {
+    import spark.implicits._
+    val eq = Seq(1L, 2L, 3L).flatMap(v =>
+      Seq(("g", "a", v), ("g", "b", v)))
+      .toDF("grp", "cell", "v")
+    val r0 = Infer.bartlett(eq, "grp", "cell", "v").collect().head
+    assert(r0.getAs[Double]("chi2_r") == 0.0)
+    // cell a: [0,4] s²=8; cell b: [1,3] s²=2 → N=4, k=2, Sp²=5,
+    // χ² = (2·ln5 − (ln8+ln2)) / (1 + (2 − 1/2)/3) = 0.446287/1.5
+    val un = Seq(("g", "a", 0L), ("g", "a", 4L),
+      ("g", "b", 1L), ("g", "b", 3L)).toDF("grp", "cell", "v")
+    val r1 = Infer.bartlett(un, "grp", "cell", "v").collect().head
+    val want = (2 * math.log(5) - (math.log(8) + math.log(2))) / 1.5
+    assert(math.abs(r1.getAs[Double]("chi2_r") - want) < 1e-6)
+  }
+
+  test("icc1: zero within-variance gives ICC=1") {
+    import spark.implicits._
+    val df = Seq(("g", "a", 2L), ("g", "a", 2L),
+      ("g", "b", 4L), ("g", "b", 4L)).toDF("grp", "cell", "v")
+    val r = Infer.icc1(df, "grp", "cell", "v").collect().head
+    assert(r.getAs[Double]("n0_r") == 2.0)
+    assert(r.getAs[Double]("icc_r") == 1.0)
+  }
+
+  test("cronbachAlpha: perfectly correlated items → 1; constant total → null") {
+    import spark.implicits._
+    val corr = Seq((1L, "i1", 1L), (1L, "i2", 1L),
+      (2L, "i1", 3L), (2L, "i2", 3L)).toDF("s", "i", "x")
+    val r = Infer.cronbachAlpha(corr, "s", "i", "x").collect().head
+    assert(r.getAs[Long]("n_subjects") == 2 &&
+      r.getAs[Long]("k_items") == 2)
+    assert(r.getAs[Double]("sum_item_var_r") == 2.0)
+    assert(r.getAs[Double]("total_var_r") == 4.0)
+    assert(r.getAs[Double]("alpha_r") == 1.0)
+    val anti = Seq((1L, "i1", 1L), (1L, "i2", 3L),
+      (2L, "i1", 3L), (2L, "i2", 1L)).toDF("s", "i", "x")
+    val r2 = Infer.cronbachAlpha(anti, "s", "i", "x").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("alpha_r"))) // total constant
+  }
+
+  test("cohensD: hand pooled-sd case with Hedges correction") {
+    import spark.implicits._
+    val df = Seq((true, 2L), (true, 4L), (false, 0L), (false, 2L))
+      .toDF("armb", "x")
+    val r = Infer.cohensD(df, col("armb"), "x").collect().head
+    assert(r.getAs[Double]("mean_t_r") == 3.0)
+    assert(r.getAs[Double]("mean_c_r") == 1.0)
+    val d = 2.0 / math.sqrt(2.0)
+    assert(math.abs(r.getAs[Double]("d_r") - d) < 1e-6)
+    assert(math.abs(r.getAs[Double]("g_r") - d * (1 - 3.0 / 7)) < 1e-6)
+  }
 }
