@@ -342,6 +342,32 @@ object Ranks {
             (col("_tp") / col("_tr")), 6)).as("lift_r"))
   }
 
+  /** Discrete percentiles (SQL `percentile_disc` semantics): for each
+    * q = k/den the SMALLEST group value whose cumulative row fraction
+    * reaches q — i.e. the value at 1-based rank ⌈q·n⌉, an actual data
+    * point (where [[exactQuantiles]] interpolates). The pair completes
+    * the percentile surface: disc for "a real observed value" (P99
+    * latency SLOs), cont for the mathematical quantile. Same
+    * [[bandedRank]] two-level shape — no single-task sort; position
+    * arithmetic stays in BIGINT. Requires every k ≥ 1 (q = 0 has no
+    * ⌈0·n⌉-th element). */
+  def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, bandWidth: Double, nums: Seq[Int],
+      den: Int): DataFrame = {
+    require(den > 0 && nums.nonEmpty &&
+      nums.forall(k => k >= 1 && k <= den))
+    val s = df.sparkSession
+    import s.implicits._
+    val spec = nums.toDF("k")
+    val ranked = bandedRank(df, groupCol, valueCol, idCol, bandWidth)
+    ranked.crossJoin(broadcast(spec))
+      .withColumn("_target",
+        expr(s"(grp_n * k + $den - 1) div $den")) // 1-based ⌈q·n⌉
+      .where(col("rnk") === col("_target") - 1)
+      .select(col(groupCol), col("grp_n").as("n"),
+        (col("k") / den).as("q"), col(valueCol).as("q_val"))
+  }
+
   /** Qini curve + area: the uplift-model analogue of [[liftTable]] —
     * rank by the targeting score (descending, id tiebreak), cut into
     * `buckets` slices, and at each cumulative depth report

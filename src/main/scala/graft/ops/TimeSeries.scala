@@ -687,4 +687,62 @@ object TimeSeries {
         round(cov / nullif(sqrt(vx) * sqrt(vy), lit(0.0)), 6))
         .as("r_r"))
   }
+
+  /** Classical additive seasonal decomposition of a daily integer
+    * series (the moving-average STL-lite): trend = centered 7-day MA on
+    * the ZERO-FILLED spine (only full windows), detrended = y − trend,
+    * seasonal(dow) = mean detrended per weekday normalized to sum ≈ 0,
+    * residual = detrended − seasonal. Emits one row per weekday —
+    * n_days, the raw and normalized seasonal effect, and the overall
+    * residual sd riding every row (how much of the series the
+    * trend+season model leaves unexplained).
+    *
+    * Determinism: the MA is an exact integer 7-sum divided once;
+    * every cross-row float mean/variance takes 12-dp-rounded
+    * DECIMAL-summed terms (residual squares at 6 dp — cents² scale).
+    * `daily` is the (dayCol DATE, yCol BIGINT) grain; dow is 0=Sunday,
+    * the q295 convention. Everything below the first rollup runs on
+    * the |days| spine. */
+  def classicalDecomposition(daily: DataFrame, dayCol: String,
+      yCol: String): DataFrame = {
+    val bounds = daily.agg(min(col(dayCol)).as("_d0"),
+      max(col(dayCol)).as("_d1"))
+    val spine = bounds
+      .select(explode(sequence(col("_d0"), col("_d1"))).as(dayCol))
+      .join(daily, Seq(dayCol), "left")
+      .select(col(dayCol), coalesce(col(yCol), lit(0L)).as("_y"))
+    val w7 = Window.orderBy(dayCol).rowsBetween(-3, 3)
+    val det = spine
+      .withColumn("_s7", sum(col("_y")).over(w7))
+      .withColumn("_c7", count(lit(1)).over(w7))
+      .where(col("_c7") === 7)
+      .select(col(dayCol),
+        (col("_y").cast("double")
+          - col("_s7").cast("double") / 7).as("_det"))
+    val seas = det
+      .groupBy((dayofweek(col(dayCol)) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(round(col("_det"), 12).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("_sraw"))
+    val m = seas.agg(
+      (sum(round(col("_sraw"), 12).cast("decimal(28,12)"))
+        .cast("double") / count(lit(1))).as("_sm"))
+    val snorm = seas.crossJoin(broadcast(m))
+      .select(col("dow"), col("n_days"), col("_sraw"),
+        (col("_sraw") - col("_sm")).as("_snorm"))
+    val resid = det
+      .withColumn("dow", (dayofweek(col(dayCol)) - 1).cast("long"))
+      .join(broadcast(snorm.select(col("dow"), col("_snorm"))), "dow")
+      .select((col("_det") - col("_snorm")).as("_r"))
+    val rsd = resid.agg(count(lit(1)).as("_n"),
+      sum(round(col("_r") * col("_r"), 6).cast("decimal(38,6)"))
+        .as("_rss"))
+      .select(when(col("_n") > 0, sqrt(col("_rss").cast("double")
+        / col("_n").cast("double"))).as("_rsd"))
+    snorm.crossJoin(broadcast(rsd))
+      .select(col("dow"), col("n_days"),
+        round(col("_sraw"), 6).as("seasonal_raw_r"),
+        round(col("_snorm"), 6).as("seasonal_r"),
+        round(col("_rsd"), 6).as("resid_sd_r"))
+  }
 }

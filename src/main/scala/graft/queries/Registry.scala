@@ -20,7 +20,8 @@ object Registry {
       OpsMetricsQueries.all ++ CycleQueries.all ++ SupplyQueries.all ++
       UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all ++
       TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all ++
-      MarkovQueries.all ++ SurvivalQueries.all ++ ReliabilityQueries.all
+      MarkovQueries.all ++ SurvivalQueries.all ++
+      ReliabilityQueries.all ++ CompletionQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

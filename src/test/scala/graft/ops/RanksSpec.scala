@@ -265,4 +265,21 @@ class RanksSpec extends SparkTestBase {
     assert(b1.getAs[Double]("qini_auc_r") == 0.5)
     assert(b2.getAs[Double]("qini_auc_r") == 0.5)
   }
+
+  test("percentileDisc: value at ceil(q·n), even and odd n") {
+    import spark.implicits._
+    val even = (1L to 4L).map(i => ("g", i * 10L, i))
+      .toDF("grp", "v", "id")
+    val gotE = Ranks.percentileDisc(even, "grp", "v", "id", 8.0,
+        Seq(1, 2, 3), 4)
+      .collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Long]("q_val")).toMap
+    assert(gotE == Map(0.25 -> 10L, 0.5 -> 20L, 0.75 -> 30L))
+    val odd = (1L to 5L).map(i => ("g", i, i)).toDF("grp", "v", "id")
+    val gotO = Ranks.percentileDisc(odd, "grp", "v", "id", 8.0,
+        Seq(2), 4)
+      .collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Long]("q_val")).toMap
+    assert(gotO == Map(0.5 -> 3L)) // ceil(0.5·5) = 3rd value
+  }
 }

@@ -379,4 +379,24 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(fl.isNullAt(fl.fieldIndex("z_r")),
       "all-tied series has Var 0 -> null z")
   }
+
+  test("classicalDecomposition: pure weekly pattern recovered exactly") {
+    import spark.implicits._
+    // 21 days from Mon 2024-01-01: y=7 on Sundays, 0 otherwise.
+    // Every full 7-day window sums to 7 → trend 1; detrended is 6 on
+    // Sundays, −1 elsewhere; seasonal already sums to 0; residual 0.
+    val days = (0 until 21).map { i =>
+      val day = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+      val dow = (i + 1) % 7 // Jan 7 (i=6) is Sunday
+      (day, if (dow == 0) 7L else 0L)
+    }.toDF("day", "y")
+    val got = TimeSeries.classicalDecomposition(days, "day", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 7)
+    assert(got(0L).getAs[Double]("seasonal_r") == 6.0) // Sunday
+    for (d <- 1L to 6L)
+      assert(got(d).getAs[Double]("seasonal_r") == -1.0, s"dow $d")
+    assert(got.values.forall(_.getAs[Double]("resid_sd_r") == 0.0))
+  }
 }
