@@ -21,7 +21,8 @@ object Registry {
       UpliftQueries.all ++ DriftQueries.all ++ PlanningQueries.all ++
       TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all ++
       MarkovQueries.all ++ SurvivalQueries.all ++
-      ReliabilityQueries.all ++ CompletionQueries.all
+      ReliabilityQueries.all ++ CompletionQueries.all ++
+      AuditDepthQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
