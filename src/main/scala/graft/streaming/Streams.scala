@@ -28,10 +28,17 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
-    // file stream sources want a directory; select the one table file via
-    // a glob filter over the sf dir
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // file stream sources want a directory. The driver testdata ships
+    // events.parquet as a single FILE (select it with a glob over the
+    // sf dir); Spark-written tables (e.g. the ScaleProbe synth) are a
+    // DIRECTORY of part files — stream that directory itself, or the
+    // glob would match nothing and the stream would be silently empty.
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(batchSchema).parquet(path)
+      else
+        spark.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     batchSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

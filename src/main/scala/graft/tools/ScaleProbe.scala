@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   *    would silently drop 9/10 of orders at the join and under-measure
   *    growth. Add a matching customer remap here first if such a query
   *    ever needs probing.
+  *  - `events` (round 9, q312 Markov attribution / q319 full-outer
+  *    stream-stream join / q316 survival): event_id AND user_id
+  *    remapped per copy, ts kept — 10 disjoint user populations on the
+  *    same time axis, so per-user journeys (and thus transitions,
+  *    stream-join matches, and survival subjects) replicate linearly;
+  *    the Markov chain's PROBABILITIES are invariant under this
+  *    scaling (same answer, 10× the input — a correctness check the
+  *    probe gets for free).
   *
   * Usage: `sbt "runMain graft.tools.ScaleProbe"` writes
   * /tmp/graft_sf1synth (idempotent: skips tables already present),
@@ -101,9 +109,18 @@ object ScaleProbe {
         .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
     }
 
+    val ev = graft.util.Tables.events(spark, src)
+    val evX = copies(ev) { (e, i) =>
+      if (i == 0) e
+      else e
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+    }
+
     write(docsX, "documents")
     write(liX, "lineitem")
     write(ordX, "orders")
+    write(evX, "events")
     spark.stop()
   }
 }
