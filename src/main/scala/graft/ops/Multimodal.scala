@@ -463,6 +463,116 @@ object Multimodal {
     else Some((off, w, h, stride))
   }
 
+  /** 64-bit difference hash (dHash) over UNCOMPRESSED 24-bit BMP
+    * payloads — the standard perceptual image fingerprint (Krawetz):
+    * luma is block-averaged onto a 9×8 grid (image-space top-down —
+    * the BMP height sign decides storage order, and orientation
+    * matters to a directional hash), and bit (row·8 + col) is set when
+    * the cell right of `col` is brighter than `col`. Robust to
+    * re-encodes/resizes/brightness shifts; two near-identical images
+    * land within a few bits of Hamming distance — the image-side
+    * analogue of SimHash text dedup. Cell means are compared by exact
+    * integer cross-multiplication (sumₐ·cnt_b > sum_b·cntₐ) — no
+    * division, no floats, bit-reproducible. Images narrower than the
+    * grid (w < 9 or h < 8), or non-BMP payloads, yield no row.
+    *
+    * Shape: one mapPartitions pass at the codec boundary (the
+    * audioEnergy convention), emitting (id, dhash) — 8 bytes per
+    * image regardless of size. */
+  def imageDHash(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("dhash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        bmp24Pixels(bytes) match {
+          case Some((off, w, h, stride)) if w >= 9 && h >= 8 =>
+            // raw height sign: positive = bottom-up storage
+            def u8(i: Int) = bytes(i) & 0xff
+            val rawH = u8(22) | (u8(23) << 8) | (u8(24) << 16) |
+              (u8(25) << 24)
+            val bottomUp = rawH > 0
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val sy = if (bottomUp) h - 1 - y else y // stored row
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val p = off + sy * stride + 3 * x
+                val bB = bytes(p) & 0xff
+                val g = bytes(p + 1) & 0xff
+                val rr = bytes(p + 2) & 0xff
+                val luma = (299 * rr + 587 * g + 114 * bB) / 1000
+                val cx = x * 9 / w
+                sums(cy)(cx) += luma
+                cnts(cy)(cx) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                // mean(cx+1) > mean(cx) via integer cross-multiply
+                if (sums(cy)(cx + 1) * cnts(cy)(cx) >
+                    sums(cy)(cx) * cnts(cy)(cx + 1))
+                  hash |= 1L << (cy * 8 + cx)
+                cx += 1
+              }
+              cy += 1
+            }
+            Iterator.single(Row(r.get(idIdx), hash))
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-duplicate image pairs from [[imageDHash]] output:
+    * pigeonhole the 64-bit hash into four 16-bit bands — any pair
+    * within Hamming distance ≤ 3 agrees exactly on at least one band
+    * (4 bands, ≤ 3 differing bits), so the candidate join is an
+    * EQUI-join on (band index, band bits), never an all-pairs scan —
+    * the simhashNearDups posture on the image side. Candidates are
+    * verified with `bit_count(xor)` and deduplicated across bands.
+    * Requires maxHamming ≤ 3 (the 4-band guarantee). */
+  def imageDHashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val s = hashes.sparkSession
+    import s.implicits._
+    val bands = (0 until 4).toDF("band")
+    val banded = hashes
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .crossJoin(broadcast(bands))
+      // arithmetic shift is fine here: the 0xFFFF mask keeps only the
+      // low 16 bits of the shifted value, which agree with the logical
+      // shift for any sign
+      .withColumn("_bits",
+        expr("shiftright(_h, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val a = banded.select(col("band"), col("_bits"),
+      col("_id").as("id_a"), col("_h").as("_ha"))
+    val b = banded.select(col("band").as("_b2"),
+      col("_bits").as("_bits2"), col("_id").as("id_b"),
+      col("_h").as("_hb"))
+    a.join(b, col("band") === col("_b2") &&
+        col("_bits") === col("_bits2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic fake "image dimensions" from the content hash — the
     * metadata-extraction shape (real pipelines read codec headers). */
   def fakeDimensions(df: DataFrame): DataFrame = df
