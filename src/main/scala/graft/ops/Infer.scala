@@ -665,4 +665,79 @@ object Infer {
       .agg(round(max(col("_mn")), 6).as("iso_rate_r"))
     bins.join(iso, binCol)
   }
+
+  /** Mantel–Haenszel stratified 2×2 analysis: the pooled odds ratio
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) and the Cochran–Mantel–Haenszel
+    * χ² = (Σaᵢ − ΣEᵢ)² / ΣVᵢ with the hypergeometric
+    * Eᵢ = r₁ᵢc₁ᵢ/nᵢ, Vᵢ = r₁ᵢr₀ᵢc₁ᵢc₀ᵢ/(nᵢ²(nᵢ−1)) — "is the
+    * exposure–outcome association real AFTER controlling for the
+    * stratum", the confounder-adjusted form of q198's pooled z (which
+    * Simpson's paradox can invert). One hash-agg to the |strata|-row
+    * 2×2 frame; per-stratum float terms 12-dp DECIMAL-summed; strata
+    * with n ≤ 1 contribute nothing to V (their E term still counts —
+    * a singleton stratum carries no variance). Returns one row:
+    * n_strata, o_sum, e_sum_r, or_mh_r, chi2_r. */
+  def mantelHaenszel(units: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cell = units.groupBy(col(stratumCol)).agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("_a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("_b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("_c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("_d"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("_a") + col("_b") + col("_c") + col("_d")
+    val nD = n.cast("double")
+    val e = (col("_a") + col("_b")).cast("double") *
+      (col("_a") + col("_c")).cast("double") / nD
+    val v = (col("_a") + col("_b")).cast("double") *
+      (col("_c") + col("_d")).cast("double") *
+      (col("_a") + col("_c")).cast("double") *
+      (col("_b") + col("_d")).cast("double") /
+      (nD * nD * (nD - 1))
+    val agg = cell.agg(count(lit(1)).as("n_strata"),
+      sum(col("_a")).as("o_sum"),
+      sum(when(n > 0, round(e, 12)).cast("decimal(28,12)")).as("_e"),
+      sum(when(n > 1, round(v, 12)).otherwise(lit(0.0))
+        .cast("decimal(28,12)")).as("_v"),
+      sum(when(n > 0, round(d("_a") * d("_d") / nD, 12))
+        .cast("decimal(28,12)")).as("_ad"),
+      sum(when(n > 0, round(d("_b") * d("_c") / nD, 12))
+        .cast("decimal(28,12)")).as("_bc"))
+    val diff = col("o_sum").cast("double") - col("_e").cast("double")
+    agg.select(col("n_strata"), col("o_sum"),
+      round(col("_e").cast("double"), 6).as("e_sum_r"),
+      round(when(col("_bc") > 0,
+        col("_ad").cast("double") / col("_bc").cast("double")), 6)
+        .as("or_mh_r"),
+      round(when(col("_v") > 0,
+        diff * diff / col("_v").cast("double")), 6).as("chi2_r"))
+  }
+
+  /** Cochran–Armitage trend test: does a binary outcome rate move
+    * MONOTONICALLY across ordered groups with integer scores wᵢ?
+    * T = Σwᵢaᵢ, E = p̄·Σwᵢnᵢ, Var = p̄(1−p̄)·(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N),
+    * z = (T−E)/√Var — the dose-response sharpening of q298's omnibus
+    * χ² (which spends power on non-monotone departures). Everything up
+    * to the final three doubles is an exact integer (T, and all the
+    * Σw-moments, stay BIGINT). Returns one row: n, n_pos, t_stat,
+    * z_r. */
+  def cochranArmitage(units: DataFrame, scoreCol: String,
+      outcome: Column): DataFrame = {
+    val g = units.groupBy(col(scoreCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(when(outcome, 1L).otherwise(0L)).as("_a"))
+    val agg = g.agg(sum(col("_n")).as("n"), sum(col("_a")).as("n_pos"),
+      sum(col(scoreCol) * col("_a")).as("t_stat"),
+      sum(col(scoreCol) * col("_n")).as("_wn"),
+      sum(col(scoreCol) * col(scoreCol) * col("_n")).as("_wwn"))
+    val nD = col("n").cast("double")
+    val pbar = col("n_pos").cast("double") / nD
+    val eT = pbar * col("_wn").cast("double")
+    val varT = pbar * (lit(1.0) - pbar) * (col("_wwn").cast("double")
+      - col("_wn").cast("double") * col("_wn").cast("double") / nD)
+    agg.select(col("n"), col("n_pos"), col("t_stat"),
+      round(when(varT > 0,
+        (col("t_stat").cast("double") - eT) / sqrt(varT)), 6)
+        .as("z_r"))
+  }
 }

@@ -22,7 +22,7 @@ object Registry {
       TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all ++
       MarkovQueries.all ++ SurvivalQueries.all ++
       ReliabilityQueries.all ++ CompletionQueries.all ++
-      AuditDepthQueries.all
+      AuditDepthQueries.all ++ StratifiedQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

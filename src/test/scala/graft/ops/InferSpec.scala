@@ -333,6 +333,36 @@ class InferSpec extends SparkTestBase {
     assert(r2.isNullAt(r2.fieldIndex("alpha_r"))) // total constant
   }
 
+  test("mantelHaenszel: hand two-stratum pooled OR and CMH chi2") {
+    import spark.implicits._
+    // stratum 1: 10/10/10/10 (OR 1); stratum 2: 20/10/10/20 (OR 4)
+    def rows(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (rows("s1", 10, 10, 10, 10) ++ rows("s2", 20, 10, 10, 20))
+      .toDF("st", "ex", "out")
+    val r = Infer.mantelHaenszel(df, "st", col("ex"), col("out"))
+      .collect().head
+    assert(r.getAs[Long]("n_strata") == 2)
+    assert(r.getAs[Long]("o_sum") == 30)
+    assert(r.getAs[Double]("e_sum_r") == 25.0)
+    // ORmh = (2.5 + 400/60)/(2.5 + 100/60) = 2.2
+    assert(r.getAs[Double]("or_mh_r") == 2.2)
+    val v = 160000.0 / 62400 + 810000.0 / 212400
+    assert(math.abs(r.getAs[Double]("chi2_r") - 25.0 / v) < 1e-5)
+  }
+
+  test("cochranArmitage: perfect linear trend gives z = 2") {
+    import spark.implicits._
+    // scores 1,2,3 with n=2 each and 0,1,2 positives: T=8, E=6, Var=1
+    val df = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("w", "pos")
+    val r = Infer.cochranArmitage(df, "w", col("pos")).collect().head
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_pos") == 3)
+    assert(r.getAs[Long]("t_stat") == 8)
+    assert(r.getAs[Double]("z_r") == 2.0)
+  }
+
   test("cohensD: hand pooled-sd case with Hedges correction") {
     import spark.implicits._
     val df = Seq((true, 2L), (true, 4L), (false, 0L), (false, 2L))
