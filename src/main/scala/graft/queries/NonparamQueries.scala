@@ -343,5 +343,83 @@ object NonparamQueries {
             .groupBy(col("event_type"), to_date(col("ts")).as("day"))
             .agg(count(lit(1)).as("x")),
           "event_type", "day", "x")
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // Partial correlation of daily order count and revenue CONTROLLING
+    // for the day index: how much of q301's association is just "both
+    // grow over time"? r_xy.t = (r_xy − r_xt·r_yt)/√((1−r_xt²)(1−r_yt²))
+    // from exact integer moments — one hash-agg, three Pearson rs, one
+    // closed form.
+    Q("q334_partial_correlation",
+      Some(s"""$dailyOrdersSql,
+              |g2 AS (
+              |  SELECT (day - (SELECT min(day) FROM grain))::BIGINT
+              |    AS t, x, y FROM grain),
+              |s AS (
+              |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              |    sum(y)::BIGINT AS sy, sum(t)::BIGINT AS st,
+              |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y)
+              |      AS syy,
+              |    sum(t::HUGEINT * t) AS stt, sum(x::HUGEINT * y)
+              |      AS sxy,
+              |    sum(x::HUGEINT * t) AS sxt, sum(y::HUGEINT * t)
+              |      AS syt
+              |  FROM g2),
+              |r AS (
+              |  SELECT n,
+              |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              |      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE
+              |          * sx::DOUBLE)
+              |        * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE
+              |          * sy::DOUBLE)) AS rxy,
+              |    (n::DOUBLE * sxt::DOUBLE - sx::DOUBLE * st::DOUBLE)
+              |      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE
+              |          * sx::DOUBLE)
+              |        * sqrt(n::DOUBLE * stt::DOUBLE - st::DOUBLE
+              |          * st::DOUBLE)) AS rxt,
+              |    (n::DOUBLE * syt::DOUBLE - sy::DOUBLE * st::DOUBLE)
+              |      / (sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE
+              |          * sy::DOUBLE)
+              |        * sqrt(n::DOUBLE * stt::DOUBLE - st::DOUBLE
+              |          * st::DOUBLE)) AS ryt
+              |  FROM s)
+              |SELECT n AS n_days, round(rxy, 6) AS r_xy_r,
+              |  round(rxt, 6) AS r_xt_r, round(ryt, 6) AS r_yt_r,
+              |  CASE WHEN (1 - rxt * rxt) * (1 - ryt * ryt) > 0 THEN
+              |    round((rxy - rxt * ryt)
+              |      / sqrt((1 - rxt * rxt) * (1 - ryt * ryt)), 6) END
+              |    AS partial_r
+              |FROM r""".stripMargin),
+      (s, d) => {
+        val daily0 = dailyOrders(s, d)
+        val d0 = daily0.agg(min(col("day")).as("_d0"))
+        val g2 = daily0.crossJoin(broadcast(d0))
+          .select(datediff(col("day"), col("_d0")).cast("long").as("t"),
+            col("x"), col("y"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val a = g2.agg(count(lit(1)).as("n"), sum(col("x")).as("_sx"),
+          sum(col("y")).as("_sy"), sum(col("t")).as("_st"),
+          sum(dec(col("x")) * col("x")).as("_sxx"),
+          sum(dec(col("y")) * col("y")).as("_syy"),
+          sum(dec(col("t")) * col("t")).as("_stt"),
+          sum(dec(col("x")) * col("y")).as("_sxy"),
+          sum(dec(col("x")) * col("t")).as("_sxt"),
+          sum(dec(col("y")) * col("t")).as("_syt"))
+        def dd(c: String) = col(c).cast("double")
+        val nD = dd("n")
+        def pearson(sab: String, a: String, b: String, saa: String,
+            sbb: String) =
+          (nD * dd(sab) - dd(a) * dd(b)) /
+            (sqrt(nD * dd(saa) - dd(a) * dd(a)) *
+              sqrt(nD * dd(sbb) - dd(b) * dd(b)))
+        val rxy = pearson("_sxy", "_sx", "_sy", "_sxx", "_syy")
+        val rxt = pearson("_sxt", "_sx", "_st", "_sxx", "_stt")
+        val ryt = pearson("_syt", "_sy", "_st", "_syy", "_stt")
+        a.select(col("n").as("n_days"), round(rxy, 6).as("r_xy_r"),
+          round(rxt, 6).as("r_xt_r"), round(ryt, 6).as("r_yt_r"),
+          round(when((lit(1.0) - rxt * rxt) * (lit(1.0) - ryt * ryt)
+            > 0, (rxy - rxt * ryt) /
+            sqrt((lit(1.0) - rxt * rxt) * (lit(1.0) - ryt * ryt))), 6)
+            .as("partial_r"))
+      }))
 }

@@ -161,5 +161,89 @@ object TrendQueries {
       (s, d) => TimeSeries.xcorrDaily(events(s, d), "ts",
           col("event_type") === "view", col("event_type") === "purchase",
           XcorrMaxLag)
-        .orderBy("lag")))
+        .orderBy("lag"))) :+ pacfQuery
+
+  // Partial autocorrelation at lags 1–3 via the Durbin–Levinson closed
+  // forms over q228's 6-dp ACF — "is lag-2 structure real or just
+  // lag-1 echoed twice", the AR-order diagnostic ACF alone can't give.
+  // Both engines derive from the SAME rounded ρ values, so the
+  // recursion is bit-identical by construction. (A def, not a val:
+  // `all` above references it before this point in init order.)
+  private def pacfQuery: Q = Q("q335_pacf",
+    Some("""WITH daily AS (
+           |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+           |  FROM events GROUP BY 1, 2),
+           |bounds AS (
+           |  SELECT event_type, min(day) AS d0, max(day) AS d1
+           |  FROM daily GROUP BY 1),
+           |spine AS (
+           |  SELECT event_type,
+           |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+           |      AS day
+           |  FROM bounds),
+           |filled AS (
+           |  SELECT s.event_type, s.day, coalesce(d.x, 0)::BIGINT AS x
+           |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+           |stats AS (
+           |  SELECT event_type, count(*)::BIGINT AS n,
+           |    sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS ss
+           |  FROM filled GROUP BY 1),
+           |pairs AS (
+           |  SELECT f1.event_type, l.lag, count(*)::BIGINT AS m,
+           |    sum(f1.x * f2.x)::BIGINT AS p,
+           |    sum(f1.x)::BIGINT AS a, sum(f2.x)::BIGINT AS b
+           |  FROM filled f1
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 3))::INTEGER
+           |              AS lag) l
+           |  JOIN filled f2 ON f2.event_type = f1.event_type
+           |    AND f2.day = f1.day + l.lag
+           |  GROUP BY 1, 2),
+           |acf AS (
+           |  SELECT p.event_type, p.lag,
+           |    CASE WHEN ss > (s::DOUBLE / n) * s THEN
+           |      round((p.p - (s::DOUBLE / n) * (p.a + p.b)
+           |        + p.m * (s::DOUBLE / n) * (s::DOUBLE / n))
+           |        / (ss - (s::DOUBLE / n) * s), 6)
+           |    END AS r
+           |  FROM pairs p JOIN stats USING (event_type)),
+           |pv AS (
+           |  SELECT event_type,
+           |    max(CASE WHEN lag = 1 THEN r END) AS r1,
+           |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+           |    max(CASE WHEN lag = 3 THEN r END) AS r3
+           |  FROM acf GROUP BY 1),
+           |p2 AS (
+           |  SELECT event_type, r1, r2, r3,
+           |    CASE WHEN 1 - r1 * r1 <> 0 THEN
+           |      (r2 - r1 * r1) / (1 - r1 * r1) END AS p22
+           |  FROM pv),
+           |p3 AS (SELECT event_type, r1, r2, r3, p22,
+           |       r1 - p22 * r1 AS p21 FROM p2)
+           |SELECT event_type, round(r1, 6) AS pacf1_r,
+           |  round(p22, 6) AS pacf2_r,
+           |  CASE WHEN 1 - p21 * r1 - p22 * r2 <> 0 THEN
+           |    round((r3 - p21 * r2 - p22 * r1)
+           |      / (1 - p21 * r1 - p22 * r2), 6) END AS pacf3_r
+           |FROM p3 ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val acf = TimeSeries.acfDaily(events(s, d), "event_type", "ts", 3)
+      val pv = acf.groupBy(col("event_type"))
+        .agg(max(when(col("lag") === 1, col("acf_r"))).as("r1"),
+          max(when(col("lag") === 2, col("acf_r"))).as("r2"),
+          max(when(col("lag") === 3, col("acf_r"))).as("r3"))
+      val p22 = when(lit(1.0) - col("r1") * col("r1") =!= 0,
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      val withP = pv.withColumn("_p22", p22)
+        .withColumn("_p21", col("r1") - col("_p22") * col("r1"))
+      withP.select(col("event_type"), round(col("r1"), 6).as("pacf1_r"),
+        round(col("_p22"), 6).as("pacf2_r"),
+        round(when(lit(1.0) - col("_p21") * col("r1")
+          - col("_p22") * col("r2") =!= 0,
+          (col("r3") - col("_p21") * col("r2")
+            - col("_p22") * col("r1")) /
+            (lit(1.0) - col("_p21") * col("r1")
+              - col("_p22") * col("r2"))), 6).as("pacf3_r"))
+        .orderBy("event_type")
+    })
 }
