@@ -22,7 +22,8 @@ object Registry {
       TemporalQueries.all ++ NonparamQueries.all ++ ValidityQueries.all ++
       MarkovQueries.all ++ SurvivalQueries.all ++
       ReliabilityQueries.all ++ CompletionQueries.all ++
-      AuditDepthQueries.all ++ StratifiedQueries.all
+      AuditDepthQueries.all ++ StratifiedQueries.all ++
+      ExtremeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
