@@ -240,8 +240,13 @@ object Nonparam {
     * lambda_xy_r, u_yx_r, u_xy_r. */
   def assocMeasures(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
+    // localCheckpoint, not cache: the joint table has SEVEN consumers
+    // below and must be computed once, but a cache() here would leak a
+    // pinned plan per invocation across a long session (the Markov.scala
+    // multi-consumer convention — materialize eagerly, no unpersist
+    // bookkeeping needed)
     val jd = df.groupBy(col(xCol), col(yCol))
-      .agg(count(lit(1)).as("_nxy")).cache()
+      .agg(count(lit(1)).as("_nxy")).localCheckpoint()
     val nx = jd.groupBy(col(xCol)).agg(sum(col("_nxy")).as("_m"))
     val ny = jd.groupBy(col(yCol)).agg(sum(col("_nxy")).as("_m"))
     val tot = jd.agg(sum(col("_nxy")).as("_n"))

@@ -656,9 +656,14 @@ object Profile {
   def inclusion(child: DataFrame, childCol: String, parent: DataFrame,
       parentCol: String, childLabel: String,
       parentLabel: String): DataFrame = {
-    val cd = child.select(col(childCol).cast("long").as("_v"))
+    // string casts, NOT numeric: containment is equality on values, so
+    // the probe must stay type-agnostic — a long cast would silently
+    // null out (and exclude) any non-numeric child value, measuring
+    // only the numeric-castable subset (DuckDB's ::BIGINT would error
+    // on the same input rather than shrink it)
+    val cd = child.select(col(childCol).cast("string").as("_v"))
       .where(col("_v").isNotNull).distinct()
-    val pd = parent.select(col(parentCol).cast("long").as("_v"))
+    val pd = parent.select(col(parentCol).cast("string").as("_v"))
       .where(col("_v").isNotNull).distinct()
     cd.join(pd.withColumn("_hit", lit(1L)), Seq("_v"), "left")
       .agg(count(lit(1)).as("n_child_distinct"),

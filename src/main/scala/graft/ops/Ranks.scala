@@ -429,12 +429,19 @@ object Ranks {
         - (col("_rand") + lag(col("_rand"), 1, 0.0).over(wl)) / 2)
         * (col("_x") - lag(col("_x"), 1, 0.0).over(wl)), 12)
         .cast("decimal(28,12)").as("_term"))
-    val auc = tr.agg(sum(col("_term")).cast("double").as("_auc"))
+    // a NULL trapezoid term (an early bucket with nc_cum = 0 makes its
+    // _qini undefined) would be silently SKIPPED by the DECIMAL sum,
+    // understating the area over a partial curve — so the AUC is
+    // reported as NULL (undefined) whenever any term is NULL, never as
+    // a quietly-partial number
+    val auc = tr.agg(sum(col("_term")).cast("double").as("_auc"),
+      sum(when(col("_term").isNull, 1L).otherwise(0L)).as("_nbad"))
     qq.crossJoin(broadcast(auc))
       .select(col("bucket"), col("nt_cum"), col("ct_cum"),
         col("nc_cum"), col("cc_cum"),
         round(col("_qini"), 6).as("qini_r"),
         round(col("_rand"), 6).as("rand_r"),
-        round(col("_auc"), 6).as("qini_auc_r"))
+        round(when(col("_nbad") === 0, col("_auc")), 6)
+          .as("qini_auc_r"))
   }
 }

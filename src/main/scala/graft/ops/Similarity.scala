@@ -505,20 +505,28 @@ object Similarity {
       .where(col("_ci") =!= col("_cj"))
       .select(col("_ci"), col("_cj"),
         (lit(1.0) - cosine_sim(col("_ei"), col("_ej"))).as("_m"))
-      .where(col("_m").isNotNull && col("_m") > 0)
+      .where(col("_m").isNotNull)
     val si = scat.select(col("cid").as("_ci"), col("_s").as("_si"))
     val sj = scat.select(col("cid").as("_cj"), col("_s").as("_sj"))
+    // degenerate centroid sets must be VISIBLE, not silently shrunk:
+    // a zero separation (duplicate/identical-direction centroids)
+    // makes the cell's worst ratio +inf — emitted as NULL r_max_r
+    // rather than dropping the pair and understating R_i; a cell with
+    // no other centroid at all (k = 1) gets NULL via the left join;
+    // and the global index is NULL whenever any R_i is undefined
     val rmax = sep.join(broadcast(si), Seq("_ci"))
       .join(broadcast(sj), Seq("_cj"))
       .groupBy(col("_ci").as("cid"))
-      .agg(max((col("_si") + col("_sj")) / col("_m")).as("_rmax"))
-    val db = rmax.agg(
+      .agg(when(sum(when(col("_m") <= 0, 1L).otherwise(0L)) === 0,
+        max((col("_si") + col("_sj")) / col("_m"))).as("_rmax"))
+    val joined = scat.join(rmax, Seq("cid"), "left")
+    val db = joined.agg(
       (sum(round(col("_rmax"), 12).cast("decimal(28,12)"))
-        .cast("double") / count(lit(1))).as("_db"))
-    scat.join(rmax, Seq("cid"))
-      .crossJoin(broadcast(db))
+        .cast("double") / count(lit(1))).as("_db"),
+      sum(when(col("_rmax").isNull, 1L).otherwise(0L)).as("_nbad"))
+    joined.crossJoin(broadcast(db))
       .select(col("cid"), col("n"), round(col("_s"), 6).as("scatter_r"),
         round(col("_rmax"), 6).as("r_max_r"),
-        round(col("_db"), 6).as("db_r"))
+        round(when(col("_nbad") === 0, col("_db")), 6).as("db_r"))
   }
 }

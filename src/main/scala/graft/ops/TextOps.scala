@@ -245,7 +245,8 @@ object TextOps {
     val addK = 0.5
     val toks = df.select(col(idCol), tokens(normalize(col(textCol))).as("t"))
     val bi = toks.select(col(idCol), explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |  slice(t, 2, greatest(size(t) - 1, 0)),
           |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
@@ -283,7 +284,8 @@ object TextOps {
       discount: Double, topK: Int): DataFrame = {
     val toks = df.select(tokens(normalize(col(textCol))).as("t"))
     val bi = toks.select(explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |  slice(t, 2, greatest(size(t) - 1, 0)),
           |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
@@ -328,7 +330,8 @@ object TextOps {
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c")).cache()
     val bi = toks.select(explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |  slice(t, 2, greatest(size(t) - 1, 0)),
           |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
@@ -727,7 +730,8 @@ object TextOps {
         tokens(normalize(col(textCol))).as("t"))
       .join(ids, Seq("_id"), "left_semi")
     val bi = toks.select(col("_id"), explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |  slice(t, 2, greatest(size(t) - 1, 0)),
           |  (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
       .groupBy(col("_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))

@@ -200,10 +200,12 @@ object UpliftQueries {
              |    * (x - lag(x, 1, 0) OVER (ORDER BY bucket)), 12)
              |    ::DECIMAL(28,12) AS term
              |  FROM qq),
-             |ar AS (SELECT sum(term)::DOUBLE AS auc FROM tr)
+             |ar AS (SELECT sum(term)::DOUBLE AS auc,
+             |  sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS nbad
+             |  FROM tr)
              |SELECT bucket, nt_cum, ct_cum, nc_cum, cc_cum,
              |  round(qini, 6) AS qini_r, round(rand, 6) AS rand_r,
-             |  round(auc, 6) AS qini_auc_r
+             |  round(CASE WHEN nbad = 0 THEN auc END, 6) AS qini_auc_r
              |FROM qq, ar ORDER BY bucket""".stripMargin),
       (s, d) => {
         val u = events(s, d).groupBy(col("user_id"))

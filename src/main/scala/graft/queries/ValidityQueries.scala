@@ -47,9 +47,9 @@ object ValidityQueries {
        |    AS is_candidate
        |FROM (
        |  SELECT cd.v, CASE WHEN pd.v IS NOT NULL THEN 1 END AS hit
-       |  FROM (SELECT DISTINCT $childCol::BIGINT AS v FROM $childTbl
+       |  FROM (SELECT DISTINCT $childCol::VARCHAR AS v FROM $childTbl
        |        WHERE $childCol IS NOT NULL) cd
-       |  LEFT JOIN (SELECT DISTINCT $parentCol::BIGINT AS v
+       |  LEFT JOIN (SELECT DISTINCT $parentCol::VARCHAR AS v
        |             FROM $parentTbl
        |             WHERE $parentCol IS NOT NULL) pd USING (v))"""
       .stripMargin
@@ -126,20 +126,25 @@ object ValidityQueries {
               |    1.0 - list_cosine_similarity(a.ce, b.ce) AS m
               |  FROM cent a, cent b
               |  WHERE a.cid <> b.cid
-              |    AND list_cosine_similarity(a.ce, b.ce) IS NOT NULL
-              |    AND 1.0 - list_cosine_similarity(a.ce, b.ce) > 0),
+              |    AND list_cosine_similarity(a.ce, b.ce) IS NOT NULL),
               |rmax AS (
-              |  SELECT ci AS cid, max((si.s + sj.s) / m) AS rmax
+              |  SELECT ci AS cid,
+              |    CASE WHEN sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END)
+              |      = 0 THEN max((si.s + sj.s) / m) END AS rmax
               |  FROM sep JOIN scat si ON si.cid = sep.ci
               |  JOIN scat sj ON sj.cid = sep.cj
               |  GROUP BY 1),
+              |j AS (SELECT scat.cid, n, s, rmax
+              |      FROM scat LEFT JOIN rmax USING (cid)),
               |db AS (
               |  SELECT sum(round(rmax, 12)::DECIMAL(28,12))::DOUBLE
-              |    / count(*) AS db FROM rmax)
-              |SELECT scat.cid, n, round(s, 6) AS scatter_r,
-              |  round(rmax, 6) AS r_max_r, round(db, 6) AS db_r
-              |FROM scat JOIN rmax USING (cid), db
-              |ORDER BY cid""".stripMargin),
+              |    / count(*) AS db,
+              |    sum(CASE WHEN rmax IS NULL THEN 1 ELSE 0 END)
+              |      AS nbad FROM j)
+              |SELECT cid, n, round(s, 6) AS scatter_r,
+              |  round(rmax, 6) AS r_max_r,
+              |  round(CASE WHEN nbad = 0 THEN db END, 6) AS db_r
+              |FROM j, db ORDER BY cid""".stripMargin),
       (s, d) => {
         val emb = embeddings(s, d)
         Similarity.daviesBouldin(emb,

@@ -427,6 +427,26 @@ class ProfileSpec extends SparkTestBase {
     assert(full.getAs[Double]("containment_r") == 1.0)
   }
 
+  test("inclusion is type-agnostic: non-numeric values still counted") {
+    import spark.implicits._
+    // a long cast would null these out and containment would be
+    // measured on the empty numeric-castable subset (vacuously 0/0);
+    // the string cast keeps equality containment honest
+    val child = Seq("a", "b", "b").toDF("c")
+    val parent = Seq("a", "c").toDF("p")
+    val r = Profile.inclusion(child, "c", parent, "p", "t1.c", "t2.p")
+      .collect().head
+    assert(r.getAs[Long]("n_child_distinct") == 2)
+    assert(r.getAs[Long]("n_matched") == 1)
+    assert(r.getAs[Double]("containment_r") == 0.5)
+    // mixed-type probe: long child against string parent matches on
+    // the string form of the value
+    val lc = Seq(1L, 2L).toDF("c")
+    val sp = Seq("1", "9").toDF("p")
+    val m = Profile.inclusion(lc, "c", sp, "p", "x", "y").collect().head
+    assert(m.getAs[Long]("n_matched") == 1)
+  }
+
   test("keyProfile: candidate key vs dup/null column") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))

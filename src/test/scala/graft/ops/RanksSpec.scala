@@ -266,6 +266,24 @@ class RanksSpec extends SparkTestBase {
     assert(b2.getAs[Double]("qini_auc_r") == 0.5)
   }
 
+  test("qiniCurve: undefined early bucket nulls the area, not shrinks it") {
+    import spark.implicits._
+    // top bucket is all-treated (nc_cum = 0): its qini point is
+    // undefined, so the AUC must be NULL — summing the remaining
+    // trapezoids would silently understate the area
+    val df = Seq(
+      (1L, 4L, true, 1L), (2L, 3L, true, 0L),
+      (3L, 2L, false, 1L), (4L, 1L, false, 0L))
+      .toDF("id", "sc", "armb", "conv")
+    val rows = Ranks.qiniCurve(df, "sc", "id", "armb", "conv",
+        buckets = 2, bandWidth = 8.0)
+      .orderBy("bucket").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("qini_r")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("qini_r")))
+    for (r <- rows) assert(r.isNullAt(r.fieldIndex("qini_auc_r")))
+  }
+
   test("percentileDisc: value at ceil(q·n), even and odd n") {
     import spark.implicits._
     val even = (1L to 4L).map(i => ("g", i * 10L, i))

@@ -275,4 +275,30 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("db_r") - 0.2) < 1e-9)
     }
   }
+
+  test("daviesBouldin: degenerate centroid sets surface as NULL") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    // duplicate-direction centroids: separation M = 0 → the worst
+    // ratio is +inf, reported as NULL (not silently dropped, which
+    // would understate R_i); the global index follows
+    val dup = Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.daviesBouldin(pts, dup).collect()
+    assert(d.nonEmpty)
+    for (r <- d) {
+      assert(r.isNullAt(r.fieldIndex("r_max_r")))
+      assert(r.isNullAt(r.fieldIndex("db_r")))
+    }
+    // a single centroid has NO separation set: the cell row must
+    // still appear (left join), with NULL ratio and index
+    val one = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val s = Similarity.daviesBouldin(pts, one).collect()
+    assert(s.length == 1)
+    assert(s.head.getAs[Long]("n") == 2)
+    assert(s.head.isNullAt(s.head.fieldIndex("r_max_r")))
+    assert(s.head.isNullAt(s.head.fieldIndex("db_r")))
+  }
 }

@@ -557,4 +557,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(p2.getAs[Double]("rouge2_precision_r") == 0.25)
     assert(p2.getAs[Double]("rouge2_f1_r") == 0.4)
   }
+
+  test("bigram ops survive zero- and one-token documents") {
+    // slice(t, 1, size(t)-1) with size 0 would be a negative-length
+    // slice → runtime crash before the greatest() guard; the oracle's
+    // generate_series(1, -1) is gracefully empty — engines must agree
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, ""), (3L, "   "), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // per-doc surprisal: degenerate docs have no bigrams → omitted
+    val surv = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(1L))
+    // pair eval referencing a bigram-less doc: no crash; the pair is
+    // dropped (no totals row), matching the oracle's inner join
+    val pairs = Seq((10L, 1L, 2L), (11L, 1L, 1L))
+      .toDF("pair_id", "a", "b")
+    val got = TextOps.rouge2Pairs(docs, "doc_id", "text", pairs,
+      "pair_id", "a", "b").collect()
+    assert(got.map(_.getAs[Long]("pair_id")).toSet == Set(11L))
+  }
 }
