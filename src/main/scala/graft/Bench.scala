@@ -129,6 +129,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional runtime-conf overrides (same contract as graft.Verify):
+    // SPARK_GRAFT_SPARK_CONF="k=v,k=v" — forces alternate physical
+    // paths (e.g. the distributed components fallback) under the same
+    // timing harness; forked shard children inherit the env var
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(_.split(',')
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // absorb one-off JVM/codegen/scan-init cost so per-query numbers
     // reflect steady state rather than whichever query runs first. The
     // warmup query is a FIXED name (an unordered Map's headOption would

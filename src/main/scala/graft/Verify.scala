@@ -17,6 +17,15 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional runtime-conf overrides (e.g. SPARK_GRAFT_SPARK_CONF=
+    // "spark.graft.dedup.unionFindMaxEdges=0") — lets the scale probes
+    // force alternate physical paths (the distributed components
+    // fallback) through the SAME correctness gate, no code edits
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(_.split(',')
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name-prefix filter for focused local runs
     // (e.g. SPARK_GRAFT_VERIFY_FILTER=q82,q89); unset (the driver) = all

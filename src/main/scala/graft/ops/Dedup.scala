@@ -442,14 +442,18 @@ object Dedup {
     *    corpus — verified near-dup pairs are sparse by construction): an
     *    exact single-pass union-find on ONE executor partition. One
     *    narrow job, no iteration, no per-round checkpoint/count jobs.
-    *  - large graphs: min-label propagation run TO THE FIXPOINT — each
-    *    round takes the min label over direct neighbors; the loop stops
-    *    when a round lowers zero labels, so every node ends with the
-    *    true component minimum no matter how long the duplicate chain is
-    *    (a fixed round count would split a chain longer than its
-    *    iteration budget into multiple "keepers" and silently
-    *    under-remove). Rounds needed = graph diameter; `maxIters` is
-    *    only a runaway guard.
+    *  - large graphs: min-label propagation WITH POINTER JUMPING
+    *    (label ← label(label) each round, the Shiloach–Vishkin
+    *    shortcut) run TO THE FIXPOINT — the loop stops when a round
+    *    lowers zero labels, so every node ends with the true component
+    *    minimum no matter how long the duplicate chain is (a fixed
+    *    round count would split a chain longer than its iteration
+    *    budget into multiple "keepers" and silently under-remove).
+    *    Rounds needed = O(log diameter), NOT diameter — a 100-link dup
+    *    chain converges in ~7 rounds, not 100; `maxIters` is only a
+    *    runaway guard. Rounds-to-fixpoint is exported via the session
+    *    conf `spark.graft.dedup.lastComponentsRounds` (read by
+    *    [[graft.tools.ComponentsProbe]]).
     *
     * Both paths return (node, label), label = min doc id in the
     * component, and are asserted identical in DedupSpec.
@@ -499,20 +503,43 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(neighborMin, Seq("node"), "left")
+      val prop = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+      // pointer jumping (Shiloach–Vishkin shortcut): label ← label(label).
+      // Plain neighbor-min propagation needs DIAMETER rounds — a
+      // 100-link duplicate chain would take 100 shuffle rounds; halving
+      // the label-chain depth each round makes it O(log diameter)
+      // (measured: q81's simhash graph 9 → 4 rounds,
+      // tools/bench_r10_components_*.json). Every label value is itself
+      // a node id (labels only ever move to other nodes' ids), so the
+      // lookup self-join always matches; the extra join is node-sized,
+      // not edge-sized.
+      val stepped = prop.join(
+          prop.select(col("node").as("label"), col("label").as("_jl")),
+          Seq("label"), "left")
+        .select(col("node"), col("prev"),
+          least(col("label"), coalesce(col("_jl"), col("label")))
+            .as("label"))
         .localCheckpoint()
       // convergence check is a cheap count over the just-materialized
-      // blocks — min-label propagation is monotone, so zero lowered
-      // labels means the fixpoint is reached
+      // blocks — both steps are monotone (labels only decrease, always
+      // to ids of same-component nodes), so zero lowered labels means
+      // label(u) ≤ label(v) for every edge (u,v); by edge symmetry the
+      // label is then constant per component, and the component min m
+      // can never move (no smaller id exists), so the constant is m
       changed = stepped.filter(col("label") < col("prev")).count()
       labels = stepped.select("node", "label")
       round += 1
     }
     require(changed == 0,
       s"nearDupComponents did not converge within $maxIters rounds")
+    // observable convergence: rounds-to-fixpoint = graph diameter; the
+    // scale probes read this back (SCALE.md fallback table) and a
+    // deployment can alert on it without log scraping
+    pairs.sparkSession.conf
+      .set("spark.graft.dedup.lastComponentsRounds", round.toString)
     labels
   }
 

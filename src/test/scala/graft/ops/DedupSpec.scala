@@ -103,6 +103,13 @@ class DedupSpec extends SparkTestBase {
     assert(labels.size == 11)
     assert(labels.values.toSet == Set(1L),
       s"every node must carry the chain minimum, got $labels")
+    // pointer jumping must make rounds O(log diameter): plain
+    // neighbor-min propagation would need 10 rounds (+1 verify) on
+    // this chain; with the shortcut the label-chain depth halves each
+    // round, so well under that
+    val rounds = spark.conf
+      .get("spark.graft.dedup.lastComponentsRounds").toInt
+    assert(rounds <= 6, s"diameter-10 chain took $rounds rounds")
   }
 
   test("union-find path and propagation path produce identical labels") {
