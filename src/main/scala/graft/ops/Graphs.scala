@@ -495,17 +495,21 @@ object Graphs {
       .groupBy(col("_la").as("label"))
       .agg(count(lit(1)).as("e_c"))
     val m = edges.agg(count(lit(1)).as("_m"))
+    // localCheckpoint: two consumers (the global-Q agg and the output
+    // projection); |communities| is GRAPH-shaped, not spec-shaped —
+    // label propagation can emit O(V) communities, so the global sum
+    // must be a distributed agg re-entering by broadcast, never an
+    // unpartitioned window funneling the community table into one task
     val perC = dMass.join(intra, Seq("label"), "left")
       .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
       .crossJoin(broadcast(m))
+      .localCheckpoint()
     val contrib = col("e_c").cast("double") / col("_m") -
       (col("d_c").cast("double") / (lit(2.0) * col("_m"))) *
         (col("d_c").cast("double") / (lit(2.0) * col("_m")))
-    val wAll = Window.orderBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perC
-      .withColumn("_q", sum(round(contrib, 12).cast("decimal(28,12)"))
-        .over(wAll))
+    val q = perC.agg(sum(round(contrib, 12).cast("decimal(28,12)"))
+      .as("_q"))
+    perC.crossJoin(broadcast(q))
       .select(col("label"), col("n_vertices"), col("e_c"), col("d_c"),
         round(contrib, 6).as("contrib_r"),
         round(col("_q").cast("double"), 6).as("modularity_r"))

@@ -74,20 +74,27 @@ object Nonparam {
     * Carries 2U so everything stays integer until the final division:
     * 2U_a = Σ_s n_a(s)·(2·N_b(<s) + n_b(s)) over distinct values s.
     *
-    * Shape: one corpus hash-agg to per-(value) class counts, a
-    * cumulative window over THAT bounded table, one rollup — the
-    * rankSumAuc posture; no corpus sort, no quadratic pair join.
+    * Shape: one corpus hash-agg to per-(value) class counts, then the
+    * cumulative N_b(<s) prefix via [[Ranks.bandedRunningSum]]'s
+    * two-level prefix sum over that table, one rollup — the rankSumAuc
+    * posture; no corpus sort, no quadratic pair join, and no
+    * UNPARTITIONED window either: the distinct-value table is bounded
+    * for integer metrics but DATA-SIZED for a continuous double column
+    * at 100 TB, where a global-orderBy window would funnel it through
+    * one task. `bandWidth` is the banding valve on the value scale
+    * (default 16: metrics on an integer grid split one band per 16
+    * units; pick ≫ #cores bands for continuous metrics).
     * Returns one row: n_a, n_b, u2 (= 2U_a), z_r, cliffs_r. */
   def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
-      aVal: String, bVal: String): DataFrame = {
+      aVal: String, bVal: String,
+      bandWidth: Double = 16.0): DataFrame = {
     val per = df.where(col(groupCol).isin(aVal, bVal))
       .groupBy(col(valueCol))
       .agg(sum(when(col(groupCol) === aVal, 1L).otherwise(0L)).as("_na"),
         sum(when(col(groupCol) === bVal, 1L).otherwise(0L)).as("_nb"))
-    val w = Window.orderBy(valueCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = per
-      .withColumn("_cumb", coalesce(sum(col("_nb")).over(w), lit(0L)))
+    val agg = Ranks.bandedRunningSum(per.withColumn("_g", lit(0)),
+        "_g", valueCol, "_nb", bandWidth)
+      .withColumn("_cumb", col("runsum") - col("_nb"))
       .agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
         sum(col("_na") * (lit(2) * col("_cumb") + col("_nb"))).as("u2"),
         sum((col("_na") + col("_nb")) * (col("_na") + col("_nb"))

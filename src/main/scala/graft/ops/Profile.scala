@@ -500,29 +500,45 @@ object Profile {
     * difference form, 0 = uniform, → 1 = one key holds everything.
     *
     * Scale shape: one corpus scan hash-aggs to the CACHED |keys|-row
-    * count table; both windows (ascending for Gini, descending for the
-    * top-k ranks) run over that |keys|-row table — the Pack bucket-table
-    * posture — and the two scalars re-enter by broadcast. */
-  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    * count table — and NO window ever runs over that table, because
+    * |keys| is data-shaped (billions of users at 100 TB, where a
+    * global-orderBy rank window is one task):
+    *
+    *  - Gini collapses to the frequency-of-frequencies table: every
+    *    key with count value c occupies a consecutive ascending-rank
+    *    run, and the run's Σ(2i−S−1)·c is c·L·(2o+L−S) (o = keys
+    *    ranked below the run, L = run length) independent of intra-run
+    *    order — so the prefix runs over DISTINCT count values (≤ O(√N)
+    *    rows: distinct frequencies sum to N), via
+    *    [[Ranks.bandedRunningSum]] so even that table is never one
+    *    task. Exact-integer terms; identical sum to the per-key form.
+    *  - the top-k ranks come from `orderBy().limit(k)` — Spark's
+    *    distributed TakeOrderedAndProject — with the rank/cumulative
+    *    windows running over the ≤ k surviving rows only.
+    *
+    * `bandWidth` bands the count-value axis (default 16). */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int,
+      bandWidth: Double = 16.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: |keys| rows feeding the scalar agg, the Gini agg, and the
-    // ranked top-k — one corpus scan total
+    // cached: |keys| rows feeding the scalar agg, the frequency table,
+    // and the top-k — one corpus scan total
     val counts = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n")).cache()
     val tot = counts.agg(sum(col("n")).cast("double").as("_tot"),
       count(lit(1)).cast("double").as("_s"))
-    val wAsc = Window.orderBy(col("n"), col(keyCol))
-    val gini = counts
-      .withColumn("_i", row_number().over(wAsc).cast("double"))
-      .crossJoin(broadcast(tot))
-      .agg((sum((lit(2) * col("_i") - col("_s") - 1) * col("n"))
+    val freq = counts.groupBy(col("n")).agg(count(lit(1)).as("_l"))
+    val offs = Ranks.bandedRunningSum(freq.withColumn("_g", lit(0)),
+        "_g", "n", "_l", bandWidth)
+      .withColumn("_o", col("runsum") - col("_l"))
+    val gini = offs.crossJoin(broadcast(tot))
+      .agg((sum(col("n") * col("_l")
+        * (lit(2) * col("_o") + col("_l") - col("_s")))
         / (first(col("_s")) * first(col("_tot")))).as("_gini"))
     val wDesc = Window.orderBy(col("n").desc, col(keyCol))
-    counts
+    counts.orderBy(col("n").desc, col(keyCol)).limit(topK)
       .withColumn("rank", row_number().over(wDesc))
       .withColumn("_cum", sum(col("n")).over(
         wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("rank") <= topK)
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(gini))
       .select(col("rank"), col(keyCol), col("n"),

@@ -342,6 +342,60 @@ class PlanSpec extends SparkTestBase {
       s"no wide join belongs in a one-row report:\n$p")
   }
 
+  /** For every Window node in the simple-mode plan, the FIRST Exchange
+    * in its own subtree (windows have a single child chain:
+    * Window ← Sort ← Exchange) — "" when the subtree holds no
+    * exchange (input already partitioned, or a driver-bounded source
+    * like TakeOrderedAndProject). */
+  private def windowChildExchanges(p: String): Seq[(String, String)] = {
+    val lines = p.split('\n')
+    def depth(s: String) = s.indexWhere(_.isLetter)
+    lines.zipWithIndex.collect {
+      case (l, i) if depth(l) >= 0 &&
+          l.substring(depth(l)).startsWith("Window") =>
+        val d = depth(l)
+        l -> lines.drop(i + 1)
+          .takeWhile(x => depth(x) < 0 || depth(x) > d)
+          .find(_.contains("Exchange"))
+          .getOrElse("")
+    }.toSeq
+  }
+
+  /** A SinglePartition-fed window is legitimate ONLY when it is the
+    * two-level machinery's level-1 prefix over the per-band aggregate
+    * (its spec orders by `_band` — a #bands-row table); any other
+    * single-partition window is a corpus funneled into one task. */
+  private def assertWindowsBanded(name: String): String = {
+    val p = simplePlan(name)
+    val offenders = windowChildExchanges(p).filter { case (w, ex) =>
+      ex.contains("SinglePartition") && !w.contains("_band")
+    }
+    assert(offenders.isEmpty,
+      s"$name: data-path window fed by a single-partition exchange:\n" +
+        s"$offenders")
+    p
+  }
+
+  test("r10 banding sweep: no corpus-derived frame feeds an " +
+      "unpartitioned window (q302 / q162 / q264)") {
+    // q302: the distinct-value cumulative prefix is banded — at 100 TB
+    // a continuous metric makes that table data-sized
+    val mw = assertWindowsBanded("q302_mann_whitney")
+    assert(mw.contains("hashpartitioning") && mw.contains("_band"),
+      s"expected a banded data-path window in q302:\n$mw")
+    // q162: the Gini prefix runs over the banded frequency-of-
+    // frequencies table; top-k ranks sit on a TakeOrderedAndProject
+    // (driver-bounded k rows), never a global window over |keys|
+    val ks = assertWindowsBanded("q162_key_skew")
+    assert(ks.contains("TakeOrderedAndProject"),
+      s"q162 top-k must be TakeOrderedAndProject:\n$ks")
+    // q264: the global-Q sum is a distributed agg re-entering by
+    // broadcast — the community table (graph-shaped) feeds no window
+    val mod = simplePlan("q264_modularity")
+    assert(windowChildExchanges(mod).isEmpty,
+      s"q264 must contain no window at all:\n$mod")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
