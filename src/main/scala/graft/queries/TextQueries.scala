@@ -136,6 +136,110 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)""".stripMargin
 
+  /** The sampled LSH-recall audit body, parameterized by the md5
+    * stratum percent: ground truth restricted to a p-fraction doc
+    * stratum cuts the exact join's pair volume to ~p² (pairs need
+    * BOTH endpoints in-stratum) while the Wilson interval keeps the
+    * smaller sample honest. q279 runs the 50% demonstration stratum;
+    * q338 the 10% production-posture stratum (SCALE.md: 1-5% at
+    * 100 TB) — its bench time SHOWS the discount materializing. */
+  private def recallSampledQ(name: String, pct: Int): Q =
+    Q(name,
+      Some(s"""$bandsCte,
+              |sizes AS (SELECT doc_id, count(*) AS n FROM hashed
+              |          GROUP BY 1),
+              |linter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN hashed ha ON ha.doc_id = c.doc_a
+              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2),
+              |lsh AS (
+              |  SELECT l.doc_a, l.doc_b FROM linter l
+              |  JOIN sizes sa ON sa.doc_id = l.doc_a
+              |  JOIN sizes sb ON sb.doc_id = l.doc_b
+              |  WHERE CAST(l.n_inter AS DOUBLE)
+              |      / (sa.n + sb.n - l.n_inter) >= 0.5),
+              |samp AS (
+              |  SELECT doc_id FROM documents
+              |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+              |    ::BIGINT % 100 < $pct),
+              |shashed AS (
+              |  SELECT h.doc_id, h.h FROM hashed h JOIN samp
+              |  USING (doc_id)),
+              |spdfreq AS (SELECT h, count(*) AS df FROM shashed
+              |            GROUP BY 1),
+              |spref AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT s.doc_id, s.h, z.n,
+              |      row_number() OVER (PARTITION BY s.doc_id
+              |        ORDER BY d.df, s.h) AS rn
+              |    FROM shashed s JOIN spdfreq d USING (h)
+              |      JOIN sizes z USING (doc_id)) t
+              |  WHERE rn <= n - ceil(0.5 * n) + 1),
+              |spok AS (
+              |  SELECT doc_id, h FROM (
+              |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bn
+              |    FROM spref) t
+              |  WHERE bn <= ${graft.ops.Dedup.MaxBucket}),
+              |scand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM spok a JOIN spok b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |sinter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              |  FROM scand c
+              |  JOIN shashed ha ON ha.doc_id = c.doc_a
+              |  JOIN shashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+              |  GROUP BY 1, 2),
+              |sexact AS (
+              |  SELECT i.doc_a, i.doc_b FROM sinter i
+              |  JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b
+              |  WHERE CAST(i.n_inter AS DOUBLE)
+              |      / (sa.n + sb.n - i.n_inter) >= 0.5),
+              |flag AS (
+              |  SELECT e.doc_a,
+              |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM sexact e LEFT JOIN lsh l
+              |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+              |a AS (
+              |  SELECT 'minhash_lsh_b4r4_j0.5' AS audit,
+              |    count(*)::BIGINT AS n, sum(hit)::BIGINT AS k
+              |  FROM flag GROUP BY 1)
+              |SELECT audit, n, k,
+              |  round(k::DOUBLE / n, 6) AS rate_r,
+              |  round((k::DOUBLE / n + (1.959964 * 1.959964) / (2.0 * n))
+              |      / (1.0 + (1.959964 * 1.959964) / n)
+              |    - 1.959964 * sqrt(k::DOUBLE / n * (1.0 - k::DOUBLE / n)
+              |        / n + (1.959964 * 1.959964) / (4.0 * n * n))
+              |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS lo_r,
+              |  round((k::DOUBLE / n + (1.959964 * 1.959964) / (2.0 * n))
+              |      / (1.0 + (1.959964 * 1.959964) / n)
+              |    + 1.959964 * sqrt(k::DOUBLE / n * (1.0 - k::DOUBLE / n)
+              |        / n + (1.959964 * 1.959964) / (4.0 * n * n))
+              |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS hi_r
+              |FROM a""".stripMargin),
+      (s, d) => {
+        import graft.ops.{Curation, Dedup, Infer}
+        val docs = documents(s, d)
+        val samp = Curation.stratifiedSample(docs, "doc_id", "lang",
+          Map.empty, pct)
+        val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
+        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+        val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
+          .where(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val exactS = Dedup.prefixFilterPairs(samp, "doc_id", "text", 0.5)
+          .select("doc_a", "doc_b")
+        val flagged = exactS
+          .join(lsh.withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"),
+            "left")
+          .select(lit("minhash_lsh_b4r4_j0.5").as("audit"), col("_hit"))
+        Infer.wilsonInterval(flagged, "audit", col("_hit").isNotNull)
+      })
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content (keeper = min id).
@@ -799,100 +903,10 @@ object TextQueries {
     // (Infer.wilsonInterval — the q241 machinery) instead of a false
     // point-certainty. Beyond small corpora this REPLACES q262's
     // full-exact audit (SCALE.md "LSH recall auditing").
-    Q("q279_lsh_recall_sampled",
-      Some(s"""$bandsCte,
-              |sizes AS (SELECT doc_id, count(*) AS n FROM hashed
-              |          GROUP BY 1),
-              |linter AS (
-              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              |  FROM cand c
-              |  JOIN hashed ha ON ha.doc_id = c.doc_a
-              |  JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-              |  GROUP BY 1, 2),
-              |lsh AS (
-              |  SELECT l.doc_a, l.doc_b FROM linter l
-              |  JOIN sizes sa ON sa.doc_id = l.doc_a
-              |  JOIN sizes sb ON sb.doc_id = l.doc_b
-              |  WHERE CAST(l.n_inter AS DOUBLE)
-              |      / (sa.n + sb.n - l.n_inter) >= 0.5),
-              |samp AS (
-              |  SELECT doc_id FROM documents
-              |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
-              |    ::BIGINT % 100 < $RecallSamplePct),
-              |shashed AS (
-              |  SELECT h.doc_id, h.h FROM hashed h JOIN samp
-              |  USING (doc_id)),
-              |spdfreq AS (SELECT h, count(*) AS df FROM shashed
-              |            GROUP BY 1),
-              |spref AS (
-              |  SELECT doc_id, h FROM (
-              |    SELECT s.doc_id, s.h, z.n,
-              |      row_number() OVER (PARTITION BY s.doc_id
-              |        ORDER BY d.df, s.h) AS rn
-              |    FROM shashed s JOIN spdfreq d USING (h)
-              |      JOIN sizes z USING (doc_id)) t
-              |  WHERE rn <= n - ceil(0.5 * n) + 1),
-              |spok AS (
-              |  SELECT doc_id, h FROM (
-              |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS bn
-              |    FROM spref) t
-              |  WHERE bn <= ${graft.ops.Dedup.MaxBucket}),
-              |scand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM spok a JOIN spok b
-              |    ON a.h = b.h AND a.doc_id < b.doc_id),
-              |sinter AS (
-              |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              |  FROM scand c
-              |  JOIN shashed ha ON ha.doc_id = c.doc_a
-              |  JOIN shashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-              |  GROUP BY 1, 2),
-              |sexact AS (
-              |  SELECT i.doc_a, i.doc_b FROM sinter i
-              |  JOIN sizes sa ON sa.doc_id = i.doc_a
-              |  JOIN sizes sb ON sb.doc_id = i.doc_b
-              |  WHERE CAST(i.n_inter AS DOUBLE)
-              |      / (sa.n + sb.n - i.n_inter) >= 0.5),
-              |flag AS (
-              |  SELECT e.doc_a,
-              |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-              |  FROM sexact e LEFT JOIN lsh l
-              |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
-              |a AS (
-              |  SELECT 'minhash_lsh_b4r4_j0.5' AS audit,
-              |    count(*)::BIGINT AS n, sum(hit)::BIGINT AS k
-              |  FROM flag GROUP BY 1)
-              |SELECT audit, n, k,
-              |  round(k::DOUBLE / n, 6) AS rate_r,
-              |  round((k::DOUBLE / n + (1.959964 * 1.959964) / (2.0 * n))
-              |      / (1.0 + (1.959964 * 1.959964) / n)
-              |    - 1.959964 * sqrt(k::DOUBLE / n * (1.0 - k::DOUBLE / n)
-              |        / n + (1.959964 * 1.959964) / (4.0 * n * n))
-              |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS lo_r,
-              |  round((k::DOUBLE / n + (1.959964 * 1.959964) / (2.0 * n))
-              |      / (1.0 + (1.959964 * 1.959964) / n)
-              |    + 1.959964 * sqrt(k::DOUBLE / n * (1.0 - k::DOUBLE / n)
-              |        / n + (1.959964 * 1.959964) / (4.0 * n * n))
-              |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS hi_r
-              |FROM a""".stripMargin),
-      (s, d) => {
-        import graft.ops.{Curation, Dedup, Infer}
-        val docs = documents(s, d)
-        val samp = Curation.stratifiedSample(docs, "doc_id", "lang",
-          Map.empty, RecallSamplePct)
-        val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
-        val cand = Dedup.lshCandidatePairs(sig, "doc_id")
-        val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
-          .where(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        val exactS = Dedup.prefixFilterPairs(samp, "doc_id", "text", 0.5)
-          .select("doc_a", "doc_b")
-        val flagged = exactS
-          .join(lsh.withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"),
-            "left")
-          .select(lit("minhash_lsh_b4r4_j0.5").as("audit"), col("_hit"))
-        Infer.wilsonInterval(flagged, "audit", col("_hit").isNotNull)
-      })
+    recallSampledQ("q279_lsh_recall_sampled", RecallSamplePct),
+
+    // the production-posture stratum: same audit at 10% — the ~p^2
+    // exact-side discount the 50% demo cannot show (VERDICT r9 item 4)
+    recallSampledQ("q338_lsh_recall_sampled10", 10)
   )
 }
