@@ -88,23 +88,36 @@ object Streams {
     * nothing is materialized on the driver) and is read back as a batch
     * relation. A memory sink here would collect every joined pair into
     * driver memory — a driver OOM at scale. */
-  def streamStreamJoin(spark: SparkSession, dir: String,
-      lookback: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
+  /** The shared purchases⋈signups event-time join shape behind all
+    * three stream-stream join queries (inner / left_outer /
+    * full_outer): 1-hour watermarks on both sides plus the
+    * [p_ts − lookback, p_ts] range condition that lets Spark bound
+    * BOTH state stores. Package-private so StreamsSpec can drive the
+    * identical shape from a MemoryStream and MEASURE the eviction
+    * (peak `stateOperators.numRowsTotal` across micro-batches) instead
+    * of arguing it from watermark semantics. */
+  private[streaming] def purchaseSignupJoin(ev: DataFrame,
+      lookback: String, joinType: String): DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
       .withWatermark("p_ts", "1 hour")
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
         col("event_id").as("s_id"))
       .withWatermark("s_ts", "1 hour")
-    val joined = purchases.join(signups,
+    purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("p_id"), col("s_id"))
-    runToFiles(spark, joined)
   }
+
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      lookback: String): DataFrame =
+    runToFiles(spark,
+      purchaseSignupJoin(eventsStream(spark, dir), lookback, "inner"))
 
   /** LEFT OUTER stream-stream join: every purchase, matched signups
     * when they exist inside the event-time bound, NULL-padded
@@ -119,24 +132,10 @@ object Streams {
     * the end of input never get their no-match proof and stay absent.
     * The q272 oracle encodes exactly that watermark gate. */
   def streamStreamLeftJoin(spark: SparkSession, dir: String,
-      lookback: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
-        col("event_id").as("s_id"))
-      .withWatermark("s_ts", "1 hour")
-    val joined = purchases.join(signups,
-      col("user_id") === col("s_user") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
-      "left_outer")
-      .select(col("p_id"), col("s_id"))
-    runToFiles(spark, joined)
-  }
+      lookback: String): DataFrame =
+    runToFiles(spark,
+      purchaseSignupJoin(eventsStream(spark, dir), lookback,
+        "left_outer"))
 
   /** FULL OUTER stream-stream join — both no-match proofs at once:
     * unmatched purchases null-pad on the signup side exactly as in
@@ -149,24 +148,10 @@ object Streams {
     * encodes both gates; state on each side is bounded by the same
     * watermark + range condition as the inner join. */
   def streamStreamFullJoin(spark: SparkSession, dir: String,
-      lookback: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
-        col("event_id").as("s_id"))
-      .withWatermark("s_ts", "1 hour")
-    val joined = purchases.join(signups,
-      col("user_id") === col("s_user") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
-      "full_outer")
-      .select(col("p_id"), col("s_id"))
-    runToFiles(spark, joined)
-  }
+      lookback: String): DataFrame =
+    runToFiles(spark,
+      purchaseSignupJoin(eventsStream(spark, dir), lookback,
+        "full_outer"))
 
   /** Stream-static join: the event stream enriched against a static
     * dimension (here customer segments), then windowed per segment. The
@@ -340,8 +325,29 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordStateRows(spark, q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+  }
+
+  /** Exports the finished query's PEAK state-store row count
+    * (max of `stateOperators.numRowsTotal` across its micro-batch
+    * progress events) to `spark.graft.stream.lastMaxStateRows` — the
+    * measured form of every watermark-eviction claim. StreamsSpec
+    * asserts boundedness against the event-time horizon's row budget;
+    * a deployment alerts on the same number instead of trusting the
+    * semantics argument. 100 TB posture: pair this with the RocksDB
+    * state store (`spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider) so per-executor state is disk-backed
+    * and bounded-memory; the HDFS-backed default keeps state on-heap,
+    * which is fine for watermark-bounded joins at these scales but not
+    * for billion-key session state. */
+  private[streaming] def recordStateRows(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val rows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal)
+    spark.conf.set("spark.graft.stream.lastMaxStateRows",
+      (if (rows.isEmpty) 0L else rows.max).toString)
   }
 
   /** Append-mode queries whose output is unbounded in the input size go
@@ -391,6 +397,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordStateRows(spark, q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // pin the schema so an empty result (zero emitted files) still reads
     spark.read.schema(df.schema).parquet(out)
