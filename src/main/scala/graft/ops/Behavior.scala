@@ -758,20 +758,34 @@ object Behavior {
     * 1: the result is the distribution over the chain restricted to
     * states with outgoing edges, not a renormalized one. The events
     * fixture has no such state (every type appears mid-sequence), so
-    * the oracle agrees; callers on other data should pad P with
-    * self-loops for sinks if conservation matters. */
+    * the oracle agrees. `sinkSelfLoops = true` closes the caveat for
+    * sink-bearing chains: every sink state gets a probability-1
+    * self-loop, making P row-stochastic over ALL states so Σπ = 1
+    * holds at every iteration (sinks become absorbing — their mass
+    * accumulates instead of vanishing). Default false: the registered
+    * oracle encodes the restricted-chain semantics. */
   def stationaryDistribution(events: DataFrame, entityCol: String,
-      typeCol: String, orderBy: Seq[Column], iters: Int): DataFrame = {
+      typeCol: String, orderBy: Seq[Column], iters: Int,
+      sinkSelfLoops: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val t = transitions(events, entityCol, typeCol, orderBy)
     val rowTot = t.groupBy(col("from_type")).agg(sum(col("n")).as("_rt"))
-    val p = t.join(rowTot, "from_type")
+    val p0 = t.join(rowTot, "from_type")
       .select(col("from_type"), col("to_type"),
         round(col("n").cast("double") / col("_rt").cast("double"), 12)
           .as("p"))
       .localCheckpoint() // consumed every iteration: materialize once
-    val states = p.select(col("from_type").as("state"))
-      .union(p.select(col("to_type").as("state"))).distinct()
+    val states = p0.select(col("from_type").as("state"))
+      .union(p0.select(col("to_type").as("state"))).distinct()
+    val p =
+      if (!sinkSelfLoops) p0
+      else p0.unionByName(
+        // sinks = states never seen as a source; |sinks| ≤ |S| rows
+        states.join(p0.select(col("from_type").as("state")).distinct(),
+            Seq("state"), "left_anti")
+          .select(col("state").as("from_type"),
+            col("state").as("to_type"), lit(1.0).as("p")))
+        .localCheckpoint()
     var pi = states
       .crossJoin(broadcast(states.agg(count(lit(1)).as("_k"))))
       .select(col("state"),

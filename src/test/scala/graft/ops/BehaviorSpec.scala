@@ -465,6 +465,32 @@ class BehaviorSpec extends SparkTestBase {
     assert(abs == Map("B" -> 1.0), abs.toString)
   }
 
+  test("stationaryDistribution: sinkSelfLoops makes Σπ = 1 on a " +
+      "sink-bearing chain (default leaks the sink's mass)") {
+    import spark.implicits._
+    // A -> B -> END for two users: END is always last, so it has no
+    // outgoing transitions — a true sink state
+    val rows = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "END", 3L),
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "END", 3L))
+      .toDF("user_id", "event_type", "ord")
+    // default (restricted-chain semantics): mass flowing into END
+    // vanishes — the documented drift below 1
+    val leaky = Behavior.stationaryDistribution(rows, "user_id",
+        "event_type", Seq(col("ord")), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(leaky.values.sum < 0.999,
+      s"restricted chain must leak sink mass, got $leaky")
+    // with self-loops END is absorbing: conservation holds and, by
+    // iters = 3 from the uniform start, everything has been absorbed
+    val total = Behavior.stationaryDistribution(rows, "user_id",
+        "event_type", Seq(col("ord")), iters = 3, sinkSelfLoops = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(total.values.sum - 1.0) < 1e-6,
+      s"Σπ must be 1 with sink self-loops, got $total")
+    assert(total("END") == 1.0, total.toString)
+  }
+
   test("nelsonAalen: hand cumulative hazard with censoring") {
     import spark.implicits._
     // events at t=1 (2 of 2 at risk=4) and t=3 (1 of 1); censor at t=2
