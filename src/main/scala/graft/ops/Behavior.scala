@@ -828,4 +828,88 @@ object Behavior {
         round(col("cum_cents").cast("double")
           / col("n_users").cast("double"), 6).as("ltv_cents_r"))
   }
+
+  /** Monthly Little's-law audit over [start, end] day intervals
+    * (arrival → completion): per calendar month, the time-average
+    * in-system count L (Σ per-interval overlap days / month days), the
+    * arrival rate λ (arrivals that month / month days), the mean
+    * duration W of that month's arrivals, and the ratio L/(λW). On an
+    * infinite horizon L = λW exactly; per finite month the ratio's
+    * drift from 1 is the backlog carried across month boundaries — the
+    * queueing-health readout (ratio > 1: the month is working off old
+    * arrivals; < 1: its own arrivals spill into the future).
+    *
+    * Shape: each interval explodes into the months it touches via
+    * `sequence` (span-bounded fan-out, the month-grain twin of
+    * [[ltvCurve]]'s weeks); overlap days are exact integers; three
+    * bounded month-grain aggs meet in one join. Durations and
+    * overlaps count BOTH endpoints (an order opened and shipped the
+    * same day is 1 in-system day). */
+  def littlesLawMonthly(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val iv = intervals.select(to_date(col(startCol)).as("_s"),
+        to_date(col(endCol)).as("_e"))
+      .where(col("_e") >= col("_s"))
+    val byMonth = iv.select(col("_s"), col("_e"),
+        explode(expr("sequence(date_trunc('month', _s), " +
+          "date_trunc('month', _e), interval 1 month)")).as("_m0"))
+      .withColumn("_m1", last_day(col("_m0")))
+      .withColumn("_ov",
+        (datediff(least(col("_e"), col("_m1")),
+          greatest(col("_s"), col("_m0"))) + 1).cast("long"))
+    val l = byMonth.groupBy(to_date(col("_m0")).as("month"))
+      .agg(sum(col("_ov")).as("_ovdays"),
+        (datediff(max(col("_m1")), min(col("_m0"))) + 1)
+          .cast("long").as("_mdays"))
+    val arr = iv.groupBy(date_trunc("month", col("_s")).cast("date")
+        .as("month"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(datediff(col("_e"), col("_s")) + 1).as("_durdays"))
+    val md = col("_mdays").cast("double")
+    val lAvg = col("_ovdays").cast("double") / md
+    val lam = col("n_arrivals").cast("double") / md
+    val wMean = col("_durdays").cast("double") /
+      col("n_arrivals").cast("double")
+    l.join(arr, Seq("month"), "left")
+      .withColumn("n_arrivals", coalesce(col("n_arrivals"), lit(0L)))
+      .select(col("month"), col("n_arrivals"),
+        round(lAvg, 6).as("l_avg_r"),
+        round(when(col("n_arrivals") > 0, lam), 6).as("lambda_r"),
+        round(when(col("n_arrivals") > 0, wMean), 6).as("w_days_r"),
+        round(when(col("n_arrivals") > 0,
+          lAvg / (lam * wMean)), 6).as("littles_ratio_r"))
+  }
+
+  /** Eventual-follow support matrix: for each ordered type pair
+    * (a, b), among entities observing BOTH types, the share whose
+    * first a precedes their last b — "does a ever lead to b, however
+    * indirectly", the transitive complement of [[transitions]]'
+    * adjacent-step matrix (a funnel where intermediate steps don't
+    * break the scent). Strict timestamp inequality; exact integer
+    * micros.
+    *
+    * Shape: one hash-agg to the (entity, type, min ts, max ts) grain
+    * (≤ |types| rows per entity), a per-entity type×type self-join
+    * (|types|²-bounded fan-out per entity — linear in entities), one
+    * pair-grain rollup. */
+  def eventualFollow(events: DataFrame, entityCol: String,
+      typeCol: String, tsCol: String): DataFrame = {
+    val g = events.groupBy(col(entityCol).as("_u"),
+        col(typeCol).as("_ty"))
+      .agg(min(col(tsCol)).as("_first"), max(col(tsCol)).as("_last"))
+    val a = g.select(col("_u"), col("_ty").as("type_a"),
+      col("_first").as("_fa"))
+    val b = g.select(col("_u"), col("_ty").as("type_b"),
+      col("_last").as("_lb"))
+    a.join(b, Seq("_u"))
+      .where(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("_fa") < col("_lb"), 1L).otherwise(0L))
+          .as("n_follow"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_follow"),
+        round(col("n_follow").cast("double")
+          / col("n_both").cast("double"), 6).as("follow_r"))
+  }
 }

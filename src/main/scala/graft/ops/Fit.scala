@@ -154,4 +154,117 @@ object Fit {
       round(when(ok && sst > 0, lit(1.0) - sse / nullif(sst, lit(0.0))),
         6).as("r2_r"))
   }
+
+  /** Weibull fit by median-rank regression (the probability-plot
+    * estimator reliability engineering standardized on): uncensored
+    * integer durations t ≥ 1 get Benard median ranks
+    * F_i = (i − 0.3)/(n + 0.4), and OLS of z = ln(−ln(1−F_i)) on
+    * x = ln t yields shape k = slope, scale λ = exp(−intercept/k).
+    *
+    * Shape: durations reduce to the VALUE GRAIN (t, m_t) with
+    * [[Ranks.bandedRunningSum]] giving each run its exclusive rank
+    * offset (no unpartitioned window over subjects), then
+    * posexplode(sequence) restores one row per subject with its exact
+    * integer rank — linear fan-out, and within a tie run x is
+    * constant so the regression sums are order-independent by
+    * construction. ln/ln·ln terms are 12-dp-rounded DECIMAL sums.
+    * Returns one row: n, shape_r, scale_days_r, r2_r. */
+  def weibullMedianRank(subjects: DataFrame, tCol: String,
+      observedCol: String, bandWidth: Double = 16.0): DataFrame = {
+    val obs = subjects
+      .where(col(observedCol) && col(tCol) >= 1)
+      .groupBy(col(tCol).cast("long").as("_t"))
+      .agg(count(lit(1)).as("_m"))
+    val tot = obs.agg(sum(col("_m")).as("_n"))
+    val ranked = Ranks.bandedRunningSum(obs.withColumn("_g", lit(0)),
+        "_g", "_t", "_m", bandWidth)
+      .withColumn("_o", col("runsum") - col("_m"))
+    val rows = ranked.crossJoin(broadcast(tot))
+      .select(col("_t"), col("_o"), col("_n"),
+        posexplode(expr("sequence(1, _m)")))
+      .withColumn("_i", col("_o") + col("col"))
+    val x = log(col("_t").cast("double"))
+    val fI = (col("_i").cast("double") - 0.3) /
+      (col("_n").cast("double") + 0.4)
+    val z = log(-log(lit(1.0) - fI))
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val agg = rows.agg(count(lit(1)).as("n"),
+      sum(t12(x)).cast("double").as("_sx"),
+      sum(t12(z)).cast("double").as("_sz"),
+      sum(t12(x * x)).cast("double").as("_sxx"),
+      sum(t12(x * z)).cast("double").as("_sxz"),
+      sum(t12(z * z)).cast("double").as("_szz"))
+    val n = col("n").cast("double")
+    val sxx = n * col("_sxx") - col("_sx") * col("_sx")
+    val sxz = n * col("_sxz") - col("_sx") * col("_sz")
+    val szz = n * col("_szz") - col("_sz") * col("_sz")
+    val k = sxz / nullif(sxx, lit(0.0))
+    val a = (col("_sz") - k * col("_sx")) / n
+    val ok = col("n") >= 2 && sxx > 0
+    agg.select(col("n"),
+      round(when(ok, k), 6).as("shape_r"),
+      round(when(ok, exp(-a / k)), 6).as("scale_days_r"),
+      round(when(ok && szz > 0, sxz * sxz / (sxx * szz)), 6)
+        .as("r2_r"))
+  }
+
+  /** Discrete power-law tail exponent by the continuous-MLE
+    * approximation (Clauset–Shalizi–Newman 2009, eq. 3.7):
+    * α = 1 + n / Σ ln(x_i/(xmin − ½)) over the tail x ≥ xmin, with
+    * SE = (α − 1)/√n — "is user activity Zipf-tailed, and how heavy".
+    * One filtered hash-agg; the ln terms are 12-dp DECIMAL sums.
+    * Returns one row: n_tail, alpha_r, se_r. */
+  def powerlawAlpha(df: DataFrame, xCol: String,
+      xmin: Long): DataFrame = {
+    require(xmin >= 1, "xmin must be >= 1")
+    val tail = df.where(col(xCol) >= xmin)
+    val term = log(col(xCol).cast("double") / (xmin - 0.5))
+    val agg = tail.agg(count(lit(1)).as("n_tail"),
+      sum(round(term, 12).cast("decimal(28,12)")).cast("double")
+        .as("_sl"))
+    val n = col("n_tail").cast("double")
+    val alpha = lit(1.0) + n / nullif(col("_sl"), lit(0.0))
+    agg.select(col("n_tail"),
+      round(when(col("n_tail") >= 2, alpha), 6).as("alpha_r"),
+      round(when(col("n_tail") >= 2, (alpha - 1) / sqrt(n)), 6)
+        .as("se_r"))
+  }
+
+  /** Generalized-Pareto fit of threshold exceedances by method of
+    * moments (Hosking & Wallis '87): over z = y − u for y > u,
+    * ξ = ½(1 − m²/s²) and β = ½m(1 + m²/s²) from the sample mean m
+    * and (n−1)-variance s² — the peaks-over-threshold complement to
+    * the q336 block-maxima Gumbel. Exceedances enter as exact integer
+    * cents, so Σz and Σz² are exact DECIMAL(38,0) and the two moments
+    * meet in one shared double parenthesization. Returns one row:
+    * u_cents, n_exceed, mean_r, xi_r, beta_r. */
+  def gpdExceedances(df: DataFrame, yCentsCol: String,
+      uCents: Long): DataFrame =
+    gpdExceedances(df, yCentsCol,
+      df.sparkSession.range(1).select(lit(uCents).as("u_cents")))
+
+  /** Threshold-frame overload: `u` is a 1-row (u_cents) frame — lets
+    * the caller derive the threshold from the data itself (e.g. an
+    * exact quantile) while the fit stays one broadcast join away. */
+  def gpdExceedances(df: DataFrame, yCentsCol: String,
+      u: DataFrame): DataFrame = {
+    val z = (col(yCentsCol) - col("u_cents")).cast("decimal(38,0)")
+    val agg = df.crossJoin(broadcast(u))
+      .where(col(yCentsCol) > col("u_cents"))
+      .groupBy(col("u_cents"))
+      .agg(count(lit(1)).as("n_exceed"),
+        sum(z).as("_sz"), sum(z * z).as("_szz"))
+    val n = col("n_exceed").cast("double")
+    val m = col("_sz").cast("double") / n
+    val s2 = (col("_szz").cast("double") -
+      col("_sz").cast("double") * col("_sz").cast("double") / n) /
+      (n - 1)
+    val ratio = m * m / nullif(s2, lit(0.0))
+    val ok = col("n_exceed") >= 3 && s2 > 0
+    agg.select(col("u_cents"), col("n_exceed"),
+      round(when(ok, m), 6).as("mean_r"),
+      round(when(ok, (lit(1.0) - ratio) / 2), 6).as("xi_r"),
+      round(when(ok, m * (lit(1.0) + ratio) / 2), 6).as("beta_r"))
+  }
 }

@@ -740,4 +740,45 @@ object Infer {
         (col("t_stat").cast("double") - eT) / sqrt(varT)), 6)
         .as("z_r"))
   }
+
+  /** Delete-one-BLOCK jackknife for a ratio statistic θ = Σnum/Σden
+    * (e.g. revenue per order with weekly blocks): each leave-one-out
+    * replicate θ₍ᵢ₎ = (Sy−yᵢ)/(Sn−nᵢ) comes from exact per-block and
+    * total integer sums, SE_jack = √((B−1)/B · Σ(θ₍ᵢ₎−θ̄₍·₎)²), and
+    * the bias-corrected estimate is B·θ − (B−1)·θ̄₍·₎ (Quenouille).
+    * The deterministic, resampling-free complement to the q183
+    * bootstrap: blocks respect serial correlation, no RNG to
+    * cross-engine-pin, closed form. Replicate deviations are
+    * 12-dp-rounded DECIMAL sums over the B-row block frame; θ̄₍·₎
+    * re-enters by broadcast. Returns one row: n_blocks, theta_r,
+    * theta_jack_r, se_jack_r. */
+  def jackknifeRatio(df: DataFrame, blockCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    val blocks = df.groupBy(col(blockCol))
+      .agg(sum(col(numCol)).as("_y"), sum(col(denCol)).as("_n"))
+      .localCheckpoint() // consumed by totals + two replicate passes
+    val tot = blocks.agg(sum(col("_y")).as("_sy"),
+      sum(col("_n")).as("_sn"), count(lit(1)).as("_b"))
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val theta = col("_sy").cast("double") / col("_sn").cast("double")
+    val thI = (col("_sy") - col("_y")).cast("double") /
+      (col("_sn") - col("_n")).cast("double")
+    val withTot = blocks.crossJoin(broadcast(tot))
+    val mean = withTot.agg(
+        (sum(t12(thI)).cast("double")
+          / first(col("_b")).cast("double")).as("_thbar"))
+    val dev = withTot.crossJoin(broadcast(mean))
+      .agg(sum(t12((thI - col("_thbar")) * (thI - col("_thbar"))))
+        .cast("double").as("_ss"))
+    val bD = col("_b").cast("double")
+    tot.crossJoin(broadcast(mean)).crossJoin(broadcast(dev))
+      .select(col("_b").as("n_blocks"),
+        round(theta, 6).as("theta_r"),
+        round(when(col("_b") >= 2,
+          bD * theta - (bD - 1) * col("_thbar")), 6)
+          .as("theta_jack_r"),
+        round(when(col("_b") >= 2,
+          sqrt((bD - 1) / bD * col("_ss"))), 6).as("se_jack_r"))
+  }
 }

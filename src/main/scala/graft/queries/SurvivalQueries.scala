@@ -16,7 +16,7 @@ object SurvivalQueries {
   /** q132's subject construction: duration = days from first signup to
     * first subsequent purchase (censored at the corpus horizon), plus
     * the weekend-signup group flag. */
-  private val SubjSql =
+  private[queries] val SubjSql =
     """WITH su AS (
       |  SELECT user_id, min(ts) AS t0 FROM events
       |  WHERE event_type = 'signup' GROUP BY 1),
@@ -35,7 +35,7 @@ object SurvivalQueries {
       |    dayofweek(su.t0::DATE) IN (0, 6) AS g
       |  FROM su LEFT JOIN pu USING (user_id), mx)""".stripMargin
 
-  private def subj(s: org.apache.spark.sql.SparkSession,
+  private[queries] def subj(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val ev = events(s, d)
     val su = ev.filter(col("event_type") === "signup")

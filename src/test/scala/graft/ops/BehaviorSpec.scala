@@ -491,6 +491,43 @@ class BehaviorSpec extends SparkTestBase {
     assert(total("END") == 1.0, total.toString)
   }
 
+  test("littlesLawMonthly: hand January/February case") {
+    import spark.implicits._
+    // [Jan 1, Jan 10]: 10 days; [Jan 20, Feb 8]: 12 in Jan, 8 in Feb
+    val iv = Seq(("2023-01-01", "2023-01-10"),
+      ("2023-01-20", "2023-02-08")).toDF("s", "e")
+    val got = Behavior.littlesLawMonthly(iv, "s", "e")
+      .orderBy("month").collect()
+    assert(got.length == 2)
+    val jan = got(0)
+    assert(jan.getAs[Long]("n_arrivals") == 2)
+    assert(jan.getAs[Double]("l_avg_r") == math.rint(22.0 / 31 * 1e6) / 1e6)
+    assert(jan.getAs[Double]("w_days_r") == 15.0) // (10 + 20) / 2
+    // L/(λW) = (22/31)/((2/31)·15) = 22/30
+    assert(jan.getAs[Double]("littles_ratio_r") == 0.733333)
+    val feb = got(1)
+    assert(feb.getAs[Long]("n_arrivals") == 0)
+    assert(feb.getAs[Double]("l_avg_r") == math.rint(8.0 / 28 * 1e6) / 1e6)
+    assert(feb.isNullAt(feb.fieldIndex("littles_ratio_r")))
+  }
+
+  test("eventualFollow: first-a-before-last-b semantics") {
+    import spark.implicits._
+    // user 1: a then b; user 2: b then a — each direction holds for
+    // exactly one of the two users
+    val ev = Seq((1L, "a", 1L), (1L, "b", 2L),
+      (2L, "b", 1L), (2L, "a", 2L))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val got = Behavior.eventualFollow(ev, "user_id", "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_follow"),
+          r.getAs[Double]("follow_r"))).toMap
+    assert(got(("a", "b")) == ((2L, 1L, 0.5)), got.toString)
+    assert(got(("b", "a")) == ((2L, 1L, 0.5)), got.toString)
+  }
+
   test("nelsonAalen: hand cumulative hazard with censoring") {
     import spark.implicits._
     // events at t=1 (2 of 2 at risk=4) and t=3 (1 of 1); censor at t=2

@@ -89,4 +89,53 @@ class FitSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("b1_r")))
     assert(r.isNullAt(r.fieldIndex("r2_r")))
   }
+
+  test("weibullMedianRank: two-point slope by hand; censored and " +
+      "t<1 excluded; tie runs rank correctly") {
+    import spark.implicits._
+    def z(f: Double) = math.log(-math.log(1 - f))
+    // n=2 at t = 1 and 3: F₁ = 0.7/2.4, F₂ = 1.7/2.4
+    val k = (z(1.7 / 2.4) - z(0.7 / 2.4)) / math.log(3.0)
+    val a = (z(0.7 / 2.4) + z(1.7 / 2.4) - k * math.log(3.0)) / 2
+    val subj = Seq((1L, true), (3L, true), (5L, false), (0L, true))
+      .toDF("t", "observed")
+    val r = Fit.weibullMedianRank(subj, "t", "observed").collect().head
+    assert(r.getAs[Long]("n") == 2)
+    assert(math.abs(r.getAs[Double]("shape_r") - k) < 1e-5, r.toString)
+    assert(math.abs(r.getAs[Double]("scale_days_r")
+      - math.exp(-a / k)) < 1e-4, r.toString)
+    assert(r.getAs[Double]("r2_r") == 1.0) // 2 points fit exactly
+    // a tie run must consume consecutive ranks: 4 subjects at t=2,4
+    // with duplicates — n=4, ranks 1..4 regardless of intra-tie order
+    val ties = Seq((2L, true), (2L, true), (4L, true), (4L, true))
+      .toDF("t", "observed")
+    val tr = Fit.weibullMedianRank(ties, "t", "observed").collect().head
+    assert(tr.getAs[Long]("n") == 4)
+    assert(tr.getAs[Double]("shape_r") > 0)
+  }
+
+  test("powerlawAlpha: CSN closed form by hand; sub-xmin excluded") {
+    import spark.implicits._
+    val xs = Seq(5L, 10L, 20L, 3L, 1L) // 3 and 1 below xmin=5
+    val sl = Seq(5L, 10L, 20L)
+      .map(x => math.rint(math.log(x / 4.5) * 1e12) / 1e12).sum
+    val want = 1.0 + 3.0 / sl
+    val r = Fit.powerlawAlpha(xs.toDF("x"), "x", 5L).collect().head
+    assert(r.getAs[Long]("n_tail") == 3)
+    assert(math.abs(r.getAs[Double]("alpha_r") - want) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se_r")
+      - (want - 1) / math.sqrt(3.0)) < 1e-6)
+  }
+
+  test("gpdExceedances: exact hand moments (z = 1,2,3)") {
+    import spark.implicits._
+    // m = 2, s² = 1 → m²/s² = 4 → ξ = −1.5, β = 5
+    val r = Fit.gpdExceedances(
+        Seq(11L, 12L, 13L, 9L, 10L).toDF("y"), "y", 10L)
+      .collect().head
+    assert(r.getAs[Long]("n_exceed") == 3)
+    assert(r.getAs[Double]("mean_r") == 2.0)
+    assert(r.getAs[Double]("xi_r") == -1.5)
+    assert(r.getAs[Double]("beta_r") == 5.0)
+  }
 }

@@ -374,4 +374,18 @@ class InferSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("d_r") - d) < 1e-6)
     assert(math.abs(r.getAs[Double]("g_r") - d * (1 - 3.0 / 7)) < 1e-6)
   }
+
+  test("jackknifeRatio: hand two-block case; linear stat ⇒ no bias " +
+      "correction") {
+    import spark.implicits._
+    // blocks (Σy, Σn): (10,2), (20,2) → θ = 7.5, replicates 10 and 5,
+    // θ̄ = 7.5 → SE = √((1/2)·12.5) = 2.5, bias-corrected = θ
+    val df = Seq(("a", 4L, 1L), ("a", 6L, 1L), ("b", 20L, 2L))
+      .toDF("blk", "y", "n")
+    val r = Infer.jackknifeRatio(df, "blk", "y", "n").collect().head
+    assert(r.getAs[Long]("n_blocks") == 2)
+    assert(r.getAs[Double]("theta_r") == 7.5)
+    assert(r.getAs[Double]("theta_jack_r") == 7.5)
+    assert(r.getAs[Double]("se_jack_r") == 2.5)
+  }
 }
