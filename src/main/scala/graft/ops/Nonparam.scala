@@ -321,4 +321,49 @@ object Nonparam {
       .select(col(groupCol), col("n").as("n_pairs"),
         round(col("q_val"), 6).as("hl_r"))
   }
+
+  /** Kolmogorov–Smirnov distance of per-entity inter-event gaps from
+    * the exponential(λ̂) null, λ̂ = 1/mean gap (Lilliefors-style
+    * plug-in): D = sup_x |ECDF(x) − (1 − e^{−λx})| evaluated at both
+    * step edges of every distinct gap value — "are arrivals Poisson,
+    * or do they burst" (the distributional sharpening of the q292
+    * dispersion index; burstiness shows up as excess small gaps).
+    *
+    * Shape: gaps come from a per-entity lag window (partitioned — the
+    * corpus never single-tasks); the ECDF runs on the DISTINCT-GAP
+    * grain through [[Ranks.bandedRunningSum]] (a continuous-valued
+    * gap column at 100 TB makes that grain data-sized — the q302
+    * lesson); D is a max over exact-count ratios and one exp() per
+    * distinct value, rounded above the noise. Returns one row:
+    * n_gaps, mean_gap_s_r, d_ks_r. */
+  def exponentialityKs(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String,
+      bandWidth: Double = 1000.0): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .select((unix_micros(col(tsCol)) - col("_prev")).as("_gus"))
+    val grain = gaps.groupBy(col("_gus")).agg(count(lit(1)).as("_c"))
+    val cum = Ranks.bandedRunningSum(grain.withColumn("_g", lit(0)),
+      "_g", "_gus", "_c", bandWidth * 1e6)
+    val tot = gaps.agg(count(lit(1)).as("n_gaps"),
+      sum(col("_gus")).as("_sg"))
+    val lam = col("n_gaps").cast("double") /
+      (col("_sg").cast("double") / 1e6) // per second
+    val withT = cum.crossJoin(broadcast(tot))
+    val nD = col("n_gaps").cast("double")
+    val cdf = lit(1.0) - exp(-lam * (col("_gus").cast("double") / 1e6))
+    val dAt = abs(col("runsum").cast("double") / nD - cdf)
+    val dBefore = abs(cdf -
+      (col("runsum") - col("_c")).cast("double") / nD)
+    val d = withT.agg(max(greatest(dAt, dBefore)).as("_d"),
+      first(col("n_gaps")).as("n_gaps"),
+      first(col("_sg")).as("_sg"))
+    d.select(col("n_gaps"),
+      round(col("_sg").cast("double") / 1e6
+        / col("n_gaps").cast("double"), 6).as("mean_gap_s_r"),
+      round(col("_d"), 6).as("d_ks_r"))
+  }
 }

@@ -529,4 +529,93 @@ object Similarity {
         round(col("_rmax"), 6).as("r_max_r"),
         round(when(col("_nbad") === 0, col("_db")), 6).as("db_r"))
   }
+
+  /** Embedding-isotropy audit: the mean pairwise cosine over ALL
+    * vector pairs, in closed form — Σ_{i≠k} v̂ᵢ·v̂ₖ = ‖Σv̂‖² − Σ‖v̂ᵢ‖²,
+    * so ONE pass over n vectors replaces the n² pair join entirely.
+    * A healthy isotropic embedding space has mean pairwise cosine ≈ 0;
+    * a large positive value is the anisotropy/"cone" pathology that
+    * silently inflates every cosine-based dedup/retrieval score (the
+    * systemic counterpart of q331's per-vector norm health).
+    *
+    * Per-vector norms are left-fold chains (the q34 convention —
+    * bit-identical cross-engine); per-dim sums of normalized
+    * components and both quadratic reductions are 12-dp-rounded
+    * DECIMAL sums (order-independent). Zero-norm vectors are
+    * excluded. Returns one row: n, sum_sq_r, mean_pair_cos_r. */
+  def isotropyAudit(collection: DataFrame): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val withN = collection.select(
+        expr("cast(embedding as array<double>)").as("e"),
+        expr("sqrt(aggregate(cast(embedding as array<double>), 0D," +
+          " (a, y) -> a + y * y))").as("_nrm"))
+      .where(col("_nrm") > 0)
+      .localCheckpoint() // consumed by the dim sums AND the count/norm agg
+    val dimSums = withN
+      .select(posexplode(col("e")).as(Seq("dim", "v")), col("_nrm"))
+      .groupBy(col("dim"))
+      .agg(sum(t12(col("v") / col("_nrm"))).cast("double").as("_s"))
+    val ss = dimSums.agg(sum(t12(col("_s") * col("_s")))
+      .cast("double").as("_ss"))
+    val nn = withN.agg(count(lit(1)).as("n"),
+      // Σ‖v̂‖²: each ≈ 1 but NOT exactly (float fold) — summed, not
+      // assumed, so the closed form stays an identity
+      sum(t12(expr("aggregate(transform(e, y -> y / _nrm), 0D," +
+        " (a, y) -> a + y * y)"))).cast("double").as("_nn"))
+    nn.crossJoin(broadcast(ss))
+      .select(col("n"), round(col("_ss"), 6).as("sum_sq_r"),
+        round(when(col("n") >= 2, (col("_ss") - col("_nn"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1))),
+          6).as("mean_pair_cos_r"))
+  }
+
+  /** Effective dimensionality of an embedding collection by the
+    * participation ratio of the (uncentered) second-moment spectrum:
+    * PR = tr(M)² / ‖M‖_F² with M_jk = Σᵢ v_ij·v_ik — between 1
+    * (all vectors on one line) and d (perfectly isotropic); the
+    * "how many dimensions are actually carrying signal" audit that
+    * catches rank collapse long before retrieval quality shows it.
+    * ‖M‖_F² = Σλ² and tr(M) = Σλ without any eigendecomposition.
+    *
+    * Shape: the d² moment matrix comes from a MAP-SIDE per-vector
+    * product fan-out (chained posexplode generators: d² rows per
+    * vector, d = 64 — no self-join; partial aggregation collapses
+    * each partition to ≤ d² rows before the (j, k) hash-agg shuffle).
+    * Generators stay inside whole-stage codegen, unlike nested
+    * transform lambdas (interpreted) — the lambda form measured 16.4 s
+    * isolated at sf0.1. Products and the two quadratic reductions are
+    * 12-dp DECIMAL sums. The input is round-robin rebalanced BEFORE
+    * the fan-out: per-vector work is O(d²) BigDecimal roundings, so a
+    * small single-file scan (one partition) would otherwise serialize
+    * the whole matrix build on one core (measured 14 s single-task vs
+    * ~1 s rebalanced at sf0.1; at real scale many input splits already
+    * provide this parallelism and the tiny extra shuffle is noise).
+    * Returns one row: d, trace_r, fro2_r, pr_r. */
+  def participationRatio(collection: DataFrame): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val shufflePartitions =
+      collection.sparkSession.sessionState.conf.numShufflePartitions
+    val prods = collection
+      .select(expr("cast(embedding as array<double>)").as("e"))
+      .repartition(shufflePartitions)
+      .select(posexplode(col("e")).as(Seq("j", "x")), col("e"))
+      .select(col("j"), posexplode(col("e")).as(Seq("k", "y")),
+        col("x"))
+      .select(col("j"), col("k"), (col("x") * col("y")).as("p"))
+    val m = prods.groupBy(col("j"), col("k"))
+      .agg(sum(t12(col("p"))).cast("double").as("_m"))
+      .localCheckpoint() // consumed by trace AND Frobenius reductions
+    val tr = m.where(col("j") === col("k"))
+      .agg(sum(t12(col("_m"))).cast("double").as("_tr"),
+        count(lit(1)).as("d"))
+    val fro = m.agg(sum(t12(col("_m") * col("_m")))
+      .cast("double").as("_f2"))
+    tr.crossJoin(broadcast(fro))
+      .select(col("d"), round(col("_tr"), 6).as("trace_r"),
+        round(col("_f2"), 6).as("fro2_r"),
+        round(when(col("_f2") > 0,
+          col("_tr") * col("_tr") / col("_f2")), 6).as("pr_r"))
+  }
 }

@@ -762,4 +762,60 @@ object TextOps {
       round(when(col("n_bi_a") > 0 && col("n_bi_b") > 0 && p + r > 0,
         lit(2.0) * p * r / (p + r)), 6).as("rouge2_f1_r"))
   }
+
+  /** Heaps'-law fit V = K·N^β of vocabulary growth: order documents by
+    * id, accumulate token count N and new-type count V (a type is
+    * "new" in the doc where it FIRST appears = min doc id per term),
+    * and fit ln V on ln N by OLS — β ≈ 0.5 is natural-language-normal;
+    * β drifting toward 1 means the corpus keeps inventing vocabulary
+    * (boilerplate ids, hashes), toward 0 means it's repeating itself.
+    *
+    * Shape: one tokenize pass → per-doc token counts; one distinct
+    * (term, doc) pass → per-term first doc → per-doc new-type counts;
+    * BOTH cumulatives run through [[Ranks.bandedRunningSum]] keyed on
+    * doc id (the doc grain is corpus-sized — no unpartitioned window);
+    * the ln-ln OLS uses 12-dp-rounded DECIMAL term sums. Returns one
+    * row: n_docs, n_tokens, n_types, beta_r, k_r, r2_r. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      bandWidth: Double = 256.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      tokens(normalize(col(textCol))).as("t"))
+    val perDoc = toks.select(col("_id"), size(col("t")).as("_ntok"))
+    val firstDoc = toks.select(col("_id"), explode(col("t")).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(min(col("_id")).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_nnew"))
+    val joined = perDoc.join(firstDoc, Seq("_id"), "left")
+      .withColumn("_nnew", coalesce(col("_nnew"), lit(0L)))
+    val cumTok = Ranks.bandedRunningSum(
+        joined.withColumn("_g", lit(0)), "_g", "_id", "_ntok",
+        bandWidth)
+      .withColumnRenamed("runsum", "_ncum")
+    val cum = Ranks.bandedRunningSum(cumTok, "_g", "_id", "_nnew",
+        bandWidth)
+      .withColumnRenamed("runsum", "_vcum")
+      .where(col("_ncum") >= 1 && col("_vcum") >= 1)
+    val x = log(col("_ncum").cast("double"))
+    val y = log(col("_vcum").cast("double"))
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val agg = cum.agg(count(lit(1)).as("n_docs"),
+      max(col("_ncum")).as("n_tokens"), max(col("_vcum")).as("n_types"),
+      sum(t12(x)).cast("double").as("_sx"),
+      sum(t12(y)).cast("double").as("_sy"),
+      sum(t12(x * x)).cast("double").as("_sxx"),
+      sum(t12(x * y)).cast("double").as("_sxy"),
+      sum(t12(y * y)).cast("double").as("_syy"))
+    val n = col("n_docs").cast("double")
+    val cxx = n * col("_sxx") - col("_sx") * col("_sx")
+    val cxy = n * col("_sxy") - col("_sx") * col("_sy")
+    val cyy = n * col("_syy") - col("_sy") * col("_sy")
+    val beta = cxy / nullif(cxx, lit(0.0))
+    val a = (col("_sy") - beta * col("_sx")) / n
+    val ok = col("n_docs") >= 2 && cxx > 0
+    agg.select(col("n_docs"), col("n_tokens"), col("n_types"),
+      round(when(ok, beta), 6).as("beta_r"),
+      round(when(ok, exp(a)), 6).as("k_r"),
+      round(when(ok && cyy > 0, cxy * cxy / (cxx * cyy)), 6)
+        .as("r2_r"))
+  }
 }

@@ -745,4 +745,60 @@ object TimeSeries {
         round(col("_snorm"), 6).as("seasonal_r"),
         round(col("_rsd"), 6).as("resid_sd_r"))
   }
+
+  /** Best single mean-shift changepoint by exhaustive SSE scan (the
+    * first step of binary segmentation, Scott & Knott / CUSUM's
+    * model-based sibling): for EVERY split point s the two-segment
+    * SSE comes in closed form from cumulative (n, Σy, Σy²) prefixes,
+    * the winner maximizes the SSE reduction (ties → earliest day),
+    * and F = reduction / (SSE_split/(n−2)) sizes the shift. Where
+    * [[cusumDaily]] ALARMS on a drift, this LOCATES the single best
+    * break and quantifies both regime means.
+    *
+    * All prefixes are exact integer/DECIMAL windows over the bounded
+    * day grain (the q304 calendar posture); every candidate's SSE is
+    * a pure double function of exact moments, so the argmax is
+    * engine-deterministic; the winner is TakeOrdered-selected, never
+    * a global sort. Returns one row: n_days, break_t, n_left,
+    * mean_left_r, mean_right_r, f_r — break_t is the first day index
+    * of the RIGHT segment. */
+  def bestMeanShift(daily: DataFrame, tCol: String,
+      yCentsCol: String): DataFrame = {
+    val w = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily.select(col(tCol).as("_t"),
+        col(yCentsCol).cast("decimal(38,0)").as("_y"))
+      .withColumn("_cn", count(lit(1)).over(w))
+      .withColumn("_cy", sum(col("_y")).over(w))
+      .withColumn("_cyy", sum(col("_y") * col("_y")).over(w))
+      .localCheckpoint() // totals + candidate scan read it
+    val tot = pre.agg(max(col("_cn")).as("_n"), max(col("_cy")).as("_sy"),
+      max(col("_cyy")).as("_syy"),
+      max(col("_t")).as("_tmax"))
+    def sse(n: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column,
+        syy: org.apache.spark.sql.Column) =
+      syy.cast("double") -
+        sy.cast("double") * sy.cast("double") / n.cast("double")
+    val cand = pre.crossJoin(broadcast(tot))
+      .where(col("_t") < col("_tmax")) // a split needs a right segment
+      .withColumn("_sseL", sse(col("_cn"), col("_cy"), col("_cyy")))
+      .withColumn("_sseR", sse(col("_n") - col("_cn"),
+        col("_sy") - col("_cy"), col("_syy") - col("_cyy")))
+      .withColumn("_sse0", sse(col("_n"), col("_sy"), col("_syy")))
+      .withColumn("_red",
+        col("_sse0") - (col("_sseL") + col("_sseR")))
+    val best = cand.orderBy(col("_red").desc, col("_t")).limit(1)
+    val nD = col("_n").cast("double")
+    val split = col("_sseL") + col("_sseR")
+    best.select(col("_n").as("n_days"), (col("_t") + 1).as("break_t"),
+      col("_cn").as("n_left"),
+      round(col("_cy").cast("double") / col("_cn").cast("double"), 6)
+        .as("mean_left_r"),
+      round((col("_sy") - col("_cy")).cast("double")
+        / (col("_n") - col("_cn")).cast("double"), 6)
+        .as("mean_right_r"),
+      round(when(col("_n") > 2 && split > 0,
+        col("_red") / (split / (nD - 2))), 6).as("f_r"))
+  }
 }

@@ -536,6 +536,214 @@ object DiagQueries {
             den = 4)
           .select(floor(col("q_val")).cast("long").as("u_cents"))
         Fit.gpdExceedances(g, "y", u)
-      })
+      }),
+
+    // Heaps'-law vocabulary-growth fit: V = K·N^β over the doc stream
+    // — β near 1 = the corpus keeps minting types (ids/hashes), near
+    // 0 = it repeats itself; the growth-curve view of q329's OOV.
+    Q("q349_heaps_law",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(${TextQueries.normSql},
+              |    ' ') AS t
+              |  FROM documents),
+              |perdoc AS (
+              |  SELECT doc_id, len(t)::BIGINT AS ntok FROM toks),
+              |fd AS (
+              |  SELECT w, min(doc_id) AS doc_id FROM (
+              |    SELECT DISTINCT doc_id, t.w FROM (
+              |      SELECT doc_id, unnest(t) AS w FROM toks) t)
+              |  GROUP BY 1),
+              |nn AS (
+              |  SELECT doc_id, count(*)::BIGINT AS nnew FROM fd
+              |  GROUP BY 1),
+              |j AS (
+              |  SELECT p.doc_id, p.ntok,
+              |    coalesce(nn.nnew, 0)::BIGINT AS nnew
+              |  FROM perdoc p LEFT JOIN nn USING (doc_id)),
+              |cum AS (
+              |  SELECT doc_id, sum(ntok) OVER w AS ncum,
+              |    sum(nnew) OVER w AS vcum
+              |  FROM j WINDOW w AS (ORDER BY doc_id ROWS BETWEEN
+              |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |filt AS (SELECT ncum::BIGINT AS ncum,
+              |  vcum::BIGINT AS vcum FROM cum
+              |  WHERE ncum >= 1 AND vcum >= 1),
+              |s AS (
+              |  SELECT count(*)::BIGINT AS n,
+              |    max(ncum)::BIGINT AS n_tokens,
+              |    max(vcum)::BIGINT AS n_types,
+              |    sum(round(ln(ncum::DOUBLE), 12)::DECIMAL(28,12))
+              |      ::DOUBLE AS sx,
+              |    sum(round(ln(vcum::DOUBLE), 12)::DECIMAL(28,12))
+              |      ::DOUBLE AS sy,
+              |    sum(round(ln(ncum::DOUBLE) * ln(ncum::DOUBLE), 12)
+              |      ::DECIMAL(28,12))::DOUBLE AS sxx,
+              |    sum(round(ln(ncum::DOUBLE) * ln(vcum::DOUBLE), 12)
+              |      ::DECIMAL(28,12))::DOUBLE AS sxy,
+              |    sum(round(ln(vcum::DOUBLE) * ln(vcum::DOUBLE), 12)
+              |      ::DECIMAL(28,12))::DOUBLE AS syy
+              |  FROM filt),
+              |r AS (
+              |  SELECT n, n_tokens, n_types,
+              |    n::DOUBLE * sxx - sx * sx AS cxx,
+              |    n::DOUBLE * sxy - sx * sy AS cxy,
+              |    n::DOUBLE * syy - sy * sy AS cyy, sx, sy
+              |  FROM s),
+              |r2 AS (
+              |  SELECT n, n_tokens, n_types, cxx, cxy, cyy,
+              |    cxy / nullif(cxx, 0) AS beta, sx, sy FROM r)
+              |SELECT n AS n_docs, n_tokens, n_types,
+              |  CASE WHEN n >= 2 AND cxx > 0 THEN round(beta, 6) END
+              |    AS beta_r,
+              |  CASE WHEN n >= 2 AND cxx > 0 THEN
+              |    round(exp((sy - beta * sx) / n::DOUBLE), 6) END
+              |    AS k_r,
+              |  CASE WHEN n >= 2 AND cxx > 0 AND cyy > 0 THEN
+              |    round(cxy * cxy / (cxx * cyy), 6) END AS r2_r
+              |FROM r2""".stripMargin),
+      (s, d) => graft.ops.TextOps.heapsLaw(documents(s, d), "doc_id",
+        "text")),
+
+    // Embedding-isotropy audit: mean pairwise cosine over ALL pairs
+    // in closed form (‖Σv̂‖² − Σ‖v̂‖²)/(n(n−1)) — the anisotropy/
+    // "cone" pathology detector; one pass, no pair join.
+    Q("q350_isotropy",
+      Some("""WITH pre AS (
+             |  SELECT embedding::DOUBLE[] AS e,
+             |    sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+             |      y -> y * y), (a, b) -> a + b)) AS nrm
+             |  FROM embeddings),
+             |nz AS (SELECT e, nrm FROM pre WHERE nrm > 0),
+             |comp AS (
+             |  SELECT g.i - 1 AS dim, e[g.i] / nrm AS v
+             |  FROM nz, unnest(generate_series(1, 64)) AS g(i)),
+             |dimsums AS (
+             |  SELECT dim, sum(round(v, 12)::DECIMAL(28,12))::DOUBLE
+             |    AS s
+             |  FROM comp GROUP BY 1),
+             |ss AS (
+             |  SELECT sum(round(s * s, 12)::DECIMAL(28,12))::DOUBLE
+             |    AS ss FROM dimsums),
+             |nn AS (
+             |  SELECT count(*)::BIGINT AS n,
+             |    sum(round(list_reduce(list_transform(
+             |        list_transform(e, y -> y / nrm), y -> y * y),
+             |      (a, b) -> a + b), 12)::DECIMAL(28,12))::DOUBLE
+             |      AS nn
+             |  FROM nz)
+             |SELECT n, round(ss, 6) AS sum_sq_r,
+             |  CASE WHEN n >= 2 THEN round((ss - nn)
+             |    / (n::DOUBLE * (n::DOUBLE - 1)), 6) END
+             |    AS mean_pair_cos_r
+             |FROM nn, ss""".stripMargin),
+      (s, d) => graft.ops.Similarity.isotropyAudit(embeddings(s, d))),
+
+    // Participation-ratio effective dimensionality: tr(M)²/‖M‖_F²
+    // of the uncentered second-moment matrix — 1 = rank collapse,
+    // d = isotropic; catches dead dimensions before retrieval does.
+    Q("q351_participation_ratio",
+      Some("""WITH pre AS (
+             |  SELECT embedding::DOUBLE[] AS e FROM embeddings),
+             |prods AS (
+             |  SELECT gj.i AS j, gk.i AS k, e[gj.i] * e[gk.i] AS p
+             |  FROM pre, unnest(generate_series(1, 64)) AS gj(i),
+             |    unnest(generate_series(1, 64)) AS gk(i)),
+             |m AS (
+             |  SELECT j, k, sum(round(p, 12)::DECIMAL(28,12))::DOUBLE
+             |    AS m
+             |  FROM prods GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT sum(round(m, 12)::DECIMAL(28,12))::DOUBLE
+             |    AS tr, count(*)::BIGINT AS d
+             |  FROM m WHERE j = k),
+             |fro AS (
+             |  SELECT sum(round(m * m, 12)::DECIMAL(28,12))::DOUBLE
+             |    AS f2 FROM m)
+             |SELECT d, round(tr, 6) AS trace_r,
+             |  round(f2, 6) AS fro2_r,
+             |  CASE WHEN f2 > 0 THEN round(tr * tr / f2, 6) END
+             |    AS pr_r
+             |FROM tr, fro""".stripMargin),
+      (s, d) => graft.ops.Similarity.participationRatio(
+        embeddings(s, d))),
+
+    // Best single mean-shift changepoint (binary segmentation step 1)
+    // on daily revenue: exhaustive SSE scan from exact prefix moments
+    // — q191's CUSUM alarms on drift; this LOCATES the break.
+    Q("q352_best_break",
+      Some(s"""$GrainSql,
+              |pre AS (
+              |  SELECT t.t, count(*) OVER w AS cn,
+              |    sum(y::HUGEINT) OVER w AS cy,
+              |    sum(y::HUGEINT * y) OVER w AS cyy
+              |  FROM t WINDOW w AS (ORDER BY t.t ROWS BETWEEN
+              |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |tot AS (
+              |  SELECT max(cn)::BIGINT AS n, max(cy) AS sy,
+              |    max(cyy) AS syy, max(t)::BIGINT AS tmax
+              |  FROM pre),
+              |cand AS (
+              |  SELECT t, cn, cy, n, sy,
+              |    cyy::DOUBLE - cy::DOUBLE * cy::DOUBLE / cn::DOUBLE
+              |      AS ssel,
+              |    (syy - cyy)::DOUBLE - (sy - cy)::DOUBLE
+              |      * (sy - cy)::DOUBLE / (n - cn)::DOUBLE AS sser,
+              |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE
+              |      AS sse0
+              |  FROM pre, tot WHERE t < tmax),
+              |best AS (
+              |  SELECT * FROM cand
+              |  ORDER BY (sse0 - (ssel + sser)) DESC, t LIMIT 1)
+              |SELECT n AS n_days, (t + 1)::BIGINT AS break_t,
+              |  cn::BIGINT AS n_left,
+              |  round(cy::DOUBLE / cn::DOUBLE, 6) AS mean_left_r,
+              |  round((sy - cy)::DOUBLE / (n - cn)::DOUBLE, 6)
+              |    AS mean_right_r,
+              |  CASE WHEN n > 2 AND ssel + sser > 0 THEN
+              |    round((sse0 - (ssel + sser))
+              |      / ((ssel + sser) / (n::DOUBLE - 2)), 6) END
+              |    AS f_r
+              |FROM best""".stripMargin),
+      (s, d) => graft.ops.TimeSeries.bestMeanShift(grain(s, d), "t",
+        "y")),
+
+    // Exponentiality KS of inter-event gaps vs the exponential(λ̂)
+    // null: are per-user arrivals Poisson, or bursty — the
+    // distributional sharpening of q292's dispersion index.
+    Q("q353_exponentiality_ks",
+      Some("""WITH g AS (
+             |  SELECT epoch_us(ts) AS cur,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |gaps AS (
+             |  SELECT (cur - prev)::BIGINT AS gus FROM g
+             |  WHERE prev IS NOT NULL),
+             |grain AS (
+             |  SELECT gus, count(*)::BIGINT AS c FROM gaps
+             |  GROUP BY 1),
+             |cum AS (
+             |  SELECT gus, c, sum(c) OVER (ORDER BY gus ROWS BETWEEN
+             |    UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+             |  FROM grain),
+             |tot AS (
+             |  SELECT count(*)::BIGINT AS n, sum(gus)::BIGINT AS sg
+             |  FROM gaps),
+             |d AS (
+             |  SELECT max(greatest(
+             |      abs(rs::DOUBLE / n::DOUBLE
+             |        - (1.0 - exp(-(n::DOUBLE / (sg::DOUBLE / 1e6))
+             |          * (gus::DOUBLE / 1e6)))),
+             |      abs((1.0 - exp(-(n::DOUBLE / (sg::DOUBLE / 1e6))
+             |          * (gus::DOUBLE / 1e6)))
+             |        - (rs - c)::DOUBLE / n::DOUBLE))) AS dd
+             |  FROM cum, tot)
+             |SELECT n AS n_gaps,
+             |  round(sg::DOUBLE / 1e6 / n::DOUBLE, 6)
+             |    AS mean_gap_s_r,
+             |  round(dd, 6) AS d_ks_r
+             |FROM tot, d""".stripMargin),
+      (s, d) => graft.ops.Nonparam.exponentialityKs(events(s, d),
+        "user_id", "ts", "event_id"))
   )
 }

@@ -121,4 +121,22 @@ class NonparamSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_pairs") == 6)
     assert(r.getAs[Double]("hl_r") == 2.25)
   }
+
+  test("exponentialityKs: constant gaps give the hand D at the step") {
+    import spark.implicits._
+    // one user, events every second: gaps (1, 1, 1) s → λ̂ = 1;
+    // at x=1 the ECDF jumps 0→1, CDF(1)=1−e⁻¹: D = max(1−e⁻¹ − 0,
+    // 1 − (1−e⁻¹)) = 0.632121
+    val ev = Seq((1L, 10L, 0L), (1L, 11L, 1000000L),
+      (1L, 12L, 2000000L), (1L, 13L, 3000000L))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)")
+          .as("ts"))
+    val r = Nonparam.exponentialityKs(ev, "user_id", "ts", "event_id")
+      .collect().head
+    assert(r.getAs[Long]("n_gaps") == 3)
+    assert(r.getAs[Double]("mean_gap_s_r") == 1.0)
+    assert(r.getAs[Double]("d_ks_r") == 0.632121)
+  }
 }

@@ -301,4 +301,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(s.head.isNullAt(s.head.fieldIndex("r_max_r")))
     assert(s.head.isNullAt(s.head.fieldIndex("db_r")))
   }
+
+  test("isotropyAudit: orthogonal → 0, collinear → 1, zero-norm " +
+      "excluded") {
+    import spark.implicits._
+    val ortho = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val o = Similarity.isotropyAudit(ortho).collect().head
+    assert(o.getAs[Long]("n") == 2) // zero vector dropped
+    assert(o.getAs[Double]("mean_pair_cos_r") == 0.0)
+    val coll = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.isotropyAudit(coll).collect().head
+    assert(c.getAs[Double]("mean_pair_cos_r") == 1.0)
+    assert(c.getAs[Double]("sum_sq_r") == 4.0)
+  }
+
+  test("participationRatio: isotropic pair → d, collinear pair → 1") {
+    import spark.implicits._
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val i = Similarity.participationRatio(iso).collect().head
+    assert(i.getAs[Long]("d") == 2)
+    assert(i.getAs[Double]("trace_r") == 2.0)
+    assert(i.getAs[Double]("fro2_r") == 2.0)
+    assert(i.getAs[Double]("pr_r") == 2.0)
+    val one = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.participationRatio(one).collect().head
+    assert(c.getAs[Double]("pr_r") == 1.0)
+  }
 }

@@ -577,4 +577,25 @@ class TextOpsSpec extends SparkTestBase {
       "pair_id", "a", "b").collect()
     assert(got.map(_.getAs[Long]("pair_id")).toSet == Set(11L))
   }
+
+  test("heapsLaw: hand cumulative points and scalar-reference fit") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    // cumulative (N, V): (2,2) → (4,3) → (8,4)
+    val pts = Seq((2.0, 2.0), (4.0, 3.0), (8.0, 4.0))
+      .map { case (nn, vv) => (math.log(nn), math.log(vv)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val k = math.exp((sy - beta * sx) / n)
+    val r = TextOps.heapsLaw(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_types") == 4)
+    assert(math.abs(r.getAs[Double]("beta_r") - beta) < 1e-5)
+    assert(math.abs(r.getAs[Double]("k_r") - k) < 1e-4)
+    assert(r.getAs[Double]("beta_r") > 0 && r.getAs[Double]("beta_r") < 1)
+  }
 }

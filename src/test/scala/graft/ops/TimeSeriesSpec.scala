@@ -399,4 +399,24 @@ class TimeSeriesSpec extends SparkTestBase {
       assert(got(d).getAs[Double]("seasonal_r") == -1.0, s"dow $d")
     assert(got.values.forall(_.getAs[Double]("resid_sd_r") == 0.0))
   }
+
+  test("bestMeanShift: locates the break, exact segment means, big F") {
+    import spark.implicits._
+    val daily = Seq((0L, 10L), (1L, 10L), (2L, 11L), (3L, 50L),
+      (4L, 51L)).toDF("t", "y")
+    val r = TimeSeries.bestMeanShift(daily, "t", "y").collect().head
+    assert(r.getAs[Long]("n_days") == 5)
+    assert(r.getAs[Long]("break_t") == 3)
+    assert(r.getAs[Long]("n_left") == 3)
+    assert(r.getAs[Double]("mean_left_r") == 10.333333)
+    assert(r.getAs[Double]("mean_right_r") == 50.5)
+    // SSE0 = 1937.2, split SSE = 7/6 → F ≈ 4978
+    assert(r.getAs[Double]("f_r") > 1000.0, r.toString)
+    // a perfectly clean shift has split SSE 0: F undefined → NULL
+    val clean = Seq((0L, 10L), (1L, 10L), (2L, 50L), (3L, 50L))
+      .toDF("t", "y")
+    val c = TimeSeries.bestMeanShift(clean, "t", "y").collect().head
+    assert(c.getAs[Long]("break_t") == 2)
+    assert(c.isNullAt(c.fieldIndex("f_r")))
+  }
 }
