@@ -912,4 +912,84 @@ object Behavior {
         round(col("n_follow").cast("double")
           / col("n_both").cast("double"), 6).as("follow_r"))
   }
+
+  /** Per-entity Shannon entropy of the event-type mix: H_u =
+    * −Σ_t (c_ut/c_u)·ln(c_ut/c_u) — the behavioral-diversity score
+    * (0 = the user does one thing; ln m = uniform over m types) whose
+    * DISTRIBUTION across users is what product analytics reads: a
+    * bimodal entropy histogram means two populations, a collapsing
+    * mean means the product funnels everyone into one action.
+    *
+    * Determinism: per-entity term sums are the hazard (Σ over a
+    * user's ≤ m types in engine-dependent order), so each term is
+    * 12-dp-rounded and DECIMAL-summed — H_u lands exactly on the
+    * 1e-12 grid in both engines. The per-entity total count comes
+    * from an entity-PARTITIONED window over the (entity, type) count
+    * grain (never the corpus grain, never unpartitioned). Returns
+    * per entity: entityCol, n_events, n_types, h (DECIMAL 1e-12). */
+  def typeEntropy(events: DataFrame, entityCol: String,
+      typeCol: String): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val cnt = events.groupBy(col(entityCol), col(typeCol))
+      .agg(count(lit(1)).as("_c"))
+    val wu = Window.partitionBy(col(entityCol))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    cnt.withColumn("_n", sum(col("_c")).over(wu))
+      .groupBy(col(entityCol))
+      .agg(first(col("_n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(t12(-p * log(p))).as("h"))
+  }
+
+  /** Experiment-assignment health in one readout: the sample-ratio-
+    * mismatch z/χ² (a 50/50 split whose counts are NOT binomially
+    * plausible means broken bucketing — the first thing to check
+    * before reading ANY lift number) plus the standardized mean
+    * difference |SMD| of each pre-exposure covariate between arms
+    * (imbalance > ~0.1 says randomization didn't balance what it was
+    * supposed to). One row per covariate; the SRM columns repeat on
+    * each row (same unit population).
+    *
+    * Shape: the unit frame is melted covariate-wise with `stack`
+    * (|covs|× fan-out of the already-aggregated unit grain, never the
+    * event corpus), one hash-agg to per-(covariate, arm) exact
+    * DECIMAL(38,0) moments, then the diffInDiff conditional-max pivot
+    * on the tiny (covariate) grain. Every mean/variance is assembled
+    * from exact integer sums cast ONCE to double (the cuped
+    * convention); SMD uses the pooled-SD form √((s²_a+s²_b)/2) with
+    * sample (n−1) variances. */
+  def armBalanceAudit(units: DataFrame, armB: org.apache.spark.sql.Column,
+      covs: Seq[String]): DataFrame = {
+    require(covs.nonEmpty, "need at least one covariate")
+    val stackArgs = covs.map(c => s"'$c', cast($c as decimal(38,0))")
+      .mkString(", ")
+    val melted = units.select(armB.as("_arm_b"),
+        expr(s"stack(${covs.size}, $stackArgs) as (cov, _x)"))
+    val g = melted.groupBy(col("cov"), col("_arm_b"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x")).cast("double").as("_sx"),
+        sum(col("_x") * col("_x")).cast("double").as("_sxx"))
+    def side(arm: Boolean, c: String) =
+      max(when(col("_arm_b") === arm, col(c)))
+    val piv = g.groupBy(col("cov"))
+      .agg(side(false, "_n").as("n_a"), side(false, "_sx").as("_sxa"),
+        side(false, "_sxx").as("_sxxa"),
+        side(true, "_n").as("n_b"), side(true, "_sx").as("_sxb"),
+        side(true, "_sxx").as("_sxxb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("_sxa") / na
+    val mb = col("_sxb") / nb
+    val va = (col("_sxxa") - col("_sxa") * col("_sxa") / na) / (na - 1)
+    val vb = (col("_sxxb") - col("_sxb") * col("_sxb") / nb) / (nb - 1)
+    val srmZ = (nb - na) / sqrt(na + nb)
+    piv.select(col("cov").as("covariate"), col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a_r"), round(mb, 6).as("mean_b_r"),
+      round(when(col("n_a") > 1 && col("n_b") > 1 &&
+        (va + vb) > 0, (mb - ma) / sqrt((va + vb) / 2)), 6)
+        .as("smd_r"),
+      round(srmZ, 6).as("srm_z_r"),
+      round(srmZ * srmZ, 6).as("srm_chi2_r"))
+  }
 }

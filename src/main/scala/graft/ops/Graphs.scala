@@ -662,4 +662,53 @@ object Graphs {
     }
     reach
   }
+
+  /** Rich-club coefficient at each degree threshold k: φ(k) =
+    * 2·E_{>k} / (N_{>k}·(N_{>k}−1)) where N_{>k} counts vertices of
+    * degree > k and E_{>k} the edges BETWEEN them (Zhou & Mondragón
+    * 2004) — φ(k) → 1 means the hubs form a near-clique (one
+    * congestion core every hub-routed workload funnels through),
+    * φ(k) ≈ density means hubs connect mostly outward. The structural
+    * sibling of [[degreeAssortativity]]: r says whether hubs PREFER
+    * hubs, φ(k) says how much of the hub-hub capacity actually exists.
+    *
+    * Shape: degrees from one hash-agg of the symmetrized edges; each
+    * edge is annotated with min(deg_src, deg_dst) by two broadcast-
+    * class joins against the degree table; then BOTH sides collapse to
+    * bounded histograms (nodes by degree, edges by min-degree) and
+    * every threshold is answered from the histogram × |ks| spec cross
+    * join — per-k work never rescans edges, so the k-sweep is free at
+    * any graph size. Returns per k: k, n_nodes, n_edges, phi_r
+    * (null when N_{>k} < 2). */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one threshold")
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("_v"))
+      .agg(count(lit(1)).as("_deg"))
+    val e = edges
+      .join(deg.select(col("_v").as("src"), col("_deg").as("_du")),
+        Seq("src"))
+      .join(deg.select(col("_v").as("dst"), col("_deg").as("_dv")),
+        Seq("dst"))
+      .select(least(col("_du"), col("_dv")).as("_mindeg"))
+    val nodeHist = deg.groupBy(col("_deg")).agg(count(lit(1)).as("_nv"))
+    val edgeHist = e.groupBy(col("_mindeg")).agg(count(lit(1)).as("_ne"))
+    val spec = ks.toDF("k")
+    val nGt = broadcast(spec).crossJoin(nodeHist).groupBy(col("k"))
+      .agg(sum(when(col("_deg") > col("k"), col("_nv"))
+        .otherwise(0L)).as("n_nodes"))
+    val eGt = broadcast(spec).crossJoin(edgeHist).groupBy(col("k"))
+      .agg(sum(when(col("_mindeg") > col("k"), col("_ne"))
+        .otherwise(0L)).as("n_edges"))
+    nGt.join(eGt, Seq("k"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        round(when(col("n_nodes") >= 2,
+          lit(2.0) * col("n_edges").cast("double")
+            / (col("n_nodes").cast("double")
+              * (col("n_nodes").cast("double") - 1))), 6).as("phi_r"))
+  }
 }

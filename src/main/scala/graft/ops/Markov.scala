@@ -172,4 +172,59 @@ object Markov {
       .select(col("state"), round(col("_pc"), 6).as("p_conv_r"),
         round(col("_st"), 6).as("steps_r"))
   }
+
+  /** Likelihood-ratio test of the FIRST-ORDER Markov assumption the
+    * attribution model ([[removalEffects]]) rests on, against a
+    * second-order alternative (Anderson & Goodman 1957): over
+    * consecutive within-entity state trigrams (a, b, c),
+    *   G² = 2 Σ_abc n_abc · ln( n_abc·n_b / (n_ab·n_bc) )
+    * where every margin (n_ab = Σ_c, n_bc = Σ_a, n_b = Σ_ac) comes
+    * from the SAME trigram table, with df = m·(m−1)² for m = distinct
+    * states appearing in any trigram slot. Large G² ⇒ P(c | a, b)
+    * genuinely depends on a, and a first-order chain (and everything
+    * built on its transition matrix) is misspecified.
+    *
+    * Shape: corpus rows are touched once, by one entity-partitioned
+    * window pass (two lags); everything after lives on the ≤ m³
+    * trigram grain — margins are re-aggregations of it, joins on it
+    * are broadcast-sized. Terms are 12-dp-rounded before the DECIMAL
+    * sum; n_abc·n_b and n_ab·n_bc stay exact BIGINT products (≤ n²
+    * < 2⁶³ for any realistic corpus) and meet in ONE double division,
+    * so both engines evaluate identical ln arguments. Returns one
+    * row: n_trigrams, m_states, df, g2_r. */
+  def orderTest(events: DataFrame, entityCol: String, typeCol: String,
+      orderBy: Seq[Column]): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val w = Window.partitionBy(entityCol).orderBy(orderBy: _*)
+    // localCheckpoint: the trigram table has four consumers below
+    // (the assocMeasures multi-consumer convention)
+    val tri = events
+      .withColumn("_b", lag(col(typeCol), 1).over(w))
+      .withColumn("_a", lag(col(typeCol), 2).over(w))
+      .where(col("_a").isNotNull)
+      .groupBy(col("_a").as("a"), col("_b").as("b"),
+        col(typeCol).as("c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .localCheckpoint()
+    val nab = tri.groupBy(col("a"), col("b"))
+      .agg(sum(col("n_abc")).as("n_ab"))
+    val nbc = tri.groupBy(col("b"), col("c"))
+      .agg(sum(col("n_abc")).as("n_bc"))
+    val nb = tri.groupBy(col("b")).agg(sum(col("n_abc")).as("n_b"))
+    val m = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("_s"))
+      .agg(count_distinct(col("_s")).as("m_states"))
+    val lnArg = (col("n_abc") * col("n_b")).cast("double") /
+      (col("n_ab") * col("n_bc")).cast("double")
+    val g = tri.join(nab, Seq("a", "b")).join(nbc, Seq("b", "c"))
+      .join(nb, Seq("b"))
+      .agg(sum(col("n_abc")).as("n_trigrams"),
+        sum(t12(col("n_abc").cast("double") * log(lnArg)))
+          .cast("double").as("_g"))
+    g.crossJoin(broadcast(m))
+      .select(col("n_trigrams"), col("m_states"),
+        (col("m_states") * (col("m_states") - 1)
+          * (col("m_states") - 1)).as("df"),
+        round(lit(2.0) * col("_g"), 6).as("g2_r"))
+  }
 }

@@ -720,4 +720,44 @@ object Profile {
     }
     frames.reduce(_ unionByName _)
   }
+
+  /** Theil inequality indices per group — the entropy-based
+    * complement of [[concentrationProfile]]'s Gini/HHI: for positive
+    * values x with group mean μ,
+    *   T = (1/n) Σ (x/μ)·ln(x/μ)   (Theil T, top-sensitive)
+    *   L = (1/n) Σ ln(μ/x)          (mean log deviation, bottom-
+    *                                 sensitive)
+    * Unlike Gini, T decomposes additively into between/within-group
+    * terms, which is why inequality audits carry both. Non-positive
+    * and null values are EXCLUDED (ln undefined; for exact-cents
+    * revenue a zero-spend unit simply isn't in the spending
+    * population), and a group needs n ≥ 1 positive rows to appear.
+    *
+    * Determinism: values enter as exact DECIMAL(38,0) integers; μ is
+    * ONE double division of exact sums; each per-row term is
+    * 12-dp-rounded before an order-independent DECIMAL sum (the q304
+    * convention — the corpus-sized sum is the hazard, not the ln).
+    * Group stats re-enter by broadcast join: groups are bounded
+    * (segments), rows are not. Returns per group: n, total,
+    * theil_t_r, theil_l_r. */
+  def theilInequality(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val pos = df
+      .select(col(groupCol), col(valueCol).cast("decimal(38,0)").as("_x"))
+      .where(col("_x") > 0)
+    val g = pos.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"))
+    val ratio = col("_x").cast("double") /
+      (col("total").cast("double") / col("n").cast("double"))
+    pos.join(broadcast(g), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("total")).as("total"),
+        sum(t12(ratio * log(ratio))).cast("double").as("_t"),
+        sum(t12(log(ratio))).cast("double").as("_l"))
+      .select(col(groupCol), col("n"), col("total"),
+        round(col("_t") / col("n").cast("double"), 6).as("theil_t_r"),
+        round(-col("_l") / col("n").cast("double"), 6).as("theil_l_r"))
+  }
 }

@@ -23,7 +23,7 @@ object Registry {
       MarkovQueries.all ++ SurvivalQueries.all ++
       ReliabilityQueries.all ++ CompletionQueries.all ++
       AuditDepthQueries.all ++ StratifiedQueries.all ++
-      ExtremeQueries.all ++ DiagQueries.all
+      ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

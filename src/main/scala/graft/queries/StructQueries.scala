@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, Graphs, Markov, Profile, Ranks}
+import graft.util.Tables._
+
+/** Round-10 distributional/structural audit batch: Theil inequality
+  * decomposition indices ([[graft.ops.Profile.theilInequality]] — the
+  * entropy complement of q286's Gini/HHI), the Markov order test
+  * ([[graft.ops.Markov.orderTest]] — is the q312 attribution model's
+  * first-order assumption even true?), the per-user behavioral-entropy
+  * distribution ([[graft.ops.Behavior.typeEntropy]]), the rich-club
+  * coefficient sweep ([[graft.ops.Graphs.richClub]] — do the q213
+  * hubs form a core?), and the experiment-assignment health audit
+  * ([[graft.ops.Behavior.armBalanceAudit]] — SRM + covariate SMD, the
+  * pre-read gate for every q198/q204/q207-style readout).
+  */
+object StructQueries {
+
+  /** PART co-occurrence graph (support ≥ 2) — q213's fixture. */
+  private val partEdges =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |e0 AS (
+      |  SELECT a.i AS src, b.i AS dst
+      |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** The q198/q204 md5 50/50 arm split, verbatim. */
+  private val armSql =
+    "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 >= 50"
+
+  val all: Seq[Q] = Seq(
+
+    // Theil T + mean-log-deviation L of customer revenue per market
+    // segment: the decomposable inequality indices next to q286's
+    // Gini/HHI. Positive spenders only (ln); per-row terms 12-dp
+    // DECIMAL-summed, mu as ONE double division of exact cents.
+    Q("q354_theil_inequality",
+      Some("""WITH cust AS (
+             |  SELECT c_mktsegment AS seg, c_custkey,
+             |    sum(round(o_totalprice * 100)::BIGINT) AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |pos AS (SELECT seg, x FROM cust WHERE x > 0),
+             |g AS (
+             |  SELECT seg, count(*)::BIGINT AS n,
+             |    sum(x)::HUGEINT AS total
+             |  FROM pos GROUP BY 1),
+             |t AS (
+             |  SELECT p.seg,
+             |    round((p.x::DOUBLE / (g.total::DOUBLE / g.n::DOUBLE))
+             |      * ln(p.x::DOUBLE / (g.total::DOUBLE / g.n::DOUBLE)),
+             |      12)::DECIMAL(28,12) AS tt,
+             |    round(ln(p.x::DOUBLE / (g.total::DOUBLE / g.n::DOUBLE)),
+             |      12)::DECIMAL(28,12) AS ll
+             |  FROM pos p JOIN g USING (seg)),
+             |a AS (
+             |  SELECT seg, sum(tt)::DOUBLE AS st, sum(ll)::DOUBLE AS sl
+             |  FROM t GROUP BY 1)
+             |SELECT g.seg, g.n, g.total,
+             |  round(a.st / g.n::DOUBLE, 6) AS theil_t_r,
+             |  round(-a.sl / g.n::DOUBLE, 6) AS theil_l_r
+             |FROM g JOIN a USING (seg) ORDER BY seg""".stripMargin),
+      (s, d) => {
+        val cust = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("x"))
+        Profile.theilInequality(cust, "seg", "x").orderBy("seg")
+      }),
+
+    // Markov order test over user journeys: LR of first- vs
+    // second-order on within-user event-type trigrams — the
+    // model-validity gate for q312/q313's transition-matrix math.
+    Q("q355_markov_order",
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type AS c,
+             |    lag(event_type, 1) OVER w AS b,
+             |    lag(event_type, 2) OVER w AS a
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |tri AS (
+             |  SELECT a, b, c, count(*)::BIGINT AS n_abc FROM seq
+             |  WHERE a IS NOT NULL GROUP BY 1, 2, 3),
+             |nab AS (
+             |  SELECT a, b, sum(n_abc)::BIGINT AS n_ab FROM tri
+             |  GROUP BY 1, 2),
+             |nbc AS (
+             |  SELECT b, c, sum(n_abc)::BIGINT AS n_bc FROM tri
+             |  GROUP BY 1, 2),
+             |nb AS (SELECT b, sum(n_abc)::BIGINT AS n_b FROM tri
+             |  GROUP BY 1),
+             |m AS (
+             |  SELECT count(DISTINCT s)::BIGINT AS m_states FROM (
+             |    SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)),
+             |g AS (
+             |  SELECT sum(n_abc)::BIGINT AS n_trigrams,
+             |    sum(round(n_abc::DOUBLE
+             |      * ln((tri.n_abc * nb.n_b)::DOUBLE
+             |        / (nab.n_ab * nbc.n_bc)::DOUBLE), 12)
+             |      ::DECIMAL(28,12))::DOUBLE AS sg
+             |  FROM tri JOIN nab USING (a, b) JOIN nbc USING (b, c)
+             |    JOIN nb USING (b))
+             |SELECT n_trigrams, m_states,
+             |  (m_states * (m_states - 1) * (m_states - 1))::BIGINT
+             |    AS df,
+             |  round(2.0 * sg, 6) AS g2_r
+             |FROM g, m""".stripMargin),
+      (s, d) => Markov.orderTest(events(s, d), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))),
+
+    // Behavioral-entropy distribution: per-user event-type Shannon
+    // entropy (12-dp DECIMAL term sums -> exact-grid H), summarized as
+    // mean + exact quartiles (bandedRank quantiles, no global sort).
+    Q("q356_user_entropy",
+      Some("""WITH cnt AS (
+             |  SELECT user_id, event_type, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT user_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+             |hu AS (
+             |  SELECT cnt.user_id,
+             |    sum(round(-(c::DOUBLE / n::DOUBLE)
+             |      * ln(c::DOUBLE / n::DOUBLE), 12)::DECIMAL(28,12))
+             |      AS h
+             |  FROM cnt JOIN tot USING (user_id) GROUP BY 1),
+             |s AS (
+             |  SELECT count(*)::BIGINT AS n_users, sum(h)::DOUBLE AS sh,
+             |    quantile_cont(h::DOUBLE, 0.25) AS q1,
+             |    quantile_cont(h::DOUBLE, 0.5) AS q2,
+             |    quantile_cont(h::DOUBLE, 0.75) AS q3
+             |  FROM hu)
+             |SELECT n_users, round(sh / n_users::DOUBLE, 6) AS mean_h_r,
+             |  round(q1, 6) AS h_p25_r, round(q2, 6) AS h_p50_r,
+             |  round(q3, 6) AS h_p75_r
+             |FROM s""".stripMargin),
+      (s, d) => {
+        val he = Behavior.typeEntropy(events(s, d), "user_id",
+          "event_type")
+        val mean = he.agg(count(lit(1)).as("n_users"),
+          sum(col("h")).cast("double").as("_sh"))
+        val hq = he.select(lit(0).as("_g"),
+          col("h").cast("double").as("_h"), col("user_id"))
+        val qs = Ranks.exactQuantiles(hq, "_g", "_h", "user_id",
+          bandWidth = 0.25, nums = Seq(1, 2, 3), den = 4)
+        val piv = qs.groupBy(col("_g"))
+          .agg(max(when(col("q") === 0.25, col("q_val"))).as("_q1"),
+            max(when(col("q") === 0.5, col("q_val"))).as("_q2"),
+            max(when(col("q") === 0.75, col("q_val"))).as("_q3"))
+        mean.crossJoin(broadcast(piv))
+          .select(col("n_users"),
+            round(col("_sh") / col("n_users").cast("double"), 6)
+              .as("mean_h_r"),
+            round(col("_q1"), 6).as("h_p25_r"),
+            round(col("_q2"), 6).as("h_p50_r"),
+            round(col("_q3"), 6).as("h_p75_r"))
+      }),
+
+    // Rich-club sweep over the PART co-occurrence graph: is there a
+    // hub core the q103/q140 traversals will funnel through? Per-k
+    // answers come from bounded degree histograms — no per-k rescans.
+    Q("q357_rich_club",
+      Some(s"""$partEdges,
+              |sym AS (SELECT src, dst FROM e0
+              |        UNION ALL SELECT dst, src FROM e0),
+              |deg AS (
+              |  SELECT src AS v, count(*)::BIGINT AS deg FROM sym
+              |  GROUP BY 1),
+              |e AS (
+              |  SELECT least(d1.deg, d2.deg) AS mindeg
+              |  FROM e0 JOIN deg d1 ON e0.src = d1.v
+              |  JOIN deg d2 ON e0.dst = d2.v),
+              |nh AS (SELECT deg, count(*)::BIGINT AS nv FROM deg
+              |  GROUP BY 1),
+              |eh AS (SELECT mindeg, count(*)::BIGINT AS ne FROM e
+              |  GROUP BY 1),
+              |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+              |n AS (
+              |  SELECT k, sum(CASE WHEN deg > k THEN nv ELSE 0 END)
+              |    ::BIGINT AS n_nodes
+              |  FROM ks CROSS JOIN nh GROUP BY 1),
+              |e2 AS (
+              |  SELECT k, sum(CASE WHEN mindeg > k THEN ne ELSE 0 END)
+              |    ::BIGINT AS n_edges
+              |  FROM ks CROSS JOIN eh GROUP BY 1)
+              |SELECT n.k, n_nodes, n_edges,
+              |  CASE WHEN n_nodes >= 2 THEN
+              |    round(2.0 * n_edges / (n_nodes::DOUBLE
+              |      * (n_nodes::DOUBLE - 1)), 6) END AS phi_r
+              |FROM n JOIN e2 USING (k) ORDER BY k""".stripMargin),
+      (s, d) => Graphs.richClub(
+          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
+            "l_partkey", 2L).cache(),
+          Seq(1, 2, 4, 8, 16))
+        .orderBy("k")),
+
+    // Experiment-assignment health: SRM z/chi2 on the md5 50/50 split
+    // + standardized mean difference of two pre-read covariates —
+    // the gate to run BEFORE believing q198/q204/q207.
+    Q("q358_srm_balance",
+      Some(s"""WITH u AS (
+              |  SELECT user_id, count(*)::BIGINT AS n_events,
+              |    sum(coalesce(round(value * 100)::BIGINT, 0))::BIGINT
+              |      AS spend_cents,
+              |    $armSql AS armb
+              |  FROM events GROUP BY user_id),
+              |m AS (
+              |  SELECT cov, armb, count(*)::BIGINT AS n,
+              |    sum(x)::HUGEINT AS sx, sum(x * x)::HUGEINT AS sxx
+              |  FROM (
+              |    SELECT armb, 'n_events' AS cov, n_events AS x FROM u
+              |    UNION ALL
+              |    SELECT armb, 'spend_cents', spend_cents FROM u)
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT cov,
+              |    max(CASE WHEN NOT armb THEN n END) AS n_a,
+              |    max(CASE WHEN NOT armb THEN sx END)::DOUBLE AS sxa,
+              |    max(CASE WHEN NOT armb THEN sxx END)::DOUBLE AS sxxa,
+              |    max(CASE WHEN armb THEN n END) AS n_b,
+              |    max(CASE WHEN armb THEN sx END)::DOUBLE AS sxb,
+              |    max(CASE WHEN armb THEN sxx END)::DOUBLE AS sxxb
+              |  FROM m GROUP BY 1),
+              |f AS (
+              |  SELECT cov, n_a, n_b,
+              |    sxa / n_a::DOUBLE AS ma, sxb / n_b::DOUBLE AS mb,
+              |    (sxxa - sxa * sxa / n_a::DOUBLE)
+              |      / (n_a::DOUBLE - 1) AS va,
+              |    (sxxb - sxb * sxb / n_b::DOUBLE)
+              |      / (n_b::DOUBLE - 1) AS vb,
+              |    (n_b::DOUBLE - n_a::DOUBLE)
+              |      / sqrt(n_a::DOUBLE + n_b::DOUBLE) AS z
+              |  FROM p)
+              |SELECT cov AS covariate, n_a, n_b,
+              |  round(ma, 6) AS mean_a_r, round(mb, 6) AS mean_b_r,
+              |  CASE WHEN n_a > 1 AND n_b > 1 AND va + vb > 0 THEN
+              |    round((mb - ma) / sqrt((va + vb) / 2), 6) END
+              |    AS smd_r,
+              |  round(z, 6) AS srm_z_r,
+              |  round(z * z, 6) AS srm_chi2_r
+              |FROM f ORDER BY covariate""".stripMargin),
+      (s, d) => {
+        val units = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(coalesce(round(col("value") * 100).cast("long"),
+              lit(0L))).as("spend_cents"))
+          .withColumn("_arm",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 100 >= 50)
+        Behavior.armBalanceAudit(units, col("_arm"),
+          Seq("n_events", "spend_cents")).orderBy("covariate")
+      })
+  )
+}

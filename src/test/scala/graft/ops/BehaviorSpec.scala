@@ -563,4 +563,44 @@ class BehaviorSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("chi2_r")
       - (2 - e1) * (2 - e1) / v) < 1e-6)
   }
+
+  test("typeEntropy: uniform two-type user = ln 2, single-type = 0") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"))
+      .toDF("user_id", "event_type")
+    val got = Behavior.typeEntropy(ev, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_events") == 2L)
+    assert(got(1L).getAs[Long]("n_types") == 2L)
+    val h1 = got(1L).getAs[java.math.BigDecimal]("h").doubleValue()
+    assert(math.abs(h1 - math.log(2)) < 1e-9)
+    assert(got(2L).getAs[java.math.BigDecimal]("h").doubleValue() == 0.0)
+  }
+
+  test("armBalanceAudit: hand SMD and SRM on a 2-vs-3 split") {
+    import spark.implicits._
+    // arm A: x = 1, 3 (mean 2, var 2); arm B: x = 2, 4, 6
+    // (mean 4, var 4) -> SMD = 2/sqrt(3); SRM z = 1/sqrt(5)
+    val units = Seq((false, 1L), (false, 3L), (true, 2L), (true, 4L),
+      (true, 6L)).toDF("armb", "x")
+    val r = Behavior.armBalanceAudit(units, col("armb"), Seq("x"))
+      .collect()(0)
+    assert(r.getAs[String]("covariate") == "x")
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a_r") == 2.0)
+    assert(r.getAs[Double]("mean_b_r") == 4.0)
+    assert(math.abs(r.getAs[Double]("smd_r") - 2 / math.sqrt(3)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("srm_z_r") - 1 / math.sqrt(5)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("srm_chi2_r") - 0.2) < 1e-6)
+  }
+
+  test("armBalanceAudit: zero-variance covariate gives null SMD") {
+    import spark.implicits._
+    val units = Seq((false, 7L), (false, 7L), (true, 7L), (true, 7L))
+      .toDF("armb", "x")
+    val r = Behavior.armBalanceAudit(units, col("armb"), Seq("x"))
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("smd_r")))
+    assert(r.getAs[Double]("srm_z_r") == 0.0)
+  }
 }

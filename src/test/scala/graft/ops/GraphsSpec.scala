@@ -379,4 +379,24 @@ class GraphsSpec extends SparkTestBase {
     assert(dist((3L, 1L)) == 2, "symmetrized: distance is undirected")
     assert(dist.size == 9, "3 sources x 3 reached vertices")
   }
+
+  test("richClub: triangle + pendant, swept at k = 0, 1, 2") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant edge 1-4: degrees 3,2,2,1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = Graphs.richClub(edges, Seq(0, 1, 2))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Long]("n_nodes") == 4L)
+    assert(got(0).getAs[Long]("n_edges") == 4L)
+    assert(got(0).getAs[Double]("phi_r") == 0.666667) // 8/12
+    // k=1: the degree->1 club is the triangle, which is complete
+    assert(got(1).getAs[Long]("n_nodes") == 3L)
+    assert(got(1).getAs[Long]("n_edges") == 3L)
+    assert(got(1).getAs[Double]("phi_r") == 1.0)
+    // k=2: only vertex 1 qualifies -> phi undefined
+    assert(got(2).getAs[Long]("n_nodes") == 1L)
+    assert(got(2).getAs[Long]("n_edges") == 0L)
+    assert(got(2).isNullAt(got(2).fieldIndex("phi_r")))
+  }
 }

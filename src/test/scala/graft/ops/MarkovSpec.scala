@@ -71,4 +71,34 @@ class MarkovSpec extends SparkTestBase {
     assert(got("START").getAs[Double]("p_conv_r") == 0.5)
     assert(got("START").getAs[Double]("steps_r") == 2.0)
   }
+
+  test("orderTest: first-order chain gives G2 = 0") {
+    import spark.implicits._
+    // A B A B A: every trigram's next state is determined by the
+    // middle alone, so P(c|ab) = P(c|b) exactly
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 4L, "B"), (1L, 5L, "A")).toDF("user_id", "event_id",
+      "event_type")
+    val r = Markov.orderTest(ev, "user_id", "event_type",
+      Seq(col("event_id"))).collect()(0)
+    assert(r.getAs[Long]("n_trigrams") == 3L)
+    assert(r.getAs[Long]("m_states") == 2L)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Double]("g2_r") == 0.0)
+  }
+
+  test("orderTest: second-order dependence gives G2 = 4 ln 2") {
+    import spark.implicits._
+    // X A P vs Y A Q: what follows A is fully determined by what
+    // PRECEDED it — each term contributes ln(1*2 / (1*1)) = ln 2
+    val ev = Seq((1L, 1L, "X"), (1L, 2L, "A"), (1L, 3L, "P"),
+      (2L, 1L, "Y"), (2L, 2L, "A"), (2L, 3L, "Q"))
+      .toDF("user_id", "event_id", "event_type")
+    val r = Markov.orderTest(ev, "user_id", "event_type",
+      Seq(col("event_id"))).collect()(0)
+    assert(r.getAs[Long]("n_trigrams") == 2L)
+    assert(r.getAs[Long]("m_states") == 5L)
+    assert(r.getAs[Long]("df") == 80L)
+    assert(math.abs(r.getAs[Double]("g2_r") - 4 * math.log(2)) < 1e-6)
+  }
 }

@@ -464,4 +464,24 @@ class ProfileSpec extends SparkTestBase {
     assert(!v.getAs[Boolean]("candidate_key"))
     assert(v.getAs[Double]("uniq_r") == 0.333333)
   }
+
+  test("theilInequality: equal values give T = L = 0; hand two-value " +
+      "case; non-positive rows excluded") {
+    import spark.implicits._
+    val df = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("mix", 1L), ("mix", 3L), ("mix", 0L), ("mix", -7L))
+      .toDF("seg", "x")
+    val got = Profile.theilInequality(df, "seg", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("eq").getAs[Long]("n") == 3L)
+    assert(got("eq").getAs[Double]("theil_t_r") == 0.0)
+    assert(got("eq").getAs[Double]("theil_l_r") == 0.0)
+    // mix keeps only {1, 3}: mu = 2, T = (0.5 ln 0.5 + 1.5 ln 1.5)/2,
+    // L = -(ln 0.5 + ln 1.5)/2
+    assert(got("mix").getAs[Long]("n") == 2L)
+    val t = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    val l = -(math.log(0.5) + math.log(1.5)) / 2
+    assert(math.abs(got("mix").getAs[Double]("theil_t_r") - t) < 1e-6)
+    assert(math.abs(got("mix").getAs[Double]("theil_l_r") - l) < 1e-6)
+  }
 }
