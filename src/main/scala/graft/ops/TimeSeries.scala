@@ -801,4 +801,84 @@ object TimeSeries {
       round(when(col("_n") > 2 && split > 0,
         col("_red") / (split / (nD - 2))), 6).as("f_r"))
   }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969): chop the day-grain series into
+    * complete blocks of each size n, compute each block's rescaled
+    * range R/S (range of cumulative mean-deviations over population
+    * SD), average per size, and fit ln(mean R/S) = c + H·ln(n) —
+    * H ≈ 0.5 is a memoryless walk, H > 0.5 long-range persistence
+    * (trends compound; naive CI widths lie), H < 0.5 mean reversion.
+    *
+    * Exactness: inside a block, n·Z_i = n·W_i − i·S_n (W = running
+    * integer prefix sum, S_n = block total) keeps the cumulative
+    * deviations in EXACT integer arithmetic — R = (max−min)/n and the
+    * population SD meet in one double expression per block, so no
+    * engine-ordered float prefix sum exists anywhere (a windowed
+    * double cumsum would be segment-tree-ordered in DuckDB but
+    * running-ordered in Spark). Per-block R/S terms are 12-dp
+    * DECIMAL-summed per size; the ln-ln OLS runs on the ≤|sizes|
+    * point frame with the shared simple-OLS parenthesization.
+    * All windows are PARTITIONED by (size, block). Returns per size:
+    * n (block length), n_blocks, mean_rs_r, h_r (the fitted slope,
+    * repeated — the q213 global-column convention). */
+  def hurstRs(daily: DataFrame, tCol: String, yCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2), "block sizes >= 2")
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val s = daily.sparkSession
+    import s.implicits._
+    val spec = sizes.toDF("n")
+    val rows = daily.select(col(tCol).cast("long").as("_t"),
+        col(yCol).cast("long").as("_y"))
+      .crossJoin(broadcast(spec))
+      .withColumn("_blk", expr("_t div n"))
+    val wb = Window.partitionBy(col("n"), col("_blk"))
+    val wcum = wb.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = rows
+      .withColumn("_cnt", count(lit(1)).over(wb))
+      .where(col("_cnt") === col("n"))
+      .withColumn("_w", sum(col("_y")).over(wcum))
+      .withColumn("_i", row_number().over(wb.orderBy(col("_t"))))
+      .withColumn("_sn", sum(col("_y")).over(wb))
+      // y² in DECIMAL: daily cents squared overflows BIGINT (ANSI throw)
+      .withColumn("_syy", sum(col("_y").cast("decimal(38,0)")
+        * col("_y").cast("decimal(38,0)")).over(wb))
+      // n*Z_i as an exact integer: no float accumulates in any order
+      .withColumn("_nz", col("n") * col("_w") - col("_i") * col("_sn"))
+    val blocks = annotated.groupBy(col("n"), col("_blk"))
+      .agg(max(col("_nz")).as("_zmax"), min(col("_nz")).as("_zmin"),
+        first(col("_sn")).as("_sn"), first(col("_syy")).as("_syy"))
+    val nD = col("n").cast("double")
+    val r = (greatest(col("_zmax"), lit(0L))
+      - least(col("_zmin"), lit(0L))).cast("double") / nD
+    val sd = sqrt((col("_syy").cast("double")
+      - col("_sn").cast("double") * col("_sn").cast("double") / nD) / nD)
+    val perSize = blocks
+      .select(col("n"), when(sd > 0, r / sd).as("_rs"))
+      .where(col("_rs").isNotNull)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(t12(col("_rs"))).cast("double").as("_srs"))
+      .withColumn("_meanrs",
+        col("_srs") / col("n_blocks").cast("double"))
+      .where(col("_meanrs") > 0)
+      .localCheckpoint() // consumed by the fit AND the final select
+    val m = perSize.agg(count(lit(1)).as("_k"),
+      sum(t12(log(nD))).cast("double").as("_sx"),
+      sum(t12(log(col("_meanrs")))).cast("double").as("_sy"),
+      sum(t12(log(nD) * log(nD))).cast("double").as("_sxx"),
+      sum(t12(log(nD) * log(col("_meanrs")))).cast("double").as("_sxy"))
+    val kD = col("_k").cast("double")
+    val h = m.select(col("_k"),
+      when(col("_k") >= 2 &&
+        kD * col("_sxx") - col("_sx") * col("_sx") > 0,
+        (kD * col("_sxy") - col("_sx") * col("_sy")) /
+          (kD * col("_sxx") - col("_sx") * col("_sx"))).as("_h"))
+    perSize.crossJoin(broadcast(h))
+      .select(col("n"), col("n_blocks"),
+        round(col("_meanrs"), 6).as("mean_rs_r"),
+        round(col("_h"), 6).as("h_r"))
+  }
 }

@@ -253,6 +253,105 @@ object StructQueries {
               16, 10).cast("long") % 100 >= 50)
         Behavior.armBalanceAudit(units, col("_arm"),
           Seq("n_events", "spend_cents")).orderBy("covariate")
+      }),
+
+    // LEFT SEMI stream-stream join — the join-type matrix closer
+    // (inner q62 / left q272 / full q319): matched purchases emit on
+    // first match with no no-match proof needed, so the finite-input
+    // result equals the batch EXISTS.
+    Q("q359_stream_stream_semi",
+      Some("""SELECT p.event_id AS p_id FROM events p
+             |WHERE p.event_type = 'purchase' AND EXISTS (
+             |  SELECT 1 FROM events s
+             |  WHERE s.event_type = 'signup'
+             |    AND s.user_id = p.user_id AND s.ts <= p.ts
+             |    AND s.ts >= p.ts - INTERVAL '1 day')
+             |ORDER BY p_id""".stripMargin),
+      (s, d) => graft.streaming.Streams.streamStreamSemiJoin(s, d,
+        "1 DAY").orderBy("p_id")),
+
+    // Hurst exponent (rescaled-range) of daily revenue: long-memory
+    // vs mean reversion, with block cumulatives kept in EXACT integer
+    // arithmetic (n·Z_i = n·W_i − i·S_n) so no engine-ordered float
+    // prefix sum exists anywhere.
+    Q("q360_hurst_rs",
+      Some("""WITH grain AS (
+             |  SELECT o_orderdate::DATE AS day,
+             |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT (day - (SELECT min(day) FROM grain))::BIGINT AS t,
+             |    y FROM grain),
+             |rws AS (
+             |  SELECT n, (t.t // n)::BIGINT AS blk, t.t, y
+             |  FROM t CROSS JOIN
+             |    (SELECT unnest([8, 16, 32, 64]) AS n) ks),
+             |ann AS (
+             |  SELECT n, blk, t, y,
+             |    count(*) OVER wb AS cnt,
+             |    sum(y) OVER wcum AS w,
+             |    row_number() OVER (PARTITION BY n, blk ORDER BY t)
+             |      AS i,
+             |    sum(y) OVER wb AS sn,
+             |    sum(y::HUGEINT * y::HUGEINT) OVER wb AS syy
+             |  FROM rws
+             |  WINDOW wb AS (PARTITION BY n, blk),
+             |    wcum AS (PARTITION BY n, blk ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |blkv AS (
+             |  SELECT n, blk,
+             |    max(n * w - i * sn)::BIGINT AS zmax,
+             |    min(n * w - i * sn)::BIGINT AS zmin,
+             |    max(sn)::BIGINT AS sn, max(syy)::HUGEINT AS syy
+             |  FROM ann WHERE cnt = n GROUP BY 1, 2),
+             |sd AS (
+             |  SELECT n, blk,
+             |    (greatest(zmax, 0) - least(zmin, 0))::DOUBLE
+             |      / n::DOUBLE AS r,
+             |    sqrt((syy::DOUBLE - sn::DOUBLE * sn::DOUBLE
+             |      / n::DOUBLE) / n::DOUBLE) AS sdev
+             |  FROM blkv),
+             |rs AS (
+             |  SELECT n, round(r / sdev, 12)::DECIMAL(28,12) AS rst
+             |  FROM sd WHERE sdev > 0),
+             |ps AS (
+             |  SELECT n, count(*)::BIGINT AS n_blocks,
+             |    sum(rst)::DOUBLE AS srs
+             |  FROM rs GROUP BY 1),
+             |ps2 AS (
+             |  SELECT n, n_blocks, srs / n_blocks::DOUBLE AS meanrs
+             |  FROM ps WHERE srs / n_blocks::DOUBLE > 0),
+             |m AS (
+             |  SELECT count(*)::BIGINT AS k,
+             |    sum(round(ln(n::DOUBLE), 12)::DECIMAL(28,12))::DOUBLE
+             |      AS sx,
+             |    sum(round(ln(meanrs), 12)::DECIMAL(28,12))::DOUBLE
+             |      AS sy,
+             |    sum(round(ln(n::DOUBLE) * ln(n::DOUBLE), 12)
+             |      ::DECIMAL(28,12))::DOUBLE AS sxx,
+             |    sum(round(ln(n::DOUBLE) * ln(meanrs), 12)
+             |      ::DECIMAL(28,12))::DOUBLE AS sxy
+             |  FROM ps2),
+             |h AS (
+             |  SELECT CASE WHEN k >= 2
+             |      AND k::DOUBLE * sxx - sx * sx > 0 THEN
+             |    (k::DOUBLE * sxy - sx * sy)
+             |      / (k::DOUBLE * sxx - sx * sx) END AS h
+             |  FROM m)
+             |SELECT n, n_blocks, round(meanrs, 6) AS mean_rs_r,
+             |  round(h, 6) AS h_r
+             |FROM ps2 CROSS JOIN h ORDER BY n""".stripMargin),
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("y"))
+        val d0 = daily.agg(min(col("day")).as("_d0"))
+        val grain = daily.crossJoin(broadcast(d0))
+          .select(datediff(col("day"), col("_d0")).cast("long").as("t"),
+            col("y"))
+        graft.ops.TimeSeries.hurstRs(grain, "t", "y",
+          Seq(8, 16, 32, 64)).orderBy("n")
       })
   )
 }

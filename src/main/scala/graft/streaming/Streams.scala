@@ -106,12 +106,14 @@ object Streams {
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
         col("event_id").as("s_id"))
       .withWatermark("s_ts", "1 hour")
-    purchases.join(signups,
+    val joined = purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
         col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
       joinType)
-      .select(col("p_id"), col("s_id"))
+    // a semi join carries only the left side's columns
+    if (joinType == "left_semi") joined.select(col("p_id"))
+    else joined.select(col("p_id"), col("s_id"))
   }
 
   def streamStreamJoin(spark: SparkSession, dir: String,
@@ -152,6 +154,21 @@ object Streams {
     runToFiles(spark,
       purchaseSignupJoin(eventsStream(spark, dir), lookback,
         "full_outer"))
+
+  /** LEFT SEMI stream-stream join — the last join type in the matrix
+    * (inner q62 / left-outer q272 / full-outer q319): each purchase
+    * that has AT LEAST ONE signup inside the event-time bound emits
+    * exactly once, with no signup columns. Unlike the outer forms,
+    * emission needs no no-match proof — a row emits the moment its
+    * first match lands — so over finite AvailableNow input the result
+    * equals the batch EXISTS predicate, while state on both sides
+    * stays watermark-bounded exactly as in the inner join (a matched
+    * left row is marked, not re-emitted, on later matches). */
+  def streamStreamSemiJoin(spark: SparkSession, dir: String,
+      lookback: String): DataFrame =
+    runToFiles(spark,
+      purchaseSignupJoin(eventsStream(spark, dir), lookback,
+        "left_semi"))
 
   /** Stream-static join: the event stream enriched against a static
     * dimension (here customer segments), then windowed per segment. The

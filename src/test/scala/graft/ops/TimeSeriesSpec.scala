@@ -419,4 +419,42 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(c.getAs[Long]("break_t") == 2)
     assert(c.isNullAt(c.fieldIndex("f_r")))
   }
+
+  test("hurstRs: single 4-day block hand R/S; one size -> null H") {
+    import spark.implicits._
+    // y = 0,1,2,3: Z (n-scaled) = -6,-8,-6,0 -> R = 8/4 = 2;
+    // pop SD = sqrt(1.25) -> R/S = 2/sqrt(1.25)
+    val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("t", "y")
+    val r = TimeSeries.hurstRs(df, "t", "y", Seq(4)).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_blocks") == 1L)
+    assert(math.abs(r(0).getAs[Double]("mean_rs_r")
+      - 2 / math.sqrt(1.25)) < 1e-6)
+    assert(r(0).isNullAt(r(0).fieldIndex("h_r")))
+  }
+
+  test("hurstRs: linear trend, sizes {2, 4} -> hand slope; size-2 " +
+      "blocks are R/S = 1 identically") {
+    import spark.implicits._
+    val df = (0L to 7L).map(t => (t, t)).toDF("t", "y")
+    val got = TimeSeries.hurstRs(df, "t", "y", Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(2).getAs[Long]("n_blocks") == 4L)
+    assert(got(2).getAs[Double]("mean_rs_r") == 1.0)
+    assert(got(4).getAs[Long]("n_blocks") == 2L)
+    val rs4 = 2 / math.sqrt(1.25)
+    assert(math.abs(got(4).getAs[Double]("mean_rs_r") - rs4) < 1e-6)
+    val h = math.log(rs4) / math.log(2) // (ln rs4 - ln 1)/(ln 4 - ln 2)
+    assert(math.abs(got(2).getAs[Double]("h_r") - h) < 1e-5)
+    assert(got(2).getAs[Double]("h_r") == got(4).getAs[Double]("h_r"))
+  }
+
+  test("hurstRs: incomplete trailing block is dropped, constant " +
+      "blocks (SD = 0) are excluded") {
+    import spark.implicits._
+    // 6 days at size 4: only days 0-3 form a block; constant values
+    // -> SD = 0 -> no R/S terms -> empty result
+    val flat = (0L to 5L).map(t => (t, 7L)).toDF("t", "y")
+    assert(TimeSeries.hurstRs(flat, "t", "y", Seq(4)).collect().isEmpty)
+  }
 }

@@ -337,4 +337,32 @@ class StreamsSpec extends SparkTestBase {
       s"non-null-p extras: ${extras.filter(_._1 != -1L).take(5)}")
     assert(extras.nonEmpty, "expected some watermark-proven signups")
   }
+
+  test("left-semi stream-stream join: one row per matched purchase, " +
+      "no duplicate on a second matching signup, unmatched absent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val B = 1600000000L * 1000000L
+    val ms = MemoryStream[(Long, Long, String, Long)](spark)
+    val ev = ms.toDF().selectExpr("_1 AS event_id", "_2 AS user_id",
+      "_3 AS event_type", "timestamp_micros(_4) AS ts")
+    val joined = Streams.purchaseSignupJoin(ev, "1 DAY", "left_semi")
+    assert(joined.columns.toSeq == Seq("p_id"),
+      "semi join must carry only the left side")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_semi_probe").start()
+    try {
+      ms.addData(Seq(
+        (1L, 1L, "signup", B),
+        (2L, 1L, "signup", B + 600L * 1000000L), // second match: no dup
+        (3L, 1L, "purchase", B + 3600L * 1000000L),
+        (4L, 2L, "purchase", B + 3600L * 1000000L))) // no signup
+      q.processAllAvailable()
+      val got = spark.table("graft_semi_probe").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got == Seq(3L), s"expected exactly one row for p_id 3: $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_semi_probe")
+    }
+  }
 }
