@@ -618,4 +618,75 @@ object Similarity {
         round(when(col("_f2") > 0,
           col("_tr") * col("_tr") / col("_f2")), 6).as("pr_r"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from the top-`poolK` cosine candidates of one query
+    * vector, greedily select `selectK` items maximizing
+    *   MMR(d) = λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    * — the diversified top-k every retrieval stack bolts onto a raw
+    * similarity ranking (pure top-k returns near-duplicates; MMR
+    * trades relevance for coverage at rate λ).
+    *
+    * Shape: the DISTRIBUTED work is exactly a [[cosineTopK]]-class
+    * scan (one broadcast query against the collection, top-poolK);
+    * everything after — the poolK² similarity matrix and the selectK
+    * greedy steps — lives on the localCheckpointed ≤poolK-row pool,
+    * so the fixed-K recursion (the Markov.removalEffects posture)
+    * costs nothing at any corpus size. All greedy argmaxes break ties
+    * by id ascending; λ and (1.0 − λ) are evaluated as the same
+    * doubles in both engines (never a pre-simplified literal — 1.0 −
+    * 0.7 is NOT the double 0.3). Returns one row per step: step,
+    * vec_id, rel_r, maxsim_r, mmr_r. */
+  def mmrRerank(collection: DataFrame, queryId: Long, poolK: Int,
+      selectK: Int, lam: Double): DataFrame = {
+    require(poolK >= selectK && selectK >= 1, "need poolK >= selectK >= 1")
+    val q = broadcast(collection.where(col("vec_id") === queryId)
+      .select(col("embedding").as("_qe")))
+    val pool = collection.where(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("embedding"),
+        cosine_sim(col("embedding"), col("_qe")).as("_rel"))
+      .where(col("_rel").isNotNull)
+      .orderBy(col("_rel").desc, col("vec_id"))
+      .limit(poolK)
+      .localCheckpoint() // tiny; consumed by the sim matrix + every step
+    val a = pool.select(col("vec_id").as("_ia"),
+      col("embedding").as("_ea"))
+    val b = pool.select(col("vec_id").as("_ib"),
+      col("embedding").as("_eb"))
+    val sims = a.crossJoin(b).where(col("_ia") =!= col("_ib"))
+      .select(col("_ia"), col("_ib"),
+        cosine_sim(col("_ea"), col("_eb")).as("_sim"))
+      .localCheckpoint() // poolK² rows; consumed by selectK − 1 steps
+    val cand = pool.select(col("vec_id"), col("_rel"))
+    val mmr = lit(lam) * col("_rel") -
+      (lit(1.0) - lit(lam)) * col("_maxsim")
+    var sel: DataFrame = null
+    for (step <- 1 to selectK) {
+      val remaining =
+        if (sel == null) cand.withColumn("_maxsim", lit(0.0))
+        else {
+          val chosen = sel.select(col("vec_id").as("_ib"))
+          cand.join(broadcast(sel.select(col("vec_id"))), Seq("vec_id"),
+              "left_anti")
+            .join(sims.join(broadcast(chosen), Seq("_ib"))
+              .groupBy(col("_ia").as("vec_id"))
+              .agg(max(col("_sim")).as("_maxsim")), Seq("vec_id"))
+        }
+      // localCheckpoint each 1-row pick: step i's plan references every
+      // earlier step (anti-join + maxsim), and the final union references
+      // all of them — without materialization the tiny subplans re-execute
+      // combinatorially (measured 4.6 s -> ~1 s at sf0.1)
+      val pick = remaining.withColumn("_mmr", mmr)
+        .orderBy(col("_mmr").desc, col("vec_id")).limit(1)
+        .select(lit(step).as("step"), col("vec_id"), col("_rel"),
+          col("_maxsim"), col("_mmr"))
+        .localCheckpoint()
+      sel = if (sel == null) pick else sel.unionByName(pick)
+    }
+    sel.select(col("step"), col("vec_id"),
+      round(col("_rel"), 9).as("rel_r"),
+      round(col("_maxsim"), 9).as("maxsim_r"),
+      round(col("_mmr"), 9).as("mmr_r"))
+  }
 }

@@ -31,6 +31,50 @@ object StructQueries {
   private val armSql =
     "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 >= 50"
 
+  /** Unrolled MMR greedy recursion (the q312 fixed-step oracle
+    * convention): step i picks the argmax of
+    * 0.7·rel − (1.0 − 0.7)·max-sim-to-selected over the pool minus
+    * steps 1..i−1. (1.0 − 0.7) is kept as an EXPRESSION — the double
+    * it evaluates to is not the literal 0.3. */
+  private def mmrOracle(qid: Long, poolK: Int, selectK: Int): String = {
+    val steps = (2 to selectK).map { i =>
+      val selUnion = (1 until i)
+        .map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""s$i AS (
+         |  SELECT p.vec_id, p.rel, m.maxsim,
+         |    0.7 * p.rel - (1.0 - 0.7) * m.maxsim AS mmr
+         |  FROM pool p JOIN (
+         |    SELECT ia AS vec_id, max(sim) AS maxsim FROM sims
+         |    WHERE ib IN ($selUnion) GROUP BY 1) m USING (vec_id)
+         |  WHERE p.vec_id NOT IN ($selUnion)
+         |  ORDER BY mmr DESC, p.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to selectK).map(i =>
+      s"SELECT $i AS step, vec_id, round(rel, 9) AS rel_r, " +
+        s"round(maxsim, 9) AS maxsim_r, round(mmr, 9) AS mmr_r FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+       |  WHERE vec_id = $qid),
+       |rel0 AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS ve,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> $qid),
+       |pool AS (
+       |  SELECT vec_id, ve, rel FROM rel0 WHERE rel IS NOT NULL
+       |  ORDER BY rel DESC, vec_id LIMIT $poolK),
+       |sims AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    list_cosine_similarity(a.ve, b.ve) AS sim
+       |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, 0.0 AS maxsim,
+       |    0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr
+       |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT * FROM ($finals) ORDER BY step""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Theil T + mean-log-deviation L of customer revenue per market
@@ -352,6 +396,16 @@ object StructQueries {
             col("y"))
         graft.ops.TimeSeries.hurstRs(grain, "t", "y",
           Seq(8, 16, 32, 64)).orderBy("n")
-      })
+      }),
+
+    // MMR diversified re-ranking: top-20 cosine pool for one query
+    // vector, then the 5-step greedy lambda = 0.7 selection — the
+    // near-duplicate-suppressing top-k (the distributed part is one
+    // cosineTopK-class scan; the recursion lives on the 20-row pool).
+    Q("q361_mmr_rerank",
+      Some(mmrOracle(qid = 7L, poolK = 20, selectK = 5)),
+      (s, d) => graft.ops.Similarity.mmrRerank(embeddings(s, d),
+        queryId = 7L, poolK = 20, selectK = 5, lam = 0.7)
+        .orderBy("step"))
   )
 }

@@ -331,4 +331,28 @@ class SimilaritySpec extends SparkTestBase {
     val c = Similarity.participationRatio(one).collect().head
     assert(c.getAs[Double]("pr_r") == 1.0)
   }
+
+  test("mmrRerank: diversity beats the near-duplicate at lambda 0.4; " +
+      "ties break by id; maxsim tracks the running selection") {
+    import spark.implicits._
+    val r2 = (math.sqrt(2) / 2).toFloat
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // the query vector
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)), // exact duplicate of 1
+      (3L, Array(r2, r2, 0f, 0f))) // diverse, rel = sqrt(2)/2
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, 0L, poolK = 3, selectK = 3,
+      lam = 0.4).orderBy("step").collect()
+    // step 1: rel tie between 1 and 2 -> id 1; step 2: the duplicate's
+    // mmr is 0.4 - 0.6 = -0.2 but the diverse vector's is
+    // (0.4 - 0.6) * 0.7071 = -0.1414 -> id 3; step 3: id 2 last
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(got(0).getAs[Double]("rel_r") == 1.0)
+    assert(got(0).getAs[Double]("maxsim_r") == 0.0)
+    assert(math.abs(got(1).getAs[Double]("mmr_r")
+      - (0.4 * r2 - 0.6 * r2)) < 1e-6)
+    assert(got(2).getAs[Double]("maxsim_r") == 1.0)
+    assert(math.abs(got(2).getAs[Double]("mmr_r") - (-0.2)) < 1e-9)
+  }
 }
