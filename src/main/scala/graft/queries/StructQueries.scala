@@ -406,6 +406,23 @@ object StructQueries {
       Some(mmrOracle(qid = 7L, poolK = 20, selectK = 5)),
       (s, d) => graft.ops.Similarity.mmrRerank(embeddings(s, d),
         queryId = 7L, poolK = 20, selectK = 5, lam = 0.7)
-        .orderBy("step"))
+        .orderBy("step")),
+
+    // transformWithState running-spend enrichment (Spark 4 typed-state
+    // API on RocksDB): per-user ValueState accumulator, one row per
+    // purchase; over AvailableNow the result equals the batch
+    // prefix-sum window (exact integer cents).
+    Q("q362_tws_running_spend",
+      Some("""SELECT user_id,
+             |  row_number() OVER w AS purchase_seq, event_id,
+             |  sum(coalesce(round(value * 100)::BIGINT, 0)) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum_cents
+             |FROM events WHERE event_type = 'purchase'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, purchase_seq""".stripMargin),
+      (s, d) => graft.streaming.StatefulTws.runningSpend(s, d)
+        .orderBy("user_id", "purchase_seq"))
   )
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** CUSTOM streaming state via `transformWithState` — Spark 4's
+  * successor to `flatMapGroupsWithState` (the [[StatefulSessions]]
+  * API): typed state handles (`ValueState`/`ListState`/`MapState`)
+  * with per-state TTL, timers, and a mandatory RocksDB state store —
+  * the API a 100 TB streaming deployment targets, because state lives
+  * off-heap/on-disk per executor instead of in the JVM heap of the
+  * HDFS-backed provider.
+  *
+  * The op: per-user running purchase accumulator. For every purchase
+  * event, emit (user_id, purchase_seq, event_id, cum_cents) — the
+  * "customer lifetime spend so far" enrichment a feature store keeps
+  * hot. State per user is ONE (seq, cum) pair in a `ValueState` —
+  * constant bytes per key, never the event history.
+  *
+  * Determinism contract (the [[StatefulSessions]] disorder policy's
+  * sibling): rows WITHIN a micro-batch are sorted by (event time,
+  * event_id) before folding, so under AvailableNow over the driver
+  * fixtures (one batch) the output is exactly the batch prefix-sum
+  * window and the DuckDB oracle checks it row-for-row. Cross-batch
+  * disorder folds in arrival order — documented, spec-exercised via
+  * MemoryStream (state carries across batches).
+  */
+object StatefulTws {
+
+  /** One purchase, event time in exact microseconds, value in cents. */
+  final case class Purchase(user_id: Long, event_id: Long, us: Long,
+      cents: Long)
+
+  /** The running accumulator state: purchases seen, cents so far. */
+  final case class Agg(seq: Long, cum: Long)
+
+  /** One emitted enrichment row. */
+  final case class Running(user_id: Long, purchase_seq: Long,
+      event_id: Long, cum_cents: Long)
+
+  /** The processor: fold each user's batch rows (sorted) into the
+    * ValueState accumulator, emitting one row per purchase. */
+  class SpendProcessor extends StatefulProcessor[Long, Purchase, Running] {
+    @transient private var st: ValueState[Agg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Agg]("agg", Encoders.product[Agg],
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Purchase],
+        tv: TimerValues): Iterator[Running] = {
+      val sorted = rows.toSeq.sortBy(p => (p.us, p.event_id))
+      var cur = if (st.exists()) st.get() else Agg(0L, 0L)
+      val out = sorted.map { p =>
+        cur = Agg(cur.seq + 1, cur.cum + p.cents)
+        Running(user, cur.seq, p.event_id, cur.cum)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider —
+    * set it for THIS query's checkpoint lifetime, restore after (other
+    * graft streams keep the default provider). */
+  private[streaming] def withRocksDb[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run the running-spend enrichment over the events table with
+    * AvailableNow and return the (batch) result. */
+  def runningSpend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Streams.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .as[Purchase]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor, TimeMode.None(),
+        OutputMode.Append(), Encoders.product[Running])
+    withRocksDb(spark) { Streams.runToFiles(spark, out.toDF()) }
+  }
+}
