@@ -364,6 +364,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio-corpus quality audit over PCM16 mono WAV payloads: per
+    * clip, the CLIPPING ratio (samples at or within `clipMargin` of
+    * full scale — the unrecoverable distortion a loudness-war corpus
+    * is full of), the SILENCE ratio (|s| ≤ `silenceThresh` — dead air
+    * that wastes training tokens), the integer peak |s|, and the DC
+    * offset (mean sample — a miswired recording chain shows here
+    * first). The triage pass an audio-training pipeline runs before
+    * spending decode/transcription budget on a clip.
+    *
+    * Determinism: counts and Σs are exact integers in one pass over
+    * the samples; the two ratios and the mean are single 6-dp-rounded
+    * double divisions. Shape: `mapPartitions` at the codec boundary
+    * (the [[audioEnergy]] convention), ONE output row per decodable
+    * clip; non-PCM16-mono payloads yield no row. */
+  def audioQuality(df: DataFrame, idCol: String, binCol: String,
+      silenceThresh: Int = 327, clipMargin: Int = 0): DataFrame = {
+    require(silenceThresh >= 0 && clipMargin >= 0)
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_samples", IntegerType),
+      StructField("peak_abs", IntegerType),
+      StructField("clip_ratio_r", DoubleType),
+      StructField("silence_ratio_r", DoubleType),
+      StructField("dc_offset_r", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val clipLo = -32768 + clipMargin
+    val clipHi = 32767 - clipMargin
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null
+          else r.getAs[Array[Byte]](binIdx)
+        pcm16MonoData(bytes) match {
+          case None => Iterator.empty
+          case Some((off, nSamples)) if nSamples > 0 =>
+            var i = 0; var clip = 0L; var silent = 0L
+            var peak = 0; var sum = 0L
+            while (i < nSamples) {
+              val p = off + 2 * i
+              val v = ((bytes(p) & 0xff) |
+                (bytes(p + 1) << 8)).toShort.toInt
+              if (v <= clipLo || v >= clipHi) clip += 1
+              val a = math.abs(v)
+              if (a <= silenceThresh) silent += 1
+              if (a > peak) peak = a
+              sum += v
+              i += 1
+            }
+            def r6(x: Double) = math.rint(x * 1e6) / 1e6
+            Iterator.single(Row(r.get(idIdx), nSamples, peak,
+              r6(clip.toDouble / nSamples),
+              r6(silent.toDouble / nSamples),
+              r6(sum.toDouble / nSamples)))
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** (data offset, sample count) of a PCM16 MONO WAV payload; None for
     * anything else (other formats, truncated data chunk, corrupt). */
   private[ops] def pcm16MonoData(b: Array[Byte]): Option[(Int, Int)] = {

@@ -98,4 +98,35 @@ class MediaSignalSpec extends SparkTestBase {
     assert(Multimodal.imageHistogram(notBmp, "id", "payload", 8)
       .count() == 0)
   }
+
+  test("audioQuality: exact clip/silence/peak/DC on hand samples; " +
+      "stereo rejected") {
+    // 8 samples: two full-scale clips (+32767, -32768), two silent
+    // (0, 300 <= default thresh 327), four ordinary
+    val s = Seq(32767, -32768, 0, 300, 1000, -2000, 500, -500)
+    val df = Seq((1L, wav16(s)), (2L, wav16(Seq(1, 2, 3), channels = 2)))
+      .toDF("id", "payload")
+    val rows = Multimodal.audioQuality(df, "id", "payload").collect()
+    assert(rows.length == 1, "stereo payload must yield no row")
+    val r = rows(0)
+    assert(r.getAs[Int]("n_samples") == 8)
+    assert(r.getAs[Int]("peak_abs") == 32768)
+    assert(r.getAs[Double]("clip_ratio_r") == 0.25)
+    assert(r.getAs[Double]("silence_ratio_r") == 0.25)
+    assert(r.getAs[Double]("dc_offset_r")
+      == math.rint(s.sum.toDouble / 8 * 1e6) / 1e6)
+  }
+
+  test("audioQuality: clipMargin widens the clip band, threshold 0 " +
+      "counts only exact zeros as silence") {
+    val s = Seq(32000, -32000, 0, 100)
+    val df = Seq((1L, wav16(s))).toDF("id", "payload")
+    val strict = Multimodal.audioQuality(df, "id", "payload",
+      silenceThresh = 0, clipMargin = 0).collect()(0)
+    assert(strict.getAs[Double]("clip_ratio_r") == 0.0)
+    assert(strict.getAs[Double]("silence_ratio_r") == 0.25)
+    val loose = Multimodal.audioQuality(df, "id", "payload",
+      silenceThresh = 0, clipMargin = 1000).collect()(0)
+    assert(loose.getAs[Double]("clip_ratio_r") == 0.5)
+  }
 }
