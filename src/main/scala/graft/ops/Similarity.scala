@@ -595,17 +595,7 @@ object Similarity {
   def participationRatio(collection: DataFrame): DataFrame = {
     def t12(c: org.apache.spark.sql.Column) =
       round(c, 12).cast("decimal(28,12)")
-    val shufflePartitions =
-      collection.sparkSession.sessionState.conf.numShufflePartitions
-    val prods = collection
-      .select(expr("cast(embedding as array<double>)").as("e"))
-      .repartition(shufflePartitions)
-      .select(posexplode(col("e")).as(Seq("j", "x")), col("e"))
-      .select(col("j"), posexplode(col("e")).as(Seq("k", "y")),
-        col("x"))
-      .select(col("j"), col("k"), (col("x") * col("y")).as("p"))
-    val m = prods.groupBy(col("j"), col("k"))
-      .agg(sum(t12(col("p"))).cast("double").as("_m"))
+    val m = secondMomentMatrix(collection)
       .localCheckpoint() // consumed by trace AND Frobenius reductions
     val tr = m.where(col("j") === col("k"))
       .agg(sum(t12(col("_m"))).cast("double").as("_tr"),
@@ -617,6 +607,26 @@ object Similarity {
         round(col("_f2"), 6).as("fro2_r"),
         round(when(col("_f2") > 0,
           col("_tr") * col("_tr") / col("_f2")), 6).as("pr_r"))
+  }
+
+  /** The (j, k) second-moment matrix build behind
+    * [[participationRatio]] — exposed pre-checkpoint so PlanSpec can
+    * pin the generator/rebalance/partial-agg shape that the
+    * localCheckpoint otherwise truncates out of the final plan. */
+  private[graft] def secondMomentMatrix(collection: DataFrame): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val shufflePartitions =
+      collection.sparkSession.sessionState.conf.numShufflePartitions
+    collection
+      .select(expr("cast(embedding as array<double>)").as("e"))
+      .repartition(shufflePartitions)
+      .select(posexplode(col("e")).as(Seq("j", "x")), col("e"))
+      .select(col("j"), posexplode(col("e")).as(Seq("k", "y")),
+        col("x"))
+      .select(col("j"), col("k"), (col("x") * col("y")).as("p"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(t12(col("p"))).cast("double").as("_m"))
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,

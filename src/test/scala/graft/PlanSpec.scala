@@ -396,6 +396,46 @@ class PlanSpec extends SparkTestBase {
       s"q264 must contain no window at all:\n$mod")
   }
 
+  test("q351: the moment-matrix build plans codegen generators with a " +
+      "rebalance before the fan-out and map-side partial aggregation") {
+    // the op localCheckpoints the matrix (two consumers), which
+    // truncates the final plan — pin the pre-checkpoint build
+    val p = graft.ops.Similarity
+      .secondMomentMatrix(Tables.embeddings(spark, sf()))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Generate") && p.contains("posexplode"),
+      "the d² fan-out must be generator-based (codegen), not a " +
+        "nested-transform lambda (interpreted)")
+    assert(p.toLowerCase.contains("roundrobin"),
+      "input must be rebalanced so a single-file scan cannot " +
+        "serialize the matrix build on one task")
+    assert(p.contains("partial_sum"),
+      "the (j, k) moment agg must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q354: Theil group stats re-enter by broadcast; term sum is " +
+      "partial+final") {
+    val p = plan("q354_theil_inequality")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-segment (n, total) frame must broadcast, never shuffle " +
+        "the customer grain")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("typeEntropy (q356's corpus pass): the window is " +
+      "entity-partitioned, never a single-partition scan") {
+    // the registered query ends in a scalar agg whose FINAL exchange is
+    // legitimately SinglePartition; the corpus-shaped stage is the
+    // per-user entropy op — pin that frame alone
+    val p = graft.ops.Behavior
+      .typeEntropy(Tables.events(spark, sf()), "user_id", "event_type")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Window"), "expected the per-user total window")
+    assert(!p.contains("SinglePartition"),
+      s"typeEntropy grew a global single-partition exchange:\n$p")
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
