@@ -663,6 +663,61 @@ object Graphs {
     reach
   }
 
+  /** Per-edge triangle support over an oriented (src < dst) edge list:
+    * each triangle a<b<c (one oriented wedge join + a closure semi
+    * join — the [[triangleCounts]] enumeration) credits its three
+    * edges once. Edges in no triangle get no row. */
+  private def trussSupport(live: DataFrame): DataFrame = {
+    val e1 = live.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = live.select(col("src").as("b"), col("dst").as("c"))
+    val tri = e1.join(e2, Seq("b"))
+      .join(live.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_semi")
+    tri.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(tri.select(col("b").as("src"), col("c").as("dst")))
+      .unionAll(tri.select(col("a").as("src"), col("c").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss (Cohen 2008): the maximal subgraph where every edge sits
+    * in ≥ k−2 triangles OF THE SUBGRAPH — the edge-grained cohesion
+    * notion between a triangle count (one-shot) and a clique
+    * (intractable); [[kCore]]'s vertex-peel with triangles as the
+    * survival currency. Peeling an edge can strip its neighbors'
+    * support, so the op iterates: recount support, drop light edges,
+    * repeat — run for a FIXED `rounds` (the kCore determinism
+    * contract; a spec asserts the registered round count reaches the
+    * fixpoint on the real fixture). Returns the surviving edges with
+    * their final in-truss support.
+    *
+    * Shape: each round is one oriented wedge join + closure semi join
+    * + hash-agg on the (shrinking) live set; live is localCheckpointed
+    * per round (the kCore multi-consumer lesson — it feeds the wedge
+    * join THREE times, and an untruncated lineage re-executes all
+    * prior rounds multiplicatively). Rounds needed = the peel-cascade
+    * depth, a graph property independent of data volume. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, "truss is defined for k >= 3")
+    require(rounds >= 1, "need at least one peel round")
+    var live = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = trussSupport(live)
+        .where(col("support") >= k - 2)
+        .select(col("src"), col("dst"))
+      live = live.join(keep, Seq("src", "dst"), "left_semi")
+        .localCheckpoint()
+    }
+    // LEFT join: at a fixpoint every survivor has support ≥ k−2 ≥ 1,
+    // but a mid-cascade snapshot (rounds below the peel depth) can
+    // hold edges whose last triangle just dissolved — report them
+    // with support 0 rather than silently dropping them
+    live.join(trussSupport(live), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Rich-club coefficient at each degree threshold k: φ(k) =
     * 2·E_{>k} / (N_{>k}·(N_{>k}−1)) where N_{>k} counts vertices of
     * degree > k and E_{>k} the edges BETWEEN them (Zhou & Mondragón

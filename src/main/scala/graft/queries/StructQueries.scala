@@ -18,6 +18,40 @@ import graft.util.Tables._
   */
 object StructQueries {
 
+  /** SUPPLIER co-occurrence graph (support ≥ 5) — q89/q214's dense
+    * fixture. MATERIALIZED: DuckDB inlines plain CTEs at every
+    * reference, and the unrolled truss peel references each round's
+    * frame ~10× — un-materialized, the expansion compounds to
+    * thousands of parquet re-opens ("Too many open files"). */
+  private val suppEdgesMat =
+    """WITH items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.i AS src, b.i AS dst
+      |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+
+  /** One truss-peel round: enumerate oriented triangles of `prev`,
+    * credit each triangle's three edges, keep edges with support
+    * ≥ k−2 (the kTruss loop body, unrolled; every frame MATERIALIZED
+    * — see [[suppEdgesMat]]). */
+  private def trussPeelSql(r: Int, prev: String, k: Int): String =
+    s"""t$r AS MATERIALIZED (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM $prev e1 JOIN $prev e2 ON e1.dst = e2.src
+       |  WHERE EXISTS (SELECT 1 FROM $prev e3
+       |    WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+       |u$r AS MATERIALIZED (
+       |  SELECT src, dst, count(*)::BIGINT AS support FROM (
+       |    SELECT a AS src, b AS dst FROM t$r
+       |    UNION ALL SELECT b, c FROM t$r
+       |    UNION ALL SELECT a, c FROM t$r)
+       |  GROUP BY 1, 2),
+       |s$r AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN u$r u USING (src, dst)
+       |  WHERE u.support >= ${k - 2})""".stripMargin
+
   /** PART co-occurrence graph (support ≥ 2) — q213's fixture. */
   private val partEdges =
     """WITH items AS (
@@ -423,6 +457,28 @@ object StructQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, purchase_seq""".stripMargin),
       (s, d) => graft.streaming.StatefulTws.runningSpend(s, d)
-        .orderBy("user_id", "purchase_seq"))
+        .orderBy("user_id", "purchase_seq")),
+
+    // 4-truss of the SUPPLIER graph after 3 fixed peel rounds
+    // (GraphsSpec asserts 3 rounds reach the fixpoint; the probe
+    // measured fixpoint at 1 round on sf0.001/sf0.01 and 2 on sf0.1):
+    // surviving edges with their in-truss triangle support — the
+    // edge-grained cohesion core between q214's triangles and q224's
+    // vertex k-core.
+    Q("q363_ktruss",
+      Some(s"""$suppEdgesMat,
+              |${trussPeelSql(1, "e0", 4)},
+              |${trussPeelSql(2, "s1", 4)},
+              |${trussPeelSql(3, "s2", 4)},
+              |${trussPeelSql(4, "s3", 4)}
+              |SELECT e.src, e.dst,
+              |  coalesce(u.support, 0)::BIGINT AS support
+              |FROM s3 e LEFT JOIN u4 u USING (src, dst)
+              |ORDER BY src, dst""".stripMargin),
+      (s, d) => graft.ops.Graphs.kTruss(
+          graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d),
+            "l_orderkey", "l_suppkey", 5L).cache(),
+          k = 4, rounds = 3)
+        .orderBy("src", "dst"))
   )
 }

@@ -380,6 +380,51 @@ class GraphsSpec extends SparkTestBase {
     assert(dist.size == 9, "3 sources x 3 reached vertices")
   }
 
+  test("kTruss: K4 survives at k=4, a weak pendant triangle peels; " +
+      "extra rounds are a fixpoint no-op; k=5 empties K4") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (each edge in 2 triangles) + triangle {4,5,6}
+    // (each edge in 1 triangle — below the k=4 bar)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val t = Graphs.kTruss(e, k = 4, rounds = 2).orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    val more = Graphs.kTruss(e, k = 4, rounds = 4).orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(more.toSeq == t.toSeq, "fixpoint: extra rounds change nothing")
+    assert(Graphs.kTruss(e, k = 5, rounds = 3).isEmpty,
+      "K4 edges sit in only 2 triangles")
+  }
+
+  test("kTruss: peel cascades — two triangles sharing an edge need a " +
+      "second round to remove the shared edge") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    // round 1: every outer edge has support 1 < 2 and drops; (1,2) has
+    // support 2 and SURVIVES round 1 — reported bare (support 0), and
+    // only round 2 peels it
+    val one = Graphs.kTruss(e, k = 4, rounds = 1).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 2L, 0L)))
+    assert(Graphs.kTruss(e, k = 4, rounds = 2).isEmpty,
+      "the cascade must reach the shared edge on round 2")
+  }
+
+  test("q363 fixture: 3 peel rounds reach the 4-truss fixpoint on the " +
+      "sf0.001 SUPPLIER graph") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val edges = Graphs.coOccurrenceEdges(li, "l_orderkey", "l_suppkey", 5L)
+      .cache()
+    val r3 = Graphs.kTruss(edges, k = 4, rounds = 3).orderBy("src", "dst")
+      .collect().toSeq
+    val r4 = Graphs.kTruss(edges, k = 4, rounds = 4).orderBy("src", "dst")
+      .collect().toSeq
+    assert(r3 == r4, "the registered 3-round run is the exact 4-truss")
+  }
+
   test("richClub: triangle + pendant, swept at k = 0, 1, 2") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant edge 1-4: degrees 3,2,2,1
