@@ -966,6 +966,11 @@ object Behavior {
       .mkString(", ")
     val melted = units.select(armB.as("_arm_b"),
         expr(s"stack(${covs.size}, $stackArgs) as (cov, _x)"))
+      // drop null covariate values: counts and moment sums must see the
+      // SAME rows, or the mean divides a null-skipping sum by a
+      // null-including count (per-covariate n may then differ — the SRM
+      // columns are per-covariate over its non-null units)
+      .where(col("_x").isNotNull)
     val g = melted.groupBy(col("cov"), col("_arm_b"))
       .agg(count(lit(1)).as("_n"),
         sum(col("_x")).cast("double").as("_sx"),

@@ -739,12 +739,14 @@ object Graphs {
     require(ks.nonEmpty, "need at least one threshold")
     val s = edges.sparkSession
     import s.implicits._
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst")))
+    // distinct first (the kCore/kTruss convention): duplicate edge rows
+    // would inflate every degree and edge histogram
+    val uniq = edges.select(col("src"), col("dst")).distinct()
+    val sym = uniq.unionByName(uniq.select(col("dst").as("src"),
+      col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("_v"))
       .agg(count(lit(1)).as("_deg"))
-    val e = edges
+    val e = uniq
       .join(deg.select(col("_v").as("src"), col("_deg").as("_du")),
         Seq("src"))
       .join(deg.select(col("_v").as("dst"), col("_deg").as("_dv")),

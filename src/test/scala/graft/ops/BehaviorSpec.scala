@@ -594,6 +594,20 @@ class BehaviorSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("srm_chi2_r") - 0.2) < 1e-6)
   }
 
+  test("armBalanceAudit: null covariate values are excluded from BOTH " +
+      "counts and sums (never a null-skipping sum over a " +
+      "null-including count)") {
+    import spark.implicits._
+    val units = Seq((false, Some(1L)), (false, None),
+      (true, Some(2L)), (true, Some(4L))).toDF("armb", "x")
+    val r = Behavior.armBalanceAudit(units, col("armb"), Seq("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 1L, "the null row must not count")
+    assert(r.getAs[Double]("mean_a_r") == 1.0)
+    assert(r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_b_r") == 3.0)
+  }
+
   test("armBalanceAudit: zero-variance covariate gives null SMD") {
     import spark.implicits._
     val units = Seq((false, 7L), (false, 7L), (true, 7L), (true, 7L))
