@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   *    would silently drop 9/10 of orders at the join and under-measure
   *    growth. Add a matching customer remap here first if such a query
   *    ever needs probing.
+  *  - `embeddings` (round 10, q350 isotropy / q351 participation
+  *    ratio / q361 MMR re-rank): 10 copies with vec_id remapped and
+  *    the VECTOR kept — 10× rows of identical per-row work, the right
+  *    shape for timing the one-pass reductions and the d² fan-out.
+  *    NOTE (timing-only, like every synth table): cross-copy duplicate
+  *    vectors change the VALUES of global geometry stats (isotropy's
+  *    mean pairwise cosine gains cosine-1 pairs; an MMR pool fills
+  *    with exact dups) — never probe correctness against this dir.
   *  - `events` (round 9, q312 Markov attribution / q319 full-outer
   *    stream-stream join / q316 survival): event_id AND user_id
   *    remapped per copy, ts kept — 10 disjoint user populations on the
@@ -117,10 +125,17 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
     }
 
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embX = copies(emb) { (e, i) =>
+      if (i == 0) e
+      else e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+    }
+
     write(docsX, "documents")
     write(liX, "lineitem")
     write(ordX, "orders")
     write(evX, "events")
+    write(embX, "embeddings")
     spark.stop()
   }
 }
