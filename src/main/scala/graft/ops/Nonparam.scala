@@ -366,4 +366,124 @@ object Nonparam {
         / col("n_gaps").cast("double"), 6).as("mean_gap_s_r"),
       round(col("_d"), 6).as("d_ks_r"))
   }
+
+  /** Wilcoxon signed-rank test over one integer difference column —
+    * the PAIRED location test ([[mannWhitney]]'s matched-samples
+    * sibling): zero differences are excluded (the standard Wilcoxon
+    * convention), |d| midranks are kept exactly integer by the ×2
+    * doubling trick over the distinct-|d| count grain (the
+    * mannWhitney shape — never a per-row rank), W⁺ accumulates as a
+    * doubled BIGINT, and z uses the tie-corrected normal
+    * approximation with the same ±0.5 continuity convention as
+    * [[mannWhitney]]. Also emits the rank-biserial correlation
+    * (W⁺ − E)/E — the effect size. The cumulative prefix over the
+    * data-shaped distinct-|d| grain rides bandedRunningSum.
+    * Returns one row: n, w2_plus, z_r, rank_biserial_r. */
+  def wilcoxonSignedRank(pairs: DataFrame, diffCol: String,
+      bandWidth: Double = 16.0): DataFrame = {
+    val nz = pairs.select(col(diffCol).cast("long").as("_d"))
+      .where(col("_d") =!= 0)
+    val per = nz.groupBy(abs(col("_d")).as("_ad"))
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_p"))
+    val agg = Ranks.bandedRunningSum(per.withColumn("_g", lit(0)),
+        "_g", "_ad", "_t", bandWidth)
+      .withColumn("_cb", col("runsum") - col("_t"))
+      // doubled midrank of the |d|-tied block: 2·cumBefore + t + 1
+      .agg(sum(col("_t")).as("n"),
+        sum(col("_p") * (lit(2) * col("_cb") + col("_t") + 1))
+          .as("w2_plus"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tie"))
+    val nL = col("n")
+    val num = (col("w2_plus") - nL * (nL + 1) / 2).cast("double")
+    // Var(W2⁺) = [2n(n+1)(2n+1) − Σ(t³−t)] / 12; σ(W⁺) = √(Var/4)
+    val sigma = sqrt((lit(2L) * nL * (nL + 1) * (nL * 2 + 1)
+      - col("_tie")).cast("double") / 48.0)
+    agg.select(col("n"), col("w2_plus"),
+      round(when(sigma > 0 && num =!= 0,
+        (num - signum(num)) / (lit(2.0) * sigma))
+        .otherwise(when(sigma > 0, 0.0)), 6).as("z_r"),
+      round(num / (nL * (nL + 1) / 2).cast("double"), 6)
+        .as("rank_biserial_r"))
+  }
+
+  /** Turning-point randomness test over one global day-grain series:
+    * count STRICT interior local extrema (y_{t−1} < y_t > y_{t+1} or
+    * the mirror — a tie with either neighbor is not a turn), compare
+    * to the i.i.d. expectation E = 2(n−2)/3, Var = (16n−29)/90
+    * (Kendall's classic result). Too few turns = trend/persistence,
+    * too many = alternation faster than noise — the cheap "is this
+    * series even random" pre-read before [[../TimeSeries]] modeling.
+    * The lag/lead window is the calendar-bounded day-grain convention
+    * (q294's runs-test shape). Returns one row: n_days, n_turns,
+    * expected_r, z_r. */
+  def turningPoints(daily: DataFrame, tCol: String,
+      yCol: String): DataFrame = {
+    val w = Window.orderBy(col(tCol))
+    val turn = daily
+      .withColumn("_pv", lag(col(yCol), 1).over(w))
+      .withColumn("_nx", lead(col(yCol), 1).over(w))
+      .withColumn("_turn",
+        when(col("_pv").isNotNull && col("_nx").isNotNull &&
+          ((col(yCol) > col("_pv") && col(yCol) > col("_nx")) ||
+            (col(yCol) < col("_pv") && col(yCol) < col("_nx"))),
+          1L).otherwise(0L))
+    val nD = col("n_days").cast("double")
+    val e = lit(2.0) * (nD - 2) / 3.0
+    turn.agg(count(lit(1)).as("n_days"), sum(col("_turn")).as("n_turns"))
+      .select(col("n_days"), col("n_turns"),
+        round(e, 6).as("expected_r"),
+        round(when(col("n_days") >= 3,
+          (col("n_turns").cast("double") - e)
+            / sqrt((lit(16.0) * nD - 29) / 90.0)), 6).as("z_r"))
+  }
+
+  /** Hellinger distance between every pair of per-group value
+    * distributions, over fixed integer value bands: the
+    * Bhattacharyya coefficient BC = Σ_bins √(p·q) and
+    * H = √(1 − BC) — a PROPER bounded metric (unlike KL) for "how
+    * differently do these segments spend", next to q160's
+    * Jensen–Shannon (which compares token distributions; this is the
+    * numeric-histogram form with a closed pair grid). Bins absent
+    * from either side contribute 0 (√(p·0)) and drop from the inner
+    * join. Per-bin √(p·q) terms are 12-dp DECIMAL-summed; BC is
+    * clamped at 1 before the final √ (a last-ulp float excess would
+    * NaN it). Groups × bins is bounded, so the pair join is a tiny
+    * spec-frame product — the corpus is touched once by the binning
+    * agg. Returns per pair (a < b): group_a, group_b, n_a, n_b,
+    * bc_r, hellinger_r. */
+  def hellingerPairs(df: DataFrame, groupCol: String, valueCol: String,
+      bandCents: Long): DataFrame = {
+    require(bandCents > 0, "bandCents must be > 0")
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val binned = df.select(col(groupCol).cast("string").as("_g"),
+      expr(s"cast($valueCol as bigint) div $bandCents").as("_b"))
+    val cnt = binned.groupBy(col("_g"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val j = cnt.join(broadcast(tot), Seq("_g"))
+    val a = j.select(col("_g").as("group_a"), col("_b"),
+      col("_c").as("_ca"), col("_n").as("_na"))
+    val b = j.select(col("_g").as("group_b"), col("_b"),
+      col("_c").as("_cb"), col("_n").as("_nb"))
+    val bc = a.join(b, Seq("_b")).where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(t12(sqrt((col("_ca").cast("double")
+            / col("_na").cast("double"))
+          * (col("_cb").cast("double") / col("_nb").cast("double")))))
+          .cast("double").as("_bc"))
+    // the pair GRID comes from the group totals, not the shared-bin
+    // join: a fully disjoint pair shares no bin and must surface as
+    // BC = 0 / H = 1, not as a missing row
+    val grid = tot.select(col("_g").as("group_a"), col("_n").as("n_a"))
+      .crossJoin(tot.select(col("_g").as("group_b"),
+        col("_n").as("n_b")))
+      .where(col("group_a") < col("group_b"))
+    grid.join(bc, Seq("group_a", "group_b"), "left")
+      .withColumn("_bc", coalesce(col("_bc"), lit(0.0)))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("_bc"), 6).as("bc_r"),
+        round(sqrt(lit(1.0) - least(col("_bc"), lit(1.0))), 6)
+          .as("hellinger_r"))
+  }
 }

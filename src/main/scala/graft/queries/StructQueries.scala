@@ -479,6 +479,141 @@ object StructQueries {
           graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d),
             "l_orderkey", "l_suppkey", 5L).cache(),
           k = 4, rounds = 3)
-        .orderBy("src", "dst"))
+        .orderBy("src", "dst")),
+
+    // Wilcoxon signed-rank on week-over-week paired daily revenue:
+    // the paired location test (q302 Mann–Whitney's matched sibling)
+    // — is this week's revenue shifted vs the same weekday last week?
+    Q("q364_wilcoxon_signed_rank",
+      Some("""WITH grain AS (
+             |  SELECT o_orderdate::DATE AS day,
+             |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT (day - (SELECT min(day) FROM grain))::BIGINT AS t,
+             |    y FROM grain),
+             |dd AS (SELECT a.y - b.y AS d FROM t a JOIN t b
+             |  ON a.t = b.t + 7),
+             |nz AS (SELECT d FROM dd WHERE d <> 0),
+             |per AS (
+             |  SELECT abs(d)::BIGINT AS ad, count(*)::BIGINT AS t,
+             |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+             |  FROM nz GROUP BY 1),
+             |cum AS (
+             |  SELECT ad, t, p,
+             |    sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) - t AS cb
+             |  FROM per),
+             |a AS (
+             |  SELECT sum(t)::BIGINT AS n,
+             |    sum(p * (2 * cb + t + 1))::BIGINT AS w2_plus,
+             |    sum(t * t * t - t)::BIGINT AS tie
+             |  FROM cum),
+             |f AS (
+             |  SELECT n, w2_plus,
+             |    (w2_plus - n * (n + 1) / 2)::DOUBLE AS num,
+             |    sqrt((2 * n * (n + 1) * (n * 2 + 1) - tie)::DOUBLE
+             |      / 48.0) AS sigma
+             |  FROM a)
+             |SELECT n, w2_plus,
+             |  round(CASE WHEN sigma > 0 AND num <> 0
+             |      THEN (num - sign(num)) / (2.0 * sigma)
+             |      WHEN sigma > 0 THEN 0.0 END, 6) AS z_r,
+             |  round(num / (n * (n + 1) / 2)::DOUBLE, 6)
+             |    AS rank_biserial_r
+             |FROM f""".stripMargin),
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("y"))
+        val d0 = daily.agg(min(col("day")).as("_d0"))
+        val t = daily.crossJoin(broadcast(d0))
+          .select(datediff(col("day"), col("_d0")).cast("long").as("t"),
+            col("y"))
+        val pairs = t.alias("a")
+          .join(t.alias("b"), col("a.t") === col("b.t") + 7)
+          .select((col("a.y") - col("b.y")).as("d"))
+        graft.ops.Nonparam.wilcoxonSignedRank(pairs, "d")
+      }),
+
+    // Turning-point randomness test on daily revenue: too few strict
+    // local extrema = trend/persistence (corroborates q360's Hurst),
+    // too many = over-alternation; Kendall's E/Var under i.i.d.
+    Q("q365_turning_points",
+      Some("""WITH grain AS (
+             |  SELECT o_orderdate::DATE AS day,
+             |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT (day - (SELECT min(day) FROM grain))::BIGINT AS t,
+             |    y FROM grain),
+             |l AS (
+             |  SELECT y, lag(y) OVER w AS pv, lead(y) OVER w AS nx
+             |  FROM t WINDOW w AS (ORDER BY t)),
+             |a AS (
+             |  SELECT count(*)::BIGINT AS n_days,
+             |    sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+             |      AND ((y > pv AND y > nx) OR (y < pv AND y < nx))
+             |      THEN 1 ELSE 0 END)::BIGINT AS n_turns
+             |  FROM l)
+             |SELECT n_days, n_turns,
+             |  round(2.0 * (n_days::DOUBLE - 2) / 3.0, 6) AS expected_r,
+             |  round(CASE WHEN n_days >= 3 THEN
+             |    (n_turns::DOUBLE - 2.0 * (n_days::DOUBLE - 2) / 3.0)
+             |      / sqrt((16.0 * n_days::DOUBLE - 29) / 90.0) END, 6)
+             |    AS z_r
+             |FROM a""".stripMargin),
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("y"))
+        val d0 = daily.agg(min(col("day")).as("_d0"))
+        val t = daily.crossJoin(broadcast(d0))
+          .select(datediff(col("day"), col("_d0")).cast("long").as("t"),
+            col("y"))
+        graft.ops.Nonparam.turningPoints(t, "t", "y")
+      }),
+
+    // Hellinger distance between every market-segment pair's
+    // order-value distribution ($5k bands): the bounded-metric
+    // "do these segments spend differently" readout next to q160's
+    // token-space Jensen–Shannon.
+    Q("q366_hellinger_segments",
+      Some("""WITH v AS (
+             |  SELECT c_mktsegment AS g,
+             |    round(o_totalprice * 100)::BIGINT // 500000 AS b
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |cnt AS (SELECT g, b, count(*)::BIGINT AS c FROM v
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT g, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+             |bc AS (
+             |  SELECT a.g AS group_a, b2.g AS group_b,
+             |    sum(round(sqrt((a.c::DOUBLE / ta.n::DOUBLE)
+             |      * (b2.c::DOUBLE / tb.n::DOUBLE)), 12)
+             |      ::DECIMAL(28,12))::DOUBLE AS bc
+             |  FROM cnt a JOIN cnt b2 ON a.b = b2.b AND a.g < b2.g
+             |  JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b2.g
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT a.g AS group_a, a.n AS n_a, b.g AS group_b,
+             |    b.n AS n_b
+             |  FROM tot a JOIN tot b ON a.g < b.g)
+             |SELECT group_a, group_b, n_a, n_b,
+             |  round(coalesce(bc, 0.0), 6) AS bc_r,
+             |  round(sqrt(1.0 - least(coalesce(bc, 0.0), 1.0)), 6)
+             |    AS hellinger_r
+             |FROM grid LEFT JOIN bc USING (group_a, group_b)
+             |ORDER BY group_a, group_b""".stripMargin),
+      (s, d) => {
+        val v = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.ops.Nonparam.hellingerPairs(v, "seg", "cents",
+            bandCents = 500000L)
+          .orderBy("group_a", "group_b")
+      })
   )
 }

@@ -139,4 +139,66 @@ class NonparamSpec extends SparkTestBase {
     assert(r.getAs[Double]("mean_gap_s_r") == 1.0)
     assert(r.getAs[Double]("d_ks_r") == 0.632121)
   }
+
+  test("wilcoxonSignedRank: untied hand case (zero diff excluded), " +
+      "tied midranks, all-zero null") {
+    import spark.implicits._
+    // diffs 1, 2, 3, -4, 0 -> ranks of |d| are 1..4, W+ = 6, E = 5,
+    // Var = 7.5; doubled num = 2, cc -> z = 1/(2 sqrt 7.5)
+    val d1 = Seq(1L, 2L, 3L, -4L, 0L).toDF("d")
+    val r1 = Nonparam.wilcoxonSignedRank(d1, "d").collect()(0)
+    assert(r1.getAs[Long]("n") == 4L)
+    assert(r1.getAs[Long]("w2_plus") == 12L)
+    assert(math.abs(r1.getAs[Double]("z_r")
+      - 1.0 / (2 * math.sqrt(7.5))) < 1e-6)
+    assert(r1.getAs[Double]("rank_biserial_r") == 0.2)
+    // ties: 1, -1, 2 -> |1| block midrank 1.5 (doubled 3), |2| rank 3
+    // (doubled 6): W2+ = 9, E2 = 6, T = 6 -> Var(W+) = 81/24
+    val d2 = Seq(1L, -1L, 2L).toDF("d")
+    val r2 = Nonparam.wilcoxonSignedRank(d2, "d").collect()(0)
+    assert(r2.getAs[Long]("w2_plus") == 9L)
+    assert(math.abs(r2.getAs[Double]("z_r")
+      - 2.0 / (2 * math.sqrt(81.0 / 24))) < 1e-6)
+    // all-zero diffs: no test possible -> null z
+    val d3 = Seq(0L, 0L).toDF("d")
+    val r3 = Nonparam.wilcoxonSignedRank(d3, "d").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("z_r")))
+  }
+
+  test("turningPoints: strict extrema counted, ties are not turns, " +
+      "hand z") {
+    import spark.implicits._
+    // 1 3 2 4 4 5: turns at t=1 (peak) and t=2 (trough); the 4,4
+    // plateau produces none
+    val df = Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 4L), (4L, 4L),
+      (5L, 5L)).toDF("t", "y")
+    val r = Nonparam.turningPoints(df, "t", "y").collect()(0)
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("n_turns") == 2L)
+    val e = 2.0 * 4 / 3
+    assert(math.abs(r.getAs[Double]("z_r")
+      - (2 - e) / math.sqrt((16.0 * 6 - 29) / 90)) < 1e-6)
+  }
+
+  test("hellingerPairs: identical -> H = 0, disjoint -> H = 1 (the " +
+      "pair row must exist), half-overlap hand case") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L), ("a", 110L), ("b", 15L), ("b", 115L), // identical bins
+      ("c", 210L), ("c", 310L), // disjoint from a and b
+      ("d", 10L), ("d", 210L)) // half-overlaps a and c
+      .toDF("g", "v")
+    val got = Nonparam.hellingerPairs(df, "g", "v", bandCents = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 6, "all C(4,2) pairs must surface")
+    assert(got(("a", "b")).getAs[Double]("bc_r") == 1.0)
+    assert(got(("a", "b")).getAs[Double]("hellinger_r") == 0.0)
+    assert(got(("a", "c")).getAs[Double]("bc_r") == 0.0)
+    assert(got(("a", "c")).getAs[Double]("hellinger_r") == 1.0)
+    // a = {0: .5, 1: .5}, d = {0: .5, 2: .5}: BC = sqrt(.25) = .5
+    assert(got(("a", "d")).getAs[Double]("bc_r") == 0.5)
+    assert(math.abs(got(("a", "d")).getAs[Double]("hellinger_r")
+      - math.sqrt(0.5)) < 1e-6)
+  }
 }
