@@ -264,49 +264,52 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == batch, s"$streamed vs $batch")
   }
 
-  test("stream-stream join state is watermark-BOUNDED, measured: peak " +
-      "numRowsTotal tracks the horizon's row rate, not total history") {
+  // rowsPerDay signup+purchase pairs per day for `days` days, fed ONE
+  // DAY PER MICRO-BATCH so the watermark advances between batches and
+  // eviction actually fires; lookback 1 DAY + 1h watermark means
+  // steady-state retains ~2-3 days of rows per side — peak state must
+  // track that horizon, NOT the full history. `tag` keeps the memory
+  // sink name unique per calling test.
+  private def peakState(days: Int, rowsPerDay: Int,
+      tag: String = ""): (Long, Long) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val Day = 24L * 3600L * 1000000L
     val B = 1600000000L * 1000000L
-    // rowsPerDay signup+purchase pairs per day for `days` days, fed ONE
-    // DAY PER MICRO-BATCH so the watermark advances between batches and
-    // eviction actually fires; lookback 1 DAY + 1h watermark means
-    // steady-state retains ~2-3 days of rows per side — peak state must
-    // track that horizon, NOT the full history
-    def peakState(days: Int, rowsPerDay: Int): (Long, Long) = {
-      val ms = MemoryStream[(Long, Long, String, Long)](spark)
-      val ev = ms.toDF()
-        .selectExpr("_1 AS event_id", "_2 AS user_id",
-          "_3 AS event_type", "timestamp_micros(_4) AS ts")
-      val joined = Streams.purchaseSignupJoin(ev, "1 DAY", "full_outer")
-      val name = s"graft_stream_state_${days}_$rowsPerDay"
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        for (d <- 0 until days) {
-          val rows = (0 until rowsPerDay).flatMap { i =>
-            val u = d.toLong * rowsPerDay + i
-            val t0 = B + d * Day + i.toLong * 1000000L
-            Seq((2 * u, u, "signup", t0),
-              (2 * u + 1, u, "purchase", t0 + 3600L * 1000000L))
-          }
-          ms.addData(rows)
-          q.processAllAvailable()
+    val ms = MemoryStream[(Long, Long, String, Long)](spark)
+    val ev = ms.toDF()
+      .selectExpr("_1 AS event_id", "_2 AS user_id",
+        "_3 AS event_type", "timestamp_micros(_4) AS ts")
+    val joined = Streams.purchaseSignupJoin(ev, "1 DAY", "full_outer")
+    val name = s"graft_stream_state_${tag}_${days}_$rowsPerDay"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      for (d <- 0 until days) {
+        val rows = (0 until rowsPerDay).flatMap { i =>
+          val u = d.toLong * rowsPerDay + i
+          val t0 = B + d * Day + i.toLong * 1000000L
+          Seq((2 * u, u, "signup", t0),
+            (2 * u + 1, u, "purchase", t0 + 3600L * 1000000L))
         }
-        q.stop()
-        Streams.recordStateRows(spark, q)
-        val peak = spark.conf
-          .get("spark.graft.stream.lastMaxStateRows").toLong
-        (peak, 2L * days * rowsPerDay)
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.catalog.dropTempView(name)
+        ms.addData(rows)
+        q.processAllAvailable()
       }
+      q.stop()
+      Streams.recordStateRows(spark, q)
+      val peak = spark.conf
+        .get("spark.graft.stream.lastMaxStateRows").toLong
+      (peak, 2L * days * rowsPerDay)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(name)
     }
+  }
+
+  test("stream-stream join state is watermark-BOUNDED, measured: peak " +
+      "numRowsTotal tracks the horizon's row rate, not total history") {
     val (peak1, total1) = peakState(12, 40)
     assert(peak1 > 0, "state measurement must be non-trivial")
     assert(peak1 <= total1 / 3,
@@ -322,6 +325,21 @@ class StreamsSpec extends SparkTestBase {
     assert(peak10 <= 12 * peak1,
       s"peak must scale with the horizon row rate (1×: $peak1, " +
         s"10×: $peak10)")
+  }
+
+  test("watermark eviction is provider-independent, measured: the " +
+      "SAME peak state rows under RocksDB as under the default " +
+      "HDFS-backed store (the documented 100 TB posture)") {
+    val (peakDefault, total) = peakState(12, 40, tag = "hdfs")
+    val (peakRocks, _) = StatefulTws.withRocksDb(spark) {
+      peakState(12, 40, tag = "rocks")
+    }
+    info(s"peak state rows of $total fed: default = $peakDefault, " +
+      s"rocksdb = $peakRocks")
+    assert(peakRocks == peakDefault,
+      "eviction semantics (and thus peak numRowsTotal) must not " +
+        "depend on the state-store provider")
+    assert(peakRocks <= total / 3)
   }
 
   test("streamStreamFullJoin ⊇ left join; extras are null-p_id rows") {
