@@ -129,15 +129,19 @@ object Diagnostics {
       sum(col("_ssrp")).as("_ssrp"), sum(col("_n")).as("_n"),
       sum(when(col("_seg") === 0, col("_n")).otherwise(0L)).as("n1"),
       sum(when(col("_seg") === 1, col("_n")).otherwise(0L)).as("n2"))
-    val b1 = segFits.where(col("_seg") === 0)
-      .select(round(col("_b"), 6).as("b1_r"))
-    val b2 = segFits.where(col("_seg") === 1)
-      .select(round(col("_b"), 6).as("b2_r"))
+    // conditional max over segFits (the armBalanceAudit pivot shape),
+    // NOT filter + crossJoin: an empty segment (breakT outside the
+    // observed t range) must yield NULL slopes on the surviving roll
+    // row — a filtered-empty frame would eliminate the row entirely,
+    // diverging from the oracle's scalar subqueries
+    val slopes = segFits.agg(
+      max(when(col("_seg") === 0, round(col("_b"), 6))).as("b1_r"),
+      max(when(col("_seg") === 1, round(col("_b"), 6))).as("b2_r"))
     val ssr12 = col("_ssr12").cast("double")
     val ssrp = col("_ssrp").cast("double")
     val nD = col("_n").cast("double")
     val f = ((ssrp - ssr12) / 2.0) / nullif(ssr12 / (nD - 4), lit(0.0))
-    roll.crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
+    roll.crossJoin(broadcast(slopes))
       .select(col("n1"), col("n2"), col("b1_r"), col("b2_r"),
         round(when(col("n1") > 2 && col("n2") > 2 && ssr12 > 0, f), 6)
           .as("f_r"))

@@ -762,8 +762,11 @@ object Infer {
     def t12(c: org.apache.spark.sql.Column) =
       round(c, 12).cast("decimal(28,12)")
     val theta = col("_sy").cast("double") / col("_sn").cast("double")
+    // nullif guard (the repo-wide ÷0 convention): a single-block input
+    // or a block holding the entire denominator makes Sn − n_i = 0 —
+    // the replicate term degrades to NULL instead of engine 0/0
     val thI = (col("_sy") - col("_y")).cast("double") /
-      (col("_sn") - col("_n")).cast("double")
+      nullif((col("_sn") - col("_n")).cast("double"), lit(0.0))
     val withTot = blocks.crossJoin(broadcast(tot))
     val mean = withTot.agg(
         (sum(t12(thI)).cast("double")

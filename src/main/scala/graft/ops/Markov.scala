@@ -188,10 +188,11 @@ object Markov {
     * window pass (two lags); everything after lives on the ≤ m³
     * trigram grain — margins are re-aggregations of it, joins on it
     * are broadcast-sized. Terms are 12-dp-rounded before the DECIMAL
-    * sum; n_abc·n_b and n_ab·n_bc stay exact BIGINT products (≤ n²
-    * < 2⁶³ for any realistic corpus) and meet in ONE double division,
-    * so both engines evaluate identical ln arguments. Returns one
-    * row: n_trigrams, m_states, df, g2_r. */
+    * sum; n_abc·n_b and n_ab·n_bc are multiplied as DECIMAL(38,0) —
+    * exact up to ~1e38, so counts to 2⁶³ rows never overflow (a raw
+    * BIGINT product would wrap past ~3e9 trigrams under ANSI) — and
+    * meet in ONE double division, so both engines evaluate identical
+    * ln arguments. Returns one row: n_trigrams, m_states, df, g2_r. */
   def orderTest(events: DataFrame, entityCol: String, typeCol: String,
       orderBy: Seq[Column]): DataFrame = {
     def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
@@ -214,8 +215,9 @@ object Markov {
     val m = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("_s"))
       .agg(count_distinct(col("_s")).as("m_states"))
-    val lnArg = (col("n_abc") * col("n_b")).cast("double") /
-      (col("n_ab") * col("n_bc")).cast("double")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val lnArg = (d38(col("n_abc")) * d38(col("n_b"))).cast("double") /
+      (d38(col("n_ab")) * d38(col("n_bc"))).cast("double")
     val g = tri.join(nab, Seq("a", "b")).join(nbc, Seq("b", "c"))
       .join(nb, Seq("b"))
       .agg(sum(col("n_abc")).as("n_trigrams"),

@@ -772,8 +772,14 @@ object TimeSeries {
       .withColumn("_cy", sum(col("_y")).over(w))
       .withColumn("_cyy", sum(col("_y") * col("_y")).over(w))
       .localCheckpoint() // totals + candidate scan read it
-    val tot = pre.agg(max(col("_cn")).as("_n"), max(col("_cy")).as("_sy"),
-      max(col("_cyy")).as("_syy"),
+    // grand totals = the prefixes AT the last day (max_by on the unique
+    // _t), NOT max over cumulatives: _cy is only monotone when every
+    // daily y is nonnegative — a net-refund day would make max(_cy)
+    // overshoot the true total (wrong SSEs, wrong break). _cn/_cyy are
+    // monotone regardless, but take all three at _tmax for one shape.
+    val tot = pre.agg(max(col("_cn")).as("_n"),
+      max_by(col("_cy"), col("_t")).as("_sy"),
+      max_by(col("_cyy"), col("_t")).as("_syy"),
       max(col("_t")).as("_tmax"))
     def sse(n: org.apache.spark.sql.Column,
         sy: org.apache.spark.sql.Column,

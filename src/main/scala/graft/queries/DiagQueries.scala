@@ -679,8 +679,8 @@ object DiagQueries {
               |  FROM t WINDOW w AS (ORDER BY t.t ROWS BETWEEN
               |    UNBOUNDED PRECEDING AND CURRENT ROW)),
               |tot AS (
-              |  SELECT max(cn)::BIGINT AS n, max(cy) AS sy,
-              |    max(cyy) AS syy, max(t)::BIGINT AS tmax
+              |  SELECT max(cn)::BIGINT AS n, arg_max(cy, t) AS sy,
+              |    arg_max(cyy, t) AS syy, max(t)::BIGINT AS tmax
               |  FROM pre),
               |cand AS (
               |  SELECT t, cn, cy, n, sy,

@@ -137,7 +137,7 @@ object StructQueries {
              |a AS (
              |  SELECT seg, sum(tt)::DOUBLE AS st, sum(ll)::DOUBLE AS sl
              |  FROM t GROUP BY 1)
-             |SELECT g.seg, g.n, g.total,
+             |SELECT g.seg, g.n, g.total::BIGINT AS total,
              |  round(a.st / g.n::DOUBLE, 6) AS theil_t_r,
              |  round(-a.sl / g.n::DOUBLE, 6) AS theil_l_r
              |FROM g JOIN a USING (seg) ORDER BY seg""".stripMargin),
@@ -147,7 +147,13 @@ object StructQueries {
           .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long"))
             .as("x"))
-        Profile.theilInequality(cust, "seg", "x").orderBy("seg")
+        // dtype seam: the op keeps `total` as exact DECIMAL(38,0); the
+        // driver hashes dumped parquet by PHYSICAL type, and the DuckDB
+        // oracle's HUGEINT fetches as float64 — emit BIGINT on BOTH
+        // sides (the r10 hash-only red: values matched, dtypes didn't).
+        Profile.theilInequality(cust, "seg", "x")
+          .withColumn("total", col("total").cast("long"))
+          .orderBy("seg")
       }),
 
     // Markov order test over user journeys: LR of first- vs
@@ -449,10 +455,10 @@ object StructQueries {
     Q("q362_tws_running_spend",
       Some("""SELECT user_id,
              |  row_number() OVER w AS purchase_seq, event_id,
-             |  sum(coalesce(round(value * 100)::BIGINT, 0)) OVER (
+             |  (sum(coalesce(round(value * 100)::BIGINT, 0)) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS cum_cents
+             |    )::BIGINT AS cum_cents
              |FROM events WHERE event_type = 'purchase'
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, purchase_seq""".stripMargin),

@@ -77,6 +77,21 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(p.isNullAt(p.fieldIndex("f_r")))
   }
 
+  test("chowTest: breakT outside the observed range still yields one " +
+      "row, with NULL slope for the empty segment") {
+    // breakT beyond tmax: segment 2 is empty — the roll row must
+    // SURVIVE with b2_r NULL (r10 ADVICE: the filter+crossJoin shape
+    // returned zero rows, diverging from the oracle's scalar subqueries)
+    val r = Diagnostics.chowTest(Fix.toDF("t", "y"), "t", "y", 99L)
+      .collect()
+    assert(r.length == 1, s"degenerate split must keep the row: ${r.toSeq}")
+    val h = r.head
+    assert(h.getAs[Long]("n1") == 10 && h.getAs[Long]("n2") == 0)
+    assert(!h.isNullAt(h.fieldIndex("b1_r")))
+    assert(h.isNullAt(h.fieldIndex("b2_r")))
+    assert(h.isNullAt(h.fieldIndex("f_r")))
+  }
+
   test("granger: x→y lag dependence detected; gap days break pairs") {
     // y_t = 100·x_{t-1} + small wiggle so SSR_u > 0 but tiny; y's own
     // lag is useless (x alternates independent of y's history)

@@ -388,4 +388,18 @@ class InferSpec extends SparkTestBase {
     assert(r.getAs[Double]("theta_jack_r") == 7.5)
     assert(r.getAs[Double]("se_jack_r") == 2.5)
   }
+
+  test("jackknifeRatio: single block degrades to NULL jackknife fields, " +
+      "not a ÷0 error") {
+    import spark.implicits._
+    // B = 1: Sn − n_1 = 0 — the replicate term must NULL out via the
+    // nullif guard (r10 ADVICE), leaving θ intact and the B≥2-gated
+    // outputs NULL
+    val df = Seq(("a", 4L, 1L), ("a", 6L, 1L)).toDF("blk", "y", "n")
+    val r = Infer.jackknifeRatio(df, "blk", "y", "n").collect().head
+    assert(r.getAs[Long]("n_blocks") == 1)
+    assert(r.getAs[Double]("theta_r") == 5.0)
+    assert(r.isNullAt(r.fieldIndex("theta_jack_r")))
+    assert(r.isNullAt(r.fieldIndex("se_jack_r")))
+  }
 }

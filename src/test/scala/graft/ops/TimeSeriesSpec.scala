@@ -420,6 +420,22 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(c.isNullAt(c.fieldIndex("f_r")))
   }
 
+  test("bestMeanShift: net-refund (negative) days keep exact totals " +
+      "and the true break") {
+    import spark.implicits._
+    // day 2 is a net refund: max(_cy) over cumulative prefixes would
+    // overshoot the true total (10+10-40+50+51 = 81 vs running max 91)
+    // — totals must come from the LAST day's prefix (r10 ADVICE)
+    val daily = Seq((0L, 10L), (1L, 10L), (2L, -40L), (3L, 50L),
+      (4L, 51L)).toDF("t", "y")
+    val r = TimeSeries.bestMeanShift(daily, "t", "y").collect().head
+    // left {10,10,-40} mean -20/3; right {50,51} mean 50.5 — the split
+    // a wrong grand total would misplace
+    assert(r.getAs[Long]("break_t") == 3, r.toString)
+    assert(r.getAs[Double]("mean_left_r") == -6.666667)
+    assert(r.getAs[Double]("mean_right_r") == 50.5)
+  }
+
   test("hurstRs: single 4-day block hand R/S; one size -> null H") {
     import spark.implicits._
     // y = 0,1,2,3: Z (n-scaled) = -6,-8,-6,0 -> R = 8/4 = 2;
