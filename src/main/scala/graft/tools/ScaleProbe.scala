@@ -34,13 +34,13 @@ import org.apache.spark.sql.functions._
   *    graph): o_orderkey remapped with the SAME offset as
   *    l_orderkey (the join key stays consistent) and o_custkey
   *    remapped per copy — 10 disjoint bipartite graphs, matching the
-  *    lineitem convention. NOTE: orders-scaling is join-consistent
-  *    with lineitem ONLY. `customer` is not emitted/scaled, so the
-  *    remapped o_custkey values of copies i > 0 have no customer row —
-  *    probing a query that joins orders⋈customer against this dir
-  *    would silently drop 9/10 of orders at the join and under-measure
-  *    growth. Add a matching customer remap here first if such a query
-  *    ever needs probing.
+  *    lineitem convention.
+  *  - `customer` (round 11, q354 Theil inequality / q366 Hellinger
+  *    segment pairs): c_custkey remapped with the SAME per-copy offset
+  *    as o_custkey, so orders⋈customer joins stay consistent — 10
+  *    disjoint customer populations whose per-segment revenue
+  *    distributions replicate (segment COUNT stays fixed at 5: the
+  *    group grids these queries end on keep their production shape).
   *  - `embeddings` (round 10, q350 isotropy / q351 participation
   *    ratio / q361 MMR re-rank): 10 copies with vec_id remapped and
   *    the VECTOR kept — 10× rows of identical per-row work, the right
@@ -131,9 +131,17 @@ object ScaleProbe {
       else e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
     }
 
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val custX = copies(cust) { (c, i) =>
+      if (i == 0) c
+      else c.withColumn("c_custkey",
+        col("c_custkey") + lit(i.toLong * 10000000L))
+    }
+
     write(docsX, "documents")
     write(liX, "lineitem")
     write(ordX, "orders")
+    write(custX, "customer")
     write(evX, "events")
     write(embX, "embeddings")
     spark.stop()
