@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The unpartitioned-window pin (r10 VERDICT item 4).
+  *
+  * `Window.orderBy(...)` with no `partitionBy` moves EVERY input row
+  * into one task — the single shape that cannot survive a corpus-sized
+  * frame at 100 TB. Every existing site in `src/main` operates on a
+  * frame already reduced to a BOUNDED grain (day spine, key/segment
+  * grid, band/bucket table, hypothesis list, scalar), which is the only
+  * acceptable reason to keep one.
+  *
+  * This spec enumerates every non-comment `Window.orderBy` occurrence
+  * under `src/main/scala` and pins the per-file count against the
+  * reviewed allowlist below. A NEW unpartitioned window site anywhere
+  * fails this test until it is either banded (`Ranks.bandedRank` /
+  * `bandedRunningSum` — the distributed prefix machinery built for
+  * exactly this) or reviewed and added here WITH its bounded-grain
+  * argument. A data-shaped window can no longer slip in silently.
+  */
+class WindowGrainSpec extends AnyFunSuite {
+
+  /** file (repo-relative) → (site count, the bounded-grain argument
+    * that justifies each site in that file). */
+  private val Allowed: Map[String, (Int, String)] = Map(
+    "ops/Behavior.scala" -> (6, "scalar lit(1) roll (1 row) + five " +
+      "calendar-bounded day-grain cumulative scans (CUSUM/records)"),
+    "ops/Infer.scala" -> (5, "two scalar lit(1) rolls, one day-grain " +
+      "cumulative, BH-FDR rank over the |hypotheses| list, jackknife " +
+      "block index over the |blocks| frame"),
+    "ops/Ranks.scala" -> (3, "the banded-rank machinery itself: " +
+      "windows run over the |bands| bucket TABLE (tiny), never rows"),
+    "ops/TimeSeries.scala" -> (2, "7-day rolling + prefix scan on the " +
+      "calendar-bounded day grain"),
+    "ops/Profile.scala" -> (2, "scalar lit(1) roll + share rank over " +
+      "the bounded key grid"),
+    "ops/Nonparam.scala" -> (2, "lag/rank scans on the " +
+      "calendar-bounded day grain"),
+    "ops/Curation.scala" -> (2, "quota/water-fill level search over " +
+      "the |keys| table (corpus already reduced by one hash-agg)"),
+    "queries/ExtremeQueries.scala" -> (2, "record-days prefix scans on " +
+      "the day grain"),
+    "queries/GraphDepthQueries.scala" -> (1, "cumulative over the " +
+      "≤maxHops distance histogram"),
+    "ops/Skew.scala" -> (1, "contribution rank over the bounded key " +
+      "grid (heavy-hitter keys)"),
+    "ops/Sketches.scala" -> (1, "median-of-trials over the fixed " +
+      "|trials| repetition frame"),
+    "ops/Retrieval.scala" -> (1, "position index over the ≤k reranked " +
+      "hit list"),
+    "ops/Quantize.scala" -> (1, "codeword rank within one centroid's " +
+      "≤|codebook| cell"),
+    "ops/Pack.scala" -> (1, "the two-level prefix-sum bucket table " +
+      "(|buckets| rows) — the documented alternative TO a global " +
+      "row window"),
+    "ops/Diagnostics.scala" -> (1, "lag window on the " +
+      "calendar-bounded day grain (Granger pairs)"),
+    "ops/CorpusAudit.scala" -> (1, "cumulative over the |shards| " +
+      "grid"))
+
+  private def scan(): Map[String, Int] = {
+    val root = Paths.get("src/main/scala/graft")
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        val hits = Files.readAllLines(p).asScala
+          .map(_.trim)
+          .count(l => l.contains("Window.orderBy") &&
+            !l.startsWith("//") && !l.startsWith("*"))
+        root.relativize(p).toString -> hits
+      }
+      .filter(_._2 > 0)
+      .toMap
+  }
+
+  test("every unpartitioned Window.orderBy site is enumerated with a " +
+      "bounded-grain argument") {
+    val found = scan()
+    val expected = Allowed.map { case (f, (n, _)) => f -> n }
+    val unexpected = found.filterNot { case (f, n) => expected.get(f).contains(n) }
+    val missing = expected.filterNot { case (f, n) => found.get(f).contains(n) }
+    assert(unexpected.isEmpty && missing.isEmpty,
+      s"""unpartitioned Window.orderBy sites drifted from the reviewed pin.
+         |  new/changed: $unexpected
+         |  expected-but-absent: $missing
+         |Either band the new site (Ranks.bandedRank / bandedRunningSum)
+         |or review its input grain and update WindowGrainSpec.Allowed
+         |with the bounded-grain argument.""".stripMargin)
+  }
+}
