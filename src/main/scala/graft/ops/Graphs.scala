@@ -768,4 +768,72 @@ object Graphs {
             / (col("n_nodes").cast("double")
               * (col("n_nodes").cast("double") - 1))), 6).as("phi_r"))
   }
+
+  /** Persist an oriented edge list as a BUCKETED (by `src`), SORTED
+    * (src, dst) parquet table and return it — the layout every graph
+    * query in this engine wants at 100 TB: a dozen queries (triangles,
+    * k-truss, rich-club, assortativity, k-core) pay the same
+    * co-occurrence edge BUILD per run, but a production graph is built
+    * once and re-read; bucketing makes every src-keyed self-join and
+    * degree agg exchange-free on the edge side (PlanSpec pins the
+    * zero-Exchange bucketed join).
+    *
+    * Build-if-absent per catalog: the table name should encode its
+    * source (the caller derives it from the sf dir), so different
+    * scales never alias. The in-memory catalog forgets tables across
+    * JVMs while the warehouse directory persists — a stale directory
+    * with no catalog entry is removed and rebuilt (deterministic
+    * rebuild beats silently reading an unregistered path, which would
+    * drop the bucketing metadata and with it the exchange-free plan).
+    * `repartition(buckets, src)` before the write gives ONE file per
+    * bucket, the layout Spark's SMJ needs to also elide the per-bucket
+    * Sort. */
+  def bucketedEdgeTable(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, table: String, buckets: Int = 8,
+      freshSince: Long = 0L): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/${table.toLowerCase}")
+    // staleness guard: a fixture regeneration at the same path must not
+    // serve a pre-regeneration edge table — rebuild when the persisted
+    // layout predates the source (callers pass the source file mtime)
+    if (spark.catalog.tableExists(table) && freshSince > 0L &&
+        dir.exists() && dir.lastModified() < freshSince)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (!spark.catalog.tableExists(table)) {
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(dir)
+      }
+      edges.repartition(buckets, col("src"))
+        .write.bucketBy(buckets, "src").sortBy("src", "dst")
+        .format("parquet").saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** Per-vertex triangle counts via the COMPACT-FORWARD wedge build:
+    * wedges (a,b),(a,c) with b < c come from a SELF-JOIN ON `src` —
+    * the join both sides of which are exchange-free when `edges` is a
+    * [[bucketedEdgeTable]] — closed by a left-semi probe of (b,c)
+    * against the edge list (the bucketed side again reads without a
+    * shuffle; only the derived wedge frame moves). Same result as
+    * [[triangleCounts]] (each triangle a<b<c found exactly once, via
+    * its two a-anchored edges), different join orientation: the
+    * classic shape joins on dst=src, which cannot reuse a src-bucketed
+    * layout on both sides. */
+  def triangleCountsForward(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("a2"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("b3"), col("dst").as("c3"))
+    e1.join(e2, col("a") === col("a2") && col("b") < col("c"))
+      .join(e3, col("b") === col("b3") && col("c") === col("c3"),
+        "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

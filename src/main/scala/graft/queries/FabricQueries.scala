@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graphs
+import graft.util.Tables._
+
+/** Round-11 data-fabric batch: the persisted BUCKETED edge-table
+  * layout (the storage answer to the graph family's shared edge-build
+  * floor — build once, every src-keyed self-join reads exchange-free)
+  * plus preference/structure analytics that ride it or the embedding
+  * tables. Reference scope: the reference's pandas transforms have no
+  * graph/layout surface; these generalize the engine's own q213/q214/
+  * q224/q363 family the way a production deployment would store it.
+  */
+object FabricQueries {
+
+  /** The supplier co-occurrence edge oracle (q363's CTE, shared). */
+  private val suppEdgesMat =
+    """WITH items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS i FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.i AS src, b.i AS dst
+      |  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Per-vertex triangle counts read from the PERSISTED bucketed
+    // edge table (build-if-absent, keyed by sf dir, mtime-guarded):
+    // the compact-forward wedge self-join on src runs exchange-free on
+    // both sides over the bucketed layout — the 100 TB shape where the
+    // edge build is paid once, not per query (PlanSpec pins the plan;
+    // BASELINE.md records the delta vs the rebuild-per-query path).
+    Q("q367_bucketed_triangles",
+      Some(s"""$suppEdgesMat,
+              |tri AS MATERIALIZED (
+              |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              |  FROM e0 e1 JOIN e0 e2
+              |    ON e1.src = e2.src AND e1.dst < e2.dst
+              |  WHERE EXISTS (SELECT 1 FROM e0 e3
+              |    WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+              |v AS (
+              |  SELECT a AS vertex FROM tri
+              |  UNION ALL SELECT b FROM tri
+              |  UNION ALL SELECT c FROM tri)
+              |SELECT vertex, count(*)::BIGINT AS n_triangles
+              |FROM v GROUP BY 1 ORDER BY vertex""".stripMargin),
+      (s, d) => {
+        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
+          "l_orderkey", "l_suppkey", 5L)
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        val tbl = Graphs.bucketedEdgeTable(s, edges,
+          "graft_edges_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase,
+          freshSince = src.lastModified())
+        // subset-key co-partitioning lets the src-bucket layout drive
+        // the closing semi join too (the e3 scan stays exchange-free);
+        // scoped + eager so the conf is live at EXECUTION, restored
+        // after — the checkpointed result is the tiny vertex grain
+        val key = "spark.sql.requireAllClusterKeysForCoPartition"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "false")
+        try Graphs.triangleCountsForward(tbl).orderBy("vertex")
+          .localCheckpoint()
+        finally s.conf.set(key, prev)
+      })
+  )
+}

@@ -23,7 +23,8 @@ object Registry {
       MarkovQueries.all ++ SurvivalQueries.all ++
       ReliabilityQueries.all ++ CompletionQueries.all ++
       AuditDepthQueries.all ++ StratifiedQueries.all ++
-      ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all
+      ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all ++
+      FabricQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

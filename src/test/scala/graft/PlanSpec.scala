@@ -90,6 +90,43 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed edge table: the compact-forward wedge self-join reads " +
+      "both sides exchange-free; only the derived wedge frame shuffles") {
+    val edges = graft.ops.Graphs.coOccurrenceEdges(
+      Tables.lineitem(spark, sf()), "l_orderkey", "l_suppkey", 5L)
+    spark.sql("DROP TABLE IF EXISTS probe_edges")
+    val tbl = graft.ops.Graphs.bucketedEdgeTable(spark, edges,
+      "probe_edges")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReq = spark.conf
+      .get("spark.sql.requireAllClusterKeysForCoPartition")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "false")
+      val p = graft.ops.Graphs.triangleCountsForward(tbl)
+        .queryExecution.executedPlan.toString
+      // three scans of the bucketed table: wedge self-join (two) +
+      // the semi-probe build side — none may re-shuffle. The only
+      // acceptable Exchanges: the derived wedge frame into the semi
+      // join, plus the final vertex agg.
+      val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nEx <= 2, s"bucketed wedge plan must keep the edge scans " +
+        s"exchange-free (≤2 derived-side shuffles), got $nEx:\n$p")
+      assert(p.contains("SortMergeJoin"), s"wedge join must be SMJ:\n$p")
+      // and the result equals the classic dst=src orientation
+      val a = graft.ops.Graphs.triangleCountsForward(tbl)
+        .orderBy("vertex").collect().toSeq
+      val b = graft.ops.Graphs.triangleCounts(edges)
+        .orderBy("vertex").collect().toSeq
+      assert(a == b, "compact-forward must equal the classic wedge build")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        prevReq)
+    }
+  }
+
   test("q48: LSH candidate join is an equi-join, never a cross product") {
     val p = plan("q48_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
