@@ -215,4 +215,62 @@ object Diagnostics {
       round(col("_u2"), 6).as("b_xlag_r"),
       round(when(ssru > 0 && col("n") > 3, f), 6).as("f_r"))
   }
+
+  /** ARCH-LM volatility-clustering test (Engle 1982, 1 lag): residuals
+    * e_t of the daily trend fit y ~ t, then the auxiliary regression
+    * e_t² ~ e_{t−1}²; LM = n·R² is asymptotically χ²(1) under the
+    * homoscedastic null. Large LM says big errors FOLLOW big errors —
+    * the conditional-heteroscedasticity read that [[breuschPagan]]'s
+    * t-driven form can't see (BP asks "does variance grow with t",
+    * this asks "does variance remember itself").
+    *
+    * Conventions: the trend fit comes from exact integer moments (one
+    * hash-agg); residuals are evaluated in THOUSANDS of dollars
+    * (cents/1e5) so squared-residual PRODUCTS stay far inside the
+    * 6-dp DECIMAL(38,6) term grid at any scale; lag pairs require
+    * consecutive days (the [[granger]] t = tlag+1 gate). Returns one
+    * row: n_pairs, b_r (aux slope), r2_r, lm_r (NULL on degenerate
+    * variance). */
+  def archLm(daily: DataFrame, tCol: String,
+      yCentsCol: String): DataFrame = {
+    val d0 = daily.select(col(tCol).as("_t"),
+      col(yCentsCol).cast("decimal(38,0)").as("_y"))
+    val m0 = d0.agg(count(lit(1)).as("n"),
+      sum(col("_t")).as("_st"),
+      sum(col("_t").cast("decimal(38,0)") * col("_t")).as("_stt"),
+      sum(col("_y")).as("_sy"),
+      sum(col("_t").cast("decimal(38,0)") * col("_y")).as("_sty"))
+    def dd(c: String) = col(c).cast("double")
+    val bT = (dd("n") * dd("_sty") - dd("_st") * dd("_sy")) /
+      nullif(dd("n") * dd("_stt") - dd("_st") * dd("_st"), lit(0.0))
+    val fit = m0.select(bT.as("_b"),
+      ((dd("_sy") - bT * dd("_st")) / dd("n")).as("_a"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_t")
+    val e = (col("_y").cast("double") - col("_a")
+      - col("_b") * col("_t").cast("double")) / 1e5
+    val z = d0.crossJoin(broadcast(fit))
+      .select(col("_t"), round(e * e, 6).cast("decimal(38,6)").as("_z"))
+      .withColumn("_zlag", lag(col("_z"), 1).over(w))
+      .withColumn("_tlag", lag(col("_t"), 1).over(w))
+      .where(col("_zlag").isNotNull && col("_t") === col("_tlag") + 1)
+    def t6(c: org.apache.spark.sql.Column) =
+      round(c, 6).cast("decimal(38,6)")
+    val zD = col("_z").cast("double")
+    val zL = col("_zlag").cast("double")
+    val m = z.agg(count(lit(1)).as("n"),
+      sum(col("_zlag")).as("_sx"), sum(col("_z")).as("_sy"),
+      sum(t6(zL * zL)).as("_sxx"), sum(t6(zD * zD)).as("_syy"),
+      sum(t6(zL * zD)).as("_sxy"))
+    val nD = dd("n")
+    val (sx, sy, sxx, syy, sxy) =
+      (dd("_sx"), dd("_sy"), dd("_sxx"), dd("_syy"), dd("_sxy"))
+    val num = nD * sxy - sx * sy
+    val denX = nD * sxx - sx * sx
+    val denY = nD * syy - sy * sy
+    val r2 = num * num / nullif(denX * denY, lit(0.0))
+    m.select(col("n").as("n_pairs"),
+      round(num / nullif(denX, lit(0.0)), 6).as("b_r"),
+      round(when(denX > 0 && denY > 0, r2), 6).as("r2_r"),
+      round(when(denX > 0 && denY > 0, nD * r2), 6).as("lm_r"))
+  }
 }

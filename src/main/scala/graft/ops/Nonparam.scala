@@ -25,6 +25,90 @@ import org.apache.spark.sql.functions._
   */
 object Nonparam {
 
+  /** Shared two-sample ECDF grain: one corpus hash-agg to per-distinct-
+    * value class counts (_v, _na, _nb), then BOTH cumulative counts via
+    * [[Ranks.bandedRunningSum]]'s two-level prefix sum (the
+    * [[mannWhitney]] posture — the value table is data-sized for
+    * continuous columns at 100 TB, so no global-orderBy window). */
+  private def ecdfGrain(df: DataFrame, valueCol: String,
+      groupCol: String, aVal: String, bVal: String,
+      bandWidth: Double): DataFrame = {
+    val per = df.where(col(groupCol).isin(aVal, bVal))
+      .groupBy(col(valueCol).as("_v"))
+      .agg(sum(when(col(groupCol) === aVal, 1L).otherwise(0L)).as("_na"),
+        sum(when(col(groupCol) === bVal, 1L).otherwise(0L)).as("_nb"))
+      .withColumn("_g", lit(0))
+    val c1 = Ranks.bandedRunningSum(per, "_g", "_v", "_na", bandWidth)
+      .withColumnRenamed("runsum", "_cuma")
+    Ranks.bandedRunningSum(c1, "_g", "_v", "_nb", bandWidth)
+      .withColumnRenamed("runsum", "_cumb")
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between the `aVal` and
+    * `bVal` empirical distributions of an integer-valued column:
+    * W₁ = ∫|F_A − F_B| dx = Σ over consecutive distinct values
+    * |F_A(v) − F_B(v)|·(v_next − v) — the METRIC complement to a KS
+    * test (KS reports the worst ECDF gap, W₁ reports how much mass
+    * must MOVE how far, in the column's own units).
+    *
+    * Exactness: per-step mass |cumA·n_b − cumB·n_a| and the gap are
+    * exact DECIMAL(38,0) integers (safe past 2⁶³ rows); the ONLY
+    * division is the final /(n_a·n_b). Consecutive values pair by a
+    * [[Ranks.bandedRank]] rank self-join — no data-sized window
+    * anywhere. Returns one row: n_a, n_b, w1_r (in value units). */
+  def wasserstein1d(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String,
+      bandWidth: Double = 16.0): DataFrame = {
+    val g = ecdfGrain(df, valueCol, groupCol, aVal, bVal, bandWidth)
+      .localCheckpoint() // consumed by totals + rank join
+    val tot = g.agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"))
+    val ranked = Ranks.bandedRank(g, "_g", "_v", "_v", bandWidth)
+    val nxt = ranked.select((col("rnk") - 1).as("rnk"),
+      col("_v").as("_vn"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val s = ranked.join(nxt, Seq("rnk")).crossJoin(broadcast(tot))
+      .agg(sum(abs(d38(col("_cuma")) * col("n_b")
+        - d38(col("_cumb")) * col("n_a"))
+        * d38(col("_vn") - col("_v"))).as("_s"))
+    s.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        round(col("_s").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("w1_r"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic in the ECDF form (Anderson
+    * 1962): T = (n_a·n_b/(n_a+n_b)²) · Σ_z (F_A(z) − F_B(z))² summed
+    * over the POOLED sample (each distinct value weighted by its
+    * pooled multiplicity) — the whole-distribution sibling of
+    * [[mannWhitney]] (location only) and the L² counterpart of the KS
+    * sup-gap: sensitive to shape/variance differences a location test
+    * misses.
+    *
+    * Per-value terms are one double expression of exact integers
+    * ((cumA/n_a − cumB/n_b)² · pooled count), 12-dp-rounded before the
+    * order-independent DECIMAL sum; the scale factor applies once.
+    * Returns one row: n_a, n_b, t_r. */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String,
+      bandWidth: Double = 16.0): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val g = ecdfGrain(df, valueCol, groupCol, aVal, bVal, bandWidth)
+      .localCheckpoint() // totals + term sum read it
+    val tot = g.agg(sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val fdiff = col("_cuma").cast("double") / naD -
+      col("_cumb").cast("double") / nbD
+    val s = g.crossJoin(broadcast(tot))
+      .agg(sum(t12(fdiff * fdiff * (col("_na") + col("_nb"))
+        .cast("double"))).cast("double").as("_s"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    s.select(col("n_a"), col("n_b"),
+      round(naD * nbD / ((naD + nbD) * (naD + nbD)) * col("_s"), 6)
+        .as("t_r"))
+  }
+
   /** Kendall rank correlation τ-b between two integer series on a
     * bounded grain (one row per `idCol`), plus Somers' D of `yCol`
     * given `xCol` — the ordinal-association pair behind "do busier

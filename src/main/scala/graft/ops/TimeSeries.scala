@@ -887,4 +887,123 @@ object TimeSeries {
         round(col("_meanrs"), 6).as("mean_rs_r"),
         round(col("_h"), 6).as("h_r"))
   }
+
+  /** KPSS level-stationarity test (Kwiatkowski–Phillips–Schmidt–Shin
+    * 1992): η = n⁻² Σᵢ Sᵢ² / s²(l), where Sᵢ are partial sums of the
+    * demeaned OBSERVED series and s²(l) is the Bartlett-kernel
+    * long-run variance γ₀ + 2 Σⱼ (1 − j/(l+1)) γⱼ. The null here is
+    * STATIONARITY (the mirror of a unit-root test): large η says the
+    * level wanders — the "is this series even modelable as level +
+    * noise" gate in front of [[cusumDaily]]/[[bestMeanShift]], which
+    * assume it is.
+    *
+    * Exact-arithmetic discipline: with C_i the exact cumulative sum
+    * and Sy the grand total, n·S_i = n·C_i − i·Sy and
+    * n·e_i = n·y_i − Sy are exact integers; every squared/lagged
+    * product is ONE double expression of exact integers, evaluated in
+    * MILLIONS of dollars (cents/1e8) and 6-dp-rounded onto
+    * DECIMAL(38,6) before its order-independent sum — the scaled
+    * n-weighted partial sums reach ~10¹² cents even at bench scale,
+    * and a rounding grid only stays engine-deterministic while it sits
+    * well ABOVE the double's ulp at the term magnitude (the
+    * [[pageHinkley]] lesson, one decade harder because these terms
+    * are n-weighted squares). Lag pairs come from an equi-join on the
+    * row index (the [[acfDaily]] shape), never a per-lag window. All
+    * windows live on the bounded day grain. Returns one row: n,
+    * gamma0_r / s2l_r (in M$²), kpss_r (unit-invariant; NULL when
+    * s²(l) ≤ 0, e.g. a constant series). */
+  def kpss(daily: DataFrame, tCol: String, yCol: String,
+      lags: Int = 7): DataFrame = {
+    require(lags >= 1, "lags must be >= 1")
+    def t6(c: org.apache.spark.sql.Column) =
+      round(c, 6).cast("decimal(38,6)")
+    val s = daily.sparkSession
+    val w = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = daily.select(col(tCol).as("_t"),
+        col(yCol).cast("decimal(38,0)").as("_y"))
+      .withColumn("_i", count(lit(1)).over(w))
+      .withColumn("_c", sum(col("_y")).over(w))
+      .localCheckpoint() // totals + partial-sum scan + lag pairs
+    val tot = base.agg(max(col("_i")).as("_n"),
+      max_by(col("_c"), col("_i")).as("_sy"))
+    val nD = col("_n").cast("double")
+    val syD = col("_sy").cast("double")
+    // Σ S_i² via the exact scaled form (n·S_i)²/n², in k$
+    val nSi = (nD * col("_c").cast("double") -
+      col("_i").cast("double") * syD) / lit(1e8)
+    val ssum = base.crossJoin(broadcast(tot))
+      .agg(sum(t6(nSi * nSi / (nD * nD))).cast("double").as("_ss2"),
+        first(col("_n")).as("_n"), first(col("_sy")).as("_sy"))
+    // γ_j, j = 0..lags: lag pairs by row-index equi-join
+    val spec = s.range(0, lags + 1L).select(col("id").as("lag"))
+    val shifted = base.crossJoin(broadcast(spec))
+      .select(col("lag"), (col("_i") + col("lag")).as("_i"),
+        col("_y").as("_y0"))
+    val nE = (c: org.apache.spark.sql.Column) =>
+      (nD * c.cast("double") - syD) / lit(1e8)
+    val gam = shifted
+      .join(base.select(col("_i"), col("_y").as("_y1")), Seq("_i"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lag"))
+      .agg(sum(t6(nE(col("_y0")) * nE(col("_y1")) / (nD * nD)))
+        .cast("double").as("_g"))
+    // Bartlett weights on the ≤(lags+1)-row γ frame
+    val lD = lit(lags.toDouble)
+    val s2l = gam
+      .agg(sum(when(col("lag") === 0, col("_g")).otherwise(
+        lit(2.0) * (lit(1.0) - col("lag").cast("double") / (lD + 1.0))
+          * col("_g"))).as("_s2n"),
+        sum(when(col("lag") === 0, col("_g"))).as("_g0n"))
+    ssum.crossJoin(broadcast(s2l))
+      .select(col("_n").as("n"),
+        round(col("_g0n") / nD, 6).as("gamma0_r"),
+        round(col("_s2n") / nD, 6).as("s2l_r"),
+        round(when(col("_s2n") > 0,
+          col("_ss2") / (nD * nD) / (col("_s2n") / nD)), 6)
+          .as("kpss_r"))
+  }
+
+  /** Page–Hinkley drift detector (Page 1954; the sequential mean-shift
+    * monitor next to [[cusumDaily]]'s two-sided CUSUM): with the
+    * running mean x̄_i over the first i observations,
+    * m_i = Σ_{k≤i} (x_k − x̄_k − δ) and PH_i = m_i − min_{k≤i} m_k;
+    * an alarm fires when PH_i > λ. δ and λ are in THOUSANDS of
+    * dollars (k$, cents/1e5).
+    *
+    * Determinism: x̄_k = C_k/k is one double division of exact
+    * integers; each increment is evaluated in k$ — the k$ magnitude
+    * (~10³) keeps the 6-dp grid SIX orders above the double's ulp, so
+    * the per-term rounding is engine-deterministic (a 12-dp grid at
+    * raw-cents magnitude ~10⁸ sits BELOW the double's representational
+    * noise, where Spark's shortest-repr rounding and DuckDB's binary
+    * rounding visibly diverge — measured, r11) — then cumulative-
+    * summed as DECIMAL over the ORDERED bounded day grain. ph_max is
+    * the raw double of that exact DECIMAL (no re-rounding).
+    * Returns one row: n, ph_max (k$), t_at_max, n_alarms,
+    * t_first_alarm (NULL when no PH_i exceeds λ). */
+  def pageHinkley(daily: DataFrame, tCol: String, yCol: String,
+      deltaK: Double, lambdaK: Double): DataFrame = {
+    def t6(c: org.apache.spark.sql.Column) =
+      round(c, 6).cast("decimal(38,6)")
+    val wc = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = daily.select(col(tCol).as("_t"),
+        col(yCol).cast("decimal(38,0)").as("_y"))
+      .withColumn("_i", count(lit(1)).over(wc))
+      .withColumn("_c", sum(col("_y")).over(wc))
+      .withColumn("_inc", t6((col("_y").cast("double")
+        - col("_c").cast("double") / col("_i").cast("double"))
+        / lit(1e5) - lit(deltaK)))
+      .withColumn("_m", sum(col("_inc")).over(wc))
+      .withColumn("_ph", col("_m") - min(col("_m")).over(wc))
+    base.agg(count(lit(1)).as("n"),
+        max(col("_ph")).cast("double").as("ph_max"),
+        min_by(col("_t"), struct((-col("_ph")).as("a"), col("_t")))
+          .as("t_at_max"),
+        sum(when(col("_ph").cast("double") > lambdaK, 1L)
+          .otherwise(0L)).as("n_alarms"),
+        min(when(col("_ph").cast("double") > lambdaK, col("_t")))
+          .as("t_first_alarm"))
+  }
 }

@@ -77,6 +77,70 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(p.isNullAt(p.fieldIndex("f_r")))
   }
 
+  test("archLm: volatility-clustered residuals light up LM; " +
+      "homoscedastic noise stays near zero") {
+    // flat level + residual bursts: 4 quiet days then 4 loud days,
+    // repeating — e²_t strongly predicts e²_{t+1} within regimes
+    val clustered = (0 until 32).map { t =>
+      val amp = if ((t / 4) % 2 == 0) 1000000L else 100000000L
+      val sign = if (t % 2 == 0) 1L else -1L
+      (t.toLong, 500000000L + sign * amp)
+    }
+    val r = Diagnostics.archLm(clustered.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 31)
+    assert(r.getAs[Double]("r2_r") > 0.25, r.toString)
+    assert(r.getAs[Double]("lm_r") > 5.0, r.toString)
+    // scrambled-magnitude residuals (fixed pseudo-noise): with only 31
+    // pairs the sample r² is noisy, so instead of a qualitative bar the
+    // op must equal a scalar mirror of its own formulas EXACTLY (the
+    // kpss-test pattern — proves the distributed plumbing)
+    val amps = Seq(1L, 9L, 3L, 7L, 2L, 8L, 4L, 6L, 5L, 10L, 3L, 8L,
+      1L, 7L, 9L, 2L, 6L, 4L, 10L, 5L, 2L, 9L, 7L, 1L, 8L, 3L, 5L,
+      10L, 4L, 6L, 1L, 7L)
+    val flat = amps.zipWithIndex.map { case (a, t) =>
+      val sign = if (t % 2 == 0) 1L else -1L
+      (t.toLong, 500000000L + sign * a * 10000000L)
+    }
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def ref(rows: Seq[(Long, Long)]): (Long, Double, Double, Double) = {
+      val n0 = rows.size.toDouble
+      val st = rows.map(_._1).sum.toDouble
+      val stt = rows.map(r => r._1.toDouble * r._1).sum
+      val sy0 = rows.map(_._2).sum.toDouble
+      val sty = rows.map(r => r._1.toDouble * r._2).sum
+      val b = (n0 * sty - st * sy0) / (n0 * stt - st * st)
+      val a = (sy0 - b * st) / n0
+      val z = rows.map { case (t, y) =>
+        val e = (y.toDouble - a - b * t) / 1e5
+        (t, r6(e * e))
+      }
+      val pairs = z.zip(z.tail).collect {
+        case ((t0, z0), (t1, z1)) if t1 == t0 + 1 => (z0, z1) }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(p => r6(p._1.toDouble * p._1.toDouble))
+        .sum.toDouble
+      val syy = pairs.map(p => r6(p._2.toDouble * p._2.toDouble))
+        .sum.toDouble
+      val sxy = pairs.map(p => r6(p._1.toDouble * p._2.toDouble))
+        .sum.toDouble
+      val num = n * sxy - sx * sy
+      val r2 = num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (pairs.size.toLong, r6(num / (n * sxx - sx * sx)).toDouble,
+        r6(r2).toDouble, r6(n * r2).toDouble)
+    }
+    val (en, eb, er2, elm) = ref(flat)
+    val f = Diagnostics.archLm(flat.toDF("t", "y"), "t", "y")
+      .collect().head
+    assert(f.getAs[Long]("n_pairs") == en)
+    assert(f.getAs[Double]("b_r") == eb, s"$f vs $eb")
+    assert(f.getAs[Double]("r2_r") == er2, s"$f vs $er2")
+    assert(f.getAs[Double]("lm_r") == elm, s"$f vs $elm")
+  }
+
   test("chowTest: breakT outside the observed range still yields one " +
       "row, with NULL slope for the empty segment") {
     // breakT beyond tmax: segment 2 is empty — the roll row must

@@ -201,4 +201,37 @@ class NonparamSpec extends SparkTestBase {
     assert(math.abs(got(("a", "d")).getAs[Double]("hellinger_r")
       - math.sqrt(0.5)) < 1e-6)
   }
+
+  test("wasserstein1d: pure shift moves exactly the shift distance; " +
+      "identical samples give zero") {
+    import spark.implicits._
+    // B is A shifted by +100: W1 = 100 exactly
+    val df = Seq(("a", 0L), ("a", 100L), ("b", 100L), ("b", 200L))
+      .toDF("g", "v")
+    val r = Nonparam.wasserstein1d(df, "v", "g", "a", "b", 16.0)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("w1_r") == 100.0, r.toString)
+    val same = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L))
+      .toDF("g", "v")
+    val s = Nonparam.wasserstein1d(same, "v", "g", "a", "b", 16.0)
+      .collect().head
+    assert(s.getAs[Double]("w1_r") == 0.0)
+  }
+
+  test("cramerVonMises: identical samples give 0; hand disjoint " +
+      "singletons give 1/4") {
+    import spark.implicits._
+    val same = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L))
+      .toDF("g", "v")
+    val s = Nonparam.cramerVonMises(same, "v", "g", "a", "b", 16.0)
+      .collect().head
+    assert(s.getAs[Double]("t_r") == 0.0)
+    // A = {0}, B = {100}: at v=0 F_A−F_B = 1 (pooled count 1), at
+    // v=100 the gap closes → Σ = 1, T = (1·1/2²)·1 = 0.25
+    val dis = Seq(("a", 0L), ("b", 100L)).toDF("g", "v")
+    val d = Nonparam.cramerVonMises(dis, "v", "g", "a", "b", 16.0)
+      .collect().head
+    assert(d.getAs[Double]("t_r") == 0.25, d.toString)
+  }
 }

@@ -436,6 +436,71 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r.getAs[Double]("mean_right_r") == 50.5)
   }
 
+  test("kpss: constant series -> zero long-run variance -> NULL eta; " +
+      "distributed plumbing == scalar reference exactly") {
+    import spark.implicits._
+    val const = (0L to 19L).map(t => (t, 500000000L)).toDF("t", "y")
+    val c = TimeSeries.kpss(const, "t", "y").collect().head
+    assert(c.getAs[Long]("n") == 20)
+    assert(c.getAs[Double]("s2l_r") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("kpss_r")))
+    // scalar mirror of the op's exact formulas + rounding grid
+    def r(x: Double, s: Int) = BigDecimal(java.math.BigDecimal
+      .valueOf(x)).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def ref(ys: Seq[Long], lags: Int): (Double, Double, Double) = {
+      val n = ys.size
+      val nD = n.toDouble
+      val cum = ys.scanLeft(0L)(_ + _).tail
+      val sy = cum.last.toDouble
+      val ss2 = (1 to n).map { i =>
+        val v = (nD * cum(i - 1).toDouble - i.toDouble * sy) / 1e8
+        r(v * v / (nD * nD), 6)
+      }.sum.toDouble
+      val gam = (0 to lags).map { l =>
+        (1 to n - l).map { k =>
+          val e0 = (nD * ys(k - 1).toDouble - sy) / 1e8
+          val e1 = (nD * ys(k + l - 1).toDouble - sy) / 1e8
+          r(e0 * e1 / (nD * nD), 6)
+        }.sum.toDouble
+      }
+      val s2n = gam.head + (1 to lags).map(l =>
+        2.0 * (1.0 - l.toDouble / (lags + 1.0)) * gam(l)).sum
+      (r(gam.head / nD, 6).toDouble, r(s2n / nD, 6).toDouble,
+        r(ss2 / (nD * nD) / (s2n / nD), 6).toDouble)
+    }
+    // a wandering-level series (partial sums large): op == reference
+    val ys = Seq(4L, 7L, 9L, 12L, 8L, 15L, 19L, 22L, 18L, 25L)
+      .map(_ * 100000000L)
+    val (g0, s2l, eta) = ref(ys, 7)
+    val got = TimeSeries.kpss(
+      ys.zipWithIndex.map { case (y, t) => (t.toLong, y) }.toDF("t", "y"),
+      "t", "y").collect().head
+    assert(got.getAs[Double]("gamma0_r") == g0, s"$got vs $g0")
+    assert(got.getAs[Double]("s2l_r") == s2l, s"$got vs $s2l")
+    assert(got.getAs[Double]("kpss_r") == eta, s"$got vs $eta")
+  }
+
+  test("pageHinkley: constant series never alarms; a level jump drives " +
+      "PH past lambda at the jump") {
+    import spark.implicits._
+    val const = (0L to 9L).map(t => (t, 100000000L)).toDF("t", "y")
+    val c = TimeSeries.pageHinkley(const, "t", "y", 0.0, 500.0)
+      .collect().head
+    assert(c.getAs[Double]("ph_max") == 0.0)
+    assert(c.getAs[Long]("n_alarms") == 0L)
+    assert(c.isNullAt(c.fieldIndex("t_first_alarm")))
+    // 5 days at 1000 k$ then 5 at 3000 k$ (cents = k$·1e5): each
+    // post-jump day adds ~+1000 k$ to m while the running mean lags
+    val jump = (0L to 9L).map(t =>
+      (t, if (t < 5) 100000000000L else 300000000000L)).toDF("t", "y")
+    val j = TimeSeries.pageHinkley(jump, "t", "y", 0.0, 500.0)
+      .collect().head
+    assert(j.getAs[Double]("ph_max") > 1000.0, j.toString)
+    assert(j.getAs[Long]("n_alarms") > 0L)
+    assert(j.getAs[Long]("t_first_alarm") >= 5L)
+    assert(j.getAs[Long]("t_at_max") == 9L)
+  }
+
   test("hurstRs: single 4-day block hand R/S; one size -> null H") {
     import spark.implicits._
     // y = 0,1,2,3: Z (n-scaled) = -6,-8,-6,0 -> R = 8/4 = 2;
