@@ -760,4 +760,41 @@ object Profile {
         round(col("_t") / col("n").cast("double"), 6).as("theil_t_r"),
         round(-col("_l") / col("n").cast("double"), 6).as("theil_l_r"))
   }
+
+  /** Histogram-Based Outlier Score (Goldstein & Dengel 2012): for each
+    * row, score = Σ over features log10(maxcount_f / count_f(bin)) —
+    * rows sitting in rare bins of MANY independent feature histograms
+    * score high. The assumption-free linear-time outlier detector:
+    * no distance matrix, no model fit, just |features| hash-aggs and
+    * broadcast joins, which is why it survives any corpus size.
+    *
+    * `binCols` must already be discretized (integer bin ids — the
+    * caller owns the binning so the oracle can reproduce it exactly).
+    * Each histogram is bounded by its bin cardinality → broadcast;
+    * the score is a FIXED-ORDER chain of log10 ratios of exact counts
+    * (left-associated adds of identical doubles — engine-
+    * deterministic with no grid needed). Returns topK rows: rn, the
+    * id column, score_r (6 dp; ties by id ascending). */
+  def hbos(df: DataFrame, idCol: String, binCols: Seq[String],
+      topK: Int): DataFrame = {
+    require(binCols.nonEmpty, "need at least one binned feature")
+    var scored = df.select(col(idCol) +: binCols.map(col): _*)
+    for (f <- binCols) {
+      val hist = df.groupBy(col(f))
+        .agg(count(lit(1)).as(s"_c_$f"))
+      val hmax = hist.agg(max(col(s"_c_$f")).as(s"_m_$f"))
+      scored = scored.join(broadcast(hist), Seq(f))
+        .crossJoin(broadcast(hmax))
+    }
+    val score = binCols.map(f =>
+        log10(col(s"_m_$f").cast("double") / col(s"_c_$f")))
+      .reduce(_ + _)
+    scored.select(col(idCol), score.as("_s"))
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("_s"), 6).as("score_r"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("score_r").desc, col(idCol))))
+      .select(col("rn"), col(idCol), col("score_r"))
+  }
 }

@@ -699,4 +699,95 @@ object Similarity {
       round(col("_maxsim"), 9).as("maxsim_r"),
       round(col("_mmr"), 9).as("mmr_r"))
   }
+
+  /** Top eigenpair of the embedding second-moment matrix by POWER
+    * ITERATION — the first principal direction of the corpus (what
+    * [[participationRatio]] summarizes in aggregate, resolved into an
+    * actual axis): v ← M·v / ‖M·v‖ from the uniform start 1/√d,
+    * `iters` times; λ is the final Rayleigh quotient vᵀMv.
+    *
+    * Shape: the ONLY data-sized work is the one [[secondMomentMatrix]]
+    * pass (O(n·d²) products, one hash-agg); every iteration is a
+    * d²-row × d-row broadcast join — free at any corpus size, and the
+    * tiny v frame is localCheckpointed per step so the final plan
+    * doesn't re-execute the chain combinatorially (the mmrRerank
+    * lesson). Determinism: each matrix·vector product term and each
+    * squared-norm term is 12-dp-rounded onto DECIMAL(28,12) before its
+    * order-independent sum, so both engines walk the exact same
+    * trajectory (the sign of v is therefore also identical — no sign
+    * convention needed). Returns d rows: j, loading_r (6 dp),
+    * lambda_r (same value on every row). */
+  def topEigen(collection: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val m = secondMomentMatrix(collection)
+      .localCheckpoint() // d² rows; consumed by every iteration
+    val dims = m.select(col("j")).distinct()
+    val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
+    var v = dims.crossJoin(broadcast(dCnt))
+      .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
+      .localCheckpoint()
+    def mv(vec: DataFrame): DataFrame = m
+      .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
+      .groupBy(col("j"))
+      .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
+    for (_ <- 1 to iters) {
+      val u = mv(v)
+      val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
+        .cast("double")).as("_n"))
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("j"), (col("_u") / col("_n")).as("_v"))
+        .localCheckpoint() // d rows; next step + the final Rayleigh
+    }
+    val lam = mv(v)
+      .join(v, Seq("j"))
+      .agg(sum(t12(col("_v") * col("_u"))).cast("double").as("_lam"))
+    v.crossJoin(broadcast(lam))
+      .select(col("j"), round(col("_v"), 6).as("loading_r"),
+        round(col("_lam"), 6).as("lambda_r"))
+  }
+
+  /** Hubness audit of a kNN graph (Radovanović et al. 2010): the
+    * k-occurrence N_k(x) = how many vectors list x among their top-k
+    * neighbors. High-dimensional spaces concentrate: a few points
+    * become HUBS (N_k ≫ k) while many become anti-hubs (N_k = 0) —
+    * retrieval quality silently degrades because the same few
+    * neighbors answer every query. The audit takes a PRE-COMPUTED
+    * neighbor frame (q_id, neighbor_id) so it composes with
+    * [[cosineTopK]] at audit scale and [[ivfTopK]]/[[routedTopK]] at
+    * production scale, and reduces it to one row of distribution
+    * facts.
+    *
+    * All moments are sums of exact integers on DECIMAL(38,0) (N_k³
+    * stays exact far past 2⁶³); the skewness
+    * g₁ = (m₃ − 3m₁m₂ + 2m₁³)/(m₂ − m₁²)^{3/2} is one double
+    * expression of those exact sums — engine-deterministic with no
+    * intermediate rounding. Returns one row: n, mean_nk_r, skew_r
+    * (NULL on zero variance), max_nk, n_hubs (N_k ≥ `hubAt`),
+    * n_antihubs (N_k = 0). */
+  def hubnessAudit(ids: DataFrame, neighbors: DataFrame,
+      hubAt: Long): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val nk = ids.select(col("vec_id"))
+      .join(neighbors.groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("_nk")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("_nk"), lit(0L)).as("_nk"))
+    val m = nk.agg(count(lit(1)).as("n"),
+      sum(d38(col("_nk"))).as("_s1"),
+      sum(d38(col("_nk")) * col("_nk")).as("_s2"),
+      sum(d38(col("_nk")) * col("_nk") * col("_nk")).as("_s3"),
+      max(col("_nk")).as("max_nk"),
+      sum(when(col("_nk") >= hubAt, 1L).otherwise(0L)).as("n_hubs"),
+      sum(when(col("_nk") === 0, 1L).otherwise(0L)).as("n_antihubs"))
+    val nD = col("n").cast("double")
+    val (m1, m2, m3) = (col("_s1").cast("double") / nD,
+      col("_s2").cast("double") / nD, col("_s3").cast("double") / nD)
+    val vr = m2 - m1 * m1
+    m.select(col("n"), round(m1, 6).as("mean_nk_r"),
+      round(when(vr > 0,
+        (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1)
+          / pow(vr, 1.5)), 6).as("skew_r"),
+      col("max_nk"), col("n_hubs"), col("n_antihubs"))
+  }
 }

@@ -818,4 +818,78 @@ object TextOps {
       round(when(ok && cyy > 0, cxy * cxy / (cxx * cyy)), 6)
         .as("r2_r"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    * token co-occurrence graph (consecutive content tokens within each
+    * document, symmetric, weight = corpus pair count), run weighted
+    * PageRank
+    *   r_j = (1−d)/N + d · Σ_i r_i · w_ij / outw_i,
+    * `iters` times from the uniform start, and return the top-`topK`
+    * tokens — centrality-based keywords instead of frequency-based
+    * ([[Retrieval.bm25]]/tf-idf rank by counts; TextRank ranks by WHO a
+    * token co-occurs with, so a mid-frequency token bridging many
+    * contexts can outrank a frequent-but-insular one).
+    *
+    * Content tokens = length ≥ `minLen` after [[normalize]] (the
+    * classic stopword proxy that keeps the graph engine-reproducible
+    * without a lexicon). Adjacency is over the FILTERED per-doc
+    * sequence (standard TextRank windowing), built with a per-doc
+    * row_number — partitioned by doc, bounded by document length.
+    * Shape: token explode + two hash-aggs build the graph; each
+    * iteration is one join + hash-agg on the |vocab|-row rank frame,
+    * localCheckpointed per step. Each fan-in term r_i·w_ij/outw_i is
+    * 12-dp-rounded onto DECIMAL(28,12) before its order-independent
+    * sum (hub tokens aggregate thousands of terms — a raw double sum
+    * would be order-sensitive there). Returns topK rows: rn, term,
+    * score_r (9 dp; ties broken by term ascending). */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = 6, damping: Double = 0.85, minLen: Int = 4,
+      topK: Int = 20): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_doc")).orderBy(col("_pos"))
+    val seq0 = docs
+      .select(col(idCol).as("_doc"),
+        posexplode(tokens(normalize(col(textCol))))
+          .as(Seq("_pos", "_term")))
+      .where(length(col("_term")) >= minLen)
+      .withColumn("_i", row_number().over(w))
+    val seq = seq0.localCheckpoint() // both sides of the adjacency join
+    val adj = seq.select(col("_doc"), col("_i"), col("_term"))
+      .join(seq.select(col("_doc"), (col("_i") - 1).as("_i"),
+        col("_term").as("_next")), Seq("_doc", "_i"))
+      .where(col("_term") =!= col("_next"))
+    val edges = adj.select(col("_term").as("_src"), col("_next").as("_dst"))
+      .unionByName(adj.select(col("_next").as("_src"),
+        col("_term").as("_dst")))
+      .groupBy(col("_src"), col("_dst"))
+      .agg(count(lit(1)).as("_w"))
+      .localCheckpoint() // consumed once per iteration + outw + vocab
+    val outw = edges.groupBy(col("_src"))
+      .agg(sum(col("_w")).as("_outw"))
+      .localCheckpoint()
+    val nV = outw.agg(count(lit(1)).cast("double").as("_n"))
+    var r = outw.crossJoin(broadcast(nV))
+      .select(col("_src").as("_term"), (lit(1.0) / col("_n")).as("_r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      r = edges.join(outw, Seq("_src"))
+        .join(r.select(col("_term").as("_term2"), col("_r")),
+          col("_src") === col("_term2"))
+        .groupBy(col("_dst"))
+        .agg(sum(t12(col("_r") * col("_w").cast("double")
+          / col("_outw").cast("double"))).cast("double").as("_in"))
+        .crossJoin(broadcast(nV))
+        .select(col("_dst").as("_term"),
+          (lit(1.0 - damping) / col("_n")
+            + lit(damping) * col("_in")).as("_r"))
+        .localCheckpoint() // |vocab| rows; next iteration + final top-k
+    }
+    r.orderBy(col("_r").desc, col("_term")).limit(topK)
+      .select(col("_term").as("term"), round(col("_r"), 9).as("score_r"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("score_r").desc, col("term"))))
+      .select(col("rn"), col("term"), col("score_r"))
+  }
 }

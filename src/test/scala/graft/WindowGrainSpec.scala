@@ -34,10 +34,12 @@ class WindowGrainSpec extends AnyFunSuite {
       "block index over the |blocks| frame"),
     "ops/Ranks.scala" -> (3, "the banded-rank machinery itself: " +
       "windows run over the |bands| bucket TABLE (tiny), never rows"),
-    "ops/TimeSeries.scala" -> (2, "7-day rolling + prefix scan on the " +
-      "calendar-bounded day grain"),
-    "ops/Profile.scala" -> (2, "scalar lit(1) roll + share rank over " +
-      "the bounded key grid"),
+    "ops/TimeSeries.scala" -> (4, "7-day rolling + prefix scans on the " +
+      "calendar-bounded day grain (incl. kpss partial sums and the " +
+      "pageHinkley cumulative deviation)"),
+    "ops/Profile.scala" -> (3, "scalar lit(1) roll, share rank over " +
+      "the bounded key grid, HBOS rank over the ≤topK result " +
+      "(post-limit)"),
     "ops/Nonparam.scala" -> (2, "lag/rank scans on the " +
       "calendar-bounded day grain"),
     "ops/Curation.scala" -> (2, "quota/water-fill level search over " +
@@ -57,8 +59,13 @@ class WindowGrainSpec extends AnyFunSuite {
     "ops/Pack.scala" -> (1, "the two-level prefix-sum bucket table " +
       "(|buckets| rows) — the documented alternative TO a global " +
       "row window"),
-    "ops/Diagnostics.scala" -> (1, "lag window on the " +
-      "calendar-bounded day grain (Granger pairs)"),
+    "ops/Diagnostics.scala" -> (2, "lag windows on the " +
+      "calendar-bounded day grain (Granger pairs, ARCH-LM " +
+      "squared-residual lag)"),
+    "ops/Choice.scala" -> (1, "final strength rank over the bounded " +
+      "|items| grain (duel matrix is items², items ≪ rows)"),
+    "ops/TextOps.scala" -> (1, "keyword position index over the " +
+      "≤topK TextRank result (post-limit)"),
     "ops/CorpusAudit.scala" -> (1, "cumulative over the |shards| " +
       "grid"))
 

@@ -484,4 +484,21 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(got("mix").getAs[Double]("theil_t_r") - t) < 1e-6)
     assert(math.abs(got("mix").getAs[Double]("theil_l_r") - l) < 1e-6)
   }
+
+  test("hbos: rare-bin rows score log10(max/count); common bins score " +
+      "zero; ties broken by id") {
+    import spark.implicits._
+    // feature f1: ids 1-9 share bin 0 (count 9), id 10 alone in bin 1
+    val df = (1L to 10L).map(i => (i, if (i == 10) 1L else 0L, 0L))
+      .toDF("id", "f1", "f2")
+    val got = Profile.hbos(df, "id", Seq("f1", "f2"), 3).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    assert(got.length == 3)
+    assert(got.head.getAs[Long]("id") == 10L)
+    // log10(9/1) + log10(10/10) = 0.954243
+    assert(got.head.getAs[Double]("score_r") == 0.954243, got.head.toString)
+    assert(got(1).getAs[Long]("id") == 1L)
+    assert(got(1).getAs[Double]("score_r") == 0.0)
+    assert(got(2).getAs[Long]("id") == 2L)
+  }
 }

@@ -355,4 +355,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(2).getAs[Double]("maxsim_r") == 1.0)
     assert(math.abs(got(2).getAs[Double]("mmr_r") - (-0.2)) < 1e-9)
   }
+
+  test("topEigen: hand 2-D second-moment matrix -> dominant axis and " +
+      "Rayleigh eigenvalue; d rows out") {
+    import spark.implicits._
+    // vectors (1,0), (1,0), (0,1): M = [[2,0],[0,1]] -> top eigenpair
+    // (lambda=2, v=e0); 8 iterations from (1/sqrt2, 1/sqrt2) leave a
+    // ~2^-8 residual on the weak axis
+    val emb = Seq(Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))
+      .toDF("embedding")
+    val got = Similarity.topEigen(emb, 8).collect()
+      .sortBy(_.getAs[Int]("j"))
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("loading_r") > 0.999)
+    assert(math.abs(got(1).getAs[Double]("loading_r")) < 0.01)
+    val lam = got(0).getAs[Double]("lambda_r")
+    assert(lam > 1.99 && lam <= 2.0, s"lambda $lam")
+    assert(got(1).getAs[Double]("lambda_r") == lam)
+  }
+
+  test("hubnessAudit: hand k-occurrence counts -> exact moments, hubs " +
+      "and anti-hubs") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    // vector 1 is in everyone's top-k; 3 and 4 are never retrieved
+    val nbrs = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("q_id", "neighbor_id")
+    val r = Similarity.hubnessAudit(ids, nbrs, hubAt = 3L)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mean_nk_r") == 1.0)
+    // nk = (3,1,0,0): m1=1, m2=2.5, m3=7, var=1.5,
+    // g1 = (7 - 7.5 + 2)/1.5^1.5 = 0.816497
+    assert(r.getAs[Double]("skew_r") == 0.816497, r.toString)
+    assert(r.getAs[Long]("max_nk") == 3)
+    assert(r.getAs[Long]("n_hubs") == 1)
+    assert(r.getAs[Long]("n_antihubs") == 2)
+  }
 }

@@ -598,4 +598,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("k_r") - k) < 1e-4)
     assert(r.getAs[Double]("beta_r") > 0 && r.getAs[Double]("beta_r") < 1)
   }
+
+  test("textRank: hub token ranks first; short tokens are filtered " +
+      "BEFORE adjacency (the classic windowing)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "ab alpha beta")) // "ab" < minLen: alpha-beta stay adjacent
+      .toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "doc_id", "text", iters = 6,
+      damping = 0.85, minLen = 4, topK = 10).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    assert(got.length == 3)
+    assert(got.head.getAs[String]("term") == "alpha")
+    val scores = got.map(_.getAs[Double]("score_r"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // symmetric graph, no dangling nodes: total rank mass stays ~1
+    assert(math.abs(scores.sum - 1.0) < 1e-6, scores.toSeq.toString)
+  }
 }
