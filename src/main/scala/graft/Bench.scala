@@ -169,7 +169,13 @@ object Bench {
     for (pass <- 1 to runs; name <- names) {
       SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing query must stay visible: a swallowed failure times
+        // as near-zero and masquerades as a fast query (the r11 q377
+        // 10x-probe lesson) — keep the run alive but say what broke
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(
+            s"[bench] $name FAILED: ${e.toString.take(300)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop caches a query may have built (dedup pipelines cache
         // shared stages) so later queries aren't squeezed by stale blocks

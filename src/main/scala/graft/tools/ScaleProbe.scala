@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   *    disjoint customer populations whose per-segment revenue
   *    distributions replicate (segment COUNT stays fixed at 5: the
   *    group grids these queries end on keep their production shape).
+  *  - `part` (round 11, q374 Bradley–Terry brand duels): p_partkey
+  *    remapped with the SAME per-copy offset as l_partkey, so
+  *    lineitem⋈part stays join-consistent; p_brand is KEPT — the 25
+  *    brands' daily revenues each multiply by 10 while the duel grid
+  *    (the items² frame every MM iteration runs on) keeps its
+  *    production 25-brand shape.
   *  - `embeddings` (round 10, q350 isotropy / q351 participation
   *    ratio / q361 MMR re-rank): 10 copies with vec_id remapped and
   *    the VECTOR kept — 10× rows of identical per-row work, the right
@@ -131,6 +137,13 @@ object ScaleProbe {
       else e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
     }
 
+    val prt = spark.read.parquet(s"$src/part.parquet")
+    val prtX = copies(prt) { (p, i) =>
+      if (i == 0) p
+      else p.withColumn("p_partkey",
+        col("p_partkey") + lit(i.toLong * 10000000L))
+    }
+
     val cust = spark.read.parquet(s"$src/customer.parquet")
     val custX = copies(cust) { (c, i) =>
       if (i == 0) c
@@ -141,6 +154,7 @@ object ScaleProbe {
     write(docsX, "documents")
     write(liX, "lineitem")
     write(ordX, "orders")
+    write(prtX, "part")
     write(custX, "customer")
     write(evX, "events")
     write(embX, "embeddings")
