@@ -997,4 +997,90 @@ object Behavior {
       round(srmZ, 6).as("srm_z_r"),
       round(srmZ * srmZ, 6).as("srm_chi2_r"))
   }
+
+  /** Positivity / overlap audit (the precondition every IPW/matching
+    * estimator assumes and rarely checks): per covariate stratum, the
+    * propensity p̂ = share treated, flagged when it leaves
+    * [`loPct`, 100−`loPct`]% — strata where one arm is (nearly) absent
+    * make reweighting estimates arbitrarily fragile. Also reports each
+    * stratum's IPW effective sample size
+    *   ESS = (Σw)² / Σw²,  w = 1/p̂ (treated) or 1/(1−p̂) (control)
+    * — the "how many units is this stratum really worth after
+    * weighting" number (ESS ≪ n is the overlap failure made scalar).
+    * One hash-agg to the bounded stratum grid; exact integer counts,
+    * one division per output cell. Returns one row per stratum: bin,
+    * n, n_treated, p_r, ess_r, low_overlap. */
+  def positivityAudit(units: DataFrame, binCol: String, treated: Column,
+      loPct: Int = 5): DataFrame = {
+    val g = units.groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(treated, 1L).otherwise(0L)).as("n_treated"))
+    val nD = col("n").cast("double")
+    val nT = col("n_treated").cast("double")
+    val nC = nD - nT
+    val p = nT / nD
+    // Σw = n_t/p + n_c/(1-p); Σw² = n_t/p² + n_c/(1-p)²; both arms
+    // must exist for weights to be finite — else ESS is NULL and the
+    // stratum is flagged regardless
+    val sw = nT / p + nC / (lit(1.0) - p)
+    val sw2 = nT / (p * p) + nC / ((lit(1.0) - p) * (lit(1.0) - p))
+    val lo = lit(loPct.toDouble / 100.0)
+    g.select(col("bin"), col("n"), col("n_treated"),
+        round(p, 6).as("p_r"),
+        round(when(col("n_treated") > 0 && col("n_treated") < col("n"),
+          sw * sw / sw2), 6).as("ess_r"),
+        (p < lo || p > lit(1.0) - lo).as("low_overlap"))
+      .orderBy(col("bin"))
+  }
+
+  /** Aalen–Johansen cumulative incidence under COMPETING risks: with
+    * two absorbing causes, 1 − KM(all-cause) is NOT "probability of
+    * cause 1 by t" — each cause's incidence only accrues while the
+    * subject is still free of BOTH:
+    *   CIF_k(t) = Σ_{s ≤ t} S(s−) · d_k(s) / n(s),
+    * S = all-cause Kaplan–Meier. `causeCol` is 0 (censored), 1, or 2.
+    * Same machinery as [[kaplanMeier]]: one hash-agg to the bounded
+    * time grain, prefix windows for n_risk and the product-limit
+    * (exp–sum–ln convention), each CIF increment 12-dp-gridded before
+    * its running sum so both engines accumulate identically. Returns
+    * one row per event time: t, n_risk, d1, d2, s_minus_r, cif1_r,
+    * cif2_r (CIF₁ + CIF₂ = 1 − KM by construction — the identity the
+    * spec pins). */
+  def aalenJohansen(subjects: DataFrame, tCol: String,
+      causeCol: String): DataFrame = {
+    val perT = subjects
+      .groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("_all"))
+    val wPrior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perT.agg(sum(col("_all")).as("_n")).select(col("_n"))
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("_n") - coalesce(sum(col("_all")).over(wPrior), lit(0L)))
+      .withColumn("_d", col("d1") + col("d2"))
+      .withColumn("_factor",
+        (col("n_risk") - col("_d")).cast("double") / col("n_risk"))
+      .withColumn("_lnf",
+        when(col("_factor") > 0, log(col("_factor"))).otherwise(lit(0.0)))
+      // S(s−): the product limit STRICTLY BEFORE s (prior-frame sum of
+      // ln factors; 1.0 at the first event time)
+      .withColumn("_sMinus",
+        exp(coalesce(sum(col("_lnf")).over(wPrior), lit(0.0))))
+      .withColumn("_cif1", sum(t12(col("_sMinus")
+        * col("d1").cast("double") / col("n_risk").cast("double")))
+        .over(wRun).cast("double"))
+      .withColumn("_cif2", sum(t12(col("_sMinus")
+        * col("d2").cast("double") / col("n_risk").cast("double")))
+        .over(wRun).cast("double"))
+      .filter(col("_d") > 0)
+      .select(col("t"), col("n_risk"), col("d1"), col("d2"),
+        round(col("_sMinus"), 6).as("s_minus_r"),
+        round(col("_cif1"), 6).as("cif1_r"),
+        round(col("_cif2"), 6).as("cif2_r"))
+  }
 }

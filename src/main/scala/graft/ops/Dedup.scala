@@ -319,6 +319,20 @@ object Dedup {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
       textCol: String, w: Int, minJaccard: Double,
       keyLen: Int = 24): DataFrame = {
+    val cand = snmCandidates(df, idCol, textCol, w, keyLen)
+    jaccardForPairs(shingleTable(df, idCol, textCol),
+        cand.select("doc_a", "doc_b"), idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .join(cand, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("rank_gap"),
+        col("jaccard"))
+  }
+
+  /** SNM candidate pairs BEFORE the similarity verify — the blocking
+    * stage alone (doc_a, doc_b, rank_gap with gap ≤ w−1), shared by
+    * [[sortedNeighborhoodPairs]] and [[blockingQualityAudit]]. */
+  private[graft] def snmCandidates(df: DataFrame, idCol: String,
+      textCol: String, w: Int, keyLen: Int = 24): DataFrame = {
     require(w >= 2, "window must be >= 2")
     require(keyLen >= 1, "keyLen must be >= 1")
     val win = org.apache.spark.sql.expressions.Window
@@ -346,18 +360,100 @@ object Dedup {
     // cached: the candidate table feeds the verify join AND the final
     // rank_gap re-join (lifecycle: cleared by the caller's clearCache,
     // same convention as jaccardForPairs)
-    val cand = leftSide.join(rightSide, Seq("_jb"))
+    leftSide.join(rightSide, Seq("_jb"))
       .filter(col("_rnb") > col("_rna") &&
         col("_rnb") - col("_rna") <= w - 1)
       .select(col("doc_a"), col("doc_b"),
         (col("_rnb") - col("_rna")).as("rank_gap"))
       .cache()
-    jaccardForPairs(shingleTable(df, idCol, textCol),
-        cand.select("doc_a", "doc_b"), idCol)
-      .filter(col("jaccard") >= minJaccard)
-      .join(cand, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("rank_gap"),
-        col("jaccard"))
+  }
+
+  /** MinHash estimator-bias audit: on the LSH candidate pairs, compare
+    * the signature-agreement estimate ĵ = (#matching components)/16
+    * against the EXACT shingle Jaccard, grouped by agreement count —
+    * the calibration table that tells you what an LSH threshold
+    * actually means in exact-Jaccard terms on YOUR corpus (the
+    * estimator is unbiased per pair but candidate SELECTION conditions
+    * on banding, so the observed bias per stratum is the operational
+    * number). One shingle pass feeds both sides (signatures and the
+    * exact verify — the q30 trunk); the match count is a fixed 16-term
+    * codegen sum over the wide signature columns, never a per-pair
+    * array fold. Returns one row per agreement count: est16, n_pairs,
+    * est_r, mean_exact_r, mean_bias_r (ĵ − j, 12-dp-gridded sums). */
+  def minhashBiasAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val shingles = shingleTable(df, idCol, textCol).cache()
+    val sig = minhashFromShingles(shingles, idCol)
+    val cand = lshCandidatePairs(sig, idCol)
+    val exact = jaccardForPairs(shingles, cand, idCol)
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"_am$j") === col(s"_bm$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sig.select(col(idCol).as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"_am$j")): _*)
+    val sigB = sig.select(col(idCol).as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"m$j").as(s"_bm$j")): _*)
+    exact
+      .join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .withColumn("_est16", matches)
+      .groupBy(col("_est16").as("est16"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(t12(col("jaccard"))).cast("double").as("_sj"),
+        sum(t12(col("_est16").cast("double") / NumHashes
+          - col("jaccard"))).cast("double").as("_sb"))
+      .select(col("est16"), col("n_pairs"),
+        round(col("est16").cast("double") / NumHashes, 6).as("est_r"),
+        round(col("_sj") / col("n_pairs").cast("double"), 6)
+          .as("mean_exact_r"),
+        round(col("_sb") / col("n_pairs").cast("double"), 6)
+          .as("mean_bias_r"))
+      .orderBy(col("est16"))
+  }
+
+  /** Blocking-quality audit (entity-resolution methodology, Christen
+    * 2012): how good is a blocking scheme BEFORE the expensive verify?
+    *  - reduction ratio  RR = 1 − |candidates| / C(N,2) — how much of
+    *    the quadratic comparison space the blocking avoids;
+    *  - pair completeness PC = |true pairs ∩ candidates| / |true pairs|
+    *    — the recall of the blocking against ground truth.
+    * Ground truth here = exact-content duplicate pairs (same md5 of the
+    * text), the one label a corpus carries for free; candidates = the
+    * [[snmCandidates]] window blocking. Both sides stay relational:
+    * true pairs come from the same keeper-grouping hash-agg as
+    * [[exactDupGroups]] (pairs materialize only WITHIN a content-hash
+    * group — never across), and the intersection is one equi-join on
+    * (doc_a, doc_b). All counts exact BIGINTs; C(N,2) on DECIMAL(38,0)
+    * stays exact past 2 billion docs. Returns one row: n_docs,
+    * n_true_pairs, n_cand_pairs, n_found_pairs, rr_r, pc_r. */
+  def blockingQualityAudit(df: DataFrame, idCol: String,
+      textCol: String, w: Int, keyLen: Int = 24): DataFrame = {
+    val cand = snmCandidates(df, idCol, textCol, w, keyLen)
+    // true duplicate pairs: ordered (a < b) pairs within a content group
+    val hashed = df.select(col(idCol).as("_id"),
+      md5(col(textCol)).as("_h"))
+    val truePairs = hashed.select(col("_id").as("doc_a"), col("_h"))
+      .join(hashed.select(col("_id").as("doc_b"), col("_h")), Seq("_h"))
+      .filter(col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // consumed by the count AND the intersection
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true_pairs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+    val nFound = truePairs.join(cand.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found_pairs"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nFound))
+      .select(col("n_docs"), col("n_true_pairs"), col("n_cand_pairs"),
+        col("n_found_pairs"),
+        round(lit(1.0) - col("n_cand_pairs").cast("double")
+          / (d38(col("n_docs")) * (col("n_docs") - 1) / 2)
+            .cast("double"), 6).as("rr_r"),
+        round(col("n_found_pairs").cast("double")
+          / nullif(col("n_true_pairs").cast("double"), lit(0.0)), 6)
+          .as("pc_r"))
   }
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -784,4 +784,146 @@ object Infer {
         round(when(col("_b") >= 2,
           sqrt((bD - 1) / bD * col("_ss"))), 6).as("se_jack_r"))
   }
+
+  /** Platt scaling (Platt 1999): calibrate a raw score into a
+    * probability by fitting P(y=1|x) = σ(A·x + B) with Newton–Raphson
+    * on the binomial log-likelihood. The corpus is reduced FIRST to a
+    * bounded score-bin grid (one hash-agg: n_b, k_b per bin, x_b = bin
+    * midpoint) and the 2-parameter fit runs on the grid's sufficient
+    * statistics — so each Newton step costs |bins| rows regardless of
+    * corpus size (the q374/q373 fixed-step posture: per-step 1-row
+    * state, localCheckpointed).
+    *
+    * Determinism: every per-bin term is 12-dp-rounded onto
+    * DECIMAL(28,12) before its order-independent sum; the sigmoid
+    * argument AND output are 12-dp-rounded so a last-ulp exp()
+    * difference between engines cannot propagate into the trajectory.
+    * Degenerate fits (all-positive / all-negative corpora drive |B|→∞)
+    * stay finite for small `iters`; a singular Hessian (det = 0) makes
+    * the step NULL→0 via the nullif guard rather than diverging.
+    * Returns one row: n, n_pos, a_r, b_r, nll_r (final per-doc negative
+    * log-likelihood, 6 dp). */
+  def plattScaling(df: DataFrame, xCol: String, labelCol: String,
+      lo: Double, hi: Double, bins: Int, iters: Int): DataFrame = {
+    require(bins >= 2 && iters >= 1, "need >=2 bins and >=1 iteration")
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val width = (hi - lo) / bins
+    val grid = df
+      .select(col(xCol).cast("double").as("_x"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .where(col("_x").isNotNull)
+      .withColumn("_b", least(greatest(
+        floor((col("_x") - lit(lo)) / lit(width)), lit(0.0)), lit(bins - 1.0))
+        .cast("long"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_k"))
+      .withColumn("_xb", lit(lo) + (col("_b").cast("double") + 0.5) * lit(width))
+      .localCheckpoint() // bounded grid; consumed by every Newton step
+    // sigmoid with both the argument and the value pinned to 12 dp
+    def sig(a: Column, b: Column, x: Column): Column =
+      round(lit(1.0) / (lit(1.0) +
+        exp(-round(a * x + b, 12))), 12)
+    var ab = df.sparkSession.range(1)
+      .select(lit(0.0).as("_a"), lit(0.0).as("_bb"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val s = grid.crossJoin(broadcast(ab))
+        .withColumn("_p", sig(col("_a"), col("_bb"), col("_xb")))
+        .withColumn("_w", col("_n") * col("_p") * (lit(1.0) - col("_p")))
+        .agg(
+          sum(t12((col("_n") * col("_p") - col("_k")) * col("_xb")))
+            .cast("double").as("_g1"),
+          sum(t12(col("_n") * col("_p") - col("_k")))
+            .cast("double").as("_g2"),
+          sum(t12(col("_w") * col("_xb") * col("_xb")))
+            .cast("double").as("_h11"),
+          sum(t12(col("_w") * col("_xb"))).cast("double").as("_h12"),
+          sum(t12(col("_w"))).cast("double").as("_h22"))
+      val det = col("_h11") * col("_h22") - col("_h12") * col("_h12")
+      ab = s.crossJoin(broadcast(ab))
+        .select(
+          (col("_a") - coalesce((col("_g1") * col("_h22")
+            - col("_g2") * col("_h12")) / nullif(det, lit(0.0)),
+            lit(0.0))).as("_a"),
+          (col("_bb") - coalesce((col("_g2") * col("_h11")
+            - col("_g1") * col("_h12")) / nullif(det, lit(0.0)),
+            lit(0.0))).as("_bb"))
+        .localCheckpoint() // 1-row state; next step reads it
+    }
+    val fin = grid.crossJoin(broadcast(ab))
+      // clamp to the open interval for the NLL only: a perfectly
+      // separated bin rounds p to exactly 0/1 at 12 dp and ln(0) would
+      // poison the sum (the 12-dp grid is also exactly the clamp width)
+      .withColumn("_p", least(greatest(
+        sig(col("_a"), col("_bb"), col("_xb")), lit(1e-12)),
+        lit(1.0) - lit(1e-12)))
+      .agg(sum(col("_n")).as("n"), sum(col("_k")).as("n_pos"),
+        first(col("_a")).as("_af"), first(col("_bb")).as("_bf"),
+        sum(t12(-(col("_k") * log(col("_p"))
+          + (col("_n") - col("_k")) * log(lit(1.0) - col("_p")))))
+          .cast("double").as("_nll"))
+    fin.select(col("n"), col("n_pos"),
+      round(col("_af"), 6).as("a_r"), round(col("_bf"), 6).as("b_r"),
+      round(col("_nll") / col("n").cast("double"), 6).as("nll_r"))
+  }
+
+  /** Split-conformal prediction interval for the lag-1 martingale
+    * forecast (Vovk et al.; Lei et al. 2018): tomorrow ≈ today, the
+    * strongest assumption-free daily baseline. Nonconformity score =
+    * |y_t − y_{t−1}| on CONSECUTIVE days only (a calendar gap breaks
+    * the pair — the granger convention); days hash-split (md5 parity)
+    * into calibration and test; q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration score, and the audit reports the test-side coverage
+    * of ±q̂ — the finite-sample ≥1−α guarantee made measurable.
+    *
+    * Everything is exact integers (cent scores, integer-ceiling rank,
+    * order statistic by row_number with date tie-break) until the one
+    * final coverage division — engine determinism is structural. The
+    * two unpartitioned windows (lag, calibration rank) ride the
+    * calendar-bounded day grain (allowlisted). α is passed as
+    * (alphaNum/alphaDen) so the rank stays integer arithmetic.
+    * Returns one row: n_cal, n_test, qhat (input units),
+    * coverage_r (6 dp), target_r. */
+  def conformalLag1(daily: DataFrame, tCol: String, valueCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val scored = daily
+      .select(col(tCol).as("_t"), col(valueCol).cast("long").as("_y"))
+      .withColumn("_yp", lag(col("_y"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_t"))))
+      .withColumn("_tp", lag(col("_t"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_t"))))
+      .where(col("_yp").isNotNull &&
+        datediff(col("_t"), col("_tp")) === 1)
+      .select(col("_t"), abs(col("_y") - col("_yp")).as("_s"),
+        (TextOps.hash60(col("_t").cast("string")) % 2 === 0).as("_cal"))
+      .localCheckpoint() // consumed by the rank pass AND the test side
+    val cal = scored.where(col("_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // ceil((n+1)(1-alpha)) in exact integer arithmetic:
+    // (den-num)(n+1) ceil-div den
+    val k = expr(s"((${alphaDen - alphaNum} * (n_cal + 1)) + " +
+      s"${alphaDen - 1}) div $alphaDen")
+    val qhat = cal
+      .withColumn("_rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("_s").asc, col("_t").asc)))
+      .crossJoin(broadcast(nCal))
+      .where(col("_rn") === k)
+      .select(col("_s").as("qhat"), col("n_cal"))
+    // grouped (not global) agg: when k > n_cal the qhat frame is empty
+    // and the output must be EMPTY in both engines (the oracle's
+    // GROUP BY semantics) — a global agg would emit one all-NULL row
+    // and diverge on degenerate input (the chowTest lesson)
+    val test = scored.where(!col("_cal"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("qhat"), col("n_cal"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("_s") <= col("qhat"), 1L).otherwise(0L)).as("_cov"))
+    test.select(col("n_cal"), col("n_test"), col("qhat"),
+      round(col("_cov").cast("double")
+        / nullif(col("n_test").cast("double"), lit(0.0)), 6)
+        .as("coverage_r"),
+      round(lit(1.0) - lit(alphaNum.toDouble) / alphaDen, 6)
+        .as("target_r"))
+  }
 }

@@ -797,4 +797,46 @@ object Profile {
         .expressions.Window.orderBy(col("score_r").desc, col(idCol))))
       .select(col("rn"), col(idCol), col("score_r"))
   }
+
+  /** Rousseeuw–Croux Sn robust scale (JASA 1993): the 50%-breakdown,
+    * location-free spread estimator
+    *   Sn = c · lowmed_i ( highmed_{j≠i} |x_i − x_j| ),
+    * c = 1.1926 — robust where stddev is not (a single wild day cannot
+    * move it) and, unlike MAD, needing no central location first.
+    *
+    * Contract: `df` is ALREADY a bounded grain (day spine / key grid —
+    * the caller owns that reduction), because Sn is pairwise by
+    * definition: the self-join is grain², and both medians are exact
+    * order statistics (high median = ⌊m/2⌋+1-th of m, low median =
+    * ⌊(n+1)/2⌋-th) over exact integer |differences| — no floats
+    * anywhere until the final c scaling, so cross-engine determinism
+    * is structural. Ties in |d| break by partner id ascending; the
+    * low-median window runs over the same bounded grain (allowlisted).
+    * Returns one row: n, sn_raw (exact integer, input units),
+    * sn_r = round(1.1926 · sn_raw, 6). Empty for n < 2 (no pairs —
+    * scale is undefined on a single observation). */
+  def snScale(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("_i"),
+        col(valueCol).cast("long").as("_x"))
+      .localCheckpoint() // both sides of the grain² self-join
+    val cnt = v.agg(count(lit(1)).as("_n"))
+    val pairs = v
+      .join(v.select(col("_i").as("_j"), col("_x").as("_xj")),
+        col("_i") =!= col("_j"))
+      .select(col("_i"), col("_j"),
+        abs(col("_x") - col("_xj")).as("_d"))
+    val himed = pairs
+      .withColumn("_rn", row_number().over(
+        win.partitionBy(col("_i")).orderBy(col("_d").asc, col("_j").asc)))
+      .crossJoin(broadcast(cnt))
+      .where(col("_rn") === expr("(_n - 1) div 2 + 1"))
+      .select(col("_i"), col("_d").as("_hm"), col("_n"))
+    himed
+      .withColumn("_rn2", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("_hm").asc, col("_i").asc)))
+      .where(col("_rn2") === expr("(_n + 1) div 2"))
+      .select(col("_n").as("n"), col("_hm").as("sn_raw"),
+        round(lit(1.1926) * col("_hm"), 6).as("sn_r"))
+  }
 }

@@ -790,4 +790,90 @@ object Similarity {
           / pow(vr, 1.5)), 6).as("skew_r"),
       col("max_nk"), col("n_hubs"), col("n_antihubs"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the k most-similar vectors with a DIFFERENT label — the
+    * negatives a contrastive loss learns most from (easy negatives are
+    * already far; false positives near the boundary are the signal).
+    *
+    * Same audit-scale contract as [[cosineTopK]] (the anchor side is
+    * broadcast under the same valve; the label-mismatch predicate rides
+    * the join condition so same-label pairs never materialize). At
+    * production scale, mine within [[ivfTopK]] candidate cells instead
+    * and anti-join the label afterward — the top-k-per-anchor window is
+    * rank-limited either way (WindowGroupLimit keeps k rows per mapper
+    * before the shuffle). Returns q_id, q_label, rn, neighbor_id,
+    * n_label, sim_r (ties by neighbor id ascending). */
+  def hardNegatives(collection: DataFrame, k: Int): DataFrame = {
+    val maxQ = broadcastMaxQueries(collection)
+    val nQ = collection.count()
+    require(nQ <= maxQ,
+      s"hardNegatives broadcasts the anchor side, but it has $nQ rows " +
+        s"(> spark.graft.similarity.broadcastMaxQueries = $maxQ). " +
+        "Mine within ivfTopK cells for large collections.")
+    val q = broadcast(collection.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // round-robin the streamed side BEFORE the |collection|² fan-out:
+    // a small single-file scan is ONE partition and would serialize
+    // the whole pair volume on one core (the r10 q351 lesson)
+    val shufflePartitions =
+      collection.sparkSession.sessionState.conf.numShufflePartitions
+    collection
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label").as("n_label"))
+      .repartition(shufflePartitions)
+      .join(q, col("n_label") =!= col("q_label"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("q_label"), col("rn"),
+        col("neighbor_id"), col("n_label"),
+        round(col("sim"), 9).as("sim_r"))
+  }
+
+  /** Diagonal-Mahalanobis embedding outliers: per-dimension corpus
+    * mean/std (ONE d-bounded hash-agg), then score(x) = Σ_d z_d² — the
+    * covariance-diagonal approximation that needs no matrix inverse and
+    * stays a linear scan at any corpus size. The fan-out is
+    * posexplode + hash-agg (codegen), NOT a per-row HOF fold (the r10
+    * interpreted-lambda trap); each z² term rides the 12-dp DECIMAL
+    * grid so the per-vector sum is order-independent and
+    * engine-identical. Zero-variance dimensions contribute 0 (nullif
+    * guard), not a div-by-zero. Returns topK rows: rn, vec_id,
+    * score_r (6 dp; ties by vec_id ascending). */
+  def mahalanobisDiag(collection: DataFrame, topK: Int): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val x = collection.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("_j", "_x")))
+    // population mean/std via the moment identity on t12-gridded sums
+    // (order-independent exact DECIMAL reductions, engine-identical)
+    val stats = x.groupBy(col("_j"))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(t12(col("_x"))).cast("double").as("_s1"),
+        sum(t12(col("_x") * col("_x"))).cast("double").as("_s2"))
+      .select(col("_j"), (col("_s1") / col("_n")).as("_mu"),
+        sqrt(greatest(col("_s2") / col("_n")
+          - (col("_s1") / col("_n")) * (col("_s1") / col("_n")),
+          lit(0.0))).as("_sd"))
+    val z = x.join(broadcast(stats), Seq("_j"))
+      .withColumn("_z", (col("_x") - col("_mu"))
+        / nullif(col("_sd"), lit(0.0)))
+      .groupBy(col("vec_id"))
+      .agg(sum(t12(coalesce(col("_z") * col("_z"), lit(0.0))))
+        .cast("double").as("_s"))
+    // global top-k via sort+limit (TakeOrderedAndProject — distributed
+    // partial top-k per partition), then rank the ≤topK frame; never a
+    // corpus-sized unpartitioned window (the hbos idiom)
+    z.orderBy(col("_s").desc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), round(col("_s"), 6).as("score_r"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score_r").desc, col("vec_id").asc)))
+      .select(col("rn"), col("vec_id"), col("score_r"))
+  }
 }

@@ -24,7 +24,8 @@ object Registry {
       ReliabilityQueries.all ++ CompletionQueries.all ++
       AuditDepthQueries.all ++ StratifiedQueries.all ++
       ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all ++
-      FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all
+      FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all ++
+      RobustQueries.all ++ AssuranceQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

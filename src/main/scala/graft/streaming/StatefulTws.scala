@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** CUSTOM streaming state via `transformWithState` — Spark 4's
   * successor to `flatMapGroupsWithState` (the [[StatefulSessions]]
@@ -60,6 +60,59 @@ object StatefulTws {
       st.update(cur)
       out.iterator
     }
+  }
+
+  /** One emitted trail row: the ≤k purchases BEFORE this one. */
+  final case class TrailRow(user_id: Long, event_id: Long,
+      n_prior: Long, trail: String)
+
+  /** ListState sibling of [[SpendProcessor]]: per user, keep the last
+    * `k` purchase event ids (a bounded FIFO — `ListState` is the right
+    * handle because RocksDB appends are O(1) and the list never holds
+    * the full history), and emit each purchase with its ≤k-item prior
+    * trail — the "recent context" enrichment a recommender join keeps
+    * hot. State per user is AT MOST k longs, whatever the history
+    * length. Same within-batch (event time, event_id) sort contract as
+    * SpendProcessor; the trail string is chronological oldest→newest. */
+  class TrailProcessor(k: Int) extends
+      StatefulProcessor[Long, Purchase, TrailRow] {
+    @transient private var st: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("trail", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Purchase],
+        tv: TimerValues): Iterator[TrailRow] = {
+      val sorted = rows.toSeq.sortBy(p => (p.us, p.event_id))
+      var cur: Seq[Long] = st.get().toSeq
+      val out = sorted.map { p =>
+        val row = TrailRow(user, p.event_id, cur.length,
+          cur.mkString(","))
+        cur = (cur :+ p.event_id).takeRight(k)
+        row
+      }
+      st.clear()
+      st.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  /** Run the last-k trail enrichment over the events table with
+    * AvailableNow and return the (batch) result. */
+  def lastKTrail(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val ev = Streams.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .as[Purchase]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new TrailProcessor(k), TimeMode.None(),
+        OutputMode.Append(), Encoders.product[TrailRow])
+    withRocksDb(spark) { Streams.runToFiles(spark, out.toDF()) }
   }
 
   /** transformWithState requires the RocksDB state store provider —

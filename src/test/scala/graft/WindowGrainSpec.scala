@@ -21,25 +21,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * `bandedRunningSum` — the distributed prefix machinery built for
   * exactly this) or reviewed and added here WITH its bounded-grain
   * argument. A data-shaped window can no longer slip in silently.
+  *
+  * CONVENTION the scan relies on: unpartitioned window sites must be
+  * written with the literal `Window.orderBy` (fully qualified is fine)
+  * — an aliased handle (`val w = Window; w.orderBy(...)`) would evade
+  * the textual pin (caught once in r11: the first Sn draft). Aliases
+  * remain fine for `partitionBy` specs, which the pin ignores.
   */
 class WindowGrainSpec extends AnyFunSuite {
 
   /** file (repo-relative) → (site count, the bounded-grain argument
     * that justifies each site in that file). */
   private val Allowed: Map[String, (Int, String)] = Map(
-    "ops/Behavior.scala" -> (6, "scalar lit(1) roll (1 row) + five " +
-      "calendar-bounded day-grain cumulative scans (CUSUM/records)"),
-    "ops/Infer.scala" -> (5, "two scalar lit(1) rolls, one day-grain " +
+    "ops/Behavior.scala" -> (8, "scalar lit(1) roll (1 row) + five " +
+      "calendar-bounded day-grain cumulative scans (CUSUM/records) + " +
+      "the two Aalen-Johansen prefix windows on the bounded time " +
+      "grain (the kaplanMeier machinery)"),
+    "ops/Infer.scala" -> (8, "two scalar lit(1) rolls, one day-grain " +
       "cumulative, BH-FDR rank over the |hypotheses| list, jackknife " +
-      "block index over the |blocks| frame"),
+      "block index over the |blocks| frame, conformal lag pair + " +
+      "calibration rank on the calendar-bounded day grain"),
     "ops/Ranks.scala" -> (3, "the banded-rank machinery itself: " +
       "windows run over the |bands| bucket TABLE (tiny), never rows"),
     "ops/TimeSeries.scala" -> (4, "7-day rolling + prefix scans on the " +
       "calendar-bounded day grain (incl. kpss partial sums and the " +
       "pageHinkley cumulative deviation)"),
-    "ops/Profile.scala" -> (3, "scalar lit(1) roll, share rank over " +
+    "ops/Profile.scala" -> (4, "scalar lit(1) roll, share rank over " +
       "the bounded key grid, HBOS rank over the ≤topK result " +
-      "(post-limit)"),
+      "(post-limit), Sn low-median over the bounded grain the caller " +
+      "contracts (day spine / key grid — Sn is pairwise by definition)"),
     "ops/Nonparam.scala" -> (2, "lag/rank scans on the " +
       "calendar-bounded day grain"),
     "ops/Curation.scala" -> (2, "quota/water-fill level search over " +
@@ -66,6 +76,8 @@ class WindowGrainSpec extends AnyFunSuite {
       "|items| grain (duel matrix is items², items ≪ rows)"),
     "ops/TextOps.scala" -> (1, "keyword position index over the " +
       "≤topK TextRank result (post-limit)"),
+    "ops/Similarity.scala" -> (1, "Mahalanobis outlier rank over the " +
+      "≤topK result (post-limit, the hbos idiom)"),
     "ops/CorpusAudit.scala" -> (1, "cumulative over the |shards| " +
       "grid"))
 

@@ -617,4 +617,54 @@ class BehaviorSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("smd_r")))
     assert(r.getAs[Double]("srm_z_r") == 0.0)
   }
+
+  test("positivityAudit: propensity, ESS and overlap flags exact on " +
+      "hand strata; one-arm stratum flags with NULL ESS") {
+    import spark.implicits._
+    // bin 0: 8 treated / 2 control (p = .8, inside [.05,.95])
+    // bin 1: 10 treated / 0 control (one-arm: flagged, ESS NULL)
+    val u = (Seq.fill(8)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(10)((1L, true))).toDF("bin", "tr")
+    val got = Behavior.positivityAudit(u, "bin", col("tr"), 5)
+      .collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getAs[Double]("p_r") == 0.8)
+    assert(!b0.getAs[Boolean]("low_overlap"))
+    // ESS: sw = 8/.8 + 2/.2 = 20; sw2 = 8/.64 + 2/.04 = 62.5
+    assert(b0.getAs[Double]("ess_r") == 6.4)
+    val b1 = got(1)
+    assert(b1.getAs[Boolean]("low_overlap"))
+    assert(b1.isNullAt(b1.fieldIndex("ess_r")))
+  }
+
+  test("aalenJohansen: hand competing-risks table; CIF1 + CIF2 = " +
+      "1 - KM(all-cause) at every event time") {
+    import spark.implicits._
+    // 6 subjects: t=1 cause1; t=2 cause2; t=2 censor; t=3 cause1;
+    // t=4 censor; t=5 cause2
+    val subj = Seq((1L, 1), (2L, 2), (2L, 0), (3L, 1), (4L, 0), (5L, 2))
+      .toDF("t", "cause")
+    val got = Behavior.aalenJohansen(subj, "t", "cause")
+      .orderBy("t").collect()
+    assert(got.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 3L, 5L))
+    val r1 = got.head
+    assert(r1.getAs[Long]("n_risk") == 6)
+    assert(r1.getAs[Double]("s_minus_r") == 1.0)
+    assert(r1.getAs[Double]("cif1_r") == 0.166667)
+    // t=2: S(2-) = 5/6; cif2 += (5/6)*(1/5) = 1/6
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_risk") == 5)
+    assert(r2.getAs[Double]("cif2_r") == 0.166667)
+    // the AJ identity: cif1 + cif2 + S(t) = 1 at each event time
+    // (reconstruct S(t) = S(t-) * (n-d)/n)
+    got.foreach { r =>
+      val s = math.BigDecimal(r.getAs[Double]("s_minus_r")) *
+        (r.getAs[Long]("n_risk") - r.getAs[Long]("d1") -
+          r.getAs[Long]("d2")).toDouble / r.getAs[Long]("n_risk")
+      val lhs = r.getAs[Double]("cif1_r") + r.getAs[Double]("cif2_r") +
+        s.toDouble
+      assert(math.abs(lhs - 1.0) < 1e-4, r.toString)
+    }
+  }
 }

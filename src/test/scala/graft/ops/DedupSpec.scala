@@ -556,4 +556,50 @@ class DedupSpec extends SparkTestBase {
         r.getAs[Long]("total_tokens"))).toSeq
     assert(got == Seq((0L, 2L, 1L, 2L, 4L), (1L, 2L, 0L, 3L, 3L)))
   }
+
+  test("blockingQualityAudit: exact counts on a 12-clone corpus - " +
+      "window w=10 misses exactly the gap-10 and gap-11 clone pairs") {
+    import spark.implicits._
+    // 12 identical docs (one content group, ranks 1..12 contiguous)
+    // plus 3 distinct docs. true pairs = C(12,2) = 66; a w=10 window
+    // keeps gaps <= 9: misses (1,11),(1,12),(2,12) -> found 63
+    val docs = ((0L until 12L).map(i => (i, "same text content")) ++
+      Seq((100L, "aaa unrelated"), (101L, "zzz other"),
+        (102L, "mmm third"))).toDF("doc_id", "text")
+    val r = Dedup.blockingQualityAudit(docs, "doc_id", "text", 10)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 15)
+    assert(r.getAs[Long]("n_true_pairs") == 66)
+    assert(r.getAs[Long]("n_found_pairs") == 63)
+    assert(r.getAs[Double]("pc_r") == 0.954545, r.toString)
+    // RR = 1 - n_cand / C(15,2); n_cand from the audit row itself
+    val rr = 1.0 - r.getAs[Long]("n_cand_pairs").toDouble / 105.0
+    assert(math.abs(r.getAs[Double]("rr_r") - rr) < 5e-7)
+  }
+
+  test("minhashBiasAudit: exact duplicates land at est16 = 16 with " +
+      "zero bias; stratum means are exact-Jaccard averages") {
+    import spark.implicits._
+    // two exact dups (jaccard 1, all 16 components match) and one
+    // near-dup pair sharing a long prefix
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely here now today yes"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashBiasAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("est16") -> r).toMap
+    // the exact-dup pair must sit at est16=16, bias exactly 0
+    assert(got.contains(16L), got.keys.toSeq.sorted.mkString(","))
+    assert(got(16L).getAs[Double]("mean_exact_r") == 1.0)
+    assert(got(16L).getAs[Double]("mean_bias_r") == 0.0)
+    assert(got(16L).getAs[Double]("est_r") == 1.0)
+    // every stratum: bias = est - mean_exact (single-pair strata here)
+    got.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_bias_r") -
+        (r.getAs[Double]("est_r") - r.getAs[Double]("mean_exact_r")))
+        < 2e-6, r.toString)
+    }
+  }
 }

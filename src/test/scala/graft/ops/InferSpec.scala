@@ -402,4 +402,56 @@ class InferSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("theta_jack_r")))
     assert(r.isNullAt(r.fieldIndex("se_jack_r")))
   }
+
+  test("plattScaling: symmetric separable case fits a positive slope " +
+      "and zero intercept; a single-bin input leaves the fit at zero " +
+      "(singular Hessian degrades, not diverges)") {
+    import spark.implicits._
+    // +-0.475 sit exactly on bin midpoints of the 40-bin [-1,1] grid,
+    // so the fitted curve is symmetric: B = 0 by construction
+    val sym = (Seq.fill(50)((-0.475, false)) ++
+      Seq.fill(50)((0.475, true)) ++
+      Seq.fill(10)((-0.475, true)) ++ Seq.fill(10)((0.475, false)))
+      .toDF("x", "y")
+    val r = Infer.plattScaling(sym, "x", "y", -1.0, 1.0, 40, 6)
+      .collect().head
+    assert(r.getAs[Long]("n") == 120)
+    assert(r.getAs[Long]("n_pos") == 60)
+    assert(r.getAs[Double]("a_r") > 0.0, r.toString)
+    assert(math.abs(r.getAs[Double]("b_r")) < 1e-6, r.toString)
+    assert(r.getAs[Double]("nll_r") > 0.0)
+    // one distinct x -> h11*h22 = h12^2 exactly -> det 0 -> no step
+    val one = Seq.fill(20)((0.475, true)).toDF("x", "y")
+    val r1 = Infer.plattScaling(one, "x", "y", -1.0, 1.0, 40, 6)
+      .collect().head
+    assert(r1.getAs[Double]("a_r") == 0.0)
+    assert(r1.getAs[Double]("b_r") == 0.0)
+  }
+
+  test("conformalLag1: exact integer q-hat rank, gap days excluded, " +
+      "coverage counts <= q-hat on the test half") {
+    import spark.implicits._
+    import java.sql.Date
+    // 30 consecutive January days + one gap day (2024-02-20: its
+    // pair with 01-30 is non-consecutive and must be EXCLUDED)
+    val days = (1 to 30).map(i => (Date.valueOf(f"2024-01-$i%02d"),
+      100L * i * i)) :+ (Date.valueOf("2024-02-20"), 0L)
+    val r = Infer.conformalLag1(days.toDF("t", "y"), "t", "y", 1, 10)
+      .collect().head
+    // 29 consecutive pairs split by md5 parity; check the invariants
+    // rather than the split (the hash is the contract)
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == 29)
+    assert(r.getAs[Double]("target_r") == 0.9)
+    val cov = r.getAs[Double]("coverage_r")
+    assert(cov >= 0.0 && cov <= 1.0)
+    // q-hat must be one of the actual |second difference| scores
+    val scores = (2 to 30).map(i => 100L * (2 * i - 1)).toSet
+    assert(scores.contains(r.getAs[Long]("qhat")), r.toString)
+    // degenerate: too few calibration days (k > n_cal) -> EMPTY
+    // output, exactly like the oracle's GROUP BY over an empty q
+    val tiny = (1 to 4).map(i => (Date.valueOf(f"2024-03-$i%02d"),
+      100L * i)).toDF("t", "y")
+    assert(Infer.conformalLag1(tiny, "t", "y", 1, 10)
+      .collect().isEmpty)
+  }
 }

@@ -501,4 +501,18 @@ class ProfileSpec extends SparkTestBase {
     assert(got(1).getAs[Double]("score_r") == 0.0)
     assert(got(2).getAs[Long]("id") == 2L)
   }
+
+  test("snScale: hand high-median/low-median chain on exact integers; " +
+      "single observation yields no row") {
+    import spark.implicits._
+    // x = 1,2,4,8: himeds per i are 3,2,3,6 -> low median (k=2) = 3
+    val v = Seq((1L, 1L), (2L, 2L), (3L, 4L), (4L, 8L)).toDF("id", "x")
+    val r = Profile.snScale(v, "id", "x").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 4)
+    assert(r.head.getAs[Long]("sn_raw") == 3)
+    assert(r.head.getAs[Double]("sn_r") == 3.5778)
+    val single = Seq((1L, 5L)).toDF("id", "x")
+    assert(Profile.snScale(single, "id", "x").collect().isEmpty)
+  }
 }

@@ -392,4 +392,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getAs[Long]("n_hubs") == 1)
     assert(r.getAs[Long]("n_antihubs") == 2)
   }
+
+  test("hardNegatives: nearest wrong-label vector wins; same-label " +
+      "pairs never appear; ties break by neighbor id") {
+    import spark.implicits._
+    // label 0: e1-ish vectors; label 1: e2-ish; anchor 0's nearest
+    // wrong-label is vec 2 (cos ~0.196) over vec 3 (orthogonal)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.2f, 1.0f), 1),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, 2)
+      .orderBy("q_id", "rn").collect()
+    assert(got.length == 8) // 4 anchors x k=2 (2 wrong-label each)
+    val a0 = got.filter(_.getAs[Long]("q_id") == 0L)
+    assert(a0.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(a0.forall(_.getAs[Int]("n_label") == 1))
+    // no same-label pair anywhere
+    assert(got.forall(r =>
+      r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+  }
+
+  test("mahalanobisDiag: planted outlier tops the rank; ties break " +
+      "by vec_id; zero-variance dimension contributes nothing") {
+    import spark.implicits._
+    // dim 0: values 0/0/0/10 -> vec 3 is the outlier
+    // dim 1: constant (zero variance) -> must contribute 0, not NaN
+    val emb = Seq(
+      (0L, Array(0.0f, 5.0f)),
+      (1L, Array(0.0f, 5.0f)),
+      (2L, Array(0.0f, 5.0f)),
+      (3L, Array(10.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mahalanobisDiag(emb, 4).collect()
+    assert(got.length == 4)
+    assert(got.head.getAs[Long]("vec_id") == 3L)
+    // z for vec 3 on dim 0: (10 - 2.5) / sqrt(18.75) -> z^2 = 3
+    assert(got.head.getAs[Double]("score_r") == 3.0, got.head.toString)
+    // the three identical vectors tie at z^2 = 1/3 each, rank by id
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 0L, 1L, 2L))
+    assert(got(1).getAs[Double]("score_r") == 0.333333)
+  }
 }

@@ -53,4 +53,42 @@ class StatefulTwsSpec extends SparkTestBase {
         .contains("RocksDB"),
       "withRocksDb must restore the session's provider")
   }
+
+  test("last-k trail: ListState FIFO caps at k, in-batch disorder " +
+      "sorted, trail carries across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulTws.{TrailProcessor, TrailRow}
+    val ms = MemoryStream[Purchase](spark)
+    val rows = StatefulTws.withRocksDb(spark) {
+      val q = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new TrailProcessor(3), TimeMode.None(),
+          OutputMode.Append(), Encoders.product[TrailRow])
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws_trail_probe").start()
+      try {
+        // batch 1: four purchases for user 1, out of order in arrival
+        ms.addData(Purchase(1L, 12L, 2000L, 1L),
+          Purchase(1L, 10L, 1000L, 1L),
+          Purchase(1L, 13L, 3000L, 1L),
+          Purchase(1L, 14L, 4000L, 1L))
+        q.processAllAvailable()
+        // batch 2: the 5th purchase sees only the LAST 3 priors
+        ms.addData(Purchase(1L, 15L, 5000L, 1L))
+        q.processAllAvailable()
+        spark.table("graft_tws_trail_probe").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSet
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("graft_tws_trail_probe")
+      }
+    }
+    assert(rows == Set(
+      (1L, 10L, 0L, ""), // first purchase: empty trail
+      (1L, 12L, 1L, "10"), // sorted despite arrival order
+      (1L, 13L, 2L, "10,12"),
+      (1L, 14L, 3L, "10,12,13"),
+      (1L, 15L, 3L, "12,13,14"))) // capped at 3, cross-batch carry
+  }
 }
