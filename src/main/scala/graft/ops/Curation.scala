@@ -572,4 +572,46 @@ object Curation {
       .select((col("rnk") + 1).cast("long").as("pos"),
         col(domainCol), col(idCol), col("vt"))
   }
+
+  /** Horvitz–Thompson total-estimation audit for size-proportional
+    * Poisson sampling: every unit is included independently with a
+    * KNOWN probability pi_i = min(1, y_i / scale) (big records almost
+    * surely kept, small ones downsampled), the estimate weights each
+    * sampled y by 1/pi_i — unbiased BY CONSTRUCTION whatever the
+    * distribution — and the audit puts the estimate next to the exact
+    * total it can only have because the test corpus is small enough to
+    * know it. At 100 TB only the estimate exists; this op is how you
+    * earn trust in it at audit scale. Inclusion is the md5-uniform
+    * draw of [[weightedSampleTopK]] (deterministic, retry-stable);
+    * the HT sum and the Poisson variance estimator
+    * sum((1-pi)/pi^2 * y^2) ride the 12-dp DECIMAL grid. Returns one
+    * row: n_pop, n_sample, total (exact), ht_total_r, rel_err_r,
+    * ht_se_r. */
+  def htTotalAudit(df: DataFrame, idCol: String, yCol: String,
+      scale: Double): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val u = (conv(substring(md5(col("_id").cast("string")), 1, 15),
+      16, 10).cast("long").cast("double") + 1.0) /
+      lit(1152921504606846976.0) // 2^60
+    val base = df.select(col(idCol).as("_id"),
+        col(yCol).cast("long").as("_y"))
+      .withColumn("_pi", least(lit(1.0),
+        col("_y").cast("double") / lit(scale)))
+      .withColumn("_in", u < col("_pi"))
+    val m = base.agg(count(lit(1)).as("n_pop"),
+      sum(col("_y")).as("total"),
+      sum(when(col("_in"), 1L).otherwise(0L)).as("n_sample"),
+      sum(when(col("_in"),
+        t12(col("_y").cast("double") / col("_pi")))).cast("double")
+        .as("_ht"),
+      sum(when(col("_in"),
+        t12((lit(1.0) - col("_pi")) / (col("_pi") * col("_pi"))
+          * col("_y").cast("double") * col("_y").cast("double"))))
+        .cast("double").as("_v"))
+    m.select(col("n_pop"), col("n_sample"), col("total"),
+      round(col("_ht"), 6).as("ht_total_r"),
+      round((col("_ht") - col("total").cast("double"))
+        / col("total").cast("double"), 6).as("rel_err_r"),
+      round(sqrt(col("_v")), 6).as("ht_se_r"))
+  }
 }

@@ -836,4 +836,29 @@ object Graphs {
       .groupBy("vertex")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-EDGE triangle support from the same exchange-free forward
+    * wedge join as [[triangleCountsForward]]: each triangle a<b<c is
+    * found exactly once and credits all three of its edges — so the
+    * count per (src, dst) is the edge's FULL triangle participation
+    * (the k-truss support), not just its forward-anchored share. The
+    * second consumer of the persisted [[bucketedEdgeTable]] layout:
+    * both wedge sides and the closing semi-probe read the bucketed
+    * table with no Exchange; only the derived wedge frame shuffles
+    * for the final edge-grain agg. */
+  def edgeSupportForward(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("a2"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("b3"), col("dst").as("c3"))
+    e1.join(e2, col("a") === col("a2") && col("b") < col("c"))
+      .join(e3, col("b") === col("b3") && col("c") === col("c3"),
+        "left_semi")
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("a").as("src"), col("c").as("dst")),
+        struct(col("b").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
+  }
 }

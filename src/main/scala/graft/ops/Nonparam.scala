@@ -570,4 +570,61 @@ object Nonparam {
         round(sqrt(lit(1.0) - least(col("_bc"), lit(1.0))), 6)
           .as("hellinger_r"))
   }
+
+  /** Unbiased MMD² two-sample test statistic (Gretton et al. 2012)
+    * with the RBF kernel k(x,y) = exp(−γ·‖x−y‖²) over embedding
+    * columns: are two labeled sub-corpora drawn from the same
+    * distribution in embedding space? Complements [[wasserstein1d]]/
+    * [[cramerVonMises]] (scalar ECDFs) with the multivariate kernel
+    * view.
+    *
+    *   MMD²_u = S_aa/(m(m−1)) + S_bb/(n(n−1)) − 2·S_ab/(mn),
+    * S_xx summing k over ORDERED pairs i≠j. Squared distances come
+    * from the codegen dot kernel (d² = x·x + y·y − 2·x·y — one
+    * self-dot pass, then one kernel call per pair, never a per-pair
+    * array fold); the exp ARGUMENT and value are 12-dp-rounded (the
+    * plattScaling convention) and every kernel sum rides the DECIMAL
+    * grid. Quadratic by definition — the audit-scale contract (pair
+    * volume (m+n)²; at production, run on a stratified sample).
+    * Returns one row: m, n, kaa_r, kbb_r, kab_r, mmd2_r. */
+  def mmdRbf(emb: DataFrame, labelCol: String, labelA: Int,
+      labelB: Int, gamma: Double): DataFrame = {
+    import graft.expr.VectorKernels.dot_product
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val base = emb
+      .filter(col(labelCol).isin(labelA, labelB))
+      .select(col("vec_id").as("_id"), col(labelCol).as("_l"),
+        col("embedding").as("_e"))
+      .withColumn("_ss", dot_product(col("_e"), col("_e")))
+      .localCheckpoint() // both sides of the pair fan-out
+    val a = base.select(col("_id").as("_ia"), col("_l").as("_la"),
+      col("_e").as("_ea"), col("_ss").as("_sa"))
+    val b = base.select(col("_id").as("_ib"), col("_l").as("_lb"),
+      col("_e").as("_eb"), col("_ss").as("_sb"))
+    val pairs = a.join(b, col("_ia") =!= col("_ib"))
+      .withColumn("_d2", col("_sa") + col("_sb")
+        - lit(2.0) * dot_product(col("_ea"), col("_eb")))
+      .withColumn("_k",
+        round(exp(-lit(gamma) * round(col("_d2"), 12)), 12))
+    val s = pairs.agg(
+      sum(when(col("_la") === labelA && col("_lb") === labelA,
+        t12(col("_k")))).cast("double").as("_saa"),
+      sum(when(col("_la") === labelB && col("_lb") === labelB,
+        t12(col("_k")))).cast("double").as("_sbb"),
+      sum(when(col("_la") === labelA && col("_lb") === labelB,
+        t12(col("_k")))).cast("double").as("_sab"))
+    val cnt = base.agg(
+      sum(when(col("_l") === labelA, 1L).otherwise(0L)).as("m"),
+      sum(when(col("_l") === labelB, 1L).otherwise(0L)).as("n"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    s.crossJoin(broadcast(cnt))
+      .select(col("m"), col("n"),
+        round(col("_saa") / (mD * (mD - 1)), 6).as("kaa_r"),
+        round(col("_sbb") / (nD * (nD - 1)), 6).as("kbb_r"),
+        round(col("_sab") / (mD * nD), 6).as("kab_r"),
+        round(col("_saa") / (mD * (mD - 1))
+          + col("_sbb") / (nD * (nD - 1))
+          - lit(2.0) * col("_sab") / (mD * nD), 6).as("mmd2_r"))
+  }
 }

@@ -892,4 +892,54 @@ object TextOps {
         .expressions.Window.orderBy(col("score_r").desc, col("term"))))
       .select(col("rn"), col("term"), col("score_r"))
   }
+
+  /** BPE TRAINING loop (Sennrich et al. 2016), the part q122\'s pair
+    * counts only hint at: iteratively find the highest-count adjacent
+    * symbol pair (ties lexicographic) and merge it corpus-wide,
+    * `rounds` times. The scale shape is the real tokenizer-training
+    * one: ONE corpus pass builds the (distinct word, count) vocab —
+    * bounded far below the corpus — and every iteration runs on that
+    * vocab alone (pair count = hash-agg weighted by word frequency,
+    * merge = one literal string replace), with a localCheckpoint per
+    * round (the fixed-step posture).
+    *
+    * Merge semantics: symbols are space-separated; the merge replaces
+    * " x y " left-to-right non-overlapping over the ORIGINAL padded
+    * string (both engines\' replace()), so a run like "a a a a" merges
+    * to "aa a a" in one round, not "aa aa" — documented divergence
+    * from classic BPE on runs of a repeated symbol (the next rounds
+    * pick the remainder up; real text is unaffected). Returns one row
+    * per round: round, pair, merged, n. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    var vocab = df
+      .select(explode(tokens(normalize(col(textCol)))).as("_w"))
+      .where(length(col("_w")) >= 1)
+      .groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+      .select(trim(regexp_replace(col("_w"), "(.)", "$1 ")).as("_repr"),
+        col("_cnt"))
+      .localCheckpoint() // every round reads the current vocab
+    val picks = (1 to rounds).map { i =>
+      val best = vocab
+        .withColumn("_t", split(col("_repr"), " "))
+        .where(size(col("_t")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(_t) - 1), " +
+          "j -> concat(element_at(_t, j), ' ', element_at(_t, j + 1)))"))
+          .as("pair"), col("_cnt"))
+        .groupBy(col("pair")).agg(sum(col("_cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .localCheckpoint() // 1-row pick; consumed by merge AND output
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(trim(replace(
+          concat(lit(" "), col("_repr"), lit(" ")),
+          concat(lit(" "), col("pair"), lit(" ")),
+          concat(lit(" "), regexp_replace(col("pair"), " ", ""),
+            lit(" ")))).as("_repr"), col("_cnt"))
+        .localCheckpoint() // next round's vocab
+      best.select(lit(i).as("round"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"), col("n"))
+    }
+    picks.reduce(_ unionByName _).orderBy("round")
+  }
 }

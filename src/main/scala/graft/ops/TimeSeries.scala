@@ -1006,4 +1006,35 @@ object TimeSeries {
         min(when(col("_ph").cast("double") > lambdaK, col("_t")))
           .as("t_first_alarm"))
   }
+
+  /** Depth-2 binary segmentation: the [[bestMeanShift]] scan applied
+    * recursively — the root break first, then the best break WITHIN
+    * each resulting segment (CBS/Scott-Knott shape, fixed depth). The
+    * recursion is declarative: each child frame is the day grain
+    * filtered against the broadcast 1-row parent pick (no collect),
+    * and each pick is localCheckpointed so the union does not
+    * re-execute the scan chain combinatorially (the MMR lesson).
+    * Segments too short for a valid split (< 2 days) simply emit no
+    * row — same semantics as the oracle\'s empty sub-CTE. Returns up
+    * to 3 rows: segment ("root"/"left"/"right"), n_days, break_t,
+    * n_left, mean_left_r, mean_right_r, f_r, in segment order. */
+  def binarySegmentation2(daily: DataFrame, tCol: String,
+      yCentsCol: String): DataFrame = {
+    val root = bestMeanShift(daily, tCol, yCentsCol).localCheckpoint()
+    val bt = root.select(col("break_t"))
+    val left = daily.crossJoin(broadcast(bt))
+      .where(col(tCol) < col("break_t"))
+      .select(col(tCol), col(yCentsCol))
+    val right = daily.crossJoin(broadcast(bt))
+      .where(col(tCol) >= col("break_t"))
+      .select(col(tCol), col(yCentsCol))
+    val l = bestMeanShift(left, tCol, yCentsCol).localCheckpoint()
+    val r = bestMeanShift(right, tCol, yCentsCol).localCheckpoint()
+    root.withColumn("segment", lit("root"))
+      .unionByName(l.withColumn("segment", lit("left")))
+      .unionByName(r.withColumn("segment", lit("right")))
+      .select(col("segment"), col("n_days"), col("break_t"),
+        col("n_left"), col("mean_left_r"), col("mean_right_r"),
+        col("f_r"))
+  }
 }

@@ -20,7 +20,7 @@ object DiagQueries {
   /** Day-index grain of orders: t (days since first order day), daily
     * order count x and exact revenue cents y — the q304 spine with the
     * count column added. */
-  private val GrainSql =
+  private[queries] val GrainSql =
     """WITH grain AS (
       |  SELECT o_orderdate::DATE AS day, count(*)::BIGINT AS x,
       |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
@@ -29,7 +29,7 @@ object DiagQueries {
       |  SELECT (day - (SELECT min(day) FROM grain))::BIGINT AS t,
       |    day, x, y FROM grain)""".stripMargin
 
-  private def grain(s: org.apache.spark.sql.SparkSession,
+  private[queries] def grain(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))

@@ -63,6 +63,49 @@ object FabricQueries {
         try Graphs.triangleCountsForward(tbl).orderBy("vertex")
           .localCheckpoint()
         finally s.conf.set(key, prev)
+      }),
+
+    // Second consumer of the SAME persisted bucketed layout: per-edge
+    // triangle support (the k-truss support stage) from the identical
+    // exchange-free forward wedge join — each triangle credits all
+    // three edges, so the count is the edge's FULL participation. The
+    // layout is paid once; the whole src-keyed family reads it free.
+    Q("q388_bucketed_edge_support",
+      Some(s"""$suppEdgesMat,
+              |tri AS MATERIALIZED (
+              |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              |  FROM e0 e1 JOIN e0 e2
+              |    ON e1.src = e2.src AND e1.dst < e2.dst
+              |  WHERE EXISTS (SELECT 1 FROM e0 e3
+              |    WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+              |pe AS (
+              |  SELECT a AS src, b AS dst FROM tri
+              |  UNION ALL SELECT a, c FROM tri
+              |  UNION ALL SELECT b, c FROM tri),
+              |sup AS (
+              |  SELECT src, dst, count(*)::BIGINT AS support
+              |  FROM pe GROUP BY 1, 2)
+              |SELECT src, dst, support FROM (
+              |  SELECT src, dst, support, row_number() OVER (
+              |    ORDER BY support DESC, src, dst) AS rn
+              |  FROM sup) t
+              |WHERE rn <= 20 ORDER BY support DESC, src, dst"""
+        .stripMargin),
+      (s, d) => {
+        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
+          "l_orderkey", "l_suppkey", 5L)
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        val tbl = Graphs.bucketedEdgeTable(s, edges,
+          "graft_edges_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase,
+          freshSince = src.lastModified())
+        val key = "spark.sql.requireAllClusterKeysForCoPartition"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "false")
+        try Graphs.edgeSupportForward(tbl)
+          .orderBy(col("support").desc, col("src"), col("dst"))
+          .limit(20)
+          .localCheckpoint()
+        finally s.conf.set(key, prev)
       })
   )
 }

@@ -25,7 +25,7 @@ object Registry {
       AuditDepthQueries.all ++ StratifiedQueries.all ++
       ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all ++
       FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all ++
-      RobustQueries.all ++ AssuranceQueries.all
+      RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

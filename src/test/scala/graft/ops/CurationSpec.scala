@@ -444,4 +444,22 @@ class CurationSpec extends SparkTestBase {
     val srcs = rows.map(_.getString(1)).grouped(3).toSeq
     assert(srcs.forall(_.toSet == Set("x", "y", "z")), srcs.toString)
   }
+
+  test("htTotalAudit: certainty sampling (pi = 1) reproduces the " +
+      "exact total with zero variance; capped pi stays a probability") {
+    import spark.implicits._
+    val df = Seq((1L, 100L), (2L, 250L), (3L, 400L)).toDF("id", "y")
+    // scale <= min(y): every pi capped at 1 -> census
+    val r = Curation.htTotalAudit(df, "id", "y", 100.0).collect().head
+    assert(r.getAs[Long]("n_pop") == 3)
+    assert(r.getAs[Long]("n_sample") == 3)
+    assert(r.getAs[Long]("total") == 750)
+    assert(r.getAs[Double]("ht_total_r") == 750.0)
+    assert(r.getAs[Double]("rel_err_r") == 0.0)
+    assert(r.getAs[Double]("ht_se_r") == 0.0)
+    // large scale: a real subsample; the HT weights stay finite and
+    // the sample is a subset
+    val r2 = Curation.htTotalAudit(df, "id", "y", 1e9).collect().head
+    assert(r2.getAs[Long]("n_sample") <= 3)
+  }
 }

@@ -444,4 +444,24 @@ class GraphsSpec extends SparkTestBase {
     assert(got(2).getAs[Long]("n_edges") == 0L)
     assert(got(2).isNullAt(got(2).fieldIndex("phi_r")))
   }
+
+  test("edgeSupportForward: every edge of K4 supports 2 triangles; a " +
+      "pendant edge supports none and is absent") {
+    import spark.implicits._
+    // K4 on 1..4 (oriented src<dst) + pendant edge (4,5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.edgeSupportForward(edges).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        r.getAs[Long]("support")).toMap
+    // K4 has 4 triangles; each of its 6 edges lies in exactly 2
+    assert(got.size == 6)
+    assert(got.values.forall(_ == 2L), got.toString)
+    assert(!got.contains((4L, 5L)))
+    // cross-check: total credit = 3 * triangle count
+    val nTri = Graphs.triangleCountsForward(edges)
+      .agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .collect().head.getLong(0)
+    assert(got.values.sum == nTri, s"edge credits vs 3x triangles")
+  }
 }

@@ -234,4 +234,31 @@ class NonparamSpec extends SparkTestBase {
       .collect().head
     assert(d.getAs[Double]("t_r") == 0.25, d.toString)
   }
+
+  test("mmdRbf: identical point sets give mmd2 ~ 0; well-separated " +
+      "clusters give mmd2 > 0") {
+    import spark.implicits._
+    // same 3 points under both labels -> distributions identical
+    val pts = Seq(Array(0.0f, 0.0f), Array(1.0f, 0.0f),
+      Array(0.0f, 1.0f))
+    val same = (pts.zipWithIndex.map { case (e, i) => (i.toLong, e, 0) }
+      ++ pts.zipWithIndex.map { case (e, i) => (i + 10L, e, 1) })
+      .toDF("vec_id", "embedding", "label")
+    val r = Nonparam.mmdRbf(same, "label", 0, 1, 0.5).collect().head
+    assert(r.getAs[Long]("m") == 3 && r.getAs[Long]("n") == 3)
+    // unbiased estimator on identical sets: within-sums exclude the
+    // diagonal but cross-sums include the k=1 self-matches, so the
+    // statistic is slightly NEGATIVE (the known signature of
+    // identical samples under MMD2_u) - near zero from above is a bug
+    assert(r.getAs[Double]("mmd2_r") <= 0.0, r.toString)
+    assert(math.abs(r.getAs[Double]("mmd2_r")) < 0.35)
+    // two far clusters: kab ~ 0, mmd2 strongly positive
+    val far = (pts.zipWithIndex.map { case (e, i) => (i.toLong, e, 0) }
+      ++ pts.zipWithIndex.map { case (e, i) =>
+        (i + 10L, e.map(_ + 100.0f), 1) })
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Nonparam.mmdRbf(far, "label", 0, 1, 0.5).collect().head
+    assert(r2.getAs[Double]("kab_r") == 0.0)
+    assert(r2.getAs[Double]("mmd2_r") > 0.5, r2.toString)
+  }
 }

@@ -616,4 +616,25 @@ class TextOpsSpec extends SparkTestBase {
     // symmetric graph, no dangling nodes: total rank mass stays ~1
     assert(math.abs(scores.sum - 1.0) < 1e-6, scores.toSeq.toString)
   }
+
+  test("bpeTrain: merge sequence on a hand vocab, lexicographic " +
+      "ties, and the documented left-to-right run semantics") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", 4).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("n")))
+    // round 4 finds no pair (everything merged) -> emits no row
+    assert(got.toSeq == Seq((1, "a a", "aa", 4L), (2, "a b", "ab", 3L),
+      (3, "aa ab", "aaab", 2L)), got.mkString(";"))
+    // run-of-repeats: "aaaa" merges left-to-right non-overlapping
+    // ("aa a a" after round 1, NOT "aa aa" - the documented replace
+    // semantics both engines share)
+    val runs = Seq("aaaa").toDF("text")
+    val got2 = TextOps.bpeTrain(runs, "text", 3).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("n")))
+    assert(got2.toSeq == Seq((1, "a a", 3L), (2, "a a", 1L),
+      (3, "aa aa", 1L)), got2.mkString(";"))
+  }
 }

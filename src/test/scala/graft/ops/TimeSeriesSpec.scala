@@ -538,4 +538,25 @@ class TimeSeriesSpec extends SparkTestBase {
     val flat = (0L to 5L).map(t => (t, 7L)).toDF("t", "y")
     assert(TimeSeries.hurstRs(flat, "t", "y", Seq(4)).collect().isEmpty)
   }
+
+  test("binarySegmentation2: three-regime series recovers both " +
+      "breaks; the constant sub-segment emits a NULL-F earliest pick") {
+    import spark.implicits._
+    // 4 days at 0, 4 at 100k, 4 at 500k: root split isolates the big
+    // jump (break 8), the left child finds the small one (break 4)
+    val daily = ((0L to 3L).map((_, 0L)) ++ (4L to 7L).map((_, 100000L))
+      ++ (8L to 11L).map((_, 500000L))).toDF("t", "y")
+    val got = TimeSeries.binarySegmentation2(daily, "t", "y")
+      .orderBy("segment").collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    assert(got.size == 3)
+    assert(got("root").getAs[Long]("break_t") == 8)
+    assert(got("root").getAs[Long]("n_days") == 12)
+    assert(got("left").getAs[Long]("break_t") == 4)
+    assert(got("left").getAs[Long]("n_days") == 8)
+    // right child is constant: zero reduction everywhere -> earliest
+    // candidate, F undefined
+    assert(got("right").getAs[Long]("break_t") == 9)
+    assert(got("right").isNullAt(got("right").fieldIndex("f_r")))
+  }
 }
