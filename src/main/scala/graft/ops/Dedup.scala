@@ -890,4 +890,46 @@ object Dedup {
       .withColumn("kept_r",
         round(col("kept_tokens") / col("total_tokens"), 6))
   }
+
+  /** Fellegi–Sunter match/unmatch weights (the probabilistic
+    * record-linkage foundation, 1969): over a blocked candidate-pair
+    * set with ground-truth match labels, each comparison feature k
+    * earns m_k = P(agree | match) and u_k = P(agree | non-match), and
+    * the log-likelihood-ratio weights ln(m/u) (agreement) and
+    * ln((1−m)/(1−u)) (disagreement) that a linkage scorer sums per
+    * pair. Here the candidates are [[snmCandidates]] blocking, truth =
+    * exact content hash, and the features arrive as boolean columns on
+    * a caller-built pair frame — the op reduces them to the weight
+    * table (one hash-agg per feature batch; exact counts, ln on the
+    * ratio of exact ratios, NULL when a cell is empty or a rate hits
+    * 0/1 — boundary weights are infinite by definition). Returns one
+    * row per feature: feature, n_match, n_nonmatch, m_r, u_r,
+    * w_agree_r, w_disagree_r. */
+  def fellegiSunterWeights(pairs: DataFrame, matchCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one comparison feature")
+    val base = pairs.select(col(matchCol).cast("boolean").as("_m") +:
+      featureCols.map(f => col(f).cast("boolean").as(f)): _*)
+    val aggs = featureCols.flatMap { f =>
+      Seq(sum(when(col("_m") && col(f), 1L).otherwise(0L)).as(s"_ma_$f"),
+        sum(when(!col("_m") && col(f), 1L).otherwise(0L)).as(s"_ua_$f"))
+    } ++ Seq(sum(when(col("_m"), 1L).otherwise(0L)).as("_nm"),
+      sum(when(!col("_m"), 1L).otherwise(0L)).as("_nu"))
+    val g = base.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val rows = featureCols.map { f =>
+      val mRate = col(s"_ma_$f").cast("double") /
+        nullif(col("_nm").cast("double"), lit(0.0))
+      val uRate = col(s"_ua_$f").cast("double") /
+        nullif(col("_nu").cast("double"), lit(0.0))
+      g.select(lit(f).as("feature"), col("_nm").as("n_match"),
+        col("_nu").as("n_nonmatch"),
+        round(mRate, 6).as("m_r"), round(uRate, 6).as("u_r"),
+        round(when(mRate > 0 && uRate > 0, log(mRate / uRate)), 6)
+          .as("w_agree_r"),
+        round(when(mRate < 1 && uRate < 1,
+          log((lit(1.0) - mRate) / (lit(1.0) - uRate))), 6)
+          .as("w_disagree_r"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

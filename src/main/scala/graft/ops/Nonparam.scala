@@ -627,4 +627,58 @@ object Nonparam {
           + col("_sbb") / (nD * (nD - 1))
           - lit(2.0) * col("_sab") / (mD * nD), 6).as("mmd2_r"))
   }
+
+  /** Anderson–Darling statistic of per-entity inter-event gaps against
+    * the exponential(λ̂) null — [[exponentialityKs]]'s tail-weighted
+    * sibling (AD upweights exactly the small-gap burst region KS
+    * underweights):
+    *   A² = −n − (1/n) Σᵢ (2i−1)[ln F(x₍ᵢ₎) + ln(1−F(x₍ₙ₊₁₋ᵢ₎))].
+    * On the DISTINCT-GAP grain a value v with count c and exclusive
+    * cumulative count C owns ranks C+1…C+c, so its two rank-weight
+    * sums are closed-form exact integers — c(2C+c) and c(2n−2C−c) —
+    * and ln(1−F(v)) = −λv exactly, leaving ONE ln per distinct value
+    * (12-dp-gridded before the sum). Ranks ride
+    * [[Ranks.bandedRunningSum]] (the q302/q353 posture: never a
+    * corpus-sized rank window). Zero gaps (simultaneous events) are
+    * excluded — F(0) = 0 has no finite log and ties violate the
+    * continuous null anyway (documented). Returns one row: n_gaps,
+    * lambda_per_s_r, a2_r. */
+  def adExponentiality(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String,
+      bandWidth: Double = 1000.0): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .select((unix_micros(col(tsCol)) - col("_prev")).as("_gus"))
+      .where(col("_gus") > 0)
+    val grain = gaps.groupBy(col("_gus")).agg(count(lit(1)).as("_c"))
+    val cum = Ranks.bandedRunningSum(grain.withColumn("_g", lit(0)),
+      "_g", "_gus", "_c", bandWidth * 1e6)
+    val tot = gaps.agg(count(lit(1)).as("n_gaps"),
+      sum(col("_gus")).as("_sg"))
+    val withT = cum.crossJoin(broadcast(tot))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val lam = col("n_gaps").cast("double") /
+      (col("_sg").cast("double") / 1e6) // per second
+    val xs = col("_gus").cast("double") / 1e6
+    val cExcl = col("runsum") - col("_c") // exclusive cumulative C
+    // w1 = c(2C+c), w2 = c(2n−2C−c): exact rank-weight run sums
+    val w1 = (d38(col("_c")) * (cExcl * 2 + col("_c"))).cast("double")
+    val w2 = (d38(col("_c"))
+      * (col("n_gaps") * 2 - cExcl * 2 - col("_c"))).cast("double")
+    val lnF = log(lit(1.0) - exp(-round(lam * xs, 12)))
+    val s = withT.agg(
+      sum(t12(w1 * lnF)).cast("double").as("_s1"),
+      sum(t12(w2 * (-lam * xs))).cast("double").as("_s2"),
+      first(col("n_gaps")).as("n_gaps"),
+      first(col("_sg")).as("_sg"))
+    val nD = col("n_gaps").cast("double")
+    s.select(col("n_gaps"),
+      round(nD / (col("_sg").cast("double") / 1e6), 6)
+        .as("lambda_per_s_r"),
+      round(-nD - (col("_s1") + col("_s2")) / nD, 6).as("a2_r"))
+  }
 }

@@ -839,4 +839,31 @@ object Profile {
       .select(col("_n").as("n"), col("_hm").as("sn_raw"),
         round(lit(1.1926) * col("_hm"), 6).as("sn_r"))
   }
+
+  /** Negative-binomial fit for per-key counts by method of moments:
+    * the Poisson model every rate assumption implies has variance =
+    * mean; real per-user event counts overdisperse, and the NB(r, p)
+    * MoM fit — r = m²/(v−m), p = r/(r+m) — sizes HOW overdispersed.
+    * One hash-agg to (key, count), one global moment agg (12-dp
+    * DECIMAL grid, population variance). v ≤ m (under-dispersion)
+    * yields NULL r/p — Poisson or better, no NB fit exists. Returns
+    * one row: n_keys, mean_r, var_r, dispersion_r (v/m), nb_r_r,
+    * nb_p_r. */
+  def negbinFit(df: DataFrame, keyCol: String): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val m = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("_n")).as("_s1"),
+      sum(t12(col("_n").cast("double") * col("_n"))).cast("double")
+        .as("_s2"))
+    val nD = col("n_keys").cast("double")
+    val mean = col("_s1").cast("double") / nD
+    val vr = col("_s2") / nD - mean * mean
+    val r = mean * mean / (vr - mean)
+    m.select(col("n_keys"), round(mean, 6).as("mean_r"),
+      round(vr, 6).as("var_r"),
+      round(vr / mean, 6).as("dispersion_r"),
+      round(when(vr > mean, r), 6).as("nb_r_r"),
+      round(when(vr > mean, r / (r + mean)), 6).as("nb_p_r"))
+  }
 }

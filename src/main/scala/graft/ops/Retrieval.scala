@@ -189,4 +189,72 @@ object Retrieval {
         round(col("_ap"), 6).as("ap_r"),
         round(col("_map"), 6).as("map_r"))
   }
+
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio-lite two-pass
+    * retrieval): score the seed query, take the top `fbDocs` docs as
+    * assumed-relevant, expand the query with the `fbTerms` terms most
+    * document-frequent WITHIN that feedback set (length >= minLen, seed
+    * terms excluded, ties lexicographic), and re-score with the
+    * expanded query — recall the one-shot query cannot reach.
+    *
+    * Fully declarative: the expansion terms stay a (broadcast) FRAME —
+    * never a collected list — so both passes are the same join shape
+    * as [[bm25TopK]] and the corpus-wide token table is computed once
+    * and cached for the two passes + dl. Selection determinism: both
+    * the feedback cut and the final rank order by (6-dp-rounded score,
+    * id) — raw-double ordering across engines is the trap the rounding
+    * avoids. Returns `k` rows: rnk, id, n_terms_hit, bm25. */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+      seedTerms: Seq[String], fbDocs: Int, fbTerms: Int, k: Int,
+      minLen: Int = 4, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty && fbDocs > 0 && fbTerms > 0 && k > 0,
+      "bm25Prf needs seeds and positive cuts")
+    val tok = docs.select(col(idCol),
+        explode(TextOps.tokens(TextOps.normalize(col(textCol))))
+          .as("term"))
+      .cache() // three consumers: dl, both tf passes, expansion
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val consts = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    def score(termFrame: DataFrame): DataFrame = {
+      val tf = tok.join(broadcast(termFrame), Seq("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl") / col("avgdl")))
+      tf.join(dl, idCol)
+        .join(broadcast(df_), "term")
+        .join(broadcast(consts))
+        .withColumn("term_score", idf * tfNorm)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_terms_hit"),
+          round(sum(col("term_score")), 6).as("bm25"))
+    }
+    val seeds = docs.sparkSession
+      .createDataFrame(seedTerms.map(Tuple1(_)))
+      .toDF("term")
+    val fb = score(seeds)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(fbDocs)
+      .select(col(idCol))
+      .localCheckpoint() // the feedback cut feeds the expansion join
+    val expansion = tok.join(broadcast(fb), Seq(idCol), "left_semi")
+      .where(length(col("term")) >= minLen &&
+        !col("term").isin(seedTerms: _*))
+      .groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("_dffb"))
+      .orderBy(col("_dffb").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term"))
+    val expanded = seeds.unionByName(expansion).localCheckpoint()
+    score(expanded)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("bm25").desc, col(idCol).asc)))
+      .select(col("rnk"), col(idCol), col("n_terms_hit"), col("bm25"))
+  }
 }

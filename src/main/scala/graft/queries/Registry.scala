@@ -25,7 +25,8 @@ object Registry {
       AuditDepthQueries.all ++ StratifiedQueries.all ++
       ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all ++
       FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all ++
-      RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all
+      RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all ++
+      LinkageQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

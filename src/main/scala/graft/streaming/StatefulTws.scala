@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode,
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** CUSTOM streaming state via `transformWithState` — Spark 4's
@@ -96,6 +96,53 @@ object StatefulTws {
       st.put(cur.toArray)
       out.iterator
     }
+  }
+
+  /** One typed event, time in exact microseconds. */
+  final case class Ev(user_id: Long, event_id: Long, us: Long,
+      typ: String)
+
+  /** One emitted per-type sequence row. */
+  final case class TypeSeq(user_id: Long, event_id: Long,
+      event_type: String, seq_in_type: Long)
+
+  /** MapState member of the typed-state trio ([[SpendProcessor]] =
+    * ValueState, [[TrailProcessor]] = ListState): per user, a
+    * MapState[event_type → count] — state is |distinct types| entries
+    * per key (bounded by the type vocabulary, never the history), and
+    * each event is emitted with its 1-based sequence number WITHIN its
+    * type. Same within-batch (event time, event_id) sort contract. */
+  class TypeCountProcessor extends StatefulProcessor[Long, Ev, TypeSeq] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[TypeSeq] = {
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      sorted.map { e =>
+        val next = (if (st.containsKey(e.typ)) st.getValue(e.typ)
+          else 0L) + 1L
+        st.updateValue(e.typ, next)
+        TypeSeq(user, e.event_id, e.typ, next)
+      }.iterator
+    }
+  }
+
+  /** Run the per-type sequence enrichment over ALL events with
+    * AvailableNow and return the (batch) result. */
+  def typeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Streams.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("typ"))
+      .as[Ev]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Append(), Encoders.product[TypeSeq])
+    withRocksDb(spark) { Streams.runToFiles(spark, out.toDF()) }
   }
 
   /** Run the last-k trail enrichment over the events table with

@@ -602,4 +602,30 @@ class DedupSpec extends SparkTestBase {
         < 2e-6, r.toString)
     }
   }
+
+  test("fellegiSunterWeights: exact m/u rates and LLR weights on a " +
+      "hand pair table; boundary rates yield NULL weights") {
+    import spark.implicits._
+    // 4 match pairs (3 agree on f), 4 non-match (1 agrees on f);
+    // feature g agrees on ALL matches (m=1 -> disagree weight NULL)
+    val pairs = Seq(
+      (true, true, true), (true, true, true), (true, true, true),
+      (true, false, true),
+      (false, true, false), (false, false, false),
+      (false, false, false), (false, false, true))
+      .toDF("m", "f", "g")
+    val got = Dedup.fellegiSunterWeights(pairs, "m", Seq("f", "g"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    val f = got("f")
+    assert(f.getAs[Long]("n_match") == 4 &&
+      f.getAs[Long]("n_nonmatch") == 4)
+    assert(f.getAs[Double]("m_r") == 0.75)
+    assert(f.getAs[Double]("u_r") == 0.25)
+    // ln(3) and ln(1/3)
+    assert(f.getAs[Double]("w_agree_r") == 1.098612)
+    assert(f.getAs[Double]("w_disagree_r") == -1.098612)
+    val g = got("g")
+    assert(g.getAs[Double]("m_r") == 1.0)
+    assert(g.isNullAt(g.fieldIndex("w_disagree_r")))
+  }
 }

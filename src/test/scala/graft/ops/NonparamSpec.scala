@@ -261,4 +261,32 @@ class NonparamSpec extends SparkTestBase {
     assert(r2.getAs[Double]("kab_r") == 0.0)
     assert(r2.getAs[Double]("mmd2_r") > 0.5, r2.toString)
   }
+
+  test("adExponentiality: closed-form rank weights on a hand gap set " +
+      "match the direct order-statistic formula; zero gaps excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user, events at 0s, 1s, 3s, 7s, 7s -> gaps 1s, 2s, 4s, 0s
+    // (the zero gap must be excluded; n = 3)
+    val ev = Seq(0L, 1000000L, 3000000L, 7000000L, 7000000L)
+      .zipWithIndex.map { case (us, i) =>
+        (1L, i.toLong, new Timestamp(us / 1000)) }
+      .toDF("user_id", "event_id", "ts")
+    val r = Nonparam.adExponentiality(ev, "user_id", "ts", "event_id")
+      .collect().head
+    assert(r.getAs[Long]("n_gaps") == 3)
+    // lambda = 3 / 7s
+    assert(r.getAs[Double]("lambda_per_s_r") == 0.428571)
+    // direct computation: x = (1,2,4), F = 1 - exp(-lam x)
+    val lam = 3.0 / 7.0
+    val xs = Seq(1.0, 2.0, 4.0)
+    def rnd12(v: Double) = BigDecimal(v)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t1 = xs.zipWithIndex.map { case (x, i) =>
+      rnd12((2 * (i + 1) - 1) * math.log(1 - math.exp(-rnd12(lam * x)))) }
+    val t2 = xs.zipWithIndex.map { case (x, i) =>
+      rnd12((2 * (3 - (i + 1)) + 1) * (-lam * x)) }
+    val a2 = -3.0 - (t1.sum + t2.sum) / 3.0
+    assert(math.abs(r.getAs[Double]("a2_r") - a2) < 5e-6, r.toString)
+  }
 }

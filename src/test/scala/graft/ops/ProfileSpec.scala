@@ -515,4 +515,27 @@ class ProfileSpec extends SparkTestBase {
     val single = Seq((1L, 5L)).toDF("id", "x")
     assert(Profile.snScale(single, "id", "x").collect().isEmpty)
   }
+
+  test("negbinFit: hand moments; under-dispersed input degrades r/p " +
+      "to NULL") {
+    import spark.implicits._
+    // key counts 1,1,1,5 -> mean 2, var (1+1+1+9)/4 = 3 > mean
+    val over = (Seq.fill(1)(("a", 1)) ++ Seq.fill(1)(("b", 1)) ++
+      Seq.fill(1)(("c", 1)) ++ Seq.fill(5)(("d", 1)))
+      .zipWithIndex.map { case ((k, _), i) => (k, i) }.toDF("k", "i")
+    val r = Profile.negbinFit(over, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 4)
+    assert(r.getAs[Double]("mean_r") == 2.0)
+    assert(r.getAs[Double]("var_r") == 3.0)
+    assert(r.getAs[Double]("dispersion_r") == 1.5)
+    // r = 4/(3-2) = 4; p = 4/6
+    assert(r.getAs[Double]("nb_r_r") == 4.0)
+    assert(r.getAs[Double]("nb_p_r") == 0.666667)
+    // constant counts: var 0 < mean -> NULL fit
+    val under = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2))
+      .toDF("k", "i")
+    val r2 = Profile.negbinFit(under, "k").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("nb_r_r")))
+    assert(r2.isNullAt(r2.fieldIndex("nb_p_r")))
+  }
 }

@@ -147,4 +147,27 @@ class RetrievalSpec extends SparkTestBase {
       q2.fieldIndex("ap_r")))
     assert(q2.getAs[Double]("map_r") == 0.833333)
   }
+
+  test("bm25Prf: expansion terms come from the feedback set only and " +
+      "recall a doc the seed query cannot rank") {
+    import spark.implicits._
+    // doc 1-2: seed-term docs that also contain "delta"; doc 3: has
+    // ONLY "delta" (invisible to the seed query); doc 4: noise
+    val docs = Seq(
+      (1L, "spark spark delta alpha beta"),
+      (2L, "spark merge delta gamma zeta"),
+      (3L, "delta delta delta epsilon iota"),
+      (4L, "omega kappa sigma tau phi")).toDF("doc_id", "text")
+    val got = Retrieval.bm25Prf(docs, "doc_id", "text",
+      Seq("spark", "merge", "window"), fbDocs = 2, fbTerms = 1, k = 4)
+      .collect()
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    // doc 3 is reachable ONLY via the expansion term ("delta", the
+    // most document-frequent length>=4 term in the feedback set)
+    assert(ids.contains(3L), got.mkString(";"))
+    assert(!ids.contains(4L))
+    // ranks are 1..n with the rounded-score ordering
+    assert(got.map(_.getAs[Int]("rnk")).toSeq ==
+      (1 to got.length).toSeq)
+  }
 }

@@ -91,4 +91,39 @@ class StatefulTwsSpec extends SparkTestBase {
       (1L, 14L, 3L, "10,12,13"),
       (1L, 15L, 3L, "12,13,14"))) // capped at 3, cross-batch carry
   }
+
+  test("type counts: MapState keyed per type, in-batch disorder " +
+      "sorted, counts carry across micro-batches and types isolate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulTws.{Ev, TypeCountProcessor, TypeSeq}
+    val ms = MemoryStream[Ev](spark)
+    val rows = StatefulTws.withRocksDb(spark) {
+      val q = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor, TimeMode.None(),
+          OutputMode.Append(), Encoders.product[TypeSeq])
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws_types_probe").start()
+      try {
+        ms.addData(Ev(1L, 11L, 2000L, "click"),
+          Ev(1L, 10L, 1000L, "view"),
+          Ev(1L, 12L, 3000L, "click"))
+        q.processAllAvailable()
+        ms.addData(Ev(1L, 13L, 4000L, "click"),
+          Ev(1L, 14L, 5000L, "view"))
+        q.processAllAvailable()
+        spark.table("graft_tws_types_probe").collect()
+          .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("graft_tws_types_probe")
+      }
+    }
+    assert(rows == Set(
+      (10L, "view", 1L), // sorted despite arrival order
+      (11L, "click", 1L),
+      (12L, "click", 2L),
+      (13L, "click", 3L), // cross-batch carry per type
+      (14L, "view", 2L)))
+  }
 }
