@@ -120,6 +120,13 @@ class PlanSpec extends SparkTestBase {
       val b = graft.ops.Graphs.triangleCounts(edges)
         .orderBy("vertex").collect().toSeq
       assert(a == b, "compact-forward must equal the classic wedge build")
+      // the SECOND consumer of the same layout (q388 edge support)
+      // keeps the same exchange-free scan contract
+      val p2 = graft.ops.Graphs.edgeSupportForward(tbl)
+        .queryExecution.executedPlan.toString
+      val nEx2 = "Exchange hashpartitioning".r.findAllIn(p2).length
+      assert(nEx2 <= 2, s"edge-support wedge plan must keep the edge " +
+        s"scans exchange-free (<=2 derived-side shuffles), got $nEx2:\n$p2")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
@@ -471,6 +478,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), "expected the per-user total window")
     assert(!p.contains("SinglePartition"),
       s"typeEntropy grew a global single-partition exchange:\n$p")
+  }
+
+  test("q378: the hard-negative fan-out is rebalanced (no single-file " +
+      "serialization) and the kNN window is rank-limited") {
+    val p = simplePlan("q378_hard_negatives")
+    assert(p.toLowerCase.contains("roundrobin"),
+      s"streamed side must be round-robin repartitioned before the " +
+        s"|collection|^2 fan-out (the r10 q351 lesson):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-k-per-anchor window must be rank-limited before the " +
+        s"shuffle:\n$p")
+  }
+
+  test("q382: Mahalanobis top-k is TakeOrderedAndProject — never a " +
+      "corpus-sized unpartitioned window") {
+    val p = simplePlan("q382_mahalanobis_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be sort+limit (distributed partial top-k):\n$p")
+    // the only Window ranks the <=topK post-limit frame
+    assert(p.contains("Generate") && p.contains("posexplode"),
+      s"the z^2 fan-out must be generator-based (codegen):\n$p")
   }
 
   test("salted join is row-identical to the plain join") {
