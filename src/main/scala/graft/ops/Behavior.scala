@@ -1083,4 +1083,50 @@ object Behavior {
         round(col("_cif1"), 6).as("cif1_r"),
         round(col("_cif2"), 6).as("cif2_r"))
   }
+
+  /** Simpson's-paradox audit: the pooled OLS slope of y on x next to
+    * every per-segment slope — when the pooled sign contradicts EVERY
+    * segment's sign, the aggregate trend is a composition artifact
+    * (segment mix shifting over x), not a real effect, and any
+    * "overall" number hides it. Slopes are the exact-moment form
+    * b = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) with each product
+    * 12-dp-gridded (the ols2 convention); the pooled row carries
+    * segment = '(pooled)' and the paradox flag (pooled sign ≠ 0,
+    * every segment sign ≠ 0, and all segments oppose the pooled
+    * sign). Two hash-aggs (segment grain + global), one broadcast of
+    * the tiny slope table. Returns one row per segment plus the
+    * pooled row: segment, n, slope_r, paradox. */
+  def simpsonAudit(df: DataFrame, segCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset)
+        : DataFrame = g
+      .agg(count(lit(1)).as("_n"),
+        sum(t12(col("_x"))).cast("double").as("_sx"),
+        sum(t12(col("_y"))).cast("double").as("_sy"),
+        sum(t12(col("_x") * col("_y"))).cast("double").as("_sxy"),
+        sum(t12(col("_x") * col("_x"))).cast("double").as("_sxx"))
+    val base = df.select(col(segCol).as("_seg"),
+      col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .localCheckpoint() // segment grain + pooled both read it
+    def slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+      nullif(col("_n") * col("_sxx") - col("_sx") * col("_sx"),
+        lit(0.0))
+    val perSeg = moments(base.groupBy(col("_seg")))
+      .select(col("_seg").cast("string").as("segment"),
+        col("_n").as("n"), round(slope, 6).as("slope_r"))
+      .localCheckpoint() // consumed by the flag agg AND the union
+    val pooled = moments(base.groupBy())
+      .select(lit("(pooled)").as("segment"), col("_n").as("n"),
+        round(slope, 6).as("slope_r"))
+      .localCheckpoint()
+    val flag = perSeg.crossJoin(broadcast(
+        pooled.select(col("slope_r").as("_ps"))))
+      .agg((count(lit(1)) === sum(when(col("slope_r") =!= 0.0 &&
+          col("_ps") =!= 0.0 &&
+          signum(col("slope_r")) =!= signum(col("_ps")), 1L)
+          .otherwise(0L))).as("paradox"))
+    perSeg.unionByName(pooled).crossJoin(broadcast(flag))
+      .orderBy(col("segment"))
+  }
 }

@@ -244,4 +244,42 @@ object CorpusAudit {
       round(col("_s") + lap(u("#sum"), lit(clamp / eps)), 6)
         .as("sum_released_r"))
   }
+
+  /** Capture–recapture corpus-size estimate (Chapman's bias-corrected
+    * Lincoln–Petersen): two independent deterministic "crawls" (md5
+    * draws with distinct salts over the DISTINCT-content universe)
+    * yield sample sizes n1, n2 and overlap m, and
+    *   N̂ = (n1+1)(n2+1)/(m+1) − 1
+    * estimates the universe size — the "how big is the corpus we have
+    * NOT finished crawling" number, audited here against the exact
+    * distinct count the test corpus still affords. The dedup-first
+    * step matters: duplicates would inflate both captures in a
+    * correlated way and bias N̂ down. One hash-agg to the distinct
+    * grain, two salted-u columns, one roll-up; SE is Chapman's
+    * closed form. Returns one row: n_true, n1, n2, m, chapman_r,
+    * se_r, rel_err_r. */
+  def captureRecapture(df: DataFrame, textCol: String,
+      p1: Double, p2: Double): DataFrame = {
+    def u(salt: String) =
+      (conv(substring(md5(concat(lit(salt), col("_h"))), 1, 15),
+        16, 10).cast("long").cast("double") + 1.0) /
+        lit(1152921504606846976.0) // 2^60
+    val dist = df.select(md5(col(textCol)).as("_h")).distinct()
+      .select(col("_h"), (u("cap1:") < p1).as("_a"),
+        (u("cap2:") < p2).as("_b"))
+    val m = dist.agg(count(lit(1)).as("n_true"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("_b"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("_a") && col("_b"), 1L).otherwise(0L)).as("m"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val mD = col("m").cast("double")
+    val chap = (n1D + 1) * (n2D + 1) / (mD + 1) - 1
+    val se = sqrt((n1D + 1) * (n2D + 1) * (n1D - mD) * (n2D - mD) /
+      ((mD + 1) * (mD + 1) * (mD + 2)))
+    m.select(col("n_true"), col("n1"), col("n2"), col("m"),
+      round(chap, 6).as("chapman_r"), round(se, 6).as("se_r"),
+      round((chap - col("n_true").cast("double"))
+        / col("n_true").cast("double"), 6).as("rel_err_r"))
+  }
 }

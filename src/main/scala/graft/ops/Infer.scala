@@ -926,4 +926,48 @@ object Infer {
       round(lit(1.0) - lit(alphaNum.toDouble) / alphaDen, 6)
         .as("target_r"))
   }
+
+  /** Pocock group-sequential monitor for a two-arm conversion test
+    * (Pocock 1977): at each of K interim looks the cumulative
+    * two-proportion z is compared against the CONSTANT Pocock boundary
+    * — peeking-with-a-budget instead of the naive repeated 1.96 test
+    * that inflates false positives ~3× by K = 5. `looks` carries the
+    * (look, cutoff) grid and `critical` the K-specific boundary
+    * (2.413 for K = 5 at α = .05, the published table value).
+    *
+    * Shape: ONE corpus pass reduces to the per-unit (arm, first-
+    * conversion-cutoff) grain, then every look is a conditional sum
+    * over the broadcast |K|-row grid — cumulative counts without
+    * re-scanning. All counts exact; z is one double expression per
+    * look (the q198 two-proportion convention). Returns one row per
+    * look: look, n1, n0, c1, c0, z_r, crossed. */
+  def pocockMonitor(units: DataFrame, armB: Column, convCol: String,
+      looks: Seq[(Int, Column)], critical: Double): DataFrame = {
+    require(looks.nonEmpty, "need at least one interim look")
+    val base = units.select(armB.as("_arm"),
+        col(convCol).as("_cv")) // conversion "time", NULL = never
+      .localCheckpoint() // one pass; every look aggregates it
+    val rows = looks.map { case (k, cutoff) =>
+      val conv = col("_cv").isNotNull && col("_cv") <= cutoff
+      base.agg(
+        sum(when(col("_arm"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("_arm"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("_arm") && conv, 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("_arm") && conv, 1L).otherwise(0L)).as("c0"))
+        .select(lit(k).as("look"), col("n1"), col("n0"), col("c1"),
+          col("c0"))
+    }
+    val all = rows.reduce(_ unionByName _)
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val pp = (col("c1") + col("c0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n0")))
+    val z = (p1 - p0) / nullif(se, lit(0.0))
+    all.select(col("look"), col("n1"), col("n0"), col("c1"), col("c0"),
+        round(z, 6).as("z_r"),
+        (abs(z) > critical).as("crossed"))
+      .orderBy("look")
+  }
 }

@@ -876,4 +876,50 @@ object Similarity {
         Window.orderBy(col("score_r").desc, col("vec_id").asc)))
       .select(col("rn"), col("vec_id"), col("score_r"))
   }
+
+  /** Contrastive TRIPLET mining: for every anchor, the most-similar
+    * SAME-label vector (the positive) and the most-similar
+    * DIFFERENT-label vector (the hard negative) from ONE pair scan —
+    * margin = sim(anchor, pos) − sim(anchor, neg) is the quantity a
+    * triplet/InfoNCE loss pushes positive; anchors already violating
+    * margin ≥ 0 are the curriculum front. Same audit-scale contract
+    * as [[hardNegatives]] (broadcast valve, round-robin rebalance
+    * before the fan-out); both sides of the pivot come from one
+    * rank-limited window over the same pair frame (partitioned by
+    * anchor AND side, so WindowGroupLimit bounds the shuffle).
+    * Returns one row per anchor with both neighbors: anchor_id,
+    * label, pos_id, sim_pos_r, neg_id, sim_neg_r, margin_r. */
+  def tripletMining(collection: DataFrame): DataFrame = {
+    val maxQ = broadcastMaxQueries(collection)
+    val nQ = collection.count()
+    require(nQ <= maxQ,
+      s"tripletMining broadcasts the anchor side ($nQ rows > valve " +
+        s"$maxQ); mine within ivfTopK cells for large collections.")
+    val q = broadcast(collection.select(col("vec_id").as("_aid"),
+      col("embedding").as("_aemb"), col("label").as("_albl")))
+    val shufflePartitions =
+      collection.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = collection
+      .select(col("vec_id").as("_nid"), col("embedding").as("_nemb"),
+        col("label").as("_nlbl"))
+      .repartition(shufflePartitions)
+      .join(q, col("_nid") =!= col("_aid"))
+      .withColumn("_sim", cosine_sim(col("_nemb"), col("_aemb")))
+      .filter(col("_sim").isNotNull)
+      .withColumn("_same", col("_nlbl") === col("_albl"))
+    val w = Window.partitionBy(col("_aid"), col("_same"))
+      .orderBy(col("_sim").desc, col("_nid").asc)
+    val best = pairs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val pos = best.filter(col("_same"))
+      .select(col("_aid"), col("_albl").as("label"),
+        col("_nid").as("pos_id"), round(col("_sim"), 9).as("sim_pos_r"))
+    val neg = best.filter(!col("_same"))
+      .select(col("_aid"), col("_nid").as("neg_id"),
+        round(col("_sim"), 9).as("sim_neg_r"))
+    pos.join(neg, Seq("_aid"))
+      .select(col("_aid").as("anchor_id"), col("label"), col("pos_id"),
+        col("sim_pos_r"), col("neg_id"), col("sim_neg_r"),
+        round(col("sim_pos_r") - col("sim_neg_r"), 9).as("margin_r"))
+  }
 }

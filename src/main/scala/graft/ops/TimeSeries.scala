@@ -1037,4 +1037,45 @@ object TimeSeries {
         col("n_left"), col("mean_left_r"), col("mean_right_r"),
         col("f_r"))
   }
+
+  /** Chained-base price-index triplet per month (index-number theory):
+    * Laspeyres (base-quantity weights), Paasche (current-quantity
+    * weights), Fisher (their geometric mean — the "ideal" index that
+    * passes the time-reversal test both one-sided indexes fail). Unit
+    * prices are exact-integer ratios Σcents/Σqty per (item, month);
+    * only items traded in BOTH the base month and month m enter that
+    * month's index (the matched-model convention, n_items reported).
+    * One corpus pass to the (item, month) grain; every index is a
+    * broadcast join of that bounded grain against its base slice,
+    * with each revenue product 12-dp-gridded before the sums.
+    * Returns one row per non-base month: month, n_items,
+    * laspeyres_r, paasche_r, fisher_r. */
+  def priceIndexFisher(sales: DataFrame, itemCol: String,
+      monthCol: String, centsCol: String, qtyCol: String): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val pm = sales.groupBy(col(itemCol).as("_i"), col(monthCol).as("_m"))
+      .agg(sum(col(centsCol)).as("_c"), sum(col(qtyCol)).as("_q"))
+      .withColumn("_p", col("_c").cast("double") / col("_q").cast("double"))
+      .localCheckpoint() // base slice + every month join read it
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("_m")).as("_m0"))))
+      .where(col("_m") === col("_m0"))
+      .select(col("_i"), col("_p").as("_p0"), col("_q").as("_q0"),
+        col("_m0"))
+    val joined = pm.join(base.drop("_m0"), Seq("_i"))
+      .crossJoin(broadcast(pm.agg(min(col("_m")).as("_m0"))))
+      .where(col("_m") =!= col("_m0"))
+    joined.groupBy(col("_m").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(t12(col("_p") * col("_q0"))).cast("double").as("_lnum"),
+        sum(t12(col("_p0") * col("_q0"))).cast("double").as("_lden"),
+        sum(t12(col("_p") * col("_q"))).cast("double").as("_pnum"),
+        sum(t12(col("_p0") * col("_q"))).cast("double").as("_pden"))
+      .select(col("month"), col("n_items"),
+        round(col("_lnum") / col("_lden"), 6).as("laspeyres_r"),
+        round(col("_pnum") / col("_pden"), 6).as("paasche_r"),
+        round(sqrt((col("_lnum") / col("_lden"))
+          * (col("_pnum") / col("_pden"))), 6).as("fisher_r"))
+      .orderBy("month")
+  }
 }

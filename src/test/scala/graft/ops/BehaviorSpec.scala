@@ -667,4 +667,27 @@ class BehaviorSpec extends SparkTestBase {
       assert(math.abs(lhs - 1.0) < 1e-4, r.toString)
     }
   }
+
+  test("simpsonAudit: per-segment slopes negative, pooled positive " +
+      "-> paradox flagged; aligned signs -> not flagged") {
+    import spark.implicits._
+    // classic construction: within each segment y decreases in x, but
+    // the higher segment sits at higher x AND higher y
+    val par = (Seq((0.0, 10.0), (1.0, 9.0), (2.0, 8.0))
+        .map { case (x, y) => ("s1", x, y) } ++
+      Seq((10.0, 30.0), (11.0, 29.0), (12.0, 28.0))
+        .map { case (x, y) => ("s2", x, y) })
+      .toDF("seg", "x", "y")
+    val got = Behavior.simpsonAudit(par, "seg", "x", "y")
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    assert(got("s1").getAs[Double]("slope_r") == -1.0)
+    assert(got("s2").getAs[Double]("slope_r") == -1.0)
+    assert(got("(pooled)").getAs[Double]("slope_r") > 0)
+    assert(got.values.forall(_.getAs[Boolean]("paradox")))
+    // aligned: all slopes positive -> no paradox
+    val ok = Seq(("s1", 0.0, 0.0), ("s1", 1.0, 1.0),
+      ("s2", 2.0, 2.0), ("s2", 3.0, 3.0)).toDF("seg", "x", "y")
+    val got2 = Behavior.simpsonAudit(ok, "seg", "x", "y").collect()
+    assert(got2.forall(!_.getAs[Boolean]("paradox")))
+  }
 }

@@ -160,4 +160,22 @@ class CorpusAuditSpec extends SparkTestBase {
       row.toString)
     assert(row.getDouble(2) != 12.0, "noise must actually perturb")
   }
+
+  test("captureRecapture: p = 1 census gives exact N with zero error; " +
+      "duplicates do not inflate the estimate (dedup-first)") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => s"doc $i").toDF("text")
+    val r = CorpusAudit.captureRecapture(docs, "text", 1.1, 1.1)
+      .collect().head
+    assert(r.getAs[Long]("n_true") == 50)
+    assert(r.getAs[Long]("m") == 50)
+    assert(r.getAs[Double]("chapman_r") == 50.0)
+    assert(r.getAs[Double]("rel_err_r") == 0.0)
+    // 3 copies of every doc: the distinct universe is unchanged
+    val dup = (1 to 150).map(i => s"doc ${(i - 1) % 50 + 1}").toDF("text")
+    val r2 = CorpusAudit.captureRecapture(dup, "text", 1.1, 1.1)
+      .collect().head
+    assert(r2.getAs[Long]("n_true") == 50)
+    assert(r2.getAs[Double]("chapman_r") == 50.0)
+  }
 }

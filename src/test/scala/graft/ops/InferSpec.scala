@@ -454,4 +454,24 @@ class InferSpec extends SparkTestBase {
     assert(Infer.conformalLag1(tiny, "t", "y", 1, 10)
       .collect().isEmpty)
   }
+
+  test("pocockMonitor: cumulative looks count conversions at the " +
+      "cutoff; a strong late effect crosses only at the later look") {
+    import spark.implicits._
+    // arm B converts at t=10 (after look 1's cutoff 6, before look
+    // 2's 13); arm A never converts
+    val units = ((1L to 40L).map(i => (i, if (i % 2 == 0) 10L else -1L)))
+      .toDF("id", "cv")
+      .select(col("id"), when(col("cv") >= 0, col("cv")).as("cv"))
+    val got = Infer.pocockMonitor(units, col("id") % 2 === 0, "cv",
+      Seq(1 -> lit(6L), 2 -> lit(13L)), 2.413)
+      .collect()
+    assert(got.length == 2)
+    val l1 = got(0); val l2 = got(1)
+    assert(l1.getAs[Long]("c1") == 0 && l1.getAs[Long]("c0") == 0)
+    assert(l1.isNullAt(l1.fieldIndex("z_r"))) // se 0 -> NULL, no cross
+    assert(l2.getAs[Long]("c1") == 20)
+    // all of B converted, none of A: z = sqrt(n) * ... far over 2.413
+    assert(l2.getAs[Boolean]("crossed"), l2.toString)
+  }
 }

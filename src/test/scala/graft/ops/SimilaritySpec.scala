@@ -433,4 +433,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 0L, 1L, 2L))
     assert(got(1).getAs[Double]("score_r") == 0.333333)
   }
+
+  test("tripletMining: positive is nearest same-label, negative is " +
+      "nearest wrong-label, margin subtracts the rounded sims") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.2f, 1.0f), 1),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.tripletMining(emb).orderBy("anchor_id")
+      .collect()
+    assert(got.length == 4)
+    val a0 = got.head
+    assert(a0.getAs[Long]("pos_id") == 1L) // same-label nearest
+    assert(a0.getAs[Long]("neg_id") == 2L) // wrong-label nearest
+    assert(math.abs(a0.getAs[Double]("margin_r") -
+      (a0.getAs[Double]("sim_pos_r") - a0.getAs[Double]("sim_neg_r")))
+      < 1e-9)
+    // margins here are all positive (clusters are separated)
+    assert(got.forall(_.getAs[Double]("margin_r") > 0))
+  }
 }

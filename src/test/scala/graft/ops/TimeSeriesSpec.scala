@@ -559,4 +559,26 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got("right").getAs[Long]("break_t") == 9)
     assert(got("right").isNullAt(got("right").fieldIndex("f_r")))
   }
+
+  test("priceIndexFisher: hand two-month case — Laspeyres uses base " +
+      "quantities, Paasche current, Fisher the geometric mean; " +
+      "unmatched items drop") {
+    import spark.implicits._
+    // month 1: item A p=100 q=10, item B p=200 q=5; month 2: A p=110
+    // q=20, B p=180 q=10, item C (no base) must be excluded
+    val sales = Seq(
+      ("A", "2024-01", 1000L, 10L), ("B", "2024-01", 1000L, 5L),
+      ("A", "2024-02", 2200L, 20L), ("B", "2024-02", 1800L, 10L),
+      ("C", "2024-02", 999L, 1L))
+      .toDF("i", "m", "c", "q")
+    val r = TimeSeries.priceIndexFisher(sales, "i", "m", "c", "q")
+      .collect().head
+    assert(r.getAs[String]("month") == "2024-02")
+    assert(r.getAs[Long]("n_items") == 2)
+    // L = (110*10 + 180*5)/(100*10 + 200*5) = 2000/2000 = 1.0
+    assert(r.getAs[Double]("laspeyres_r") == 1.0)
+    // P = (110*20 + 180*10)/(100*20 + 200*10) = 4000/4000 = 1.0
+    assert(r.getAs[Double]("paasche_r") == 1.0)
+    assert(r.getAs[Double]("fisher_r") == 1.0)
+  }
 }
