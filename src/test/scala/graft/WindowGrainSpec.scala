@@ -62,8 +62,9 @@ class WindowGrainSpec extends AnyFunSuite {
       "grid (heavy-hitter keys)"),
     "ops/Sketches.scala" -> (1, "median-of-trials over the fixed " +
       "|trials| repetition frame"),
-    "ops/Retrieval.scala" -> (1, "position index over the ≤k reranked " +
-      "hit list"),
+    "ops/Retrieval.scala" -> (2, "position index over the ≤k reranked " +
+      "hit list; PRF final rank over the ≤k second-pass result " +
+      "(post-limit)"),
     "ops/Quantize.scala" -> (1, "codeword rank within one centroid's " +
       "≤|codebook| cell"),
     "ops/Pack.scala" -> (1, "the two-level prefix-sum bucket table " +
