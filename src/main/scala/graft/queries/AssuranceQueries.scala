@@ -183,9 +183,9 @@ object AssuranceQueries {
              |tot AS (SELECT sum(alln)::BIGINT AS n FROM perT),
              |w AS MATERIALIZED (
              |  SELECT t, d1, d2,
-             |    n - coalesce(sum(alln) OVER (ORDER BY t
+             |    (n - coalesce(sum(alln) OVER (ORDER BY t
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS n_risk,
+             |      )::BIGINT AS n_risk,
              |    alln
              |  FROM perT, tot),
              |f AS MATERIALIZED (
