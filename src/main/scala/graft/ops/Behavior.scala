@@ -1129,4 +1129,57 @@ object Behavior {
     perSeg.unionByName(pooled).crossJoin(broadcast(flag))
       .orderBy(col("segment"))
   }
+
+  /** Restricted mean survival time (RMST) to horizon τ: the area
+    * under the Kaplan–Meier curve on [0, τ] — "expected event-free
+    * days in the first τ", the effect measure that stays defined when
+    * median survival never crosses 0.5 and hazards cross (where a
+    * hazard ratio is uninterpretable). Same machinery as
+    * [[kaplanMeier]] (bounded time grain, exp–sum–ln product limit);
+    * the area adds one more prefix pass: each event time ≤ τ
+    * contributes S(t_i)·(min(t_{i+1}, τ) − t_i), plus the leading
+    * 1·t_1 segment, every term 12-dp-gridded before the sum.
+    * Returns one row: tau, n, n_events_le_tau, rmst_r. */
+  def rmst(subjects: DataFrame, tCol: String, observedCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val perT = subjects
+      .groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("_all"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perT.agg(sum(col("_all")).as("_n")).select(col("_n"))
+    val curve = perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("_n") - coalesce(sum(col("_all")).over(wOrd), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("_factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("_lnf",
+        when(col("_factor") > 0, log(col("_factor"))).otherwise(lit(0.0)))
+      .withColumn("_s", exp(sum(col("_lnf")).over(wRun)))
+      .withColumn("_sPrev",
+        exp(coalesce(sum(col("_lnf")).over(wOrd), lit(0.0))))
+      .where(col("t") <= tau)
+    // segment [t_i, next event or tau) carries S(t_i); the segment
+    // BEFORE the first event carries S = 1
+    val wNext = Window.orderBy(col("t"))
+    val segs = curve
+      .withColumn("_tNext",
+        coalesce(lead(col("t"), 1).over(wNext), lit(tau)))
+      .withColumn("_seg", t12(col("_s")
+        * (least(col("_tNext"), lit(tau)) - col("t")).cast("double")))
+    segs.agg(
+        min(col("t")).as("_t1"),
+        sum(col("d")).as("n_events_le_tau"),
+        first(col("_n")).as("n"),
+        sum(col("_seg")).cast("double").as("_area"))
+      .select(lit(tau).as("tau"), col("n"), col("n_events_le_tau"),
+        round(least(col("_t1").cast("double"), lit(tau.toDouble))
+          + col("_area"), 6).as("rmst_r"))
+  }
 }

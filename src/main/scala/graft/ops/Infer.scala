@@ -970,4 +970,34 @@ object Infer {
         (abs(z) > critical).as("crossed"))
       .orderBy("look")
   }
+
+  /** Holm step-down multiple-testing correction — [[bhFdr]]'s FWER
+    * sibling: rank p ascending, threshold α/(m−k+1), and reject
+    * exactly the prefix BEFORE the first failure (step-down: one
+    * failure shields everything after it, unlike BH's step-up scan
+    * from the other end). Uniformly more powerful than Bonferroni at
+    * the same family-wise guarantee and assumption-free — the
+    * conservative counterpart when "FDR ≤ α" is not enough. Runs on
+    * the bounded hypotheses grain (the bhFdr posture — deliberate
+    * tiny-input global windows). Emits the input columns plus
+    * holm_rank, holm_thresh_r, discovery. */
+  def holmStepDown(hyp: DataFrame, pCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hyp
+      .withColumn("holm_rank",
+        row_number().over(Window.orderBy(col(pCol), col(idCol))))
+      .withColumn("_m", count(lit(1)).over(wAll))
+    val thresh = lit(alpha) / (col("_m") - col("holm_rank") + 1)
+    ranked
+      .withColumn("_fail",
+        when(col(pCol) > thresh, col("holm_rank")))
+      .withColumn("_kfail", min(col("_fail")).over(wAll))
+      .select(hyp.columns.toIndexedSeq.map(col) ++ Seq(col("holm_rank"),
+        round(thresh, 6).as("holm_thresh_r"),
+        coalesce(col("holm_rank") < col("_kfail"), lit(true))
+          .as("discovery")): _*)
+  }
 }

@@ -59,4 +59,41 @@ object Skew {
       .select(col("rank"), col(keyCol), col("n_a"), col("n_b"),
         col("contrib"), round(col("contrib") / col("_tot"), 6).as("share_r"))
   }
+
+  /** Lorenz decile table: rank keys by their value total (the banded
+    * two-level rank — never a corpus-sized window), split into exact
+    * SQL-ntile deciles, and report each decile's share and cumulative
+    * share of the grand total — the curve behind a scalar Gini
+    * (q162/q286's readout made distributional). All integers until
+    * the two final share divisions. Returns 10 rows: decile, n_keys,
+    * total, share_r, cum_share_r. */
+  def lorenzDeciles(df: DataFrame, keyCol: String, valueCol: String,
+      bandWidth: Double = 100000.0): DataFrame = {
+    val keyed = df.groupBy(col(keyCol).as("_k"))
+      .agg(sum(col(valueCol)).as("_v"))
+    val ranked = Ranks.bandedRank(keyed.withColumn("_g", lit(0)),
+      "_g", "_v", "_k", bandWidth)
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    val dec = ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        Ranks.ntileFromRank(col("rnk").cast("double"),
+          col("_n").cast("double"), 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_v")).as("total"))
+    val g = dec.agg(sum(col("total")).as("_gt"))
+    // literal Window.orderBy form — the WindowGrainSpec pin scans
+    // per-line (the r11 convention); the 10-row decile grid is bounded
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(
+      col("decile")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    dec.crossJoin(broadcast(g))
+      .withColumn("_cum", sum(col("total")).over(wCum))
+      .select(col("decile"), col("n_keys"), col("total"),
+        round(col("total").cast("double") / col("_gt").cast("double"),
+          6).as("share_r"),
+        round(col("_cum").cast("double") / col("_gt").cast("double"),
+          6).as("cum_share_r"))
+      .orderBy("decile")
+  }
 }

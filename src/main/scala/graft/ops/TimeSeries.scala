@@ -1078,4 +1078,55 @@ object TimeSeries {
           * (col("_pnum") / col("_pden"))), 6).as("fisher_r"))
       .orderBy("month")
   }
+
+  /** SEASONAL Mann–Kendall trend test (Hirsch & Slack 1984): the
+    * [[mannKendall]] S statistic computed WITHIN each season stratum
+    * (here day-of-week, the calendar's strongest cycle) and summed —
+    * so a strong weekly pattern cannot masquerade as (or mask) a
+    * monotone trend the plain test would mis-score. S = Σ_dow S_dow,
+    * Var = Σ_dow Var_dow with each stratum's tie correction; z uses
+    * the ±1 continuity convention of the plain test. Pairs join only
+    * within (key, stratum) — day-grain² per stratum, calendar-bounded.
+    * Returns one row per key: n, s_stat, z_r. */
+  def seasonalMannKendall(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val grain = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("_dw", dayofweek(col("day")))
+      .localCheckpoint() // pairs + per-stratum n + tie table read it
+    val nn = grain.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val a = grain.select(col(keyCol), col("_dw"),
+      col("day").as("_da"), col("x").as("_xa"))
+    val b = grain.select(col(keyCol), col("_dw"),
+      col("day").as("_db"), col("x").as("_xb"))
+    val s = a.join(b, Seq(keyCol, "_dw"))
+      .where(col("_da") < col("_db"))
+      .select(col(keyCol),
+        when(col("_xb") > col("_xa"), 1L)
+          .when(col("_xb") < col("_xa"), -1L).otherwise(0L).as("_sg"))
+      .groupBy(col(keyCol)).agg(sum(col("_sg")).as("s_stat"))
+    val strat = grain.groupBy(col(keyCol), col("_dw"))
+      .agg(count(lit(1)).as("_ns"))
+    val tc = grain.groupBy(col(keyCol), col("_dw"), col("x"))
+      .agg(count(lit(1)).as("_t"))
+      .where(col("_t") > 1)
+      .groupBy(col(keyCol), col("_dw"))
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+        .as("_tcorr"))
+    val varSum = strat.join(tc, Seq(keyCol, "_dw"), "left")
+      .select(col(keyCol),
+        (col("_ns") * (col("_ns") - 1) * (lit(2) * col("_ns") + 5)
+          - coalesce(col("_tcorr"), lit(0L))).as("_v18"))
+      .groupBy(col(keyCol)).agg(sum(col("_v18")).as("_var18"))
+    val joined = s.join(nn, Seq(keyCol)).join(varSum, Seq(keyCol))
+    val sd = sqrt(col("_var18").cast("double") / lit(18.0))
+    joined.select(col(keyCol), col("n"), col("s_stat"),
+      when(col("_var18") > 0 && col("s_stat") > 0,
+        round((col("s_stat") - 1).cast("double") / sd, 6))
+        .when(col("_var18") > 0 && col("s_stat") < 0,
+          round((col("s_stat") + 1).cast("double") / sd, 6))
+        .when(col("_var18") > 0, lit(0.0))
+        .as("z_r"))
+  }
 }

@@ -33,14 +33,15 @@ class WindowGrainSpec extends AnyFunSuite {
   /** file (repo-relative) → (site count, the bounded-grain argument
     * that justifies each site in that file). */
   private val Allowed: Map[String, (Int, String)] = Map(
-    "ops/Behavior.scala" -> (8, "scalar lit(1) roll (1 row) + five " +
+    "ops/Behavior.scala" -> (11, "scalar lit(1) roll (1 row) + five " +
       "calendar-bounded day-grain cumulative scans (CUSUM/records) + " +
-      "the two Aalen-Johansen prefix windows on the bounded time " +
-      "grain (the kaplanMeier machinery)"),
-    "ops/Infer.scala" -> (8, "two scalar lit(1) rolls, one day-grain " +
-      "cumulative, BH-FDR rank over the |hypotheses| list, jackknife " +
-      "block index over the |blocks| frame, conformal lag pair + " +
-      "calibration rank on the calendar-bounded day grain"),
+      "the two Aalen-Johansen and three RMST prefix/lead windows on " +
+      "the bounded time grain (the kaplanMeier machinery)"),
+    "ops/Infer.scala" -> (10, "two scalar lit(1) rolls, one day-grain " +
+      "cumulative, BH-FDR + Holm ranks over the |hypotheses| list " +
+      "(deliberate tiny-input global windows), jackknife block index " +
+      "over the |blocks| frame, conformal lag pair + calibration rank " +
+      "on the calendar-bounded day grain"),
     "ops/Ranks.scala" -> (3, "the banded-rank machinery itself: " +
       "windows run over the |bands| bucket TABLE (tiny), never rows"),
     "ops/TimeSeries.scala" -> (4, "7-day rolling + prefix scans on the " +
@@ -58,8 +59,9 @@ class WindowGrainSpec extends AnyFunSuite {
       "the day grain"),
     "queries/GraphDepthQueries.scala" -> (1, "cumulative over the " +
       "≤maxHops distance histogram"),
-    "ops/Skew.scala" -> (1, "contribution rank over the bounded key " +
-      "grid (heavy-hitter keys)"),
+    "ops/Skew.scala" -> (2, "contribution rank over the bounded key " +
+      "grid (heavy-hitter keys); Lorenz cumulative over the 10-row " +
+      "decile grid"),
     "ops/Sketches.scala" -> (1, "median-of-trials over the fixed " +
       "|trials| repetition frame"),
     "ops/Retrieval.scala" -> (2, "position index over the ≤k reranked " +

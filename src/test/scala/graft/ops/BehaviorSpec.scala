@@ -690,4 +690,18 @@ class BehaviorSpec extends SparkTestBase {
     val got2 = Behavior.simpsonAudit(ok, "seg", "x", "y").collect()
     assert(got2.forall(!_.getAs[Boolean]("paradox")))
   }
+
+  test("rmst: hand KM area - leading full-survival segment, " +
+      "piecewise S steps, tau clipping") {
+    import spark.implicits._
+    // 4 subjects: events at t=2 (1 of 4) and t=6 (1 of 3), censor at
+    // t=6 and t=100. S: [0,2)=1, [2,6)=0.75, [6,10]=0.5
+    val subj = Seq((2L, true), (6L, true), (6L, false), (100L, false))
+      .toDF("t", "observed")
+    val r = Behavior.rmst(subj, "t", "observed", 10L).collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("n_events_le_tau") == 2)
+    // 2*1 + 4*0.75 + 4*0.5 = 7
+    assert(r.getAs[Double]("rmst_r") == 7.0, r.toString)
+  }
 }

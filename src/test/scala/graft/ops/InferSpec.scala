@@ -474,4 +474,22 @@ class InferSpec extends SparkTestBase {
     // all of B converted, none of A: z = sqrt(n) * ... far over 2.413
     assert(l2.getAs[Boolean]("crossed"), l2.toString)
   }
+
+  test("holmStepDown: step-down semantics - one failure shields all " +
+      "later ranks even if they would pass their own threshold") {
+    import spark.implicits._
+    // m=4, alpha=.05: thresholds .0125, .0167, .025, .05
+    // p = .001 (pass), .02 (FAIL at .0167), .021 (would pass .025
+    // but is shielded), .9
+    val hyp = Seq(("a", 0.001), ("b", 0.02), ("c", 0.021), ("d", 0.9))
+      .toDF("id", "p")
+    val got = Infer.holmStepDown(hyp, "p", "id", 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Boolean]("discovery")).toMap
+    assert(got("a") && !got("b") && !got("c") && !got("d"), got.toString)
+    // all tiny: everything discovered (kfail NULL -> coalesce true)
+    val all = Seq(("a", 0.0001), ("b", 0.0002)).toDF("id", "p")
+    val got2 = Infer.holmStepDown(all, "p", "id", 0.05).collect()
+    assert(got2.forall(_.getAs[Boolean]("discovery")))
+  }
 }

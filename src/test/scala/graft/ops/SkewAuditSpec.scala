@@ -31,4 +31,19 @@ class SkewAuditSpec extends SparkTestBase {
       .collect().map(_.getAs[String]("key")).toSeq
     assert(keys == Seq("b"), keys.toString)
   }
+
+  test("lorenzDeciles: 10 equal keys per decile, shares sum to 1, " +
+      "cumulative share is monotone and ends at 1") {
+    import spark.implicits._
+    val keys = (1L to 100L).map(k => (k, k * 100L)).toDF("k", "v")
+    val got = graft.ops.Skew.lorenzDeciles(keys, "k", "v")
+      .collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getAs[Long]("n_keys") == 10))
+    // decile 1 holds the SMALLEST values (Lorenz convention)
+    assert(got.head.getAs[Long]("total") == (1L to 10L).map(_ * 100).sum)
+    assert(got.last.getAs[Double]("cum_share_r") == 1.0)
+    val cums = got.map(_.getAs[Double]("cum_share_r")).toSeq
+    assert(cums == cums.sorted)
+  }
 }

@@ -637,4 +637,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(got2.toSeq == Seq((1, "a a", 3L), (2, "a a", 1L),
       (3, "aa aa", 1L)), got2.mkString(";"))
   }
+
+  test("burrowsDelta: identical sources have Delta 0; a divergent " +
+      "source is farther from both") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta alpha beta gamma"),
+      ("s2", "alpha beta alpha beta gamma"),
+      ("s3", "delta delta delta epsilon epsilon"))
+      .toDF("source", "text")
+    val got = TextOps.burrowsDelta(docs, "source", "text", 5)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r.getAs[Double]("delta_r"))
+      .toMap
+    assert(got.size == 3)
+    assert(got(("s1", "s2")) == 0.0, got.toString)
+    assert(got(("s1", "s3")) > 1.0)
+    assert(got(("s1", "s3")) == got(("s2", "s3")))
+  }
 }

@@ -581,4 +581,32 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r.getAs[Double]("paasche_r") == 1.0)
     assert(r.getAs[Double]("fisher_r") == 1.0)
   }
+
+  test("seasonalMannKendall: a pure weekly cycle scores S = 0 while " +
+      "the plain test would see spurious pairs; a monotone trend " +
+      "within strata scores positive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 4 weeks; weekday pattern high/low alternating but NO trend
+    // within any day-of-week stratum -> every within-stratum pair ties
+    def ts(day: Int) = new Timestamp(
+      java.sql.Date.valueOf("2024-01-01").getTime + day * 86400000L)
+    val cyc = (0 until 28).flatMap { d =>
+      val n = if (d % 7 < 3) 3 else 1 // weekly cycle only
+      (1 to n).map(i => ("a", d.toLong * 10 + i, ts(d)))
+    }.toDF("k", "event_id", "ts")
+    val r = TimeSeries.seasonalMannKendall(cyc, "k", "ts")
+      .collect().head
+    assert(r.getAs[Long]("s_stat") == 0L, r.toString)
+    // monotone: week w contributes w events per day -> every
+    // within-stratum pair increases
+    val tr = (0 until 28).flatMap { d =>
+      (1 to (d / 7 + 1)).map(i => ("a", d.toLong * 100 + i, ts(d)))
+    }.toDF("k", "event_id", "ts")
+    val r2 = TimeSeries.seasonalMannKendall(tr, "k", "ts")
+      .collect().head
+    // per stratum C(4,2)=6 increasing pairs x 7 strata = 42
+    assert(r2.getAs[Long]("s_stat") == 42L, r2.toString)
+    assert(r2.getAs[Double]("z_r") > 0)
+  }
 }
