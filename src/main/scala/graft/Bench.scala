@@ -171,10 +171,14 @@ object Bench {
         val t0 = System.nanoTime()
         // a throwing query must stay visible: a swallowed failure times
         // as near-zero and masquerades as a fast query (the r11 q377
-        // 10x-probe lesson) — keep the run alive but say what broke
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(
-            s"[bench] $name FAILED: ${e.toString.take(300)}")
+        // 10x-probe lesson) — keep the run alive but say what broke,
+        // and NEVER record the failed pass's elapsed time: min-over-
+        // passes would otherwise prefer the failure's near-zero time
+        // over a real run and the artifact would carry a fake number
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop caches a query may have built (dedup pipelines cache
@@ -190,10 +194,20 @@ object Bench {
           .foreach(t => spark.catalog.dropTempView(t.name))
         i += 1
         if (i % 16 == 0) System.gc()
-        val cur = best.get(name).fold(dt)(math.min(_, dt))
-        best(name) = cur
-        if (pass == runs)
-          System.err.println(f"[bench] $name%-28s $cur%8.3f s (best of $runs)")
+        if (ok) {
+          val cur = best.get(name).fold(dt)(math.min(_, dt))
+          best(name) = cur
+        }
+        if (pass == runs) best.get(name) match {
+          case Some(cur) =>
+            System.err.println(f"[bench] $name%-28s $cur%8.3f s (best of $runs)")
+          case None =>
+            // all passes failed: the name is OMITTED from the JSON (an
+            // absent row is honest; a near-zero row is a lie) — in
+            // sharded mode the parent notices the gap and retries it
+            // in-process, which surfaces the same FAILED line again
+            System.err.println(f"[bench] $name%-28s OMITTED (all $runs passes failed)")
+        }
       }
     }
     spark.stop()

@@ -790,26 +790,52 @@ object Graphs {
     * Sort. */
   def bucketedEdgeTable(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame, table: String, buckets: Int = 8,
-      freshSince: Long = 0L): DataFrame = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val dir = new java.io.File(s"$wh/${table.toLowerCase}")
+      freshSince: Long = 0L): DataFrame =
+    bucketedLayout(spark, edges, table, buckets, "src",
+      Seq("src", "dst"), freshSince)
+
+  /** Generic build-if-absent persisted bucketed+sorted table (the
+    * [[bucketedEdgeTable]] mechanics, parameterized on key/sort
+    * columns so the MinHash-signature and shingle layouts can reuse
+    * it). LOCAL-FILESYSTEM-ONLY staleness/orphan handling: the manual
+    * rebuild path (stale-directory delete + orphaned-directory sweep)
+    * only runs when the warehouse URI is schemeless or `file:` — for
+    * any other scheme (hdfs/s3a/...) the table is managed purely
+    * through the catalog (`DROP TABLE` lets the filesystem connector
+    * remove data), never by a raw path delete that could hit a
+    * directory this session does not own. At production the staleness
+    * key should be a content fingerprint, not mtime (documented). */
+  def bucketedLayout(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, table: String, buckets: Int, keyCol: String,
+      sortCols: Seq[String], freshSince: Long = 0L): DataFrame = {
+    val whUri = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir").replace(" ", "%20"))
+    val localWh = whUri.getScheme == null || whUri.getScheme == "file"
+    val dir = new java.io.File(
+      (if (whUri.getScheme == null) whUri.getPath
+       else new java.io.File(whUri).getPath) + "/" + table.toLowerCase)
     // staleness guard: a fixture regeneration at the same path must not
-    // serve a pre-regeneration edge table — rebuild when the persisted
+    // serve a pre-regeneration table — rebuild when the persisted
     // layout predates the source (callers pass the source file mtime)
     if (spark.catalog.tableExists(table) && freshSince > 0L &&
-        dir.exists() && dir.lastModified() < freshSince)
+        localWh && dir.exists() && dir.lastModified() < freshSince)
       spark.sql(s"DROP TABLE IF EXISTS $table")
     if (!spark.catalog.tableExists(table)) {
-      if (dir.exists()) {
+      // the in-memory catalog forgets tables across JVMs while the
+      // warehouse directory persists — remove the orphaned directory
+      // and rebuild deterministically (reading an unregistered path
+      // would drop the bucketing metadata and the exchange-free plan).
+      // Guarded to the local-file warehouse this sandbox uses.
+      if (localWh && dir.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
         }
         rm(dir)
       }
-      edges.repartition(buckets, col("src"))
-        .write.bucketBy(buckets, "src").sortBy("src", "dst")
+      rows.repartition(buckets, col(keyCol))
+        .write.bucketBy(buckets, keyCol)
+        .sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet").saveAsTable(table)
     }
     spark.table(table)

@@ -669,7 +669,13 @@ object Nonparam {
     val w1 = (d38(col("_c")) * (cExcl * 2 + col("_c"))).cast("double")
     val w2 = (d38(col("_c"))
       * (col("n_gaps") * 2 - cExcl * 2 - col("_c"))).cast("double")
-    val lnF = log(lit(1.0) - exp(-round(lam * xs, 12)))
+    // clamp the log argument (plattScaling discipline): a pathologically
+    // small rate-times-gap rounds exp's argument to 0, 1-exp(0) = 0, and
+    // Spark log(0) = NULL silently drops the term while DuckDB ln(0)
+    // errors/-inf — clamping to 1e-12 on BOTH engines keeps degenerate
+    // inputs convergent (no effect at any realistic rate-gap product)
+    val lnF = log(greatest(lit(1.0) - exp(-round(lam * xs, 12)),
+      lit(1e-12)))
     val s = withT.agg(
       sum(t12(w1 * lnF)).cast("double").as("_s1"),
       sum(t12(w2 * (-lam * xs))).cast("double").as("_s2"),

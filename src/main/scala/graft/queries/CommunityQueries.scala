@@ -63,8 +63,7 @@ object CommunityQueries {
            |FROM perc ORDER BY label""".stripMargin
       },
       (s, d) => {
-        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
-          "l_orderkey", "l_suppkey", 5L).cache()
+        val edges = suppEdgeTable(s, d).cache()
         Graphs.modularity(edges,
             Graphs.labelPropagation(edges, LpaIters))
           .orderBy("label")

@@ -219,8 +219,7 @@ object DepthQueries {
            |FROM r$PrIters ORDER BY vertex""".stripMargin
       },
       (s, d) => Graphs.pageRank(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_suppkey", 5L),
+          suppEdgeTable(s, d),
           PrIters, PrDamping)
         .orderBy("vertex")),
 

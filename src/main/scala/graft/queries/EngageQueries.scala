@@ -122,8 +122,7 @@ object EngageQueries {
       (s, d) => {
         // one materialization feeds the seeds scan AND the op's sym/
         // adj builds (harness clearCache reclaims — q214's convention)
-        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
-          "l_orderkey", "l_partkey", 2L).cache()
+        val edges = partEdgeTable(s, d).cache()
         val sym = edges.select(col("src"))
           .union(edges.select(col("dst")))
         val seeds = sym.distinct().orderBy("src").limit(PprSeeds)

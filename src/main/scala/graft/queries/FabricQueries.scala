@@ -47,12 +47,7 @@ object FabricQueries {
               |SELECT vertex, count(*)::BIGINT AS n_triangles
               |FROM v GROUP BY 1 ORDER BY vertex""".stripMargin),
       (s, d) => {
-        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
-          "l_orderkey", "l_suppkey", 5L)
-        val src = new java.io.File(s"$d/lineitem.parquet")
-        val tbl = Graphs.bucketedEdgeTable(s, edges,
-          "graft_edges_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase,
-          freshSince = src.lastModified())
+        val tbl = suppEdgeTable(s, d)
         // subset-key co-partitioning lets the src-bucket layout drive
         // the closing semi join too (the e3 scan stays exchange-free);
         // scoped + eager so the conf is live at EXECUTION, restored
@@ -92,12 +87,7 @@ object FabricQueries {
               |WHERE rn <= 20 ORDER BY support DESC, src, dst"""
         .stripMargin),
       (s, d) => {
-        val edges = Graphs.coOccurrenceEdges(lineitem(s, d),
-          "l_orderkey", "l_suppkey", 5L)
-        val src = new java.io.File(s"$d/lineitem.parquet")
-        val tbl = Graphs.bucketedEdgeTable(s, edges,
-          "graft_edges_" + d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase,
-          freshSince = src.lastModified())
+        val tbl = suppEdgeTable(s, d)
         val key = "spark.sql.requireAllClusterKeysForCoPartition"
         val prev = s.conf.get(key)
         s.conf.set(key, "false")

@@ -58,8 +58,7 @@ object GraphDepthQueries {
               |FROM s4 GROUP BY 1 HAVING count(*) >= 3
               |ORDER BY vertex""".stripMargin),
       (s, d) => Graphs.kCore(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L).cache(),
+          partEdgeTable(s, d).cache(),
           k = 3, rounds = 4)
         .orderBy("vertex")),
 
@@ -87,8 +86,7 @@ object GraphDepthQueries {
               |GROUP BY 1, 2 HAVING count(*) >= 2
               |ORDER BY u, v""".stripMargin),
       (s, d) => Graphs.adamicAdar(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L).cache(),
+          partEdgeTable(s, d).cache(),
           minCommon = 2L)
         .orderBy("u", "v")),
 
@@ -119,8 +117,7 @@ object GraphDepthQueries {
               |ORDER BY vertex""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
       (s, d) => Graphs.landmarkHarmonic(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L).cache(),
+          partEdgeTable(s, d).cache(),
           landmarks = Landmarks, maxHops = MaxHops)
         .orderBy("vertex")),
 
@@ -170,8 +167,7 @@ object GraphDepthQueries {
         // thread and execute the whole BFS lineage twice — measured
         // 7.0 → 3.8 s when removed.
         val dist = Graphs.landmarkDistances(
-            Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-              "l_partkey", 2L).cache(),
+            partEdgeTable(s, d).cache(),
             landmarks = Landmarks, maxHops = MaxHops)
           .where(col("d") > 0)
         val byD = dist.groupBy(col("d").cast("bigint").as("d"))
@@ -242,8 +238,7 @@ object GraphDepthQueries {
               |ORDER BY phase""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
       (s, d) => {
-        val e0 = Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-          "l_partkey", 2L).cache()
+        val e0 = partEdgeTable(s, d).cache()
         val sym = e0.select(col("src"), col("dst"))
           .union(e0.select(col("dst").as("src"), col("src").as("dst")))
         val hubs = sym.groupBy(col("src").as("v"))

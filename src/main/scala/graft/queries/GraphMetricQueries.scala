@@ -60,8 +60,7 @@ object GraphMetricQueries {
               |    END AS assort_r
               |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin),
       (s, d) => Graphs.degreeAssortativity(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L).cache())
+          partEdgeTable(s, d).cache())
         .orderBy("degree")),
 
     // Local clustering + transitivity of the SUPPLIER graph: per-vertex
@@ -107,8 +106,7 @@ object GraphMetricQueries {
               |    AS avg_clustering_r
               |FROM base CROSS JOIN g ORDER BY vertex""".stripMargin),
       (s, d) => Graphs.localClustering(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_suppkey", 5L).cache())
+          suppEdgeTable(s, d).cache())
         .orderBy("vertex")),
 
     // HITS on the customer→supplier bipartite graph, 2 unnormalized

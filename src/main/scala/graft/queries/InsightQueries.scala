@@ -202,8 +202,7 @@ object InsightQueries {
         // so the lineitem self-join+rollup runs once, not three times
         // (6 base scans → 2; same documented lifecycle as the LSH
         // pipelines: harness clearCache reclaims)
-        val edges = Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-          "l_suppkey", 5L).cache()
+        val edges = suppEdgeTable(s, d).cache()
         Graphs.triangleCounts(edges).orderBy("vertex")
       }),
 

@@ -120,9 +120,9 @@ object LinkageQueries {
              |terms AS MATERIALIZED (
              |  SELECT
              |    (c::HUGEINT * (2 * (runsum - c) + c))::DOUBLE
-             |      * ln(1.0 - exp(-round(
+             |      * ln(greatest(1.0 - exp(-round(
              |        (n::DOUBLE / (sg::DOUBLE / 1e6))
-             |          * (gus::DOUBLE / 1e6), 12))) AS t1,
+             |          * (gus::DOUBLE / 1e6), 12)), 1e-12)) AS t1,
              |    (c::HUGEINT * (2 * n - 2 * (runsum - c) - c))::DOUBLE
              |      * (-(n::DOUBLE / (sg::DOUBLE / 1e6))
              |        * (gus::DOUBLE / 1e6)) AS t2

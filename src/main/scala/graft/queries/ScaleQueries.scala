@@ -569,8 +569,7 @@ object ScaleQueries {
               |ORDER BY vertex""".stripMargin)
     },
       (s, d) => graft.ops.Graphs.labelPropagation(
-          graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_suppkey", 5L),
+          suppEdgeTable(s, d),
           LpaIters)
         .orderBy("vertex")),
 

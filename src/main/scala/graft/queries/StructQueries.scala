@@ -277,8 +277,7 @@ object StructQueries {
               |      * (n_nodes::DOUBLE - 1)), 6) END AS phi_r
               |FROM n JOIN e2 USING (k) ORDER BY k""".stripMargin),
       (s, d) => Graphs.richClub(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", 2L).cache(),
+          partEdgeTable(s, d).cache(),
           Seq(1, 2, 4, 8, 16))
         .orderBy("k")),
 
@@ -482,8 +481,7 @@ object StructQueries {
               |FROM s3 e LEFT JOIN u4 u USING (src, dst)
               |ORDER BY src, dst""".stripMargin),
       (s, d) => graft.ops.Graphs.kTruss(
-          graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d),
-            "l_orderkey", "l_suppkey", 5L).cache(),
+          suppEdgeTable(s, d).cache(),
           k = 4, rounds = 3)
         .orderBy("src", "dst")),
 

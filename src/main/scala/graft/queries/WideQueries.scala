@@ -118,8 +118,7 @@ object WideQueries {
            |FROM f$KHop GROUP BY 1 ORDER BY 1""".stripMargin
       },
       (s, d) => Graphs.kHopReach(
-          Graphs.coOccurrenceEdges(lineitem(s, d), "l_orderkey",
-            "l_partkey", KHopSupport),
+          partEdgeTable(s, d), // support = KHopSupport, persisted bucketed
           KHop)
         .orderBy("vertex")),
 

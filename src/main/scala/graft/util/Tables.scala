@@ -44,4 +44,34 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Sanitized per-sf-dir suffix for persisted derived-table names, so
+    * different scales (and fixture dirs) never alias one layout. */
+  def tableKey(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  /** The supplier co-occurrence edge list (orders sharing a supplier,
+    * support ≥ 5) as a PERSISTED bucketed(src)+sorted table —
+    * build-if-absent, keyed by sf dir, mtime-guarded. The whole graph
+    * family (PageRank, k-core, k-truss, modularity, HITS, LPA,
+    * triangles, rich-club) reads THIS instead of rebuilding the same
+    * co-occurrence self-join per query: at 100 TB the graph is built
+    * once and re-read, and bucketing makes every src-keyed self-join
+    * exchange-free on the edge side (q367's measured pattern). */
+  def suppEdgeTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graphs.bucketedEdgeTable(s,
+      graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d),
+        "l_orderkey", "l_suppkey", 5L),
+      "graft_edges_" + tableKey(d),
+      freshSince = new java.io.File(s"$d/lineitem.parquet").lastModified())
+
+  /** The part co-occurrence edge list (support ≥ 2) — the denser
+    * second graph family (k-hop, landmarks, common-neighbors, degree
+    * distributions), same persisted bucketed layout as [[suppEdgeTable]]. */
+  def partEdgeTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graphs.bucketedEdgeTable(s,
+      graft.ops.Graphs.coOccurrenceEdges(lineitem(s, d),
+        "l_orderkey", "l_partkey", 2L),
+      "graft_pedges_" + tableKey(d),
+      freshSince = new java.io.File(s"$d/lineitem.parquet").lastModified())
 }

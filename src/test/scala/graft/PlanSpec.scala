@@ -501,6 +501,20 @@ class PlanSpec extends SparkTestBase {
       s"the z^2 fan-out must be generator-based (codegen):\n$p")
   }
 
+  test("r12 graph-family migration: the family queries scan the " +
+      "PERSISTED bucketed edge tables (Bucketed: true), not a per-query " +
+      "co-occurrence rebuild") {
+    // one supp-graph reader and one part-graph reader; plan() builds the
+    // table if absent (the build-if-absent contract under test)
+    Seq("q89_triangle_counts", "q213_degree_assortativity").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Bucketed: true"),
+        s"$n must read the persisted bucketed edge table:\n$p")
+      assert(!p.toLowerCase.contains("l_orderkey"),
+        s"$n must not rebuild the co-occurrence join from lineitem:\n$p")
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
