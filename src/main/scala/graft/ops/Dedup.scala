@@ -208,10 +208,21 @@ object Dedup {
     * convention as [[jaccardForPairs]] (it feeds the df counts, sizes,
     * prefixes, and the verify). */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    prefixFilterPairsOnShingles(shingleTable(docs, idCol, textCol).cache(),
+      idCol, threshold)
+
+  /** [[prefixFilterPairs]] over a PREBUILT shingle table — the seam the
+    * persisted bucketed shingle layout reads through (a production
+    * corpus shingles once; the audit re-reads the parquet). The caller
+    * owns `sh`'s lifecycle: pass a cached frame when it is a fresh
+    * in-memory build, or the persisted table directly (its four
+    * consumers here — df counts, sizes, prefixes, verify — are cheap
+    * re-scans of a bucketed parquet table). */
+  def prefixFilterPairsOnShingles(sh: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0,1]")
-    val sh = shingleTable(docs, idCol, textCol).cache()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -381,9 +392,17 @@ object Dedup {
     * array fold. Returns one row per agreement count: est16, n_pairs,
     * est_r, mean_exact_r, mean_bias_r (ĵ − j, 12-dp-gridded sums). */
   def minhashBiasAudit(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    minhashBiasAuditOnShingles(shingleTable(df, idCol, textCol).cache(),
+      idCol)
+
+  /** [[minhashBiasAudit]] over a PREBUILT shingle table (the persisted-
+    * layout seam; caller owns the frame's lifecycle). Signatures and
+    * candidates are re-derived from the shingles — both are one
+    * hash-agg/band-join over the (small) shingle table. */
+  def minhashBiasAuditOnShingles(shingles: DataFrame,
+      idCol: String): DataFrame = {
     def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
-    val shingles = shingleTable(df, idCol, textCol).cache()
     val sig = minhashFromShingles(shingles, idCol)
     val cand = lshCandidatePairs(sig, idCol)
     val exact = jaccardForPairs(shingles, cand, idCol)
@@ -698,12 +717,25 @@ object Dedup {
   def nearDupComponentsOf(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val shingles = shingleTable(docs, idCol, textCol).cache()
-    val sig = minhashFromShingles(shingles, idCol)
-    val cand = lshCandidatePairs(sig, idCol).cache()
+    val comps = nearDupComponentsOnIndex(shingles,
+      bandTable(minhashFromShingles(shingles, idCol), idCol),
+      idCol, threshold)
+    shingles.unpersist()
+    comps
+  }
+
+  /** The components trunk over PREBUILT shingle + band tables — the
+    * persisted-layout seam ([[nearDupComponentsOf]] builds both inline;
+    * a production corpus persists them once — shingles bucketed by doc
+    * id, bands by band key — and every dedup/audit run reads the
+    * parquet). Caller owns the input frames' lifecycles. */
+  def nearDupComponentsOnIndex(shingles: DataFrame, bands: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val cand = bandJoin(bands, idCol, "doc_a", "doc_b").cache()
     // own the candidate-shingle cache (vs jaccardForPairs' internal one,
     // which only a harness clearCache reclaims): the verified pairs are
-    // localCheckpoint-materialized by count() below, after which all
-    // three caches are dead weight and unpersisted deterministically.
+    // localCheckpoint-materialized by count() below, after which the
+    // caches are dead weight and unpersisted deterministically.
     val candSh = candidateShingles(shingles, cand, idCol).cache()
     val verified = jaccardOnCandidates(candSh, cand, idCol)
       .filter(col("jaccard") >= threshold)
@@ -714,11 +746,26 @@ object Dedup {
         verified.select(col("doc_a").as("node"), col("doc_a").as("label"))
           .limit(0)
       else nearDupComponents(verified, knownPairCount = Some(nPairs))
-    shingles.unpersist()
     cand.unpersist()
     candSh.unpersist()
     comps
   }
+
+  /** [[nearDupRemovals]] over the persisted index tables. */
+  def nearDupRemovalsOnIndex(shingles: DataFrame, bands: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    nearDupComponentsOnIndex(shingles, bands, idCol, threshold)
+      .filter(col("label") < col("node"))
+      .select(col("node").as(idCol))
+
+  /** [[nearDupClusterHistogram]] over the persisted index tables. */
+  def nearDupClusterHistogramOnIndex(shingles: DataFrame,
+      bands: DataFrame, idCol: String, threshold: Double): DataFrame =
+    nearDupComponentsOnIndex(shingles, bands, idCol, threshold)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 
   /** The end-to-end corpus dedup: [[nearDupComponentsOf]] → drop every
     * non-keeper member (keeper = each cluster's min id). Returns the ids

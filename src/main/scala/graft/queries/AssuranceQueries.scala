@@ -145,8 +145,8 @@ object AssuranceQueries {
               |    12)::DECIMAL(28,12))::DOUBLE / count(*), 6)
               |    AS mean_bias_r
               |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, d) => Dedup.minhashBiasAudit(documents(s, d), "doc_id",
-        "text")),
+      (s, d) => Dedup.minhashBiasAuditOnShingles(docShingleTable(s, d),
+        "doc_id")),
 
     // Aalen-Johansen cumulative incidence: from signup, FIRST purchase
     // (cause 1) vs FIRST error (cause 2) compete; 1 - KM(all-cause)

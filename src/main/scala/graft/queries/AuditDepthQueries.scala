@@ -42,7 +42,8 @@ object AuditDepthQueries {
     },
       (s, d) => {
         val removals = Dedup
-          .nearDupRemovals(documents(s, d), "doc_id", "text", 0.5)
+          .nearDupRemovalsOnIndex(docShingleTable(s, d),
+            docBandTable(s, d), "doc_id", 0.5)
           .select(col("doc_id").as("_rid"))
         documents(s, d)
           .join(broadcast(removals), col("doc_id") === col("_rid"),

@@ -132,9 +132,10 @@ object AuditQueries {
               |ORDER BY key_lo, key_hi""".stripMargin),
       (s, d) => {
         val docs = documents(s, d)
-        val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashFromShingles(shingles, "doc_id")
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        val shingles = docShingleTable(s, d)
+        val pairs = withSubsetCoPartition(s)(
+          Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
+            .localCheckpoint())
         val scored = Dedup.jaccardForPairs(shingles, pairs, "doc_id")
         CorpusAudit.nearDupLeakage(scored, docs, "doc_id", "source",
             LeakThreshold)

@@ -52,12 +52,9 @@ object FabricQueries {
         // the closing semi join too (the e3 scan stays exchange-free);
         // scoped + eager so the conf is live at EXECUTION, restored
         // after — the checkpointed result is the tiny vertex grain
-        val key = "spark.sql.requireAllClusterKeysForCoPartition"
-        val prev = s.conf.get(key)
-        s.conf.set(key, "false")
-        try Graphs.triangleCountsForward(tbl).orderBy("vertex")
-          .localCheckpoint()
-        finally s.conf.set(key, prev)
+        withSubsetCoPartition(s)(
+          Graphs.triangleCountsForward(tbl).orderBy("vertex")
+            .localCheckpoint())
       }),
 
     // Second consumer of the SAME persisted bucketed layout: per-edge
@@ -88,14 +85,11 @@ object FabricQueries {
         .stripMargin),
       (s, d) => {
         val tbl = suppEdgeTable(s, d)
-        val key = "spark.sql.requireAllClusterKeysForCoPartition"
-        val prev = s.conf.get(key)
-        s.conf.set(key, "false")
-        try Graphs.edgeSupportForward(tbl)
-          .orderBy(col("support").desc, col("src"), col("dst"))
-          .limit(20)
-          .localCheckpoint()
-        finally s.conf.set(key, prev)
+        withSubsetCoPartition(s)(
+          Graphs.edgeSupportForward(tbl)
+            .orderBy(col("support").desc, col("src"), col("dst"))
+            .limit(20)
+            .localCheckpoint())
       })
   )
 }

@@ -225,13 +225,19 @@ object TextQueries {
         val docs = documents(s, d)
         val samp = Curation.stratifiedSample(docs, "doc_id", "lang",
           Map.empty, pct)
-        val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
-        val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+        val sh = docShingleTable(s, d)
+        val cand = withSubsetCoPartition(s)(
+          Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
+            .localCheckpoint())
         val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")
-        val exactS = Dedup.prefixFilterPairs(samp, "doc_id", "text", 0.5)
+        // the sampled exact side reads the SAME persisted shingles,
+        // semi-filtered to the stratum (per-doc shingle sets are
+        // doc-local, so the sample's shingle table is exactly this)
+        val exactS = Dedup.prefixFilterPairsOnShingles(
+            sh.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"),
+            "doc_id", 0.5)
           .select("doc_a", "doc_b")
         val flagged = exactS
           .join(lsh.withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"),
@@ -316,9 +322,12 @@ object TextQueries {
     Q("q29_minhash_lsh_pairs",
       Some(s"""$bandsCte
               |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin),
-      (s, d) => {
-        val sig = Dedup.minhashSignatures(documents(s, d), "doc_id", "text")
-        Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
+      (s, d) => withSubsetCoPartition(s) {
+        // read the PERSISTED band-key index (bucketed by bk): the
+        // candidate self-join runs exchange-free over the layout —
+        // eager (localCheckpoint) so the plan sees the scoped conf
+        Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b").localCheckpoint()
       }),
 
     // Exact n-gram Jaccard, verified on the LSH candidates (the full
@@ -339,15 +348,14 @@ object TextQueries {
               | JOIN counts cb ON cb.doc_id = i.doc_b
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => {
-        val docs = documents(s, d)
-        // one shingle pass feeds both the signature agg and the verify
-        // join; the candidate pairs are consumed three times downstream
-        // (broadcast id-filter, intersect probe, final join) so both
-        // stages are cached — at cluster scale these would be the
-        // materialized intermediate tables of the dedup pipeline
-        val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashFromShingles(shingles, "doc_id")
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        // the full near-dup verify off the PERSISTED layout: shingles
+        // (bucketed by doc_id) and band keys (bucketed by bk) are built
+        // once per corpus — this query pays only the candidate join +
+        // Jaccard verify, the production re-run shape
+        val shingles = docShingleTable(s, d)
+        val pairs = withSubsetCoPartition(s)(
+          Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
+            .localCheckpoint())
         Dedup.jaccardForPairs(shingles, pairs, "doc_id")
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
@@ -366,7 +374,8 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin)
     },
       (s, d) => graft.ops.Dedup
-        .nearDupRemovals(documents(s, d), "doc_id", "text", 0.5)
+        .nearDupRemovalsOnIndex(docShingleTable(s, d), docBandTable(s, d),
+          "doc_id", 0.5)
         .orderBy("doc_id")),
 
     // 60-bit SimHash (wide per-bit agg, no row explosion).
@@ -739,7 +748,8 @@ object TextQueries {
               |SELECT cluster_size, count(*) AS n_clusters
               |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, d) => graft.ops.Dedup
-        .nearDupClusterHistogram(documents(s, d), "doc_id", "text", 0.5)
+        .nearDupClusterHistogramOnIndex(docShingleTable(s, d),
+          docBandTable(s, d), "doc_id", 0.5)
         .orderBy("cluster_size"))
   ,
 
@@ -786,7 +796,7 @@ object TextQueries {
               |    / (sa.n + sb.n - i.n_inter) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => graft.ops.Dedup
-        .prefixFilterPairs(documents(s, d), "doc_id", "text", 0.5)
+        .prefixFilterPairsOnShingles(docShingleTable(s, d), "doc_id", 0.5)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
         .orderBy("doc_a", "doc_b"))
   ,
@@ -860,9 +870,7 @@ object TextQueries {
               |FROM m""".stripMargin),
       (s, d) => {
         import graft.ops.Dedup
-        val docs = documents(s, d)
-        val sh = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val sh = docShingleTable(s, d)
         // the four audit branches below evaluate CONCURRENTLY (each is
         // a broadcast side of the final crossJoin), so multi-consumer
         // frames must be MATERIALIZED before the plan is built — lazy
@@ -870,12 +878,13 @@ object TextQueries {
         // LSH/exact pipeline executes more than once (the q283 lesson).
         // localCheckpoint is eager: one computation, branches read
         // blocks.
-        val cand = Dedup.lshCandidatePairs(sig, "doc_id")
-          .localCheckpoint()
+        val cand = withSubsetCoPartition(s)(
+          Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
+            .localCheckpoint())
         val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b").localCheckpoint()
-        val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", 0.5)
+        val exact = Dedup.prefixFilterPairsOnShingles(sh, "doc_id", 0.5)
           .select("doc_a", "doc_b").localCheckpoint()
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(exact.join(lsh, Seq("doc_a", "doc_b"))

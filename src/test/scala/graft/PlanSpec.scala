@@ -515,6 +515,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("persisted LSH layout: the band-key candidate self-join reads " +
+      "both sides of the bucketed band table exchange-free (only the " +
+      "final distinct shuffles); shingle/band scans are Bucketed: true") {
+    val bands = Tables.docBandTable(spark, sf())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.withSubsetCoPartition(spark) {
+        val cand = graft.ops.Dedup.bandJoin(bands, "doc_id",
+          "doc_a", "doc_b")
+        val p = cand.queryExecution.executedPlan.toString
+        val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(nEx <= 1, s"band self-join must ride the bk buckets " +
+          s"(only the distinct may shuffle), got $nEx exchanges:\n$p")
+        val fp = cand.queryExecution.explainString(FormattedMode)
+        assert(fp.contains("Bucketed: true"),
+          s"band scans must read the persisted bucketed table:\n$fp")
+      }
+      // the verify stage reads the bucketed shingle table
+      val shp = Registry.byName("q30_lsh_jaccard").fn(spark, sf())
+        .queryExecution.explainString(FormattedMode)
+      assert(shp.contains("Bucketed: true"),
+        s"q30 must read persisted bucketed shingles:\n$shp")
+      assert(!shp.contains("json_tuple") && !shp.toLowerCase
+          .contains("regexp_replace"),
+        s"q30 must not re-run the shingle normalize pipeline:\n$shp")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
