@@ -26,7 +26,8 @@ object Registry {
       ExtremeQueries.all ++ DiagQueries.all ++ StructQueries.all ++
       FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all ++
       RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all ++
-      LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all
+      LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all ++
+      TimerQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

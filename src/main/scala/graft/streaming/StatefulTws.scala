@@ -131,6 +131,104 @@ object StatefulTws {
     }
   }
 
+  /** The open-session accumulator for [[TimerSessionProcessor]].
+    * `n == 0` marks "no open session" while PRESERVING the session
+    * counter — a timer closure must not reset the per-user index, so
+    * the state row survives the close with the window zeroed (one
+    * ValueState instead of a separate counter state). */
+  final case class OpenTs(idx: Long, n: Long, startUs: Long, endUs: Long)
+
+  /** One emitted closed session; `closed_by` is "gap" (a later event
+    * split the session inline) or "timer" (the event-time timer fired
+    * once the watermark passed end + gap — the idle-user flush). */
+  final case class SessOut(user_id: Long, session_idx: Long,
+      n_events: Long, start_us: Long, end_us: Long, closed_by: String)
+
+  /** TIMER-driven sessionization — the `transformWithState` sibling of
+    * [[StatefulSessions.sessionsWithTimeout]] and the remaining surface
+    * of the new API after the typed-state trio: `TimeMode.EventTime()`,
+    * `registerTimer`/`deleteTimer`/`listTimers`, and
+    * `handleExpiredTimer`. Gap splits emit inline ("gap"); the trailing
+    * open session is flushed by an event-time timer at
+    * (end + gap) ms + 1 once the watermark passes it ("timer") — idle
+    * users do not hold state forever, which is what makes per-key state
+    * bounded on a 100 TB stream. Exactly ONE live timer per user: the
+    * stale timer is deleted on every input batch before the fresh one
+    * is registered (leaked timers would fire spurious expiry callbacks).
+    * Same within-batch (event time, event_id) sort contract as the rest
+    * of the trio. Session split convention: a gap STRICTLY GREATER than
+    * `gapSeconds` opens a new session. */
+  class TimerSessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Ev, SessOut] {
+    private val gapUs = gapSeconds * 1000000L
+    @transient private var open: ValueState[OpenTs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenTs]("open",
+        Encoders.product[OpenTs], TTLConfig.NONE)
+
+    private def timerMs(endUs: Long): Long = (endUs + gapUs) / 1000L + 1L
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var cur = if (open.exists()) open.get() else OpenTs(0L, 0L, 0L, 0L)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      sorted.foreach { e =>
+        if (cur.n == 0L)
+          cur = OpenTs(cur.idx + 1, 1L, e.us, e.us)
+        else if (e.us - cur.endUs > gapUs) {
+          out += SessOut(user, cur.idx, cur.n, cur.startUs, cur.endUs,
+            "gap")
+          cur = OpenTs(cur.idx + 1, 1L, e.us, e.us)
+        } else
+          cur = OpenTs(cur.idx, cur.n + 1, cur.startUs,
+            math.max(cur.endUs, e.us))
+      }
+      open.update(cur)
+      if (cur.n > 0L) getHandle.registerTimer(timerMs(cur.endUs))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessOut] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val cur = open.get()
+        if (cur.n == 0L) Iterator.empty
+        else {
+          // zero the window, KEEP the counter (see OpenTs scaladoc)
+          open.update(OpenTs(cur.idx, 0L, 0L, 0L))
+          Iterator(SessOut(user, cur.idx, cur.n, cur.startUs, cur.endUs,
+            "timer"))
+        }
+      }
+    }
+  }
+
+  /** Run timer sessionization over the events fixture with AvailableNow
+    * (watermark delay 0) and return the (batch) result. Emission under
+    * AvailableNow is deterministic: all gap splits emit inline, and the
+    * trailing no-data micro-batch fires every timer whose expiry ≤ the
+    * final watermark (⌊max event us / 1000⌋ ms) — sessions still open
+    * against that watermark stay in state, exactly like production. */
+  def timerSessions(spark: SparkSession, dir: String,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val ev = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("typ"))
+      .as[Ev]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[SessOut])
+    withRocksDb(spark) { Streams.runToFiles(spark, out.toDF()) }
+  }
+
   /** Run the per-type sequence enrichment over ALL events with
     * AvailableNow and return the (batch) result. */
   def typeCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -27,6 +27,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * — an aliased handle (`val w = Window; w.orderBy(...)`) would evade
   * the textual pin (caught once in r11: the first Sn draft). Aliases
   * remain fine for `partitionBy` specs, which the pin ignores.
+  *
+  * Since r12 this scan is the FAST PRE-CHECK: the authoritative gate is
+  * [[WindowPlanSpec]], which walks the executed physical plan of every
+  * registered query and pins unpartitioned Window/WindowGroupLimit exec
+  * nodes per query — no source spelling can evade it.
   */
 class WindowGrainSpec extends AnyFunSuite {
 

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+import graft.queries.Registry
+
+/** The PLAN-LEVEL unpartitioned-window gate (r11 VERDICT item 4).
+  *
+  * WindowGrainSpec pins the SOURCE sites textually — cheap, but evadable
+  * by construction (an aliased `Window` handle slips past the literal
+  * scan; one r11 draft did exactly that). This spec closes the evasion:
+  * it walks the EXECUTED physical plan of every registered query at the
+  * test fixture scale and counts Window / WindowGroupLimit exec nodes
+  * whose partitionSpec is EMPTY — the one shape that funnels a
+  * data-sized frame into a single task at 100 TB. Whatever the source
+  * spelling, the plan cannot lie.
+  *
+  * Per-query expected counts are pinned in `Allowed` with the
+  * bounded-grain argument that justifies them (same review discipline as
+  * WindowGrainSpec, which remains as the fast textual pre-check). A new
+  * unpartitioned window in ANY query — aliased, helper-wrapped, or
+  * SQL-generated — fails here until it is banded or reviewed.
+  *
+  * Known blind spot (documented, accepted): plan segments behind an
+  * EAGER `localCheckpoint()` inside a query body are truncated from the
+  * final plan and not visible here; those trunks are pinned by their
+  * ops' dedicated PlanSpec tests and the textual scan instead.
+  *
+  * AQE is disabled for the plan build so the static plan is inspected
+  * (AdaptiveSparkPlanExec hides its input plan from collect); cached
+  * relations and subqueries are descended explicitly.
+  */
+class WindowPlanSpec extends SparkTestBase {
+
+  /** query name → (expected unpartitioned-window exec count, grain). */
+  private val Allowed: Map[String, (Int, String)] = WindowPlanSpec.Allowed
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p +: p.children.flatMap(flatten)
+    val hidden = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case im: InMemoryTableScanExec => flatten(im.relation.cachedPlan)
+      case _ => Seq.empty
+    }
+    val subs = p.subqueries.flatMap(flatten)
+    self ++ hidden ++ subs
+  }
+
+  private def unpartitionedWindows(p: SparkPlan): Int =
+    flatten(p).count {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+
+  test("plan-level gate: no registered query plans an unpartitioned " +
+      "window beyond the reviewed bounded-grain allowlist") {
+    val dir = sf()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val observed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Registry.all.foreach { q =>
+        val n =
+          try unpartitionedWindows(
+            q.fn(spark, dir).queryExecution.executedPlan)
+          catch { case e: Throwable =>
+            fail(s"${q.name}: plan build failed: ${e.toString.take(300)}")
+          }
+        if (n > 0) observed(q.name) = n
+        spark.sqlContext.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val expected = Allowed.map { case (k, (n, _)) => k -> n }
+    val unexpected = observed.filterNot { case (k, n) =>
+      expected.get(k).contains(n) }
+    val missing = expected.filterNot { case (k, n) =>
+      observed.get(k).contains(n) }
+    assert(unexpected.isEmpty && missing.isEmpty,
+      s"""unpartitioned-window PLAN nodes drifted from the reviewed pin.
+         |  new/changed (query -> observed): $unexpected
+         |  expected-but-absent: $missing
+         |Band the new window (Ranks.bandedRank / bandedRunningSum) or
+         |review its input grain and update WindowPlanSpec.Allowed with
+         |the bounded-grain argument.""".stripMargin)
+  }
+}
+
+object WindowPlanSpec {
+  /** Reviewed per-query pins — populated from the first full audit run
+    * (2026-08-15, 56 queries / 407 plan any unpartitioned window);
+    * every entry's grain argument traces to a WindowGrainSpec site.
+    * Counts are PLAN-node counts: WindowGroupLimit plans Partial+Final
+    * pairs, and one source site can instantiate several nodes. */
+  private[graft] val Allowed: Map[String, (Int, String)] = {
+    val dayGrain = "calendar-bounded day/time grain (prefix, lag, " +
+      "rolling or rank over the per-day aggregate)"
+    val keyGrid = "bounded key/segment/bin grid (deciles, bins, " +
+      "classes, types — corpus already reduced by a hash-agg)"
+    val bandLevel1 = "two-level banded-rank machinery level-1 roll " +
+      "over the |bands| bucket table"
+    val postLimit = "rank over a ≤topK post-limit frame"
+    val hypotheses = "rank over the |hypotheses|/|looks| list"
+    val scalar = "scalar lit(1) roll / |trials| frame"
+    Map(
+      "q96_token_packing" -> (1, bandLevel1),
+      "q132_kaplan_meier" -> (2, dayGrain),
+      "q135_adc_topk" -> (1, postLimit),
+      "q145_rrf_fusion" -> (1, postLimit),
+      "q146_sorted_neighborhood" -> (8, bandLevel1 +
+        " (both SNM sides, rank + offset windows)"),
+      "q157_water_filling" -> (1, keyGrid),
+      "q162_key_skew" -> (2, keyGrid + " + Gini banded prefix"),
+      "q173_largest_remainder" -> (1, keyGrid),
+      "q175_stride_interleave" -> (1, bandLevel1),
+      "q180_coverage_curve" -> (1, keyGrid),
+      "q184_join_cardinality" -> (2, keyGrid),
+      "q185_ams_f2" -> (1, scalar),
+      "q197_equi_depth" -> (2, bandLevel1),
+      "q206_rfm" -> (6, keyGrid + " (three RFM quantile grids ×2)"),
+      "q211_woe_iv" -> (2, keyGrid),
+      "q226_retrieval_eval" -> (1, postLimit),
+      "q230_lift_table" -> (4, keyGrid),
+      "q232_bh_fdr" -> (3, hypotheses),
+      "q250_chi2_residuals" -> (1, keyGrid),
+      "q257_sprt" -> (1, dayGrain),
+      "q261_brier_decomposition" -> (1, keyGrid),
+      "q267_entropy_rate" -> (2, keyGrid),
+      "q270_backlog" -> (1, dayGrain),
+      "q271_abc_analysis" -> (2, keyGrid),
+      "q274_hte_deciles" -> (2, keyGrid),
+      "q280_isotonic_calibration" -> (2, keyGrid),
+      "q283_distance_distribution" -> (2, "≤maxHops distance histogram"),
+      "q302_mann_whitney" -> (1, bandLevel1),
+      "q304_durbin_watson" -> (1, dayGrain),
+      "q316_nelson_aalen" -> (2, dayGrain),
+      "q317_logrank" -> (1, dayGrain),
+      "q318_qini" -> (7, keyGrid + " (uplift deciles, arm prefixes)"),
+      "q327_seasonal_decomposition" -> (4, dayGrain),
+      "q337_record_days" -> (1, dayGrain),
+      "q342_weibull_fit" -> (1, dayGrain),
+      "q348_gpd_pot" -> (2, dayGrain + " + exceedance rank"),
+      "q349_heaps_law" -> (2, dayGrain),
+      "q353_exponentiality_ks" -> (1, bandLevel1),
+      "q356_user_entropy" -> (2, keyGrid),
+      "q364_wilcoxon_signed_rank" -> (1, bandLevel1),
+      "q365_turning_points" -> (1, dayGrain),
+      "q369_page_hinkley" -> (3, dayGrain),
+      "q370_arch_lm" -> (1, dayGrain),
+      "q374_bradley_terry" -> (1, "|items| duel-strength rank"),
+      "q375_textrank" -> (1, postLimit),
+      "q376_hbos" -> (1, postLimit),
+      "q380_blocking_quality" -> (2, bandLevel1 + " (SNM rank)"),
+      "q381_sn_scale" -> (1, keyGrid),
+      "q382_mahalanobis_outliers" -> (1, postLimit),
+      "q384_conformal" -> (1, dayGrain),
+      "q387_aalen_johansen" -> (4, dayGrain),
+      "q394_bm25_prf" -> (1, postLimit),
+      "q395_ad_exponentiality" -> (1, bandLevel1),
+      "q405_rmst" -> (3, dayGrain),
+      "q406_lorenz_deciles" -> (2, "10-row decile grid"),
+      "q407_holm_stepdown" -> (3, hypotheses))
+  }
+}
