@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -256,5 +256,79 @@ object Retrieval {
       .withColumn("rnk", row_number().over(org.apache.spark.sql
         .expressions.Window.orderBy(col("bm25").desc, col(idCol).asc)))
       .select(col("rnk"), col(idCol), col("n_terms_hit"), col("bm25"))
+  }
+
+  /** Rank-Biased Overlap at depth k with extrapolation (Webber, Moffat
+    * & Zobel, TOIS 2010): the top-weighted similarity of two rankings,
+    *   RBO_ext = (1−p)/p · Σ_{d=1..k} (X_d/d)·p^d + (X_k/k)·p^k,
+    * where X_d = |prefix_d(A) ∩ prefix_d(B)|. The ranking-drift number
+    * a retrieval deployment publishes when it swaps scorers — unlike
+    * Kendall/Spearman it tolerates non-conjoint lists and weights the
+    * head (persistence p ≈ 0.9 puts ~86% of the mass in the top 10).
+    *
+    * Inputs are two ≤k rank lists (idCol, rankCol 1-based). Shape:
+    * everything lives on bounded ≤k frames — the intersection is one
+    * equi-join on id, X_d comes from a broadcast depth-grid join on
+    * max(rank_a, rank_b) ≤ d (k² grid rows, never data), one scalar
+    * out: (k, n_common, rbo_ext_r). */
+  def rboExt(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, k: Int, p: Double): DataFrame = {
+    val ma = a.select(col(idCol).as("_id"), col(rankCol).as("_ra"))
+      .where(col("_ra") <= k)
+    val mb = b.select(col(idCol).as("_id"), col(rankCol).as("_rb"))
+      .where(col("_rb") <= k)
+    val both = ma.join(mb, Seq("_id"))
+      .select(greatest(col("_ra"), col("_rb")).as("_dmin"))
+    val depths = a.sparkSession.range(1, k + 1).toDF("_d")
+    val xd = broadcast(depths).crossJoin(both)
+      .groupBy(col("_d"))
+      .agg(sum(when(col("_dmin") <= col("_d"), 1L).otherwise(0L))
+        .as("_xd"))
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    xd.agg(
+        sum(t12(col("_xd").cast("double") / col("_d")
+          * pow(lit(p), col("_d")))).cast("double").as("_s"),
+        max(when(col("_d") === k, col("_xd"))).as("_xk"))
+      .select(lit(k).as("k"), col("_xk").as("n_common"),
+        round(lit((1.0 - p) / p) * col("_s")
+          + col("_xk").cast("double") / k * math.pow(p, k), 6)
+          .as("rbo_ext_r"))
+  }
+
+  /** Expected Reciprocal Rank at k (Chapelle et al., CIKM 2009): the
+    * cascade-model metric — a user scans down the ranking and stops at
+    * rank r with probability R_r·Π_{i<r}(1−R_i), where
+    * R = (2^grade − 1)/2^maxGrade;
+    *   ERR@k = Σ_{r≤k} (1/r)·R_r·Π_{i<r}(1−R_i).
+    * Complements MAP/NDCG (q226): ERR is the metric under which a
+    * highly relevant hit at rank 1 makes later hits nearly worthless —
+    * the dedup-sensitive view of ranking quality.
+    *
+    * Input: a ≤k ranked list (rankCol 1-based, gradeCol integer
+    * grades 0..maxGrade). Shape: one ≤k frame; the stop-probability
+    * prefix product is exp(Σ ln(1−R)) over the ranked prefix — always
+    * finite because R = (2^g − 1)/2^gmax < 1 for every grade, so
+    * 1−R ≥ 2^−gmax > 0 by construction. The ln terms are
+    * 12-dp-gridded so the DuckDB oracle sums the identical decimals.
+    * The prefix window orders a ≤k post-limit frame (WindowGrainSpec:
+    * post-limit grain). */
+  def errAtK(ranked: DataFrame, rankCol: String, gradeCol: String,
+      k: Int, maxGrade: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rr = ranked.where(col(rankCol) <= k)
+      .select(col(rankCol).as("_r"),
+        ((pow(lit(2.0), col(gradeCol).cast("double")) - 1.0)
+          / math.pow(2.0, maxGrade)).as("_rel"))
+    val wPrev = Window.orderBy(col("_r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val terms = rr
+      .withColumn("_lnSum", coalesce(
+        sum(t12(log(lit(1.0) - col("_rel")))).over(wPrev)
+          .cast("double"), lit(0.0)))
+      .select((exp(col("_lnSum")) * col("_rel") / col("_r"))
+        .as("_term"))
+    terms.agg(lit(k).as("k"),
+      round(sum(t12(col("_term"))).cast("double"), 6).as("err_r"))
   }
 }

@@ -1002,4 +1002,81 @@ object TextOps {
         round(col("_sd2") / col("n_terms").cast("double"), 6)
           .as("delta_r"))
   }
+
+  /** Good–Turing frequency re-estimation (Good 1953) over the corpus
+    * word-n-gram counts (n = 4 by default: the driver fixture's 31-term
+    * vocabulary makes UNIGRAM counts all huge — no low-count region to
+    * smooth; 4-gram types are numerous enough to have real
+    * singleton/doubleton mass, the regime GT exists for) — the smoothing table a language-model/tokenizer
+    * pipeline publishes: for each raw count r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (N_r = number of DISTINCT terms seen
+    * exactly r times), the smoothed probability p_gt = r∗ / N, and the
+    * unseen-mass estimate P₀ = N₁/N riding every row. Rows are emitted
+    * for r ≤ `maxR` with N_{r+1} > 0 — the low-count region where GT
+    * correction matters (the high-count tail keeps its MLE).
+    *
+    * Scale shape: one tokenize pass → term-count hash-agg → count-of-
+    * counts hash-agg; everything after the second agg lives on the
+    * frequency-of-frequencies GRID (≤ max term count rows — thousands,
+    * not corpus-sized), where the N_{r+1} lookup is a self-join on the
+    * grid. Returns (r, n_r, n_r_next, r_star_r, p_gt_r, p0_r). */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String,
+      maxR: Int = 10, n: Int = 4): DataFrame = {
+    val counts = docs
+      .select(tokens(normalize(col(textCol))).as("_toks"))
+      .select(explode(expr(Dedup.kGramExpr("_toks", n,
+        distinct = false))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum(col("r")).as("_n"),
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("_f1"))
+    fof
+      .join(fof.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r_next")), Seq("r"))
+      .where(col("r") <= maxR)
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r_next"),
+        round((col("r") + 1).cast("double") * col("n_r_next")
+          / col("n_r"), 6).as("r_star_r"),
+        round((col("r") + 1).cast("double") * col("n_r_next")
+          / col("n_r") / col("_n"), 6).as("p_gt_r"),
+        round(col("_f1").cast("double") / col("_n"), 6).as("p0_r"))
+      .orderBy(col("r"))
+  }
+
+  /** Chao1 vocabulary-richness estimate + Good's sample coverage per
+    * group (Chao 1984; Good 1953): from each group's term counts,
+    * V = observed distinct types (word n-grams — see [[goodTuring]] on
+    * why not unigrams here), f₁/f₂ = singleton/doubleton type counts, the bias-corrected Chao1 V̂ = V + f₁(f₁−1)/(2(f₂+1))
+    * (defined even when f₂ = 0), and coverage Ĉ = 1 − f₁/N — "what
+    * fraction of the corpus' token mass comes from types we've already
+    * seen", the number that says whether MORE data would still grow
+    * the vocabulary. The corpus-size sibling of the q399 capture–
+    * recapture audit, on types instead of documents.
+    *
+    * Scale: (group, term) hash-agg → per-group rollup; output is the
+    * |groups| grid. */
+  def chao1Richness(docs: DataFrame, groupCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    val counts = docs
+      .select(col(groupCol),
+        tokens(normalize(col(textCol))).as("_toks"))
+      .select(col(groupCol), explode(expr(Dedup.kGramExpr("_toks", n,
+        distinct = false))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("r"))
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("r")).as("n_tokens"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("n_types"), col("n_tokens"),
+        col("f1"), col("f2"),
+        round(col("n_types").cast("double")
+          + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")), 6)
+          .as("chao1_r"),
+        round(lit(1.0) - col("f1").cast("double")
+          / col("n_tokens").cast("double"), 6).as("coverage_r"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -162,6 +162,8 @@ object WindowPlanSpec {
       "q395_ad_exponentiality" -> (1, bandLevel1),
       "q405_rmst" -> (3, dayGrain),
       "q406_lorenz_deciles" -> (2, "10-row decile grid"),
-      "q407_holm_stepdown" -> (3, hypotheses))
+      "q407_holm_stepdown" -> (3, hypotheses),
+      "q411_rbo_rankings" -> (2, postLimit + " (both BM25 lists)"),
+      "q412_err_bm25" -> (2, postLimit + " (rank + ERR cascade prefix)"))
   }
 }

@@ -170,4 +170,39 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.map(_.getAs[Int]("rnk")).toSeq ==
       (1 to got.length).toSeq)
   }
+
+  test("rboExt: identical rankings score exactly 1; disjoint score 0; " +
+      "a hand overlap matches the closed form") {
+    def ranks(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toDF("id", "rnk")
+    val a = ranks(Seq(1L, 2L, 3L))
+    val p = 0.5
+    val same = Retrieval.rboExt(a, ranks(Seq(1L, 2L, 3L)), "id", "rnk",
+      3, p).collect()(0)
+    assert(same.getAs[Double]("rbo_ext_r") == 1.0)
+    val disj = Retrieval.rboExt(a, ranks(Seq(7L, 8L, 9L)), "id", "rnk",
+      3, p).collect()(0)
+    assert(disj.getAs[Double]("rbo_ext_r") == 0.0)
+    // swap ranks 1 and 2: X_1 = 0, X_2 = 2, X_3 = 3
+    // RBO_ext = (1-p)/p (0/1 p + 2/2 p^2 + 3/3 p^3) + 3/3 p^3
+    val swap = Retrieval.rboExt(a, ranks(Seq(2L, 1L, 3L)), "id", "rnk",
+      3, p).collect()(0)
+    val expect = (1 - p) / p * (p * p + p * p * p) +
+      math.pow(p, 3)
+    assert(math.abs(swap.getAs[Double]("rbo_ext_r") - expect) < 1e-6,
+      s"got ${swap.getAs[Double]("rbo_ext_r")} want $expect")
+  }
+
+  test("errAtK: single perfect-grade hit at rank 1 gives R(g_max)/1; " +
+      "the cascade discounts a second hit by (1 - R)") {
+    val one = Seq((1, 3)).toDF("rnk", "g")
+    val r3 = (math.pow(2, 3) - 1) / 8.0 // 0.875
+    val got1 = Retrieval.errAtK(one, "rnk", "g", 10, 3).collect()(0)
+    assert(math.abs(got1.getAs[Double]("err_r") - r3) < 1e-6)
+    val two = Seq((1, 3), (2, 3)).toDF("rnk", "g")
+    val got2 = Retrieval.errAtK(two, "rnk", "g", 10, 3).collect()(0)
+    val expect = r3 + (1 - r3) * r3 / 2
+    assert(math.abs(got2.getAs[Double]("err_r") - expect) < 1e-6,
+      s"got ${got2.getAs[Double]("err_r")} want $expect")
+  }
 }

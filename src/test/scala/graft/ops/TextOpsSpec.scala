@@ -655,4 +655,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(("s1", "s3")) > 1.0)
     assert(got(("s1", "s3")) == got(("s2", "s3")))
   }
+
+  test("goodTuring: hand 1-gram corpus — r* = (r+1) N_{r+1}/N_r and " +
+      "P0 = N1/N") {
+    // unigrams (n = 1): counts a:3 b:2 c:2 d:1 e:1 f:1 -> N=10,
+    // N_1=3, N_2=2, N_3=1; rows for r=1 (r*=2*2/3) and r=2 (r*=3*1/2)
+    val docs = Seq((1L, "a a a b b c c d e f"))
+      .toDF("doc_id", "text")
+    val got = TextOps.goodTuring(docs, "doc_id", "text", maxR = 10,
+      n = 1).collect().map(r => r.getAs[Long]("r") ->
+        (r.getAs[Double]("r_star_r"), r.getAs[Double]("p0_r"))).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(math.abs(got(1L)._1 - 2.0 * 2 / 3) < 1e-6)
+    assert(math.abs(got(2L)._1 - 3.0 * 1 / 2) < 1e-6)
+    assert(math.abs(got(1L)._2 - 0.3) < 1e-6) // P0 = 3/10
+  }
+
+  test("chao1Richness: hand unigram group — bias-corrected Chao1 and " +
+      "Good's coverage") {
+    // group g: counts a:1 b:1 c:2 d:3 -> V=4, N=7, f1=2, f2=1
+    // chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
+    val docs = Seq(("g", "a b c c d d d")).toDF("source", "text")
+    val got = TextOps.chao1Richness(docs, "source", "text", n = 1)
+      .collect()(0)
+    assert(got.getAs[Long]("n_types") == 4L)
+    assert(got.getAs[Long]("f1") == 2L && got.getAs[Long]("f2") == 1L)
+    assert(math.abs(got.getAs[Double]("chao1_r") - 4.5) < 1e-6)
+    assert(math.abs(got.getAs[Double]("coverage_r") - (1 - 2.0 / 7))
+      < 1e-5)
+  }
 }
