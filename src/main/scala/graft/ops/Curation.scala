@@ -486,6 +486,50 @@ object Curation {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Neyman (optimal) allocation of an integer sample budget across
+    * strata — n_h ∝ N_h·S_h (Neyman 1934): where [[largestRemainderAlloc]]
+    * splits a budget by row counts alone, this weights each stratum by
+    * its internal variability, the allocation that minimizes the
+    * variance of the stratified mean estimator. S_h is the sample sd of
+    * `yCol` (an exact integer column — counts/cents), computed from
+    * DECIMAL(38,0) sums so the weights are engine-exact doubles; the
+    * fractional quotas are settled by the same largest-remainder rule
+    * (floor + remainder rank, ties by key), with both the quota and
+    * the remainder pinned to the 9-dp grid before floor/rank so no
+    * float boundary can flip an allocation between engines. Shape: one
+    * stats agg over the corpus, then the |strata| grid. Returns
+    * (key, n, sd_y_r, alloc) with Σ alloc = budget (strata with
+    * undefined sd — n < 2 — get weight 0). */
+  def neymanAlloc(df: DataFrame, keyCol: String, yCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val stats = df.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"),
+        sum(d38(col(yCol))).as("_s"),
+        sum(d38(col(yCol)) * d38(col(yCol))).as("_s2"))
+      .withColumn("_sd", when(col("n") >= 2, sqrt(
+        (col("_s2").cast("double") - col("_s").cast("double")
+          * col("_s").cast("double") / col("n").cast("double"))
+        / (col("n").cast("double") - 1.0))).otherwise(lit(0.0)))
+      .withColumn("_w", round(col("n").cast("double") * col("_sd"), 6))
+    val tot = stats.agg(sum(t12c(col("_w"))).cast("double").as("_tw"))
+    val quota = stats.crossJoin(broadcast(tot))
+      .withColumn("_q", round(lit(budget.toDouble) * col("_w")
+        / col("_tw"), 9))
+      .withColumn("_base", floor(col("_q")).cast("long"))
+      .withColumn("_rem", round(col("_q") - col("_base"), 9))
+    val spent = quota.agg(sum(col("_base")).as("_spent"))
+    val wR = Window.orderBy(col("_rem").desc, col(keyCol))
+    quota.crossJoin(broadcast(spent))
+      .withColumn("_rk", row_number().over(wR))
+      .select(col(keyCol), col("n"), round(col("_sd"), 6).as("sd_y_r"),
+        (col("_base") + when(col("_rk") <= lit(budget) - col("_spent"),
+          1L).otherwise(0L)).as("alloc"))
+  }
+
+  private def t12c(c: Column) = round(c, 12).cast("decimal(28,12)")
+
   /** Budget-constrained quality selection: per key, keep the
     * highest-`scoreCol` rows while their cumulative `tokenCol` stays
     * within `budget` — "spend each source's token allocation on its

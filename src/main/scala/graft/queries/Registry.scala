@@ -27,7 +27,8 @@ object Registry {
       FabricQueries.all ++ ShiftQueries.all ++ SpectralQueries.all ++
       RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all ++
       LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all ++
-      TimerQueries.all ++ LexiconQueries.all
+      TimerQueries.all ++ LexiconQueries.all ++
+      EstimatorQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -58,8 +58,11 @@ class WindowGrainSpec extends AnyFunSuite {
       "contracts (day spine / key grid — Sn is pairwise by definition)"),
     "ops/Nonparam.scala" -> (2, "lag/rank scans on the " +
       "calendar-bounded day grain"),
-    "ops/Curation.scala" -> (2, "quota/water-fill level search over " +
-      "the |keys| table (corpus already reduced by one hash-agg)"),
+    "ops/Curation.scala" -> (3, "quota/water-fill level search over " +
+      "the |keys| table (corpus already reduced by one hash-agg); " +
+      "Neyman remainder rank over the |strata| grid"),
+    "ops/Robust.scala" -> (1, "Cox risk-set suffix sums on the " +
+      "bounded event-time grain (the KM/q387 idiom)"),
     "queries/ExtremeQueries.scala" -> (2, "record-days prefix scans on " +
       "the day grain"),
     "queries/GraphDepthQueries.scala" -> (1, "cumulative over the " +

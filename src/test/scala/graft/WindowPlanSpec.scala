@@ -164,6 +164,8 @@ object WindowPlanSpec {
       "q406_lorenz_deciles" -> (2, "10-row decile grid"),
       "q407_holm_stepdown" -> (3, hypotheses),
       "q411_rbo_rankings" -> (2, postLimit + " (both BM25 lists)"),
-      "q412_err_bm25" -> (2, postLimit + " (rank + ERR cascade prefix)"))
+      "q412_err_bm25" -> (2, postLimit + " (rank + ERR cascade prefix)"),
+      "q417_neyman_alloc" -> (1, "largest-remainder rank over the " +
+        "|strata| grid"))
   }
 }
