@@ -791,6 +791,185 @@ object Similarity {
       col("max_nk"), col("n_hubs"), col("n_antihubs"))
   }
 
+  /** kNN-graph reciprocity: the fraction of directed kNN edges (a→b)
+    * whose reverse (b→a) is also a kNN edge. Low reciprocity is the
+    * edge-level face of hubness ([[hubnessAudit]]): hubs are listed by
+    * everyone but list only their own neighborhood back. Takes the
+    * PRE-COMPUTED neighbor frame (q_id, neighbor_id) so it composes
+    * with [[cosineTopK]] at audit scale and [[ivfTopK]] at production
+    * scale; the work is one self-equi-join on the n·k edge frame —
+    * never the corpus. Returns one row:
+    * (n_edges, n_mutual, reciprocity_r). */
+  def knnReciprocity(neighbors: DataFrame): DataFrame = {
+    val e = neighbors.select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint() // 2 consumers (count + both join sides)
+    val mutual = e.join(
+      e.select(col("neighbor_id").as("q_id"), col("q_id").as("neighbor_id")),
+      Seq("q_id", "neighbor_id"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .select(col("n_edges"), col("n_mutual"),
+        round(col("n_mutual").cast("double")
+          / col("n_edges").cast("double"), 6).as("reciprocity_r"))
+  }
+
+  /** Local intrinsic dimensionality (Levina–Bickel / Amsaleg MLE) from
+    * each query's kNN distances: LID(x) = −k / Σ_{i≤k} ln(d_i / d_k),
+    * summarized over the corpus — the "how many effective dimensions
+    * does the neighborhood have" number that predicts ANN index
+    * behavior better than the ambient d. Takes the (q_id, rn, sim_r)
+    * frame of [[cosineTopK]]; distances are d = 1 − sim clamped to
+    * ≥ 1e-12 (exact-duplicate neighbors would otherwise feed ln(0) —
+    * the adExponentiality clamp discipline, mirrored in the oracle).
+    * Per-query terms are 12-dp-gridded; queries whose neighborhood has
+    * zero spread (Σ ln(d/d_k) = 0) have no MLE and are excluded,
+    * counted in n_degenerate. Everything after the kNN frame is one
+    * hash-agg on n·k rows. Returns one row:
+    * (n_queries, n_degenerate, mean_lid_r, min_lid_r, max_lid_r). */
+  def lidMle(knn: DataFrame): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val d = knn.select(col("q_id"),
+      greatest(lit(1.0) - col("sim_r"), lit(1e-12)).as("_d"))
+    val per = d.groupBy(col("q_id")).agg(
+        count(lit(1)).cast("double").as("_kq"),
+        max(col("_d")).as("_dk"),
+        sum(t12(log(col("_d")))).cast("double").as("_sl"))
+      .withColumn("_den",
+        col("_sl") - col("_kq") * round(log(col("_dk")), 12))
+      .withColumn("_lid",
+        when(col("_den") < 0, -col("_kq") / col("_den")))
+    per.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_lid").isNull, 1L).otherwise(0L))
+          .as("n_degenerate"),
+        sum(t12(col("_lid"))).cast("double").as("_s"),
+        sum(when(col("_lid").isNotNull, 1L).otherwise(0L)).as("_nd"),
+        min(round(col("_lid"), 6)).as("min_lid_r"),
+        max(round(col("_lid"), 6)).as("max_lid_r"))
+      .select(col("n_queries"), col("n_degenerate"),
+        round(col("_s") / col("_nd").cast("double"), 6).as("mean_lid_r"),
+        col("min_lid_r"), col("max_lid_r"))
+  }
+
+  /** TOP-TWO eigenpairs of the second-moment matrix by power iteration
+    * WITH DEFLATION — [[topEigen]] extended one axis: after (λ₁, v₁)
+    * converges, the rank-one deflation M′ = M − λ₁·v₁v₁ᵀ runs the same
+    * iteration for (λ₂, v₂). The d²-row matrix is built ONCE (the one
+    * data-sized pass); deflation and every iteration are d²/d-row
+    * broadcast joins. Same 12-dp-grid trajectory discipline as
+    * [[topEigen]] (the deflated entries are raw doubles computed with
+    * the identical left-associated expression in both engines — their
+    * downstream products re-enter the decimal grid). Returns d rows:
+    * (j, loading1_r, loading2_r, lambda1_r, lambda2_r, dot12_r) —
+    * dot12_r ≈ 0 is the built-in orthogonality audit. */
+  def topTwoEigen(collection: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1)
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val m = secondMomentMatrix(collection).localCheckpoint()
+    def power(mat: DataFrame): (DataFrame, DataFrame) = {
+      val dims = mat.select(col("j")).distinct()
+      val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
+      var v = dims.crossJoin(broadcast(dCnt))
+        .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
+        .localCheckpoint()
+      def mv(vec: DataFrame): DataFrame = mat
+        .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
+        .groupBy(col("j"))
+        .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
+      for (_ <- 1 to iters) {
+        val u = mv(v)
+        val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
+          .cast("double")).as("_n"))
+        v = u.crossJoin(broadcast(nrm))
+          .select(col("j"), (col("_u") / col("_n")).as("_v"))
+          .localCheckpoint()
+      }
+      val lam = mv(v).join(v, Seq("j"))
+        .agg(sum(t12(col("_v") * col("_u"))).cast("double").as("_lam"))
+        .localCheckpoint()
+      (v, lam)
+    }
+    val (v1, lam1) = power(m)
+    val defl = m
+      .join(broadcast(v1.select(col("j"), col("_v").as("_vj"))), Seq("j"))
+      .join(broadcast(v1.select(col("j").as("k"), col("_v").as("_vk"))),
+        Seq("k"))
+      .crossJoin(broadcast(lam1))
+      .select(col("j"), col("k"),
+        (col("_m") - col("_lam") * col("_vj") * col("_vk")).as("_m"))
+      .localCheckpoint()
+    val (v2, lam2) = power(defl)
+    val dot = v1.select(col("j"), col("_v").as("_v1"))
+      .join(v2.select(col("j"), col("_v").as("_v2")), Seq("j"))
+      .agg(sum(t12(col("_v1") * col("_v2"))).cast("double").as("_dot"))
+    v1.select(col("j"), col("_v").as("_v1"))
+      .join(v2.select(col("j"), col("_v").as("_v2")), Seq("j"))
+      .crossJoin(broadcast(lam1))
+      .crossJoin(broadcast(lam2.select(col("_lam").as("_lam2"))))
+      .crossJoin(broadcast(dot))
+      .select(col("j"), round(col("_v1"), 6).as("loading1_r"),
+        round(col("_v2"), 6).as("loading2_r"),
+        round(col("_lam"), 6).as("lambda1_r"),
+        round(col("_lam2"), 6).as("lambda2_r"),
+        round(col("_dot"), 6).as("dot12_r"))
+  }
+
+  /** Anisotropy-direction audit: the distribution of cos(x, v₁) over
+    * the corpus, v₁ = [[topEigen]]'s principal axis — embeddings from
+    * undertrained/collapsed encoders form a CONE around one direction
+    * (Ethayarajh 2019), and retrieval degrades because every pair looks
+    * similar. One d²-pass + power iteration for v₁ (bounded), then ONE
+    * corpus pass for the per-vector cosines (posexplode + broadcast
+    * d-row join — codegen, no HOF lambda). Returns one row:
+    * (n, mean_cos_r, mean_abs_cos_r, frac_abs_gt_r at `threshold`). */
+  def anisotropyDirection(collection: DataFrame, iters: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val m = secondMomentMatrix(collection).localCheckpoint()
+    val dims = m.select(col("j")).distinct()
+    val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
+    var v = dims.crossJoin(broadcast(dCnt))
+      .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
+      .localCheckpoint()
+    def mv(vec: DataFrame): DataFrame = m
+      .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
+      .groupBy(col("j"))
+      .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
+    for (_ <- 1 to iters) {
+      val u = mv(v)
+      val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
+        .cast("double")).as("_n"))
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("j"), (col("_u") / col("_n")).as("_v"))
+        .localCheckpoint()
+    }
+    val ex = collection
+      .repartition(collection.sparkSession.sessionState.conf
+        .numShufflePartitions)
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("j", "_x")))
+      .select(col("vec_id"), col("j"), col("_x").cast("double").as("_x"))
+    val per = ex.join(broadcast(v), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(sum(t12(col("_x") * col("_v"))).cast("double").as("_dot"),
+        sqrt(sum(t12(col("_x") * col("_x"))).cast("double")).as("_nrm"))
+      .select(round(col("_dot") / nullif(col("_nrm"), lit(0.0)), 12)
+        .as("_cos"))
+    per.agg(count(lit(1)).as("n"),
+        sum(t12(col("_cos"))).cast("double").as("_s"),
+        sum(t12(abs(col("_cos")))).cast("double").as("_sa"),
+        sum(when(abs(col("_cos")) > threshold, 1L).otherwise(0L))
+          .as("_ngt"))
+      .select(col("n"),
+        round(col("_s") / col("n").cast("double"), 6).as("mean_cos_r"),
+        round(col("_sa") / col("n").cast("double"), 6)
+          .as("mean_abs_cos_r"),
+        round(col("_ngt").cast("double") / col("n").cast("double"), 6)
+          .as("frac_abs_gt_r"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the k most-similar vectors with a DIFFERENT label — the
     * negatives a contrastive loss learns most from (easy negatives are

@@ -454,4 +454,60 @@ class SimilaritySpec extends SparkTestBase {
     // margins here are all positive (clusters are separated)
     assert(got.forall(_.getAs[Double]("margin_r") > 0))
   }
+
+  test("knnReciprocity: hand graph — mutual pairs counted once per " +
+      "direction") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L))
+      .toDF("q_id", "neighbor_id")
+    val r = Similarity.knnReciprocity(edges).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("n_mutual") == 2L)
+    assert(math.abs(r.getAs[Double]("reciprocity_r") - 2.0 / 3) < 1e-6)
+  }
+
+  test("lidMle: hand distances match the closed-form MLE; zero-spread " +
+      "neighborhoods count as degenerate") {
+    import spark.implicits._
+    // q1: d = (0.1, 0.2) -> LID = -2/ln(0.5) = 2.885390
+    // q2: d = (0.3, 0.3) -> zero spread, no MLE
+    val knn = Seq((1L, 1, 0.9), (1L, 2, 0.8), (2L, 1, 0.7), (2L, 2, 0.7))
+      .toDF("q_id", "rn", "sim_r")
+    val r = Similarity.lidMle(knn).collect()(0)
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("n_degenerate") == 1L)
+    assert(math.abs(r.getAs[Double]("mean_lid_r")
+      - (-2.0 / math.log(0.5))) < 1e-4, r.toString)
+  }
+
+  test("topTwoEigen: axis-aligned corpus recovers both axes, " +
+      "orthogonal, with the exact eigenvalues") {
+    import spark.implicits._
+    val e = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.topTwoEigen(e, iters = 8).orderBy("j")
+      .collect()
+    // M = [[8,0],[0,1]] -> v1 = e0 (lam 8), v2 = e1 (lam 1)
+    assert(math.abs(math.abs(got(0).getAs[Double]("loading1_r")) - 1.0)
+      < 1e-4, got.mkString(";"))
+    assert(math.abs(got(1).getAs[Double]("loading1_r")) < 1e-3)
+    assert(math.abs(math.abs(got(1).getAs[Double]("loading2_r")) - 1.0)
+      < 1e-4)
+    assert(math.abs(got(0).getAs[Double]("lambda1_r") - 8.0) < 1e-3)
+    assert(math.abs(got(0).getAs[Double]("lambda2_r") - 1.0) < 1e-3)
+    assert(math.abs(got(0).getAs[Double]("dot12_r")) < 1e-3)
+  }
+
+  test("anisotropyDirection: a one-direction corpus reads cos = 1 " +
+      "everywhere") {
+    import spark.implicits._
+    val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.anisotropyDirection(e, iters = 4, 0.5)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(math.abs(r.getAs[Double]("mean_cos_r")) - 1.0)
+      < 1e-6, r.toString)
+    assert(r.getAs[Double]("frac_abs_gt_r") == 1.0)
+  }
 }
