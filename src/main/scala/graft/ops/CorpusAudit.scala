@@ -282,4 +282,103 @@ object CorpusAudit {
       round((chap - col("n_true").cast("double"))
         / col("n_true").cast("double"), 6).as("rel_err_r"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for
+    * each quasi-identifier group, the TOTAL VARIATION distance between
+    * its sensitive-attribute distribution and the global one —
+    * TV = ½ Σ_s |p_g(s) − p(s)|. The release gate one step past q163's
+    * k-anonymity/l-diversity: a group can be large and diverse yet
+    * still LEAK because its sensitive mix differs sharply from the
+    * population. Shape: two hash-aggs to the (group × sensitive) grid,
+    * then all math on grids — the group grid crossed with the
+    * |sensitive| vocabulary (bounded²) so absent combinations
+    * contribute their full |0 − p(s)| mass. Returns per group:
+    * (qi..., n, tv_r, breached at `threshold`). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      threshold: Double): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val qi = qiCols.map(col)
+    val gs = df.groupBy(qi :+ col(sensCol): _*)
+      .agg(count(lit(1)).as("_ngs"))
+    val g = gs.groupBy(qi: _*).agg(sum(col("_ngs")).as("n"))
+    val sTot = df.groupBy(col(sensCol)).agg(count(lit(1)).as("_ns"))
+    val nTot = df.agg(count(lit(1)).as("_nt"))
+    g.crossJoin(broadcast(sTot.crossJoin(nTot)))
+      .join(gs, qiCols :+ sensCol, "left")
+      .withColumn("_pgs", coalesce(col("_ngs"), lit(0L)).cast("double")
+        / col("n").cast("double"))
+      .withColumn("_ps", col("_ns").cast("double")
+        / col("_nt").cast("double"))
+      .groupBy(qi :+ col("n"): _*)
+      .agg((sum(t12(abs(col("_pgs") - col("_ps")))).cast("double")
+        / 2.0).as("_tv"))
+      .select(qi ++ Seq(col("n"), round(col("_tv"), 6).as("tv_r"),
+        (round(col("_tv"), 6) > threshold).as("breached")): _*)
+  }
+
+  /** Equalized-odds audit (Hardt, Price & Srebro, NeurIPS 2016): per
+    * group, the true-positive and false-positive rates of a binary
+    * predictor against a binary ground truth, plus the corpus-wide
+    * MAX GAPS — the two numbers equalized odds requires to be ~0
+    * across groups. Groups with no positives (or no negatives) carry
+    * NULL for the undefined rate and are excluded from that gap.
+    * Shape: one hash-agg to the group grid; gaps re-enter by broadcast.
+    * Returns per group: (group, n, n_pos, tpr_r, fpr_r,
+    * tpr_gap_r, fpr_gap_r — the gaps repeated on every row). */
+  def equalizedOdds(df: DataFrame, groupCol: String, pred: Column,
+      truth: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(when(truth, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(truth && pred, 1L).otherwise(0L)).as("_tp"),
+        sum(when(!truth && pred, 1L).otherwise(0L)).as("_fp"))
+      .withColumn("tpr_r", round(when(col("n_pos") > 0,
+        col("_tp").cast("double") / col("n_pos").cast("double")), 6))
+      .withColumn("fpr_r", round(when(col("n") > col("n_pos"),
+        col("_fp").cast("double")
+          / (col("n") - col("n_pos")).cast("double")), 6))
+    val gaps = g.agg(
+      (max(col("tpr_r")) - min(col("tpr_r"))).as("_tg"),
+      (max(col("fpr_r")) - min(col("fpr_r"))).as("_fg"))
+    g.crossJoin(broadcast(gaps))
+      .select(col(groupCol), col("n"), col("n_pos"), col("tpr_r"),
+        col("fpr_r"), round(col("_tg"), 6).as("tpr_gap_r"),
+        round(col("_fg"), 6).as("fpr_gap_r"))
+  }
+
+  /** Randomized-response debiasing audit (Warner 1965, the local-DP
+    * primitive): each row reports its sensitive bit TRUTHFULLY with
+    * probability `p` and a fair md5 coin otherwise (both coins
+    * md5-derived from the id — deterministic, so the oracle replays
+    * them); the estimator π̂ = (observed − (1−p)/2) / p unbiases the
+    * reported rate. The audit compares π̂ to the true rate the
+    * mechanism hides — the "does our local-DP telemetry pipeline
+    * actually reconstruct the population rate" check. One scan, one
+    * row out: (n, true_rate_r, observed_rate_r, estimated_r,
+    * abs_err_r). `p` enters ×100 against a mod-100 hash bucket, so
+    * keep it a two-decimal probability. */
+  def randomizedResponse(df: DataFrame, idCol: String, truth: Column,
+      p: Double): DataFrame = {
+    require(p > 0 && p < 1 && (p * 100) == math.floor(p * 100))
+    val keep = TextOps.hash60(concat(col(idCol).cast("string"),
+      lit(":rr-keep"))) % 100 < lit((p * 100).toLong)
+    val coin = TextOps.hash60(concat(col(idCol).cast("string"),
+      lit(":rr-coin"))) % 2 === 0
+    df.select(truth.as("_t"),
+        when(keep, truth).otherwise(coin).as("_rep"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_rep"), 1L).otherwise(0L)).as("_nr"))
+      .select(col("n"),
+        round(col("_nt").cast("double") / col("n").cast("double"), 6)
+          .as("true_rate_r"),
+        round(col("_nr").cast("double") / col("n").cast("double"), 6)
+          .as("observed_rate_r"),
+        round((col("_nr").cast("double") / col("n").cast("double")
+          - lit((1.0 - p) / 2)) / lit(p), 6).as("estimated_r"),
+        round(abs((col("_nr").cast("double") / col("n").cast("double")
+          - lit((1.0 - p) / 2)) / lit(p)
+          - col("_nt").cast("double") / col("n").cast("double")), 6)
+          .as("abs_err_r"))
+  }
 }

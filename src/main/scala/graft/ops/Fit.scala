@@ -267,4 +267,41 @@ object Fit {
       round(when(ok, (lit(1.0) - ratio) / 2), 6).as("xi_r"),
       round(when(ok, m * (lit(1.0) + ratio) / 2), 6).as("beta_r"))
   }
+
+  /** Pareto-smoothed-importance-sampling k̂ diagnostic (Vehtari et al.,
+    * "Pareto smoothed importance sampling", JMLR 2024): fit a GPD to
+    * the upper tail of an importance-weight distribution; the shape
+    * k̂ says whether the weights are usable (k̂ < 0.5: reliable;
+    * 0.5–0.7: shaky; > 0.7: the estimate cannot be trusted — a few
+    * weights dominate). The weights enter as an exact integer column
+    * (caller scales, e.g. micro-units); the tail is the top 1/tailDenom
+    * by weight (k = ⌈n / tailDenom⌉ in EXACT integer arithmetic — a
+    * float tail fraction would put the cutoff on a double boundary),
+    * selected by a BANDED rank (never a global sort task), threshold
+    * u = the k-th largest weight, GPD fit = the [[gpdExceedances]]
+    * method-of-moments on the strict exceedances. Returns one row:
+    * (n_weights, u, n_exceed, xi_r and the mean/beta of the fit) —
+    * xi_r IS k̂. */
+  def psisKhat(weights: DataFrame, wCol: String, idCol: String,
+      tailDenom: Int, bandWidth: Double): DataFrame = {
+    require(tailDenom >= 2)
+    val w = weights.select(col(idCol).as("_id"),
+      col(wCol).cast("long").as("_w"))
+    val ranked = Ranks.bandedRank(
+      w.select(col("_id"), col("_w"), (-col("_w")).cast("double")
+        .as("_neg")).withColumn("_g0", lit(0)),
+      "_g0", "_neg", "_id", bandWidth)
+    val cnt = w.agg(count(lit(1)).as("_n"))
+      .select(col("_n"),
+        expr(s"(_n + ${tailDenom - 1}) div $tailDenom").as("_k"))
+    // bandedRank's rnk is 0-BASED: the top-k rows are rnk < k
+    val u = ranked.crossJoin(broadcast(cnt))
+      .where(col("rnk") < col("_k"))
+      .agg(min(col("_w")).as("u_cents"))
+    gpdExceedances(w.select(col("_w").as("_wc")), "_wc", u)
+      .crossJoin(broadcast(cnt.select(col("_n").as("n_weights"))))
+      .select(col("n_weights"), col("u_cents").as("u"),
+        col("n_exceed"), col("mean_r"), col("xi_r").as("khat_r"),
+        col("beta_r"))
+  }
 }

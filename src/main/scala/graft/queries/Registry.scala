@@ -28,7 +28,8 @@ object Registry {
       RobustQueries.all ++ AssuranceQueries.all ++ FrontierQueries.all ++
       LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all ++
       TimerQueries.all ++ LexiconQueries.all ++
-      EstimatorQueries.all ++ GeometryQueries.all
+      EstimatorQueries.all ++ GeometryQueries.all ++
+      FairnessQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

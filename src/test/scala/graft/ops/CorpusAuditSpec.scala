@@ -178,4 +178,62 @@ class CorpusAuditSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_true") == 50)
     assert(r2.getAs[Double]("chapman_r") == 50.0)
   }
+
+  test("tCloseness: a pure group at TV 0.5 against a 50/50 global " +
+      "breaches; a matching group reads 0") {
+    import spark.implicits._
+    val docs = Seq(("a", "s1"), ("a", "s1"), ("b", "s1"), ("b", "s2"),
+      ("b", "s2"), ("b", "s1")).toDF("g", "sens")
+    // global: s1 4/6, s2 2/6; group a: (1, 0) -> TV = (|1-2/3|+|0-1/3|)/2 = 1/3
+    // group b: (1/2, 1/2) -> TV = (|1/2-2/3|+|1/2-1/3|)/2 = 1/6
+    val got = CorpusAudit.tCloseness(docs, Seq("g"), "sens", 0.25)
+      .orderBy("g").collect()
+    assert(math.abs(got(0).getAs[Double]("tv_r") - 1.0 / 3) < 1e-6)
+    assert(got(0).getAs[Boolean]("breached"))
+    assert(math.abs(got(1).getAs[Double]("tv_r") - 1.0 / 6) < 1e-6)
+    assert(!got(1).getAs[Boolean]("breached"))
+  }
+
+  test("equalizedOdds: hand TPR/FPR per group, gaps over defined " +
+      "rates, null where a class is empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1: pos {T,F}, neg {T}: tpr 1/2, fpr 1
+    // g2: pos {T}, neg {F,F}: tpr 1, fpr 0
+    // g3: all positives -> fpr NULL
+    val df = Seq(("g1", true, true), ("g1", true, false),
+      ("g1", false, true),
+      ("g2", true, true), ("g2", false, false), ("g2", false, false),
+      ("g3", true, true)).toDF("g", "truth", "pred")
+    val got = CorpusAudit.equalizedOdds(df, "g", col("pred"),
+      col("truth")).orderBy("g").collect()
+    assert(got(0).getAs[Double]("tpr_r") == 0.5)
+    assert(got(0).getAs[Double]("fpr_r") == 1.0)
+    assert(got(1).getAs[Double]("tpr_r") == 1.0)
+    assert(got(1).getAs[Double]("fpr_r") == 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("fpr_r")))
+    assert(got(0).getAs[Double]("tpr_gap_r") == 0.5)
+    assert(got(0).getAs[Double]("fpr_gap_r") == 1.0)
+  }
+
+  test("randomizedResponse: deterministic coins; the estimator is the " +
+      "exact debias of the observed rate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, i % 4 == 0L))
+      .toDF("id", "flag")
+    val r = CorpusAudit.randomizedResponse(df, "id", col("flag"), 0.75)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("true_rate_r") == 0.25)
+    val obs = r.getAs[Double]("observed_rate_r")
+    val est = r.getAs[Double]("estimated_r")
+    assert(math.abs(est - (obs - 0.125) / 0.75) < 1e-5)
+    // the debiased estimate should land near the true rate
+    assert(math.abs(est - 0.25) < 0.15, r.toString)
+    // determinism: the same call returns the same row
+    val r2 = CorpusAudit.randomizedResponse(df, "id", col("flag"), 0.75)
+      .collect()(0)
+    assert(r2 == r)
+  }
 }

@@ -138,4 +138,22 @@ class FitSpec extends SparkTestBase {
     assert(r.getAs[Double]("xi_r") == -1.5)
     assert(r.getAs[Double]("beta_r") == 5.0)
   }
+
+  test("psisKhat: uniform weights 1..100, top-20% tail — threshold is " +
+      "the k-th largest, fit on strict exceedances, closed form") {
+    import spark.implicits._
+    val w = (1L to 100L).map(i => (i, i)).toDF("id", "w")
+    val r = Fit.psisKhat(w, "w", "id", tailDenom = 5, bandWidth = 10.0)
+      .collect()(0)
+    assert(r.getAs[Long]("n_weights") == 100L)
+    assert(r.getAs[Long]("u") == 81L) // k = 20 -> 20th largest
+    assert(r.getAs[Long]("n_exceed") == 19L) // strict > 81
+    // z = 1..19: mean 10, sample var 570/18
+    assert(r.getAs[Double]("mean_r") == 10.0)
+    val s2 = 570.0 / 18
+    assert(math.abs(r.getAs[Double]("khat_r")
+      - (1.0 - 100.0 / s2) / 2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta_r")
+      - 10.0 * (1.0 + 100.0 / s2) / 2) < 1e-6)
+  }
 }
