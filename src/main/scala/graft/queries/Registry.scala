@@ -29,7 +29,7 @@ object Registry {
       LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all ++
       TimerQueries.all ++ LexiconQueries.all ++
       EstimatorQueries.all ++ GeometryQueries.all ++
-      FairnessQueries.all
+      FairnessQueries.all ++ HorizonQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

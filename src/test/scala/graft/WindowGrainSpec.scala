@@ -63,6 +63,9 @@ class WindowGrainSpec extends AnyFunSuite {
       "Neyman remainder rank over the |strata| grid"),
     "ops/Robust.scala" -> (1, "Cox risk-set suffix sums on the " +
       "bounded event-time grain (the KM/q387 idiom)"),
+    "ops/Forecast.scala" -> (2, "Croston demand-event index/lag on " +
+      "the day grain; the 7-day centered MA on the calendar spine " +
+      "(the q327 idiom)"),
     "queries/ExtremeQueries.scala" -> (2, "record-days prefix scans on " +
       "the day grain"),
     "queries/GraphDepthQueries.scala" -> (1, "cumulative over the " +
