@@ -430,6 +430,92 @@ object Dedup {
       .orderBy(col("est16"))
   }
 
+  /** UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler
+    * 1988) — q397's weights WITHOUT the ground-truth label: over the
+    * SNM candidate pairs' comparison vectors (source/lang/length
+    * agreement), fit the two-class independent-Bernoulli mixture
+    *   P(γ) = p·Π m_j^{γ_j}(1−m_j)^{1−γ_j}
+    *        + (1−p)·Π u_j^{γ_j}(1−u_j)^{1−γ_j}
+    * with `iters` fixed EM steps from the deterministic
+    * (p₀, m₀, u₀) start. Responsibilities and the per-feature M-step
+    * rates are 12-dp-re-rounded each step (the plattScaling
+    * discipline), so both engines walk the same trajectory. All
+    * E/M work lives on the SNM pair frame (w·n pairs). Returns one row
+    * per feature: (feature, n_pairs, p_match_r, m_r, u_r, w_agree_r,
+    * w_disagree_r). */
+  def fellegiSunterEm(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, iters: Int, p0: Double = 0.05, m0: Double = 0.9,
+      u0: Double = 0.3): DataFrame = {
+    val cand = snmCandidates(docs, idCol, textCol, w)
+    val meta = docs.select(col(idCol), col("source"), col("lang"),
+      col("n_chars"))
+    val pairs = cand
+      .join(meta.select(col(idCol).as("doc_a"),
+        col("source").as("_sa"), col("lang").as("_la"),
+        col("n_chars").as("_ca")), Seq("doc_a"))
+      .join(meta.select(col(idCol).as("doc_b"),
+        col("source").as("_sb"), col("lang").as("_lb"),
+        col("n_chars").as("_cb")), Seq("doc_b"))
+      .select((col("_sa") === col("_sb")).as("f1"),
+        (col("_la") === col("_lb")).as("f2"),
+        (abs(col("_ca") - col("_cb")) <= 2).as("f3"))
+      .localCheckpoint() // the EM frame; consumed every step
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    var par = pairs.sparkSession.range(1).select(
+      lit(p0).as("_p"), lit(m0).as("_m1"), lit(m0).as("_m2"),
+      lit(m0).as("_m3"), lit(u0).as("_u1"), lit(u0).as("_u2"),
+      lit(u0).as("_u3")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      def lik(pcol: String, j: Int): Column =
+        when(col(s"f$j"), col(s"_$pcol$j"))
+          .otherwise(lit(1.0) - col(s"_$pcol$j"))
+      val pm = lik("m", 1) * lik("m", 2) * lik("m", 3)
+      val pu = lik("u", 1) * lik("u", 2) * lik("u", 3)
+      val e = pairs.crossJoin(broadcast(par))
+        .withColumn("_g", round(col("_p") * pm
+          / (col("_p") * pm + (lit(1.0) - col("_p")) * pu), 12))
+      val m = e.agg(count(lit(1)).cast("double").as("_n"),
+        sum(t12(col("_g"))).cast("double").as("_sg"),
+        sum(t12(col("_g") * when(col("f1"), 1.0).otherwise(0.0)))
+          .cast("double").as("_g1"),
+        sum(t12(col("_g") * when(col("f2"), 1.0).otherwise(0.0)))
+          .cast("double").as("_g2"),
+        sum(t12(col("_g") * when(col("f3"), 1.0).otherwise(0.0)))
+          .cast("double").as("_g3"),
+        sum(t12((lit(1.0) - col("_g"))
+          * when(col("f1"), 1.0).otherwise(0.0))).cast("double")
+          .as("_h1"),
+        sum(t12((lit(1.0) - col("_g"))
+          * when(col("f2"), 1.0).otherwise(0.0))).cast("double")
+          .as("_h2"),
+        sum(t12((lit(1.0) - col("_g"))
+          * when(col("f3"), 1.0).otherwise(0.0))).cast("double")
+          .as("_h3"))
+      par = m.select(round(col("_sg") / col("_n"), 12).as("_p"),
+        round(col("_g1") / col("_sg"), 12).as("_m1"),
+        round(col("_g2") / col("_sg"), 12).as("_m2"),
+        round(col("_g3") / col("_sg"), 12).as("_m3"),
+        round(col("_h1") / (col("_n") - col("_sg")), 12).as("_u1"),
+        round(col("_h2") / (col("_n") - col("_sg")), 12).as("_u2"),
+        round(col("_h3") / (col("_n") - col("_sg")), 12).as("_u3"))
+        .localCheckpoint()
+    }
+    val n = pairs.agg(count(lit(1)).as("n_pairs"))
+    val feats = Seq(("f_source", "_m1", "_u1"), ("f_lang", "_m2", "_u2"),
+      ("f_len", "_m3", "_u3")).map { case (f, mc, uc) =>
+      n.crossJoin(broadcast(par))
+        .select(lit(f).as("feature"), col("n_pairs"),
+          round(col("_p"), 6).as("p_match_r"),
+          round(col(mc), 6).as("m_r"), round(col(uc), 6).as("u_r"),
+          round(when(col(mc) > 0 && col(uc) > 0,
+            log(col(mc) / col(uc))), 6).as("w_agree_r"),
+          round(when(col(mc) < 1 && col(uc) < 1,
+            log((lit(1.0) - col(mc)) / (lit(1.0) - col(uc)))), 6)
+            .as("w_disagree_r"))
+    }
+    feats.reduce(_ unionByName _).orderBy("feature")
+  }
+
   /** Blocking-quality audit (entity-resolution methodology, Christen
     * 2012): how good is a blocking scheme BEFORE the expensive verify?
     *  - reduction ratio  RR = 1 − |candidates| / C(N,2) — how much of

@@ -268,6 +268,52 @@ object Fit {
       round(when(ok, m * (lit(1.0) + ratio) / 2), 6).as("beta_r"))
   }
 
+  /** Threshold sweep of binary-classifier quality: per threshold t,
+    * the confusion counts of pred = (score > t) against the label and
+    * the derived precision / recall / F1 / Matthews correlation. MCC's
+    * four-way product rides DECIMAL(38,0) (exact past 2³¹-row
+    * corpora); undefined cells (empty class or zero denominator)
+    * carry NULL. One corpus pass fanned by the broadcast |thresholds|
+    * grid, one hash-agg. Returns one row per threshold. */
+  def mccF1Sweep(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(score.as("_s"),
+      when(label, 1L).otherwise(0L).as("_y"))
+    val grid = df.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit(_)): _*))
+        .as("threshold"))
+    val g = base.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("_y") === 1 && col("_s") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("_y") === 0 && col("_s") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_y") === 1 && !(col("_s") > col("threshold")), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("_y") === 0 && !(col("_s") > col("threshold")), 1L)
+          .otherwise(0L)).as("tn"))
+    val prec = (col("tp").cast("double")
+      / nullif((col("tp") + col("fp")).cast("double"), lit(0.0)))
+    val rec = (col("tp").cast("double")
+      / nullif((col("tp") + col("fn")).cast("double"), lit(0.0)))
+    val mccDen = sqrt((d38(col("tp") + col("fp"))
+      * (col("tp") + col("fn")) * (col("tn") + col("fp"))
+      * (col("tn") + col("fn"))).cast("double"))
+    val mccNum = (d38(col("tp")) * col("tn")
+      - d38(col("fp")) * col("fn")).cast("double")
+    g.select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        round(prec, 6).as("precision_r"),
+        round(rec, 6).as("recall_r"),
+        round(lit(2.0) * prec * rec
+          / nullif(prec + rec, lit(0.0)), 6).as("f1_r"),
+        round(mccNum / nullif(mccDen, lit(0.0)), 6).as("mcc_r"))
+      .orderBy(col("threshold"))
+  }
+
   /** Pareto-smoothed-importance-sampling k̂ diagnostic (Vehtari et al.,
     * "Pareto smoothed importance sampling", JMLR 2024): fit a GPD to
     * the upper tail of an importance-weight distribution; the shape

@@ -258,6 +258,56 @@ object Retrieval {
       .select(col("rnk"), col(idCol), col("n_terms_hit"), col("bm25"))
   }
 
+  /** Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    * Lafferty, SIGIR 2001) — the language-model ranker next to BM25:
+    *   score(d) = Σ_q ln((tf_{q,d} + μ·p_c(q)) / (dl_d + μ)),
+    * p_c(q) = corpus frequency / corpus tokens. Decomposed so only
+    * HIT (doc, term) cells join: the zero-tf base Σ_q ln(μ·p_q/(dl+μ))
+    * is a |terms|-grid broadcast against the per-doc dl frame, and
+    * each hit adds ln((tf + μp_q)/(dl+μ)) − ln(μp_q/(dl+μ)). Restricted
+    * to docs with ≥1 hit (the standard candidate set — a no-hit doc
+    * ranks below every hit doc at these μ, documented). Log terms ride
+    * the 12-dp grid. Returns top-k (rnk, id, n_terms_hit, ql_r). */
+  def lmDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double): DataFrame = {
+    require(queryTerms.nonEmpty && mu > 0)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(TextOps.normalize(col(textCol))))
+        .as("term"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val cTot = tok.agg(count(lit(1)).as("_ct"))
+    val cf = tok.where(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("_cf"))
+      .crossJoin(broadcast(cTot))
+      .select(col("term"),
+        (lit(mu) * col("_cf").cast("double")
+          / col("_ct").cast("double")).as("_mp"))
+    val base = dl.crossJoin(broadcast(cf))
+      .withColumn("_bt", round(log(col("_mp")
+        / (col("dl").cast("double") + mu)), 12))
+      .groupBy(col(idCol), col("dl"))
+      .agg(sum(t12(col("_bt"))).cast("double").as("_base"))
+    val tf = tok.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val corr = tf.join(dl, Seq(idCol)).join(broadcast(cf), Seq("term"))
+      .withColumn("_c", round(log((col("tf").cast("double")
+          + col("_mp")) / (col("dl").cast("double") + mu)), 12)
+        - round(log(col("_mp")
+          / (col("dl").cast("double") + mu)), 12))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(t12(col("_c"))).cast("double").as("_corr"))
+    corr.join(base, Seq(idCol))
+      .select(col(idCol), col("n_terms_hit"),
+        round(col("_base") + col("_corr"), 6).as("ql_r"))
+      .orderBy(col("ql_r").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("ql_r").desc, col(idCol).asc)))
+      .select(col("rnk"), col(idCol), col("n_terms_hit"), col("ql_r"))
+  }
+
   /** Rank-Biased Overlap at depth k with extrapolation (Webber, Moffat
     * & Zobel, TOIS 2010): the top-weighted similarity of two rankings,
     *   RBO_ext = (1−p)/p · Σ_{d=1..k} (X_d/d)·p^d + (X_k/k)·p^k,

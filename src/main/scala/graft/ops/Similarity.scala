@@ -970,6 +970,51 @@ object Similarity {
           .as("frac_abs_gt_r"))
   }
 
+  /** k-center coreset by GREEDY FARTHEST-POINT traversal (Gonzalez
+    * 1985, the 2-approximation): start from the smallest vec_id, then
+    * k−1 times add the point farthest (cosine distance) from its
+    * nearest chosen center — the diversity-maximizing data-selection
+    * pass ("cover the embedding space with k exemplars") a curation
+    * pipeline runs before labeling budgets. Each round is ONE corpus
+    * pass (broadcast new center → least() running min-distance →
+    * argmax via TakeOrderedAndProject), min-distances
+    * localCheckpointed per round; k is small and fixed. Distances are
+    * 9-dp-pinned (the cosineTopK grid); argmax ties break on vec_id.
+    * Returns k rows: (step, center_id, radius_r — the covering radius
+    * max-min-distance AFTER adding that center). */
+  def kCenterCoreset(collection: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val first = collection.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def distTo(center: DataFrame) = collection
+      .crossJoin(broadcast(center.select(col("embedding").as("_cemb"))))
+      .select(col("vec_id"), col("embedding"),
+        coalesce(round(lit(1.0) - cosine_sim(col("embedding"),
+          col("_cemb")), 9), lit(1.0)).as("_d"))
+    var md = distTo(first).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    out += first.crossJoin(broadcast(
+        md.agg(max(col("_d")).as("_r"))))
+      .select(lit(1).as("step"), col("vec_id").as("center_id"),
+        round(col("_r"), 9).as("radius_r")).localCheckpoint()
+    for (i <- 2 to k) {
+      val next = md.orderBy(col("_d").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val nd = distTo(next)
+        .select(col("vec_id"), col("embedding"), col("_d").as("_dn"))
+      md = md.drop("embedding")
+        .join(nd, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          least(col("_d"), col("_dn")).as("_d"))
+        .localCheckpoint()
+      out += next.crossJoin(broadcast(
+          md.agg(max(col("_d")).as("_r"))))
+        .select(lit(i).as("step"), col("vec_id").as("center_id"),
+          round(col("_r"), 9).as("radius_r")).localCheckpoint()
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the k most-similar vectors with a DIFFERENT label — the
     * negatives a contrastive loss learns most from (easy negatives are

@@ -29,7 +29,8 @@ object Registry {
       LinkageQueries.all ++ IndexQueries.all ++ CurveQueries.all ++
       TimerQueries.all ++ LexiconQueries.all ++
       EstimatorQueries.all ++ GeometryQueries.all ++
-      FairnessQueries.all ++ HorizonQueries.all
+      FairnessQueries.all ++ HorizonQueries.all ++
+      ClassifyQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -75,10 +75,10 @@ class WindowGrainSpec extends AnyFunSuite {
       "decile grid"),
     "ops/Sketches.scala" -> (1, "median-of-trials over the fixed " +
       "|trials| repetition frame"),
-    "ops/Retrieval.scala" -> (3, "position index over the ≤k reranked " +
+    "ops/Retrieval.scala" -> (4, "position index over the ≤k reranked " +
       "hit list; PRF final rank over the ≤k second-pass result " +
       "(post-limit); ERR cascade prefix over the ≤k ranked list " +
-      "(post-limit)"),
+      "(post-limit); Dirichlet-LM rank over the ≤k post-limit frame"),
     "queries/LexiconQueries.scala" -> (1, "rank index over the ≤k " +
       "BM25 post-limit frame (the q394 idiom, one shared helper)"),
     "ops/Quantize.scala" -> (1, "codeword rank within one centroid's " +
