@@ -298,6 +298,23 @@ object Infer {
     * single-task pass over a tiny table; `idCol` breaks p ties for a
     * total order. Adds: `bh_rank`, `bh_thresh_r` (k·α/m, 6 dp),
     * `discovery` (boolean; all-false when no rank passes). */
+  /** Storey's π₀ estimate (Storey 2002): the fraction of TRUE NULLS
+    * among m hypotheses, π̂₀ = min(1, #{p > λ} / ((1−λ)·m)) — the
+    * number that turns BH-FDR (q232) into the less-conservative
+    * adaptive procedure. One agg over the |hypotheses| frame. Returns
+    * one row: (m, n_above_lambda, pi0_r). */
+  def storeyPi0(hyp: DataFrame, pCol: String,
+      lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1)
+    hyp.agg(count(lit(1)).as("m"),
+        sum(when(col(pCol) > lambda, 1L).otherwise(0L))
+          .as("n_above_lambda"))
+      .select(col("m"), col("n_above_lambda"),
+        round(least(lit(1.0), col("n_above_lambda").cast("double")
+          / (lit(1.0 - lambda) * col("m").cast("double"))), 6)
+          .as("pi0_r"))
+  }
+
   def bhFdr(hyp: DataFrame, pCol: String, idCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")

@@ -30,7 +30,7 @@ object Registry {
       TimerQueries.all ++ LexiconQueries.all ++
       EstimatorQueries.all ++ GeometryQueries.all ++
       FairnessQueries.all ++ HorizonQueries.all ++
-      ClassifyQueries.all
+      ClassifyQueries.all ++ ConvergeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

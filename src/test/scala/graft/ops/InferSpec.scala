@@ -492,4 +492,17 @@ class InferSpec extends SparkTestBase {
     val got2 = Infer.holmStepDown(all, "p", "id", 0.05).collect()
     assert(got2.forall(_.getAs[Boolean]("discovery")))
   }
+
+  test("storeyPi0: closed form and the min(1, .) clip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Seq(0.01, 0.2, 0.6, 0.9).toDF("p")
+    val r = Infer.storeyPi0(p, "p", 0.5).collect()(0)
+    assert(r.getAs[Long]("m") == 4L)
+    assert(r.getAs[Long]("n_above_lambda") == 2L)
+    assert(r.getAs[Double]("pi0_r") == 1.0) // 2/(0.5*4) = 1 exactly
+    val r2 = Infer.storeyPi0(Seq(0.01, 0.02, 0.6, 0.9).toDF("p")
+      .select(col("p")), "p", 0.75).collect()(0)
+    assert(math.abs(r2.getAs[Double]("pi0_r") - 1.0) < 1e-9) // clip
+  }
 }
