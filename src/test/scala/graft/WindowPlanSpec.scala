@@ -166,6 +166,8 @@ object WindowPlanSpec {
       "q411_rbo_rankings" -> (2, postLimit + " (both BM25 lists)"),
       "q412_err_bm25" -> (2, postLimit + " (rank + ERR cascade prefix)"),
       "q417_neyman_alloc" -> (1, "largest-remainder rank over the " +
-        "|strata| grid"))
+        "|strata| grid"),
+      "q424_psis_khat" -> (1, bandLevel1 + " (the PSIS tail rank)"),
+      "q433_lm_dirichlet" -> (1, postLimit))
   }
 }
