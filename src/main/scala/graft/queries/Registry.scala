@@ -30,7 +30,8 @@ object Registry {
       TimerQueries.all ++ LexiconQueries.all ++
       EstimatorQueries.all ++ GeometryQueries.all ++
       FairnessQueries.all ++ HorizonQueries.all ++
-      ClassifyQueries.all ++ ConvergeQueries.all
+      ClassifyQueries.all ++ ConvergeQueries.all ++
+      InfluenceQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
