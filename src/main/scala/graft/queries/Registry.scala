@@ -31,7 +31,7 @@ object Registry {
       EstimatorQueries.all ++ GeometryQueries.all ++
       FairnessQueries.all ++ HorizonQueries.all ++
       ClassifyQueries.all ++ ConvergeQueries.all ++
-      InfluenceQueries.all
+      InfluenceQueries.all ++ AgreementQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -96,7 +96,10 @@ class WindowGrainSpec extends AnyFunSuite {
     "ops/Similarity.scala" -> (1, "Mahalanobis outlier rank over the " +
       "≤topK result (post-limit, the hbos idiom)"),
     "ops/CorpusAudit.scala" -> (1, "cumulative over the |shards| " +
-      "grid"))
+      "grid"),
+    "queries/AgreementQueries.scala" -> (3, "three judge ranks over " +
+      "the ≤25-nation grid (corpus already reduced by the " +
+      "orders⋈customer⋈nation group-by)"))
 
   private def scan(): Map[String, Int] = {
     val root = Paths.get("src/main/scala/graft")

@@ -168,6 +168,8 @@ object WindowPlanSpec {
       "q417_neyman_alloc" -> (1, "largest-remainder rank over the " +
         "|strata| grid"),
       "q424_psis_khat" -> (1, bandLevel1 + " (the PSIS tail rank)"),
-      "q433_lm_dirichlet" -> (1, postLimit))
+      "q433_lm_dirichlet" -> (1, postLimit),
+      "q445_kendall_w" -> (3, keyGrid +
+        " (three judge ranks over the ≤25-nation grid)"))
   }
 }
