@@ -31,7 +31,8 @@ object Registry {
       EstimatorQueries.all ++ GeometryQueries.all ++
       FairnessQueries.all ++ HorizonQueries.all ++
       ClassifyQueries.all ++ ConvergeQueries.all ++
-      InfluenceQueries.all ++ AgreementQueries.all
+      InfluenceQueries.all ++ AgreementQueries.all ++
+      SequenceQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -99,7 +99,9 @@ class WindowGrainSpec extends AnyFunSuite {
       "grid"),
     "queries/AgreementQueries.scala" -> (3, "three judge ranks over " +
       "the ≤25-nation grid (corpus already reduced by the " +
-      "orders⋈customer⋈nation group-by)"))
+      "orders⋈customer⋈nation group-by)"),
+    "ops/Sequence.scala" -> (1, "Hoeffding-split prefix scan on the " +
+      "calendar-bounded day grain (the pageHinkley idiom)"))
 
   private def scan(): Map[String, Int] = {
     val root = Paths.get("src/main/scala/graft")
