@@ -866,4 +866,41 @@ object Profile {
       round(when(vr > mean, r), 6).as("nb_r_r"),
       round(when(vr > mean, r / (r + mean)), 6).as("nb_p_r"))
   }
+  /** Atkinson inequality family at ε ∈ {0.5, 1, 2} plus generalized
+    * entropy GE(2), per group — all closed forms free of cross-engine
+    * pow: A_{0.5} = 1 − ((1/n)Σ√(y/μ))², A_1 = 1 − exp((1/n)Σln(y/μ))
+    * (= 1 − e^{−Theil_L}), A_2 = 1 − n/Σ(μ/y) (harmonic/arithmetic),
+    * GE(2) = ((1/n)Σ(y/μ)² − 1)/2 (half squared CV). One data pass to
+    * the group grid: exact DECIMAL(38,0) totals fix μ, per-row ratio
+    * terms ride the 12-dp grid. Positive integer values only
+    * (cents/counts); non-positive rows are dropped like
+    * [[theilInequality]]. Returns one row per group ordered by group:
+    * (group, n, atkinson05_r, atkinson1_r, atkinson2_r, ge2_r). */
+  def atkinsonGe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val pos = df
+      .select(col(groupCol), col(valueCol).cast("decimal(38,0)").as("_x"))
+      .where(col("_x") > 0)
+    val g = pos.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"))
+    val mu = col("total").cast("double") / col("n").cast("double")
+    val ratio = col("_x").cast("double") / mu
+    val agg = pos.join(broadcast(g), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        sum(t12(sqrt(ratio))).cast("double").as("_sq"),
+        sum(t12(log(ratio))).cast("double").as("_l"),
+        sum(t12(lit(1.0) / ratio)).cast("double").as("_inv"),
+        sum(t12(ratio * ratio)).cast("double").as("_r2"))
+    val nD = col("n").cast("double")
+    agg.select(col(groupCol), col("n"),
+      round(lit(1.0) - (col("_sq") / nD) * (col("_sq") / nD), 6)
+        .as("atkinson05_r"),
+      round(lit(1.0) - exp(col("_l") / nD), 6).as("atkinson1_r"),
+      round(lit(1.0) - nD / col("_inv"), 6).as("atkinson2_r"),
+      round((col("_r2") / nD - lit(1.0)) / lit(2.0), 6).as("ge2_r"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -1145,4 +1145,87 @@ object TextOps {
           / col("n_tokens").cast("double"), 6).as("coverage_r"))
       .orderBy(col(groupCol))
   }
+  /** Shifted positive PMI (the SGNS-equivalent co-occurrence statistic,
+    * Levy & Goldberg 2014): directed skip-gram pairs within ±`window`
+    * token positions, SPPMI(w,c) = max(ln(#wc·D / (#w·#c)) − ln k, 0)
+    * with marginals and the total D taken from the pair frame itself.
+    * Emits the `topK` strongest unordered pairs with support ≥
+    * `minCount` (symmetric counts — the unordered filter only halves
+    * the display).
+    *
+    * Shape: posexplode (linear), forward-offset equi-join on
+    * (doc, pos+off) — a ×window fan-out, never a corpus self-join on
+    * token value — then bounded-vocab marginal joins. */
+  def sppmiTopPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, shiftK: Double, minCount: Long,
+      topK: Int): DataFrame = {
+    require(window >= 1 && shiftK >= 1 && topK >= 1)
+    val s = docs.sparkSession
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(tokens(normalize(col(textCol))))
+          .as(Seq("_pos", "_tok")))
+      .localCheckpoint()
+    val offs = s.range(1, window + 1L).select(col("id").as("_off"))
+    val fwd = toks.crossJoin(broadcast(offs))
+      .select(col("_id"), (col("_pos") + col("_off")).as("_pos"),
+        col("_tok").as("_w"))
+      .join(toks.select(col("_id"), col("_pos"),
+        col("_tok").as("_c")), Seq("_id", "_pos"))
+      .select(col("_w"), col("_c"))
+    val directed = fwd.unionByName(
+      fwd.select(col("_c").as("_w"), col("_w").as("_c")))
+    val cnt = directed.groupBy(col("_w"), col("_c"))
+      .agg(count(lit(1)).as("_cwc")).localCheckpoint()
+    val margW = cnt.groupBy(col("_w")).agg(sum(col("_cwc")).as("_cw"))
+    val margC = cnt.groupBy(col("_c")).agg(sum(col("_cwc")).as("_cc"))
+    val total = cnt.agg(sum(col("_cwc")).as("_d"))
+    val scored = cnt.where(col("_w") < col("_c")
+        && col("_cwc") >= minCount)
+      .join(margW, Seq("_w")).join(margC, Seq("_c"))
+      .crossJoin(broadcast(total))
+      .withColumn("_sppmi", greatest(
+        log(col("_cwc").cast("double") * col("_d").cast("double")
+          / (col("_cw").cast("double") * col("_cc").cast("double")))
+        - lit(math.log(shiftK)), lit(0.0)))
+    scored.orderBy(col("_sppmi").desc, col("_w").asc, col("_c").asc)
+      .limit(topK)
+      .select(col("_w").as("w"), col("_c").as("c"),
+        col("_cwc").as("n_pair"), round(col("_sppmi"), 6).as("sppmi_r"))
+      .orderBy(col("sppmi_r").desc, col("w").asc, col("c").asc)
+  }
+
+  /** Rarefaction curve (with-replacement multinomial form): expected
+    * distinct vocabulary at subsample size m = ⌊N·f⌋ per fraction f:
+    * E[V(m)] = Σ_types (1 − (1 − n_t/N)^m), each power evaluated as
+    * exp(round(m·ln(max(1 − n_t/N, 1e−15)), 12)) so both engines walk
+    * the identical double; terms ride the 12-dp grid over the vocab
+    * grain. The species-accumulation readout that says whether more
+    * data still buys new vocabulary. */
+  def rarefactionCurve(docs: DataFrame, textCol: String,
+      fracs: Seq[Double]): DataFrame = {
+    require(fracs.nonEmpty)
+    val s = docs.sparkSession
+    import s.implicits._
+    def t12r(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val tc = docs.select(explode(tokens(normalize(col(textCol))))
+        .as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val tot = tc.agg(sum(col("_n")).as("_bign"),
+      count(lit(1)).as("_v"))
+    val grid = fracs.map(f => Tuple1(f)).toDF("frac")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("m", floor(col("_bign").cast("double") * col("frac"))
+        .cast("long"))
+      .join(tc.crossJoin(broadcast(tot)).select(col("_tok"), col("_n"),
+        col("_bign").as("_bn2")), col("_bign") === col("_bn2"))
+      .groupBy(col("frac"), col("m"), col("_v"))
+      .agg(sum(t12r(lit(1.0) - exp(round(col("m").cast("double")
+          * log(greatest(lit(1.0) - col("_n").cast("double")
+            / col("_bign").cast("double"), lit(1e-15))), 12))))
+        .cast("double").as("_e"))
+      .select(col("frac"), col("m"), col("_v").as("v_total"),
+        round(col("_e"), 6).as("e_distinct_r"))
+      .orderBy(col("frac"))
+  }
 }

@@ -32,7 +32,7 @@ object Registry {
       FairnessQueries.all ++ HorizonQueries.all ++
       ClassifyQueries.all ++ ConvergeQueries.all ++
       InfluenceQueries.all ++ AgreementQueries.all ++
-      SequenceQueries.all
+      SequenceQueries.all ++ DensityQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
