@@ -220,4 +220,39 @@ object Influence {
         round(sqrt(b1 * b1 + b2 * b2), 6).as("l2_r"))
       .orderBy("lambda")
   }
+  /** Learning-curve proxy: the simple OLS slope and R² refit on
+    * calendar prefixes of the grain — frac f keeps rows with
+    * x ≤ ⌊max(x)·f⌋. One ×|fracs| fan-out (broadcast literal spine)
+    * into ONE bounded hash agg by frac; exact DECIMAL(38,0) moments
+    * per prefix. Returns a row per frac ordered by frac:
+    * (frac, n_rows, slope_r, r2_r) — a flattening R² gain says more
+    * history stopped buying fit. */
+  def olsPrefixCurve(grain: DataFrame, xCol: String, yCol: String,
+      fracs: Seq[Double]): DataFrame = {
+    require(fracs.nonEmpty)
+    val s = grain.sparkSession
+    import s.implicits._
+    val g = grain.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val mx = g.agg(max(col("_x")).as("_mx"))
+    val spine = fracs.map(f => Tuple1(f)).toDF("frac")
+    val m = g.crossJoin(broadcast(spine)).crossJoin(broadcast(mx))
+      .where(col("_x") <= floor(col("_mx").cast("double") * col("frac"))
+        .cast("long"))
+      .groupBy(col("frac"))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(d38(col("_x"))).cast("double").as("_sx"),
+        sum(d38(col("_y"))).cast("double").as("_sy"),
+        sum(d38(col("_x")) * d38(col("_x"))).cast("double").as("_sxx"),
+        sum(d38(col("_x")) * d38(col("_y"))).cast("double").as("_sxy"),
+        sum(d38(col("_y")) * d38(col("_y"))).cast("double").as("_syy"))
+    val sxx = col("_sxx") - col("_sx") * col("_sx") / col("_n")
+    val sxy = col("_sxy") - col("_sx") * col("_sy") / col("_n")
+    val syy = col("_syy") - col("_sy") * col("_sy") / col("_n")
+    m.select(col("frac"), col("_n").cast("long").as("n_rows"),
+      round(sxy / nullif(sxx, lit(0.0)), 6).as("slope_r"),
+      round(sxy / nullif(sxx, lit(0.0)) * sxy / nullif(syy, lit(0.0)),
+        6).as("r2_r"))
+      .orderBy(col("frac"))
+  }
 }

@@ -27,9 +27,17 @@ object Sequence {
     * days, z-normalized per window (population sd from exact integer
     * sums; zero-variance windows dropped), pair distance
     * d²(t1,t2) = Σ_j (z1j − z2j)² over non-overlapping pairs
-    * (t2 ≥ t1 + w), 12-dp-grid terms. The z frame is |days|·w rows —
-    * broadcast on the pair join's build side. Returns k rows:
-    * (t1, t2, dist_r) ordered by distance. */
+    * (t2 ≥ t1 + w).
+    *
+    * Shape (the r12 rewrite — the first draft joined the (start, j, z)
+    * LONG frame on j and hash-aggregated |days|²·w rows, 37 s at
+    * sf0.1): each window PIVOTS to one row of w z-columns (the lloyd2d
+    * centroid idiom), so the pair stage is a |days|² broadcast
+    * nested-loop join whose distance is a CLOSED w-term chain — no
+    * fan-out, no pair-grain aggregate at all, and the left-associated
+    * term chain is FP-identical in any engine (no decimal grid
+    * needed). |days| is calendar-bounded, so the quadratic is too.
+    * Returns k rows: (t1, t2, dist_r) ordered by distance. */
   def motifTopK(daily: DataFrame, tCol: String, yCol: String, w: Int,
       k: Int): DataFrame = {
     require(w >= 2 && k >= 1)
@@ -49,20 +57,20 @@ object Sequence {
     val wok = ws.where(col("_cnt") === w && vr > 0)
       .select(col("_start"), (col("_s") / wD).as("_m"),
         sqrt(vr).as("_sd"))
-    val z = rows.join(wok, Seq("_start"))
-      .select(col("_start"), col("_j"),
-        ((col("_y").cast("double") - col("_m")) / col("_sd")).as("_z"))
+    val zCols = (1 to w).map(i => max(when(col("_j") === (i - 1),
+      (col("_y").cast("double") - col("_m")) / col("_sd")))
+      .as(s"_z$i"))
+    val zp = rows.join(wok, Seq("_start"))
+      .groupBy(col("_start"))
+      .agg(zCols.head, zCols.tail: _*)
       .localCheckpoint()
-    val a = z.select(col("_start").as("t1"), col("_j"),
-      col("_z").as("_za"))
-    val b = z.select(col("_start").as("t2"), col("_j"),
-      col("_z").as("_zb"))
-    // the self-join key spelled explicitly to avoid ambiguous _j
-    val p = a.join(broadcast(b.withColumnRenamed("_j", "_jb")),
-        col("_j") === col("_jb") && col("t2") >= col("t1") + lit(w))
-      .groupBy(col("t1"), col("t2"))
-      .agg(sum(t12((col("_za") - col("_zb"))
-        * (col("_za") - col("_zb")))).cast("double").as("_d2"))
+    val a = zp.toDF(("t1" +: (1 to w).map(i => s"_za$i")): _*)
+    val b = zp.toDF(("t2" +: (1 to w).map(i => s"_zb$i")): _*)
+    val d2 = (1 to w).map(i =>
+      (col(s"_za$i") - col(s"_zb$i"))
+        * (col(s"_za$i") - col(s"_zb$i"))).reduce(_ + _)
+    val p = a.join(broadcast(b), col("t2") >= col("t1") + lit(w))
+      .select(col("t1"), col("t2"), d2.as("_d2"))
     p.orderBy(col("_d2").asc, col("t1").asc, col("t2").asc).limit(k)
       .select(col("t1"), col("t2"),
         round(sqrt(col("_d2")), 6).as("dist_r"))

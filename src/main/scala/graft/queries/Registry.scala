@@ -32,7 +32,8 @@ object Registry {
       FairnessQueries.all ++ HorizonQueries.all ++
       ClassifyQueries.all ++ ConvergeQueries.all ++
       InfluenceQueries.all ++ AgreementQueries.all ++
-      SequenceQueries.all ++ DensityQueries.all
+      SequenceQueries.all ++ DensityQueries.all ++
+      TendencyQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -111,15 +111,32 @@ object SequenceQueries {
               |  sqrt((s2 - s * s / $MotifW.0) / $MotifW.0) AS sd
               |  FROM ws WHERE cnt = $MotifW
               |    AND (s2 - s * s / $MotifW.0) / $MotifW.0 > 0),
-              |z AS MATERIALIZED (
-              |  SELECT r.start, r.j, (r.y::DOUBLE - w.m) / w.sd AS z
-              |  FROM rws r JOIN wok w USING (start)),
+              |zp AS MATERIALIZED (
+              |  SELECT r.start,
+              |    max(CASE WHEN r.j = 0 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z1,
+              |    max(CASE WHEN r.j = 1 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z2,
+              |    max(CASE WHEN r.j = 2 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z3,
+              |    max(CASE WHEN r.j = 3 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z4,
+              |    max(CASE WHEN r.j = 4 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z5,
+              |    max(CASE WHEN r.j = 5 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z6,
+              |    max(CASE WHEN r.j = 6 THEN (r.y::DOUBLE - w.m) / w.sd END)
+              |      AS z7
+              |  FROM rws r JOIN wok w USING (start) GROUP BY 1),
               |p AS (SELECT a.start AS t1, b.start AS t2,
-              |  sum(round((a.z - b.z) * (a.z - b.z), 12)
-              |    ::DECIMAL(28,12))::DOUBLE AS d2
-              |  FROM z a JOIN z b ON a.j = b.j
-              |    AND b.start >= a.start + $MotifW
-              |  GROUP BY 1, 2)
+              |    (a.z1 - b.z1) * (a.z1 - b.z1)
+              |    + (a.z2 - b.z2) * (a.z2 - b.z2)
+              |    + (a.z3 - b.z3) * (a.z3 - b.z3)
+              |    + (a.z4 - b.z4) * (a.z4 - b.z4)
+              |    + (a.z5 - b.z5) * (a.z5 - b.z5)
+              |    + (a.z6 - b.z6) * (a.z6 - b.z6)
+              |    + (a.z7 - b.z7) * (a.z7 - b.z7) AS d2
+              |  FROM zp a JOIN zp b ON b.start >= a.start + $MotifW)
               |SELECT * FROM (
               |  SELECT t1, t2, round(sqrt(d2), 6) AS dist_r
               |  FROM p ORDER BY d2, t1, t2 LIMIT $MotifK) x

@@ -158,6 +158,12 @@ object ScaleProbe {
     write(custX, "customer")
     write(evX, "events")
     write(embX, "embeddings")
+    // bounded dimension tables pass through unscaled (round 12, for
+    // the q445-style orders⋈customer⋈nation joins): keys keep their
+    // ranges, so each nation/region/supplier simply carries 10× the
+    // fact rows — the growth a fixed dimension table sees in reality
+    for (t <- Seq("nation", "region", "supplier"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
     spark.stop()
   }
 }
