@@ -687,4 +687,286 @@ object Nonparam {
         .as("lambda_per_s_r"),
       round(-nD - (col("_s1") + col("_s2")) / nD, 6).as("a2_r"))
   }
+
+  /** Shared two-sample RANK-SCORES core: one corpus hash-agg to the
+    * distinct-value grid with per-group class counts, ONE banded
+    * running sum (the [[mannWhitney]] posture — no unpartitioned
+    * window), then every linear-rank-statistic this family needs from
+    * closed-form positional score-range sums:
+    *  - Wilcoxon: u2 (= 2U_a) and the cubic tie term,
+    *  - Ansari–Bradley scores a_p = min(p, N+1−p) (doubled: g2 range
+    *    sums, exact integers),
+    *  - Mood scale scores (p − (N+1)/2)² (×12: 3·(2p−M)² range sums,
+    *    exact integers).
+    * Tie handling is the mid-score average per distinct value (exact
+    * rational 2S/m and q3/(12m), accumulated as 12-dp DECIMAL term
+    * sums). Integer range sums use BIGINT like [[mannWhitney]]'s u2
+    * (overflow envelope ~N ≤ 2e6 for the cubic Mood sums; a 100 TB
+    * deployment lifts them to DECIMAL(38,0), same spirit as the
+    * Markov product lifts). Returns ONE row of sufficient statistics:
+    * n_a, n_b, u2, tieterm, wab (= W_AB, tie-avg), saab2 (Σa²_AB),
+    * tmood, samood2, with Σa totals derivable from N client-side. */
+  private def twoSampleCore(df: DataFrame, valueCol: String,
+      groupCol: String, aVal: String, bVal: String,
+      bandWidth: Double): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val per = df.where(col(groupCol).isin(aVal, bVal))
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === aVal, 1L).otherwise(0L)).as("_na"),
+        sum(when(col(groupCol) === bVal, 1L).otherwise(0L)).as("_nb"))
+      .withColumn("_m", col("_na") + col("_nb"))
+    val cum = Ranks.bandedRunningSum(per.withColumn("_g", lit(0)),
+      "_g", valueCol, "_m", bandWidth)
+    val tot = cum.agg(sum(col("_m")).as("n"))
+    val g = cum.crossJoin(broadcast(tot))
+      .withColumn("_c", floor((col("n") + 1).cast("double") / 2.0)
+        .cast("long")) // (N+1) div 2
+      .withColumn("_r", col("runsum"))
+      .withColumn("_l", col("runsum") - col("_m"))
+    // doubled Ansari–Bradley prefix g2(x) = Σ 2·min(p, N+1−p), exact
+    def g2(x: Column): Column =
+      when(x <= col("_c"), x * (x + 1))
+        .otherwise(lit(2) * col("_c") * (col("_c") + 1)
+          + lit(2) * (x - col("_c")) * (col("n") + 1) - x * (x + 1))
+    // tripled Mood-scale prefix 3F(x) = Σ 3·(2p−(N+1))², exact
+    def f3(x: Column): Column =
+      (lit(2) * x * (x + 1) * (lit(2) * x + 1)
+        - lit(6) * (col("n") + 1) * x * (x + 1)
+        + lit(3) * (col("n") + 1) * (col("n") + 1) * x)
+    val scored = g
+      .withColumn("_s2", g2(col("_r")) - g2(col("_l")))
+      .withColumn("_q3", f3(col("_r")) - f3(col("_l")))
+      .withColumn("_cumb",
+        col("runsum") - col("_m")) // exclusive cum of BOTH classes
+    // NOTE _cumb above is total-count prefix; Wilcoxon needs the
+    // b-class prefix, recovered from na prefix: C_b(<v) = C(<v) − C_a(<v)
+    val cumA = Ranks.bandedRunningSum(scored.withColumn("_g2", lit(0)),
+      "_g2", valueCol, "_na", bandWidth)
+      .withColumnRenamed("runsum", "_runa")
+      .withColumn("_cb", col("_cumb") - (col("_runa") - col("_na")))
+    cumA.agg(
+        sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+        first(col("n")).as("n"),
+        sum(col("_na") * (lit(2) * col("_cb") + col("_nb"))).as("u2"),
+        sum(col("_m") * col("_m") * col("_m") - col("_m")).as("tieterm"),
+        sum(t12(col("_na").cast("double")
+          * (col("_s2").cast("double") / col("_m").cast("double"))))
+          .as("_w2"),
+        sum(t12(col("_m").cast("double")
+          * (col("_s2").cast("double") / col("_m").cast("double") / 2)
+          * (col("_s2").cast("double") / col("_m").cast("double") / 2)))
+          .as("_saab2"),
+        sum(t12(col("_na").cast("double")
+          * (col("_q3").cast("double") / (lit(12.0)
+            * col("_m").cast("double"))))).as("_tmood"),
+        sum(t12(col("_m").cast("double")
+          * (col("_q3").cast("double") / (lit(12.0)
+            * col("_m").cast("double")))
+          * (col("_q3").cast("double") / (lit(12.0)
+            * col("_m").cast("double"))))).as("_samood2"))
+      .select(col("n_a"), col("n_b"), col("n"), col("u2"),
+        col("tieterm"),
+        (col("_w2").cast("double") / 2).as("wab"),
+        col("_saab2").cast("double").as("saab2"),
+        col("_tmood").cast("double").as("tmood"),
+        col("_samood2").cast("double").as("samood2"))
+  }
+
+  /** Sampling-without-replacement z for a linear rank statistic W =
+    * Σ_{i∈A} a_i: E = n_a·ΣA/N, Var = n_a·n_b·(N·Σa² − (Σa)²) /
+    * (N²·(N−1)) — the exact tie-adjusted permutation moments. */
+  private def rankZ(w: Column, sa: Column, sa2: Column,
+      naD: Column, nbD: Column, nD: Column): Column = {
+    val e = naD * sa / nD
+    val v = naD * nbD * (nD * sa2 - sa * sa) / (nD * nD * (nD - 1))
+    when(v > 0, (w - e) / sqrt(v))
+  }
+
+  /** Ansari–Bradley two-sample SCALE test: scores run 1,2,…,⌈N/2⌉,…,2,1
+    * from both ends, so a group whose values crowd the extremes scores
+    * LOW — the classic dispersion alternative to [[mannWhitney]]'s
+    * location shift. Tie-averaged scores; z from the exact
+    * sampling-without-replacement moments (no continuity correction,
+    * the Lepage convention). Returns one row: n_a, n_b, ab_w_r, z_r.
+    *
+    * Shape: the [[twoSampleCore]] grid — one corpus hash-agg + banded
+    * prefix, closed-form positional sums; no corpus sort. */
+  def ansariBradley(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String, bandWidth: Double = 16.0): DataFrame = {
+    val core = twoSampleCore(df, valueCol, groupCol, aVal, bVal,
+      bandWidth)
+    val nD = col("n").cast("double")
+    val c = floor((col("n") + 1).cast("double") / 2.0)
+    // Σa over ALL obs = g2(N)/2 by the closed form (x = N > c branch)
+    val sa = (lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
+      - nD * (nD + 1)) / 2
+    core.select(col("n_a"), col("n_b"),
+      round(col("wab"), 6).as("ab_w_r"),
+      round(rankZ(col("wab"), sa, col("saab2"),
+        col("n_a").cast("double"), col("n_b").cast("double"), nD), 6)
+        .as("z_r"))
+  }
+
+  /** Mood two-sample SCALE test: scores (p − (N+1)/2)² — squared
+    * distance from the middle rank, the variance-sensitive sibling of
+    * [[ansariBradley]] (quadratic rather than triangular weighting).
+    * Tie-averaged scores, permutation-moment z. Returns one row:
+    * n_a, n_b, mood_t_r, z_r. */
+  def moodScale(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String, bandWidth: Double = 16.0): DataFrame = {
+    val core = twoSampleCore(df, valueCol, groupCol, aVal, bVal,
+      bandWidth)
+    val nD = col("n").cast("double")
+    // Σa over ALL obs = F(N)/4 = 3F(N)/12 by the closed form
+    val sa = (lit(2.0) * nD * (nD + 1) * (lit(2.0) * nD + 1)
+      - lit(6.0) * (nD + 1) * nD * (nD + 1)
+      + lit(3.0) * (nD + 1) * (nD + 1) * nD) / 12
+    core.select(col("n_a"), col("n_b"),
+      round(col("tmood"), 6).as("mood_t_r"),
+      round(rankZ(col("tmood"), sa, col("samood2"),
+        col("n_a").cast("double"), col("n_b").cast("double"), nD), 6)
+        .as("z_r"))
+  }
+
+  /** Lepage two-sample LOCATION+SCALE portmanteau: L = z_W² + z_AB²,
+    * the Wilcoxon z (tie-corrected σ, no continuity correction — the
+    * Lepage convention) plus the Ansari–Bradley z, χ²₂ under H₀ —
+    * rejects when the groups differ in EITHER center or spread.
+    * Returns one row: n_a, n_b, zw_r, zab_r, lepage_r. */
+  def lepage(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String, bandWidth: Double = 16.0): DataFrame = {
+    val core = twoSampleCore(df, valueCol, groupCol, aVal, bVal,
+      bandWidth)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = col("n").cast("double")
+    val sigW = sqrt(naD * nbD / 12.0
+      * ((nD + 1) - col("tieterm").cast("double") / (nD * (nD - 1))))
+    val zw = when(sigW > 0,
+      (col("u2") - col("n_a") * col("n_b")).cast("double")
+        / (lit(2.0) * sigW))
+    val c = floor((col("n") + 1).cast("double") / 2.0)
+    val sa = (lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
+      - nD * (nD + 1)) / 2
+    val zab = rankZ(col("wab"), sa, col("saab2"), naD, nbD, nD)
+    core.select(col("n_a"), col("n_b"),
+      round(zw, 6).as("zw_r"), round(zab, 6).as("zab_r"),
+      round(zw * zw + zab * zab, 6).as("lepage_r"))
+  }
+
+  /** Mood MEDIAN test across k groups: classify each observation
+    * against the pooled median — the ⌈(N+1)/2⌉-th order statistic,
+    * i.e. the smallest value whose inclusive prefix count satisfies
+    * 2·C ≥ N+1 (upper-middle for even N) — Pearson χ² on the k×2
+    * above/not-above table. The crudest, most assumption-free k-sample
+    * location test — and the one whose statistic is pure integer
+    * counting until the final χ². Returns one row: n, k, median_r,
+    * chi2_r, df.
+    *
+    * Shape: distinct-value grid + one banded prefix to find the
+    * median, one broadcast of the 1-row median back onto the grouped
+    * counts (never onto raw rows). */
+  def moodMedian(df: DataFrame, valueCol: String, groupCol: String,
+      bandWidth: Double = 16.0): DataFrame = {
+    val per = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("_m"))
+    val cum = Ranks.bandedRunningSum(per.withColumn("_g", lit(0)),
+      "_g", valueCol, "_m", bandWidth)
+    val tot = cum.agg(sum(col("_m")).as("n"))
+    val med = cum.crossJoin(broadcast(tot))
+      .where(lit(2) * col("runsum") >= col("n") + 1)
+      .agg(min(col(valueCol)).as("_med"), first(col("n")).as("n"))
+    val cls = df.crossJoin(broadcast(med))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col(valueCol) > col("_med"), 1L).otherwise(0L))
+          .as("_ab"),
+        sum(when(col(valueCol) > col("_med"), 0L).otherwise(1L))
+          .as("_nab"),
+        first(col("_med")).as("_med"), first(col("n")).as("n"))
+    val k = cls.agg(count(lit(1)).as("k"),
+      sum(col("_ab")).as("_tab"), sum(col("_nab")).as("_tnab"),
+      first(col("_med")).as("_med"), first(col("n")).as("n"))
+    val cells = cls.select(col(groupCol), col("_ab"), col("_nab"))
+      .crossJoin(broadcast(k))
+    def chiTerm(o: Column, margin: Column): Column = {
+      val e = (col("_ab") + col("_nab")).cast("double") *
+        margin.cast("double") / col("n").cast("double")
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    cells
+      .select(col("k"), col("n"), col("_med"),
+        t12(chiTerm(col("_ab"), col("_tab"))
+          + chiTerm(col("_nab"), col("_tnab"))).as("_term"))
+      .groupBy(col("k"), col("n"), col("_med"))
+      .agg(sum(col("_term")).as("_chi2"))
+      .select(col("n"), col("k"),
+        col("_med").cast("double").as("median_r"),
+        round(col("_chi2").cast("double"), 6).as("chi2_r"),
+        (col("k") - 1).as("df"))
+  }
+
+  /** Jonckheere–Terpstra trend test for ORDERED groups (g₁ < … < g_k
+    * by the group column's natural order): J = Σ_{i<j} U_ij rises when
+    * values trend upward along the ordering — strictly more powerful
+    * than Kruskal–Wallis when the alternative IS the ordering. Kept as
+    * exact integers via 2J = Σ_v Σ_{i<j} n_j(v)·(2·C_i(<v) + n_i(v));
+    * the tie-corrected variance is the three-term Hollander–Wolfe
+    * form from global tie counts t_v and group sizes. Returns one
+    * row: n, k, j2, z_r.
+    *
+    * Shape: per-(group, value) hash-agg, zero-filled (value × group)
+    * grid from the distinct-value frame × the ≤k group list, banded
+    * prefix PER GROUP (partitioned — the machinery's group column),
+    * then a bounded k²-pair self-join ON THE GRID, never on rows. */
+  def jonckheere(df: DataFrame, valueCol: String, groupCol: String,
+      bandWidth: Double = 16.0): DataFrame = {
+    val s = df.sparkSession
+    val pg = df.groupBy(col(groupCol).as("_grp"), col(valueCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val groups = pg.select(col("_grp")).distinct()
+    val values = pg.select(col(valueCol)).distinct()
+    val grid = values.crossJoin(broadcast(groups))
+      .join(pg, Seq("_grp", valueCol), "left")
+      .select(col("_grp"), col(valueCol),
+        coalesce(col("_cnt"), lit(0L)).as("_cnt"))
+    val cum = Ranks.bandedRunningSum(grid, "_grp", valueCol, "_cnt",
+      bandWidth)
+      .select(col("_grp"), col(valueCol), col("_cnt"),
+        (col("runsum") - col("_cnt")).as("_clt"))
+    val pairs = cum.select(col("_grp").as("_gi"),
+        col(valueCol).as("_v"), col("_cnt").as("_ni"),
+        col("_clt").as("_ci"))
+      .join(cum.select(col("_grp").as("_gj"),
+        col(valueCol).as("_v"), col("_cnt").as("_nj")), Seq("_v"))
+      .where(col("_gi") < col("_gj"))
+    val j2 = pairs.agg(
+      sum(col("_nj") * (lit(2) * col("_ci") + col("_ni"))).as("j2"))
+    val gs = pg.groupBy(col("_grp")).agg(sum(col("_cnt")).as("_ng"))
+      .agg(count(lit(1)).as("k"), sum(col("_ng")).as("n"),
+        sum(col("_ng") * col("_ng")).as("_sn2"),
+        sum(col("_ng") * (col("_ng") - 1) * (lit(2) * col("_ng") + 5))
+          .as("_g25"),
+        sum(col("_ng") * (col("_ng") - 1) * (col("_ng") - 2))
+          .as("_g3"),
+        sum(col("_ng") * (col("_ng") - 1)).as("_g2"))
+    val ties = pg.groupBy(col(valueCol)).agg(sum(col("_cnt")).as("_t"))
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+          .as("_t25"),
+        sum(col("_t") * (col("_t") - 1) * (col("_t") - 2)).as("_t3"),
+        sum(col("_t") * (col("_t") - 1)).as("_t2"))
+    val all = j2.crossJoin(broadcast(gs)).crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val varJ = ((nD * (nD - 1) * (lit(2.0) * nD + 5)
+        - col("_g25").cast("double") - col("_t25").cast("double")) / 72
+      + col("_g3").cast("double") * col("_t3").cast("double")
+        / (lit(36.0) * nD * (nD - 1) * (nD - 2))
+      + col("_g2").cast("double") * col("_t2").cast("double")
+        / (lit(8.0) * nD * (nD - 1)))
+    val e2 = (col("n") * col("n") - col("_sn2")).cast("double") / 2
+    all.select(col("n"), col("k"), col("j2"),
+      round(when(varJ > 0,
+        (col("j2").cast("double") - e2) / (lit(2.0) * sqrt(varJ))), 6)
+        .as("z_r"))
+  }
 }

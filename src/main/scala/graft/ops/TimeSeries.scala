@@ -1129,4 +1129,135 @@ object TimeSeries {
         .when(col("_var18") > 0, lit(0.0))
         .as("z_r"))
   }
+
+  /** Scala-computed per-period basis rows (period, r = t mod period,
+    * cos, sin) shared verbatim with oracle SQL (the
+    * [[spectralPower]] weight-table idiom — no engine trig in any
+    * plan). */
+  def lsWeights(periods: Seq[Int]): Seq[(Int, Int, Double, Double)] =
+    periods.flatMap(p => (0 until p).map { r =>
+      val theta = 2 * math.Pi * r / p
+      (p, r, math.cos(theta), math.sin(theta))
+    })
+
+  /** [[lsWeights]] rendered for a SQL VALUES clause. */
+  def lsWeightValues(periods: Seq[Int]): String =
+    lsWeights(periods)
+      .map { case (p, r, c, s) =>
+        s"($p, $r, ${c}::DOUBLE, ${s}::DOUBLE)" }
+      .mkString(",\n    ")
+
+  /** Lomb–Scargle periodogram at integer trial periods over the
+    * OBSERVED days only — the spectral estimator for IRREGULARLY
+    * sampled series ([[spectralPower]]'s DFT bin needs the zero-filled
+    * spine; LS is defined on the raw (tᵢ, yᵢ) sample and is the right
+    * tool when gaps mean "not measured", not "zero"). Computed in the
+    * τ-free normal-equations form: with y centered (exact identity
+    * Σ(y−ȳ)w = Σyw − ȳΣw) and S_c = Σŷcosωt, S_s = Σŷsinωt,
+    * CC = Σcos², SS = Σsin², CS = Σcos·sin,
+    *
+    *   P(ω) = ½ · (S_c²·SS − 2·S_c·S_s·CS + S_s²·CC) / (CC·SS − CS²)
+    *
+    * — algebraically identical to the classical Lomb (1976) τ-rotated
+    * form (τ merely diagonalizes the 2×2 normal matrix), but free of
+    * data-dependent trig. pnorm_r normalizes by the sample variance
+    * (the Scargle false-alarm scaling); both are null when the day
+    * count < 3 or the basis is degenerate.
+    *
+    * Shape: one (day) hash-agg, broadcast join to the literal basis
+    * table on (period, t mod period), one (period) hash-agg of 12-dp
+    * DECIMAL term sums — bounded-grid output, no window, no spine. */
+  def lombScargle(df: DataFrame, dayCol: String, valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2))
+    val s = df.sparkSession
+    import s.implicits._
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val d0 = df.agg(min(col(dayCol)).as("_d0"))
+    val base = df.crossJoin(broadcast(d0))
+      .select(datediff(col(dayCol), col("_d0")).as("t"),
+        col(valueCol).cast("double").as("y"))
+    val wt = broadcast(lsWeights(periods).toDF("period", "r", "c", "sn"))
+    val joined = base
+      .crossJoin(broadcast(periods.toDF("period")))
+      .withColumn("r", col("t") % col("period"))
+      .join(wt, Seq("period", "r"))
+    val agg = joined.groupBy(col("period"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(t12(col("y"))).as("_sy"),
+        sum(t12(col("y") * col("y"))).as("_sy2"),
+        sum(t12(col("c"))).as("_swc"),
+        sum(t12(col("sn"))).as("_sws"),
+        sum(t12(col("y") * col("c"))).as("_syc"),
+        sum(t12(col("y") * col("sn"))).as("_sys"),
+        sum(t12(col("c") * col("c"))).as("_scc"),
+        sum(t12(col("sn") * col("sn"))).as("_sss"),
+        sum(t12(col("c") * col("sn"))).as("_scs"))
+    val nD = col("n_days").cast("double")
+    def d(c: Column) = c.cast("double")
+    val ybar = d(col("_sy")) / nD
+    val sc = d(col("_syc")) - ybar * d(col("_swc"))
+    val ss = d(col("_sys")) - ybar * d(col("_sws"))
+    val det = (d(col("_scc")) * d(col("_sss"))
+      - d(col("_scs")) * d(col("_scs")))
+    val power = (sc * sc * d(col("_sss"))
+      - lit(2.0) * sc * ss * d(col("_scs"))
+      + ss * ss * d(col("_scc"))) / det / 2
+    val varY = (d(col("_sy2")) - nD * ybar * ybar) / (nD - 1)
+    agg.select(col("period"), col("n_days"),
+      when(col("n_days") >= 3 && abs(det) > 1e-9,
+        round(power, 6)).as("power_r"),
+      when(col("n_days") >= 3 && abs(det) > 1e-9 && varY > 0,
+        round(power / varY, 6)).as("pnorm_r"))
+  }
+
+  /** Taylor's law (Taylor 1961): across replicate cells of the same
+    * process, variance scales as a POWER of the mean — log V = a +
+    * b·log M with b ≈ 1 for Poisson-like counts and b → 2 for
+    * clumped/bursty ones. The fitted exponent b is the classic one-
+    * number burstiness diagnostic for count panels (here: cells =
+    * (key, ISO week), observations = that cell's daily counts).
+    *
+    * Means/variances per cell are exact integer-moment rationals; only
+    * the ln enters as a float, and the OLS over the ≤|cells| grid uses
+    * 12-dp DECIMAL term sums. Cells need ≥2 days, mean > 0, var > 0
+    * (ln-defined); returns one row: n_cells, slope_r, intercept_r,
+    * r2_r (nulls when < 3 usable cells or degenerate spread). */
+  def taylorLaw(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val cells = daily
+      .groupBy(col(keyCol),
+        weekofyear(col("day")).as("_wk"), year(col("day")).as("_yr"))
+      .agg(count(lit(1)).as("_n"), sum(col("x")).as("_s"),
+        sum(col("x") * col("x")).as("_s2"))
+      .where(col("_n") >= 2)
+      .select(
+        (col("_s").cast("double") / col("_n").cast("double")).as("_m"),
+        ((col("_n") * col("_s2") - col("_s") * col("_s")).cast("double")
+          / (col("_n") * (col("_n") - 1)).cast("double")).as("_v"))
+      .where(col("_m") > 0 && col("_v") > 0)
+      .select(log(col("_m")).as("_lx"), log(col("_v")).as("_ly"))
+    val agg = cells.agg(count(lit(1)).as("n_cells"),
+      sum(t12(col("_lx"))).as("_sx"), sum(t12(col("_ly"))).as("_sy"),
+      sum(t12(col("_lx") * col("_lx"))).as("_sxx"),
+      sum(t12(col("_lx") * col("_ly"))).as("_sxy"),
+      sum(t12(col("_ly") * col("_ly"))).as("_syy"))
+    def d(c: Column) = c.cast("double")
+    val nD = col("n_cells").cast("double")
+    val sxx = d(col("_sxx")) - d(col("_sx")) * d(col("_sx")) / nD
+    val sxy = d(col("_sxy")) - d(col("_sx")) * d(col("_sy")) / nD
+    val syy = d(col("_syy")) - d(col("_sy")) * d(col("_sy")) / nD
+    val b = sxy / sxx
+    agg.select(col("n_cells"),
+      when(col("n_cells") >= 3 && sxx > 0, round(b, 6)).as("slope_r"),
+      when(col("n_cells") >= 3 && sxx > 0,
+        round(d(col("_sy")) / nD - b * d(col("_sx")) / nD, 6))
+        .as("intercept_r"),
+      when(col("n_cells") >= 3 && sxx > 0 && syy > 0,
+        round(sxy * sxy / (sxx * syy), 6)).as("r2_r"))
+  }
 }

@@ -33,7 +33,8 @@ object Registry {
       ClassifyQueries.all ++ ConvergeQueries.all ++
       InfluenceQueries.all ++ AgreementQueries.all ++
       SequenceQueries.all ++ DensityQueries.all ++
-      TendencyQueries.all
+      TendencyQueries.all ++ ClockQueries.all ++ SpreadQueries.all ++
+      PosthocQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

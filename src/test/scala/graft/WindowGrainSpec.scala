@@ -101,7 +101,15 @@ class WindowGrainSpec extends AnyFunSuite {
       "the ≤25-nation grid (corpus already reduced by the " +
       "orders⋈customer⋈nation group-by)"),
     "ops/Sequence.scala" -> (1, "Hoeffding-split prefix scan on the " +
-      "calendar-bounded day grain (the pageHinkley idiom)"))
+      "calendar-bounded day grain (the pageHinkley idiom)"),
+    "ops/Circular.scala" -> (1, "Kuiper ECDF cumulative over the " +
+      "≤1440-cell clock-bin grid (corpus already reduced by one " +
+      "hash-agg)"),
+    "ops/Control.scala" -> (3, "I-MR lag + Western-Electric rolling " +
+      "run windows on the calendar-bounded day grain"),
+    "ops/Posthoc.scala" -> (2, "Quade block-range rank over the " +
+      "≤|weeks| block grid; Page treatment index over the ≤k " +
+      "treatment list"))
 
   private def scan(): Map[String, Int] = {
     val root = Paths.get("src/main/scala/graft")

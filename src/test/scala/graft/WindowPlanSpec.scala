@@ -170,6 +170,24 @@ object WindowPlanSpec {
       "q424_psis_khat" -> (1, bandLevel1 + " (the PSIS tail rank)"),
       "q433_lm_dirichlet" -> (1, postLimit),
       "q445_kendall_w" -> (3, keyGrid +
-        " (three judge ranks over the ≤25-nation grid)"))
+        " (three judge ranks over the ≤25-nation grid)"),
+      "q463_kuiper_minutes" -> (1, keyGrid +
+        " (Kuiper ECDF cumulative over the 1440-cell clock grid)"),
+      "q466_imr_chart" -> (2, dayGrain +
+        " (I-MR lag + merged Western-Electric rolling windows)"),
+      "q468_ansari_bradley" -> (1, bandLevel1 +
+        " (twoSampleCore banded prefixes, constant group folded)"),
+      "q469_mood_scale" -> (1, bandLevel1 +
+        " (twoSampleCore banded prefixes, constant group folded)"),
+      "q470_lepage" -> (2, bandLevel1 +
+        " (twoSampleCore banded prefixes, constant group folded)"),
+      "q471_mood_median" -> (1, bandLevel1 +
+        " (median-search banded prefix, constant group folded)"),
+      "q473_dunn_posthoc" -> (1, bandLevel1 +
+        " (global mid-rank banded prefix, constant group folded)"),
+      "q475_quade" -> (1, keyGrid +
+        " (block-range mid-rank over the ≤|weeks| block grid)"),
+      "q476_page_trend" -> (1, keyGrid +
+        " (treatment index over the ≤k treatment list)"))
   }
 }
