@@ -699,13 +699,19 @@ object Nonparam {
     *  - Mood scale scores (p − (N+1)/2)² (×12: 3·(2p−M)² range sums,
     *    exact integers).
     * Tie handling is the mid-score average per distinct value (exact
-    * rational 2S/m and q3/(12m), accumulated as 12-dp DECIMAL term
-    * sums). Integer range sums use BIGINT like [[mannWhitney]]'s u2
-    * (overflow envelope ~N ≤ 2e6 for the cubic Mood sums; a 100 TB
-    * deployment lifts them to DECIMAL(38,0), same spirit as the
-    * Markov product lifts). Returns ONE row of sufficient statistics:
-    * n_a, n_b, u2, tieterm, wab (= W_AB, tie-avg), saab2 (Σa²_AB),
-    * tmood, samood2, with Σa totals derivable from N client-side. */
+    * rational 2S/m and q3/(12m)). Score accumulation is NORMALIZED —
+    * AB scores in units of N, Mood scores in units of N² — so the
+    * 12-dp DECIMAL(28,12) term grid never overflows at any corpus
+    * size (the sf0.1 stress gate caught the unnormalized Mood square
+    * at 6.4e17 > the grid's 1e16 integer capacity); the z statistics
+    * are scale-invariant and the display statistics multiply back.
+    * The per-row integer range sums stay BIGINT like [[mannWhitney]]'s
+    * u2 (envelope ~N ≤ 2e6 for the cubic Mood prefix; a 100 TB
+    * deployment lifts them to DECIMAL(38,0), the Markov product
+    * idiom). Returns ONE row of sufficient statistics: n_a, n_b, u2,
+    * tieterm, wab (= W_AB/N), saab2 (Σa²_AB/N²), tmood (= T/N²),
+    * samood2 (Σa²_Mood/N⁴), with Σa totals derivable from N
+    * client-side. */
   private def twoSampleCore(df: DataFrame, valueCol: String,
       groupCol: String, aVal: String, bVal: String,
       bandWidth: Double): DataFrame = {
@@ -750,20 +756,24 @@ object Nonparam {
         sum(col("_na") * (lit(2) * col("_cb") + col("_nb"))).as("u2"),
         sum(col("_m") * col("_m") * col("_m") - col("_m")).as("tieterm"),
         sum(t12(col("_na").cast("double")
-          * (col("_s2").cast("double") / col("_m").cast("double"))))
-          .as("_w2"),
+          * (col("_s2").cast("double") / (col("_m").cast("double")
+            * col("n").cast("double"))))).as("_w2"),
         sum(t12(col("_m").cast("double")
-          * (col("_s2").cast("double") / col("_m").cast("double") / 2)
-          * (col("_s2").cast("double") / col("_m").cast("double") / 2)))
-          .as("_saab2"),
+          * (col("_s2").cast("double") / (col("_m").cast("double")
+            * col("n").cast("double")) / 2)
+          * (col("_s2").cast("double") / (col("_m").cast("double")
+            * col("n").cast("double")) / 2))).as("_saab2"),
         sum(t12(col("_na").cast("double")
           * (col("_q3").cast("double") / (lit(12.0)
-            * col("_m").cast("double"))))).as("_tmood"),
+            * col("_m").cast("double") * col("n").cast("double")
+            * col("n").cast("double"))))).as("_tmood"),
         sum(t12(col("_m").cast("double")
           * (col("_q3").cast("double") / (lit(12.0)
-            * col("_m").cast("double")))
+            * col("_m").cast("double") * col("n").cast("double")
+            * col("n").cast("double")))
           * (col("_q3").cast("double") / (lit(12.0)
-            * col("_m").cast("double"))))).as("_samood2"))
+            * col("_m").cast("double") * col("n").cast("double")
+            * col("n").cast("double"))))).as("_samood2"))
       .select(col("n_a"), col("n_b"), col("n"), col("u2"),
         col("tieterm"),
         (col("_w2").cast("double") / 2).as("wab"),
@@ -797,11 +807,12 @@ object Nonparam {
       bandWidth)
     val nD = col("n").cast("double")
     val c = floor((col("n") + 1).cast("double") / 2.0)
-    // Σa over ALL obs = g2(N)/2 by the closed form (x = N > c branch)
-    val sa = (lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
-      - nD * (nD + 1)) / 2
+    // Σa over ALL obs = g2(N)/2 by the closed form (x = N > c
+    // branch), in the core's N-normalized units
+    val sa = ((lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
+      - nD * (nD + 1)) / 2 / nD)
     core.select(col("n_a"), col("n_b"),
-      round(col("wab"), 6).as("ab_w_r"),
+      round(col("wab") * nD, 6).as("ab_w_r"),
       round(rankZ(col("wab"), sa, col("saab2"),
         col("n_a").cast("double"), col("n_b").cast("double"), nD), 6)
         .as("z_r"))
@@ -811,16 +822,21 @@ object Nonparam {
     * distance from the middle rank, the variance-sensitive sibling of
     * [[ansariBradley]] (quadratic rather than triangular weighting).
     * Tie-averaged scores, permutation-moment z. Returns one row:
-    * n_a, n_b, mood_t_r, z_r. */
+    * n_a, n_b, mood_t_r (= T/N², the normalized statistic — see the
+    * in-body note on why the raw T cannot be emitted exactly), z_r. */
   def moodScale(df: DataFrame, valueCol: String, groupCol: String,
       aVal: String, bVal: String, bandWidth: Double = 16.0): DataFrame = {
     val core = twoSampleCore(df, valueCol, groupCol, aVal, bVal,
       bandWidth)
     val nD = col("n").cast("double")
-    // Σa over ALL obs = F(N)/4 = 3F(N)/12 by the closed form
-    val sa = (lit(2.0) * nD * (nD + 1) * (lit(2.0) * nD + 1)
+    // Σa over ALL obs = F(N)/4 = 3F(N)/12 by the closed form, in the
+    // core's N²-normalized units
+    val sa = ((lit(2.0) * nD * (nD + 1) * (lit(2.0) * nD + 1)
       - lit(6.0) * (nD + 1) * nD * (nD + 1)
-      + lit(3.0) * (nD + 1) * (nD + 1) * nD) / 12
+      + lit(3.0) * (nD + 1) * (nD + 1) * nD) / 12 / (nD * nD))
+    // the display statistic stays in the N²-normalized units: the raw
+    // T at corpus scale (~1e12) sits ABOVE the double ulp at 6 dp, so
+    // a de-normalized readout can never be cross-engine exact
     core.select(col("n_a"), col("n_b"),
       round(col("tmood"), 6).as("mood_t_r"),
       round(rankZ(col("tmood"), sa, col("samood2"),
@@ -842,13 +858,17 @@ object Nonparam {
     val nD = col("n").cast("double")
     val sigW = sqrt(naD * nbD / 12.0
       * ((nD + 1) - col("tieterm").cast("double") / (nD * (nD - 1))))
-    val zw = when(sigW > 0,
+    // both z's pinned to the 12-dp grid BEFORE squaring (the
+    // brownDouble discipline): an upstream ulp would otherwise flip
+    // the 6-dp round of z² across engines
+    val zw = round(when(sigW > 0,
       (col("u2") - col("n_a") * col("n_b")).cast("double")
-        / (lit(2.0) * sigW))
+        / (lit(2.0) * sigW)), 12)
     val c = floor((col("n") + 1).cast("double") / 2.0)
-    val sa = (lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
-      - nD * (nD + 1)) / 2
-    val zab = rankZ(col("wab"), sa, col("saab2"), naD, nbD, nD)
+    val sa = ((lit(2.0) * c * (c + 1) + lit(2.0) * (nD - c) * (nD + 1)
+      - nD * (nD + 1)) / 2 / nD)
+    val zab = round(rankZ(col("wab"), sa, col("saab2"), naD, nbD, nD),
+      12)
     core.select(col("n_a"), col("n_b"),
       round(zw, 6).as("zw_r"), round(zab, 6).as("zab_r"),
       round(zw * zw + zab * zab, 6).as("lepage_r"))

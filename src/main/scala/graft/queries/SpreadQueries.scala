@@ -56,32 +56,41 @@ object SpreadQueries {
        |  any_value(n) AS n,
        |  sum(na * (2 * cb + nb))::BIGINT AS u2,
        |  sum(m * m * m - m)::BIGINT AS tieterm,
-       |  sum(round(na::DOUBLE * (s2::DOUBLE / m::DOUBLE), 12)
+       |  sum(round(na::DOUBLE * (s2::DOUBLE
+       |    / (m::DOUBLE * n::DOUBLE)), 12)
        |    ::DECIMAL(28,12))::DOUBLE AS w2,
-       |  sum(round(m::DOUBLE * (s2::DOUBLE / m::DOUBLE / 2)
-       |    * (s2::DOUBLE / m::DOUBLE / 2), 12)
+       |  sum(round(m::DOUBLE * (s2::DOUBLE
+       |      / (m::DOUBLE * n::DOUBLE) / 2)
+       |    * (s2::DOUBLE / (m::DOUBLE * n::DOUBLE) / 2), 12)
        |    ::DECIMAL(28,12))::DOUBLE AS saab2,
-       |  sum(round(na::DOUBLE * (q3::DOUBLE / (12.0 * m::DOUBLE)), 12)
+       |  sum(round(na::DOUBLE * (q3::DOUBLE
+       |    / (12.0 * m::DOUBLE * n::DOUBLE * n::DOUBLE)), 12)
        |    ::DECIMAL(28,12))::DOUBLE AS tmood,
-       |  sum(round(m::DOUBLE * (q3::DOUBLE / (12.0 * m::DOUBLE))
-       |    * (q3::DOUBLE / (12.0 * m::DOUBLE)), 12)
+       |  sum(round(m::DOUBLE * (q3::DOUBLE
+       |      / (12.0 * m::DOUBLE * n::DOUBLE * n::DOUBLE))
+       |    * (q3::DOUBLE
+       |      / (12.0 * m::DOUBLE * n::DOUBLE * n::DOUBLE)), 12)
        |    ::DECIMAL(28,12))::DOUBLE AS samood2
        |  FROM gg)""".stripMargin
 
-  /** The sampling-without-replacement z as SQL (mirrors rankZ). */
-  private def zSql(w: String, sa: String, sa2: String): String =
+  /** The sampling-without-replacement z as SQL (mirrors rankZ),
+    * rounded at `digits`. */
+  private def zSql(w: String, sa: String, sa2: String,
+      digits: Int = 6): String =
     s"""CASE WHEN n_a::DOUBLE * n_b::DOUBLE * (n * $sa2 - ($sa) * ($sa))
        |      / (n::DOUBLE * n::DOUBLE * (n - 1)) > 0
        |  THEN round(($w - n_a::DOUBLE * ($sa) / n)
        |    / sqrt(n_a::DOUBLE * n_b::DOUBLE * (n * $sa2 - ($sa) * ($sa))
-       |      / (n::DOUBLE * n::DOUBLE * (n - 1))), 6) END""".stripMargin
+       |      / (n::DOUBLE * n::DOUBLE * (n - 1))), $digits)
+       |  END""".stripMargin
 
+  // closed-form Σa totals, in the core's N/N²-normalized units
   private val AbSa =
     "(2.0 * ((n + 1) // 2) * (((n + 1) // 2) + 1) " +
-      "+ 2.0 * (n - ((n + 1) // 2)) * (n + 1) - n * (n + 1)) / 2"
+      "+ 2.0 * (n - ((n + 1) // 2)) * (n + 1) - n * (n + 1)) / 2 / n"
   private val MoodSa =
     "(2.0 * n * (n + 1) * (2.0 * n + 1) - 6.0 * (n + 1) * n * (n + 1) " +
-      "+ 3.0 * (n + 1) * (n + 1) * n) / 12"
+      "+ 3.0 * (n + 1) * (n + 1) * n) / 12 / (n::DOUBLE * n::DOUBLE)"
 
   private def eventsCents(s: org.apache.spark.sql.SparkSession,
       d: String) = {
@@ -96,7 +105,7 @@ object SpreadQueries {
     // view values around a common center?
     Q("q468_ansari_bradley",
       Some(s"""WITH ${coreSql("view", "purchase")}
-              |SELECT n_a, n_b, round(w2 / 2, 6) AS ab_w_r,
+              |SELECT n_a, n_b, round(w2 / 2 * n, 6) AS ab_w_r,
               |  ${zSql("w2 / 2", AbSa, "saab2")} AS z_r
               |FROM a""".stripMargin),
       (s, d) => Nonparam.ansariBradley(eventsCents(s, d), "v",
@@ -115,34 +124,22 @@ object SpreadQueries {
     // Lepage portmanteau (click vs error): Wilcoxon z (location) +
     // Ansari–Bradley z (scale), L = z_W² + z_AB² ~ χ²₂.
     Q("q470_lepage",
-      Some(s"""WITH ${coreSql("click", "error")}
-              |SELECT n_a, n_b,
-              |  CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
-              |      * ((n::DOUBLE + 1) - tieterm::DOUBLE
-              |        / (n::DOUBLE * (n::DOUBLE - 1)))) > 0
-              |    THEN round((u2 - n_a * n_b)::DOUBLE
-              |      / (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
-              |        * ((n::DOUBLE + 1) - tieterm::DOUBLE
-              |          / (n::DOUBLE * (n::DOUBLE - 1))))), 6) END
-              |    AS zw_r,
-              |  ${zSql("w2 / 2", AbSa, "saab2")} AS zab_r,
-              |  round((CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+      Some(s"""WITH ${coreSql("click", "error")},
+              |zz AS (SELECT n_a, n_b,
+              |  round(CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
               |      * ((n::DOUBLE + 1) - tieterm::DOUBLE
               |        / (n::DOUBLE * (n::DOUBLE - 1)))) > 0
               |    THEN (u2 - n_a * n_b)::DOUBLE
               |      / (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
               |        * ((n::DOUBLE + 1) - tieterm::DOUBLE
-              |          / (n::DOUBLE * (n::DOUBLE - 1))))) END)
-              |  * (CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
-              |      * ((n::DOUBLE + 1) - tieterm::DOUBLE
-              |        / (n::DOUBLE * (n::DOUBLE - 1)))) > 0
-              |    THEN (u2 - n_a * n_b)::DOUBLE
-              |      / (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
-              |        * ((n::DOUBLE + 1) - tieterm::DOUBLE
-              |          / (n::DOUBLE * (n::DOUBLE - 1))))) END)
-              |  + (${zSql("w2 / 2", AbSa, "saab2")})
-              |    * (${zSql("w2 / 2", AbSa, "saab2")}), 6) AS lepage_r
-              |FROM a""".stripMargin),
+              |          / (n::DOUBLE * (n::DOUBLE - 1))))) END, 12)
+              |    AS zw,
+              |  round(${zSql("w2 / 2", AbSa, "saab2", 12)}, 12) AS zab
+              |  FROM a)
+              |SELECT n_a, n_b, round(zw, 6) AS zw_r,
+              |  round(zab, 6) AS zab_r,
+              |  round(zw * zw + zab * zab, 6) AS lepage_r
+              |FROM zz""".stripMargin),
       (s, d) => Nonparam.lepage(eventsCents(s, d), "v",
         "event_type", "click", "error", 1024.0)),
 

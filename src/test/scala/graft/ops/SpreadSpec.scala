@@ -26,11 +26,12 @@ class SpreadSpec extends SparkTestBase {
 
   test("moodScale: the central group's quadratic score T is below its " +
       "null expectation (negative z); hand T on {4,5} vs {1,9}") {
-    // scores (p−2.5)²: 2.25, .25, .25, 2.25 → T_a = 0.5, E = 2.5
+    // scores (p−2.5)²: 2.25, .25, .25, 2.25 → T_a = 0.5, E = 2.5;
+    // emitted in N²-normalized units: 0.5/16 = 0.03125
     val df = Seq(("a", 4L), ("a", 5L), ("b", 1L), ("b", 9L))
       .toDF("g", "v")
     val r = Nonparam.moodScale(df, "v", "g", "a", "b").collect()(0)
-    assert(r.getAs[Double]("mood_t_r") == 0.5, r.toString)
+    assert(r.getAs[Double]("mood_t_r") == 0.03125, r.toString)
     assert(r.getAs[Double]("z_r") < 0, r.toString)
   }
 
