@@ -185,13 +185,15 @@ object Calibrate {
           t12(col("_pn") - col("_po"))).otherwise(lit(0).cast(
           "decimal(28,12)"))).as("_i0"))
       .select(col("n_events"), col("n_nonevents"),
-        round((col("_u1") - col("_d1")).cast("double")
+        round(when(col("n_events") > 0 && col("n_nonevents") > 0,
+          (col("_u1") - col("_d1")).cast("double")
             / col("n_events").cast("double")
           - (col("_u0") - col("_d0")).cast("double")
-            / col("n_nonevents").cast("double"), 6).as("nri_r"),
-        round(col("_i1").cast("double")
+            / col("n_nonevents").cast("double")), 6).as("nri_r"),
+        round(when(col("n_events") > 0 && col("n_nonevents") > 0,
+          col("_i1").cast("double")
             / col("n_events").cast("double")
           - col("_i0").cast("double")
-            / col("n_nonevents").cast("double"), 6).as("idi_r"))
+            / col("n_nonevents").cast("double")), 6).as("idi_r"))
   }
 }

@@ -12,44 +12,52 @@ import graft.util.Tables._
   * NRI/IDI comparing the click-based score against the view-based
   * one.
   *
-  * The "model" is a fixed logistic transform computed identically in
-  * both engines — σ(x/5 − 1) with the exp argument and the output
-  * pinned to the 12-dp grid (the emStep/rarefaction exp idiom).
+  * The "model" is a pair of deterministic share scores computed
+  * identically in both engines: p1 = the user's view share, p2 = the
+  * click share (pure rationals pinned to the 12-dp grid — no engine
+  * transcendentals), against the label "purchase-heavy user"
+  * (purchase share > 1/5, i.e. above the uniform-type expectation).
+  * A binary every-user-purchased label degenerates at small scales
+  * (users carry ~130 events each); share thresholds split the
+  * population at every scale.
   */
 object CalibrationQueries {
 
-  /** Per-user (views, clicks, y=purchased) + the two pinned scores. */
+  /** Per-user label + the two share scores. */
   private val UserSql =
     """u AS (SELECT user_id,
       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
       |    ::BIGINT AS views,
       |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
       |    ::BIGINT AS clicks,
-      |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-      |    ::INT AS y
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    ::BIGINT AS purch,
+      |  count(*)::BIGINT AS tot
       |  FROM events GROUP BY 1),
-      |p AS (SELECT y,
-      |  round(1.0 / (1.0 + exp(round(1.0 - views / 5.0, 12))), 12)
-      |    AS p1,
-      |  round(1.0 / (1.0 + exp(round(1.0 - clicks / 5.0, 12))), 12)
-      |    AS p2
+      |p AS (SELECT
+      |  CASE WHEN 5 * purch > tot THEN 1 ELSE 0 END AS y,
+      |  round(views::DOUBLE / tot::DOUBLE, 12) AS p1,
+      |  round(clicks::DOUBLE / tot::DOUBLE, 12) AS p2
       |  FROM u)""".stripMargin
 
   private def userSpark(s: org.apache.spark.sql.SparkSession,
       d: String) = {
-    def score(c: org.apache.spark.sql.Column) =
-      round(lit(1.0) / (lit(1.0)
-        + exp(round(lit(1.0) - c.cast("double") / 5.0, 12))), 12)
     events(s, d).groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("views"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L))
           .as("clicks"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0))
-          .as("y"))
-      .select(col("y"), score(col("views")).as("p1"),
-        score(col("clicks")).as("p2"))
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purch"),
+        count(lit(1)).as("tot"))
+      .select(
+        when(lit(5) * col("purch") > col("tot"), 1).otherwise(0)
+          .as("y"),
+        round(col("views").cast("double") / col("tot").cast("double"),
+          12).as("p1"),
+        round(col("clicks").cast("double")
+          / col("tot").cast("double"), 12).as("p2"))
   }
 
   val all: Seq[Q] = Seq(
@@ -183,6 +191,7 @@ object CalibrationQueries {
       Some(s"""WITH $UserSql
               |SELECT sum(y)::BIGINT AS n_events,
               |  sum(1 - y)::BIGINT AS n_nonevents,
+              |  CASE WHEN sum(y) > 0 AND sum(1 - y) > 0 THEN
               |  round((sum(CASE WHEN y = 1 AND
               |      (CASE WHEN p2 >= ${1.0 / 3} THEN 1 ELSE 0 END
               |       + CASE WHEN p2 >= ${2.0 / 3} THEN 1 ELSE 0 END) >
@@ -207,7 +216,8 @@ object CalibrationQueries {
               |      (CASE WHEN p1 >= ${1.0 / 3} THEN 1 ELSE 0 END
               |       + CASE WHEN p1 >= ${2.0 / 3} THEN 1 ELSE 0 END)
               |      THEN 1 ELSE 0 END))::DOUBLE
-              |    / sum(1 - y)::DOUBLE, 6) AS nri_r,
+              |    / sum(1 - y)::DOUBLE, 6) END AS nri_r,
+              |  CASE WHEN sum(y) > 0 AND sum(1 - y) > 0 THEN
               |  round(sum(CASE WHEN y = 1
               |      THEN round(p2 - p1, 12)::DECIMAL(28,12)
               |      ELSE 0::DECIMAL(28,12) END)::DOUBLE
@@ -215,7 +225,7 @@ object CalibrationQueries {
               |    - sum(CASE WHEN y = 0
               |      THEN round(p2 - p1, 12)::DECIMAL(28,12)
               |      ELSE 0::DECIMAL(28,12) END)::DOUBLE
-              |      / sum(1 - y)::DOUBLE, 6) AS idi_r
+              |      / sum(1 - y)::DOUBLE, 6) END AS idi_r
               |FROM p""".stripMargin),
       (s, d) => Calibrate.nriIdi(userSpark(s, d), "p1", "p2", "y",
         Seq(1.0 / 3, 2.0 / 3))))

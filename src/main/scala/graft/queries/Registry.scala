@@ -34,7 +34,7 @@ object Registry {
       InfluenceQueries.all ++ AgreementQueries.all ++
       SequenceQueries.all ++ DensityQueries.all ++
       TendencyQueries.all ++ ClockQueries.all ++ SpreadQueries.all ++
-      PosthocQueries.all
+      PosthocQueries.all ++ CalibrationQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
