@@ -1228,4 +1228,183 @@ object TextOps {
         round(col("_e"), 6).as("e_distinct_r"))
       .orderBy(col("frac"))
   }
+
+  /** Moving-average type–token ratio (Covington & McFall's MATTR):
+    * the sliding-window fix for TTR's document-length bias — every
+    * length-`window` span contributes its own type count, and the
+    * per-doc score is the mean. Documents shorter than the window are
+    * excluded (both engines, same predicate). Returns per group:
+    * n_docs, mattr_r (mean of per-doc MATTRs, 12-dp terms).
+    *
+    * Shape: posexplode → each token fans out MAP-SIDE to the ≤window
+    * spans containing it (`sequence` bounds, never a self-join) →
+    * one distinct + two hash-aggs. Work is tokens × window, linear in
+    * the corpus for fixed window; no window function anywhere. */
+  def mattr(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, window: Int = 25): DataFrame = {
+    require(window >= 2)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val toks = docs.select(col(groupCol), col(idCol),
+      posexplode(tokens(normalize(col(textCol)))).as(Seq("_p", "_tok")))
+    val withN = toks.join(
+      toks.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+        .where(col("_n") >= window),
+      Seq(idCol))
+    val spans = withN.select(col(groupCol), col(idCol), col("_tok"),
+      explode(sequence(greatest(lit(0), col("_p") - (window - 1)),
+        least(col("_p"), col("_n") - window))).as("_s"))
+    val types = spans
+      .select(col(groupCol), col(idCol), col("_s"), col("_tok"))
+      .distinct()
+      .groupBy(col(groupCol), col(idCol), col("_s"))
+      .agg(count(lit(1)).as("_v"))
+    val perDoc = types.groupBy(col(groupCol), col(idCol))
+      .agg((sum(col("_v")).cast("double")
+        / (count(lit(1)) * window).cast("double")).as("_mattr"))
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(t12(col("_mattr"))).as("_sm"))
+      .select(col(groupCol), col("n_docs"),
+        round(col("_sm").cast("double") / col("n_docs").cast("double"),
+          6).as("mattr_r"))
+  }
+
+  /** Corpus vocabulary-richness panel from the frequency spectrum:
+    * Yule's K = 10⁴·(Σf² − N)/N² (repeat-rate concentration, length-
+    * robust), Simpson's D = Σf(f−1)/(N(N−1)), Herdan's C = lnV/lnN,
+    * Honoré's R = 100·lnN/(1 − V₁/V) (hapax-driven; null when every
+    * type is a hapax), Sichel's S = V₂/V. One token pass → one
+    * (type) hash-agg → closed forms on exact integer moments.
+    * Returns one row: n_tokens, vocab, v1, v2, yule_k_r, simpson_r,
+    * herdan_r, honore_r, sichel_r. */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(normalize(col(textCol)))).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_f"))
+    val agg = freq.agg(sum(col("_f")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(col("_f") * col("_f")).as("_f2"),
+      sum(when(col("_f") === 1, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("_f") === 2, 1L).otherwise(0L)).as("v2"))
+    val nD = col("n_tokens").cast("double")
+    val vD = col("vocab").cast("double")
+    agg.select(col("n_tokens"), col("vocab"), col("v1"), col("v2"),
+      round(lit(10000.0) * (col("_f2") - col("n_tokens")).cast("double")
+        / (nD * nD), 6).as("yule_k_r"),
+      round((col("_f2") - col("n_tokens")).cast("double")
+        / (nD * (nD - 1)), 6).as("simpson_r"),
+      round(log(vD) / log(nD), 6).as("herdan_r"),
+      round(when(col("v1") < col("vocab"),
+        lit(100.0) * log(nD)
+          / (lit(1.0) - col("v1").cast("double") / vD)), 6)
+        .as("honore_r"),
+      round(col("v2").cast("double") / vD, 6).as("sichel_r"))
+  }
+
+  /** Hill-number diversity ladder + Pielou evenness per group:
+    * ⁰D = V (richness), ¹D = exp(H) (Shannon-effective types),
+    * ²D = 1/λ (Simpson-effective types, λ = Σf²/N² with-replacement),
+    * J = H/lnV. The three Hill orders answer "how many EQUALLY-COMMON
+    * types would look like this corpus" under increasingly
+    * dominance-sensitive lenses — the slice-balance dashboard for a
+    * mixture. H accumulates 12-dp −p·ln p terms and is pinned to the
+    * grid before exp (the emStep idiom). Returns per group: n_tokens,
+    * hill0, hill1_r, hill2_r, pielou_r. */
+  def hillEvenness(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val freq = docs
+      .select(col(groupCol),
+        explode(tokens(normalize(col(textCol)))).as("_tok"))
+      .groupBy(col(groupCol), col("_tok"))
+      .agg(count(lit(1)).as("_f"))
+    val tot = freq.groupBy(col(groupCol))
+      .agg(sum(col("_f")).as("_n"))
+    val p = col("_f").cast("double") / col("_n").cast("double")
+    val agg = freq.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("_n")).as("n_tokens"),
+        count(lit(1)).as("hill0"),
+        sum(t12(-p * log(p))).as("_h"),
+        sum(col("_f") * col("_f")).as("_f2"))
+    val h = round(col("_h").cast("double"), 12)
+    val nD = col("n_tokens").cast("double")
+    agg.select(col(groupCol), col("n_tokens"), col("hill0"),
+      round(exp(h), 6).as("hill1_r"),
+      round(nD * nD / col("_f2").cast("double"), 6).as("hill2_r"),
+      round(when(col("hill0") >= 2,
+        h / log(col("hill0").cast("double"))), 6).as("pielou_r"))
+  }
+
+  /** Self-BLEU-2 over a deterministic md5 sample of the corpus: the
+    * diversity audit for generated/curated text — HIGH self-BLEU
+    * means the corpus repeats itself. For each ordered pair (cand,
+    * ref) in the sample: modified n-gram precisions p₁, p₂ (clipped
+    * counts), brevity penalty exp(1 − lenR/lenC) when the candidate
+    * is shorter, BLEU = BP·√(p₁p₂) (pow-free geometric mean; 0 when
+    * either precision is 0). Returns one row: k_docs, n_pairs,
+    * self_bleu_r.
+    *
+    * Shape: the sample is a k-row TakeOrderedAndProject on md5(id)
+    * (the Curation sampling idiom); gram tables are built ONCE for
+    * the k docs and pair-joined on the gram hash — k²-bounded,
+    * corpus-scan-free after the sample. The audit-scale contract: k
+    * is a constant (default 16); production sweeps shard the sample,
+    * never widen the pair grid. */
+  def selfBleuSampled(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 2)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val s = docs.sparkSession
+    val sample = docs
+      .select(col(idCol).as("_id"),
+        tokens(normalize(col(textCol))).as("_t"),
+        md5(col(idCol).cast("string")).as("_ord"))
+      .orderBy(col("_ord")).limit(k)
+      .select(col("_id"), col("_t"), size(col("_t")).as("_len"))
+      .where(col("_len") >= 2) // a 1-token doc has no bigrams (÷0)
+      .localCheckpoint() // k rows; feeds grams, lengths and the grid
+    def grams(n: Int) = sample
+      .select(col("_id"),
+        explode(sequence(lit(0), col("_len") - n)).as("_p"),
+        col("_t"))
+      .select(col("_id"),
+        concat_ws("",
+          (0 until n).map(i => col("_t")(col("_p") + i)): _*)
+          .as("_g"))
+      .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as("_c"))
+    def clipped(n: Int) = {
+      val g = grams(n)
+      g.select(col("_id").as("_cand"), col("_g"), col("_c"))
+        .join(g.select(col("_id").as("_ref"), col("_g"),
+          col("_c").as("_cr")), Seq("_g"))
+        .where(col("_cand") =!= col("_ref"))
+        .groupBy(col("_cand"), col("_ref"))
+        .agg(sum(least(col("_c"), col("_cr"))).as(s"_clip$n"))
+    }
+    val grid = sample.select(col("_id").as("_cand"),
+        col("_len").as("_lc"))
+      .crossJoin(sample.select(col("_id").as("_ref"),
+        col("_len").as("_lr")))
+      .where(col("_cand") =!= col("_ref"))
+    val scored = grid
+      .join(clipped(1), Seq("_cand", "_ref"), "left")
+      .join(clipped(2), Seq("_cand", "_ref"), "left")
+      .select(
+        (coalesce(col("_clip1"), lit(0L)).cast("double")
+          / col("_lc").cast("double")).as("_p1"),
+        (coalesce(col("_clip2"), lit(0L)).cast("double")
+          / (col("_lc") - 1).cast("double")).as("_p2"),
+        when(col("_lc") > col("_lr"), lit(1.0))
+          .otherwise(exp(round(lit(1.0)
+            - col("_lr").cast("double") / col("_lc").cast("double"),
+            12))).as("_bp"))
+    val bleu = when(col("_p1") > 0 && col("_p2") > 0,
+      col("_bp") * sqrt(col("_p1") * col("_p2"))).otherwise(lit(0.0))
+    scored.agg(count(lit(1)).as("n_pairs"),
+        sum(t12(bleu)).as("_sb"))
+      .select(lit(k).as("k_docs"), col("n_pairs"),
+        round(col("_sb").cast("double") / col("n_pairs").cast("double"),
+          6).as("self_bleu_r"))
+  }
 }

@@ -34,7 +34,8 @@ object Registry {
       InfluenceQueries.all ++ AgreementQueries.all ++
       SequenceQueries.all ++ DensityQueries.all ++
       TendencyQueries.all ++ ClockQueries.all ++ SpreadQueries.all ++
-      PosthocQueries.all ++ CalibrationQueries.all
+      PosthocQueries.all ++ CalibrationQueries.all ++
+      RichnessQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
