@@ -350,4 +350,43 @@ object Fit {
         col("n_exceed"), col("mean_r"), col("xi_r").as("khat_r"),
         col("beta_r"))
   }
+
+  /** Zero-inflated Poisson fit by EM on a count panel: the mixture
+    * π·δ₀ + (1−π)·Poisson(λ) whose EM reduces to SCALAR closed forms
+    * — with N = cells, n₀ = zero cells, S = Σy, each step is
+    *   z₀ = π / (π + (1−π)·e^{−λ}) ;  π′ = n₀z₀/N ;
+    *   λ′ = S/(N − n₀z₀)
+    * so the whole fit is ONE corpus agg followed by `iters` unrolled
+    * scalar expressions (every float pinned to the 12-dp grid, exp on
+    * a pinned argument — the emStep idiom). Dominance of zeros beyond
+    * Poisson's e^{−λ} share is exactly what π̂ measures. Returns one
+    * row: n, n0, s, pi_r, lambda_r. */
+  def zipEm(counts: DataFrame, yCol: String, iters: Int = 10,
+      p0: Double = 0.25): DataFrame = {
+    require(iters >= 1 && p0 > 0 && p0 < 1)
+    val nD = col("n").cast("double")
+    val n0D = col("n0").cast("double")
+    val sD = col("s").cast("double")
+    // FS-EM loop discipline: a 1-row parameter frame checkpointed per
+    // step (a fully unrolled expression tree grows ~3^iters nodes)
+    var par = counts.agg(count(lit(1)).as("n"),
+        sum(when(col(yCol) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(col(yCol)).as("s"))
+      .select(col("n"), col("n0"), col("s"),
+        round(lit(p0), 12).as("_pi"),
+        round(sD / nD / (1.0 - p0), 12).as("_lam"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val z0 = round(col("_pi")
+        / (col("_pi") + (lit(1.0) - col("_pi")) * exp(-col("_lam"))),
+        12)
+      par = par.select(col("n"), col("n0"), col("s"),
+          round(n0D * z0 / nD, 12).as("_pi"),
+          round(sD / (nD - n0D * z0), 12).as("_lam"))
+        .localCheckpoint()
+    }
+    par.select(col("n"), col("n0"), col("s"),
+      round(col("_pi"), 6).as("pi_r"),
+      round(col("_lam"), 6).as("lambda_r"))
+  }
 }

@@ -903,4 +903,42 @@ object Profile {
       round((col("_r2") / nD - lit(1.0)) / lit(2.0), 6).as("ge2_r"))
       .orderBy(col(groupCol))
   }
+
+  /** l-diversity audit over quasi-identifier groups (the sensitive-
+    * attribute companion to [[anonymityLadder]]'s k-anonymity): per
+    * QI group, the DISTINCT-l (number of distinct sensitive values)
+    * and ENTROPY-l (exp of the sensitive-value entropy — the
+    * effective number of equally-likely values an attacker faces).
+    * A release is distinct-l-diverse at the MINIMUM over groups.
+    * Returns one row: n_groups, min_distinct_l, min_entropy_l_r,
+    * frac_ge3_r (share of groups with distinct-l ≥ 3).
+    *
+    * Shape: one (QI, sensitive) hash-agg → one (QI) rollup → one
+    * global agg; entropy terms on the 12-dp grid, pinned before
+    * exp. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val cells = df.groupBy(
+        (qiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val tot = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_c")).as("_n"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    val perGroup = cells.join(tot, qiCols)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_l"),
+        sum(t12(-p * log(p))).as("_h"))
+      .select(col("_l"),
+        exp(round(col("_h").cast("double"), 12)).as("_el"))
+    perGroup.agg(count(lit(1)).as("n_groups"),
+        min(col("_l")).as("min_distinct_l"),
+        min(round(col("_el"), 12)).as("_mel"),
+        sum(when(col("_l") >= 3, 1L).otherwise(0L)).as("_ge3"))
+      .select(col("n_groups"), col("min_distinct_l"),
+        round(col("_mel"), 6).as("min_entropy_l_r"),
+        round(col("_ge3").cast("double")
+          / col("n_groups").cast("double"), 6).as("frac_ge3_r"))
+  }
 }

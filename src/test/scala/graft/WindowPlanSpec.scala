@@ -188,6 +188,10 @@ object WindowPlanSpec {
       "q475_quade" -> (1, keyGrid +
         " (block-range mid-rank over the ≤|weeks| block grid)"),
       "q476_page_trend" -> (1, keyGrid +
-        " (treatment index over the ≤k treatment list)"))
+        " (treatment index over the ≤k treatment list)"),
+      "q488_newsvendor" -> (1, bandLevel1 +
+        " (fractile-search banded prefix, constant group folded)"),
+      "q490_energy_distance" -> (4, bandLevel1 +
+        " (four banded prefixes: counts + value-sums per side)"))
   }
 }
