@@ -389,4 +389,102 @@ object Fit {
       round(col("_pi"), 6).as("pi_r"),
       round(col("_lam"), 6).as("lambda_r"))
   }
+
+  /** Two-feature logistic regression by IRLS on a BINNED design (the
+    * [[graft.ops.Infer]] plattScaling discipline lifted to 3
+    * parameters): rows are (x1, x2, n, k) cells — trials and
+    * successes per distinct feature pair — so the per-step sigmoid
+    * runs on the bounded cell grid, never on raw rows. Each Newton
+    * step aggregates the nine X′WX / X′(y−p) moments (12-dp terms)
+    * and solves the 3×3 system in closed Cramer form on a 1-row
+    * parameter frame (FS-EM checkpoint loop). Features enter as
+    * ln(1+x) pinned to 12 dp. Returns one row: n_trials, k_pos,
+    * b0_r, b1_r, b2_r, deviance_r. */
+  def logistic2Irls(cells: DataFrame, x1Col: String, x2Col: String,
+      nCol: String, kCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val base = cells.select(
+        round(log(lit(1.0) + col(x1Col).cast("double")), 12).as("_l1"),
+        round(log(lit(1.0) + col(x2Col).cast("double")), 12).as("_l2"),
+        col(nCol).cast("double").as("_n"),
+        col(kCol).cast("double").as("_k"))
+      .localCheckpoint() // the IRLS frame; consumed every step
+    var par = base.sparkSession.range(1).select(
+        lit(0.0).as("_b0"), lit(0.0).as("_b1"), lit(0.0).as("_b2"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val p = round(lit(1.0) / (lit(1.0) + exp(-round(col("_b0")
+        + col("_b1") * col("_l1") + col("_b2") * col("_l2"), 12))), 12)
+      val e = base.crossJoin(broadcast(par))
+        .withColumn("_p", p)
+        .withColumn("_w", col("_n") * col("_p")
+          * (lit(1.0) - col("_p")))
+        .withColumn("_r", col("_k") - col("_n") * col("_p"))
+      val m = e.agg(
+        sum(t12(col("_w"))).cast("double").as("sw"),
+        sum(t12(col("_w") * col("_l1"))).cast("double").as("sw1"),
+        sum(t12(col("_w") * col("_l2"))).cast("double").as("sw2"),
+        sum(t12(col("_w") * col("_l1") * col("_l1"))).cast("double")
+          .as("sw11"),
+        sum(t12(col("_w") * col("_l1") * col("_l2"))).cast("double")
+          .as("sw12"),
+        sum(t12(col("_w") * col("_l2") * col("_l2"))).cast("double")
+          .as("sw22"),
+        sum(t12(col("_r"))).cast("double").as("sr"),
+        sum(t12(col("_r") * col("_l1"))).cast("double").as("sr1"),
+        sum(t12(col("_r") * col("_l2"))).cast("double").as("sr2"),
+        first(col("_b0")).as("_b0"), first(col("_b1")).as("_b1"),
+        first(col("_b2")).as("_b2"))
+      val det = (col("sw") * (col("sw11") * col("sw22")
+          - col("sw12") * col("sw12"))
+        - col("sw1") * (col("sw1") * col("sw22")
+          - col("sw12") * col("sw2"))
+        + col("sw2") * (col("sw1") * col("sw12")
+          - col("sw11") * col("sw2")))
+      val d0 = (col("sr") * (col("sw11") * col("sw22")
+          - col("sw12") * col("sw12"))
+        - col("sw1") * (col("sr1") * col("sw22")
+          - col("sw12") * col("sr2"))
+        + col("sw2") * (col("sr1") * col("sw12")
+          - col("sw11") * col("sr2")))
+      val d1 = (col("sw") * (col("sr1") * col("sw22")
+          - col("sw12") * col("sr2"))
+        - col("sr") * (col("sw1") * col("sw22")
+          - col("sw12") * col("sw2"))
+        + col("sw2") * (col("sw1") * col("sr2")
+          - col("sr1") * col("sw2")))
+      val d2 = (col("sw") * (col("sw11") * col("sr2")
+          - col("sr1") * col("sw12"))
+        - col("sw1") * (col("sw1") * col("sr2")
+          - col("sr1") * col("sw2"))
+        + col("sr") * (col("sw1") * col("sw12")
+          - col("sw11") * col("sw2")))
+      par = m.select(
+          round(col("_b0") + d0 / det, 12).as("_b0"),
+          round(col("_b1") + d1 / det, 12).as("_b1"),
+          round(col("_b2") + d2 / det, 12).as("_b2"))
+        .localCheckpoint()
+    }
+    val pF = round(lit(1.0) / (lit(1.0) + exp(-round(col("_b0")
+      + col("_b1") * col("_l1") + col("_b2") * col("_l2"), 12))), 12)
+    // the 12-dp pin can saturate p to exactly 0/1 — clamp the
+    // deviance logs on BOTH engines (the plattScaling clamp)
+    val pc = least(greatest(col("_p"), lit(1e-12)),
+      lit(1.0 - 1e-12))
+    base.crossJoin(broadcast(par))
+      .withColumn("_p", pF)
+      .agg(sum(col("_n")).cast("long").as("n_trials"),
+        sum(col("_k")).cast("long").as("k_pos"),
+        first(col("_b0")).as("_b0"), first(col("_b1")).as("_b1"),
+        first(col("_b2")).as("_b2"),
+        sum(t12(lit(-2.0) * (col("_k") * log(pc)
+          + (col("_n") - col("_k"))
+            * log(lit(1.0) - pc)))).cast("double").as("_dev"))
+      .select(col("n_trials"), col("k_pos"),
+        round(col("_b0"), 6).as("b0_r"),
+        round(col("_b1"), 6).as("b1_r"),
+        round(col("_b2"), 6).as("b2_r"),
+        round(col("_dev"), 6).as("deviance_r"))
+  }
 }

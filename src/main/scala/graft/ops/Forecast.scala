@@ -220,4 +220,68 @@ object Forecast {
       round(greatest(lit(0.0), lit(1.0) - vR / nullif(vTR, lit(0.0))),
         6).as("f_trend_r"))
   }
+
+  /** M-competition forecast scorecard for the seasonal-naïve forecast
+    * (lag `lagDays`) against the naïve-1 scale on the zero-filled
+    * daily spine:
+    *   MASE  = MAE(seasonal-naïve) / MAE(naïve-1)
+    *   RMSSE = √(MSE(seasonal-naïve) / MSE(naïve-1))
+    *   sMAPE = mean 2|x−p| / (|x|+|p|) over days with x+p > 0
+    * — the scale-free trio q247's MAE/bias/MAPE can't provide (MAPE
+    * explodes on near-zero days; MASE/RMSSE normalize by the in-
+    * sample naïve difficulty instead). Integer error sums are exact;
+    * the sMAPE rationals are 12-dp terms. Returns per key: n_days,
+    * mase_r, smape_r, rmsse_r (scale ratios null when the naïve-1
+    * denominator is 0 — a constant series).
+    *
+    * Shape: the [[TimeSeries.seasonalNaiveBacktest]] spine with TWO
+    * lag self-joins (lag-7 forecast, lag-1 scale) — joins on day
+    * arithmetic, no window. */
+  def forecastScorecard(events: DataFrame, keyCol: String,
+      tsCol: String, lagDays: Int): DataFrame = {
+    require(lagDays >= 2)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val f7 = filled.select(col(keyCol),
+      date_add(col("day"), lagDays).as("day"), col("x").as("_p"))
+    val f1 = filled.select(col(keyCol),
+      date_add(col("day"), 1).as("day"), col("x").as("_p1"))
+    // evaluation span: days where BOTH lags exist, so MASE's
+    // numerator and denominator cover the same days
+    val j = filled.join(f7, Seq(keyCol, "day"))
+      .join(f1, Seq(keyCol, "day"))
+    j.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("_p"))).as("_ae7"),
+        sum(abs(col("x") - col("_p1"))).as("_ae1"),
+        sum((col("x") - col("_p")) * (col("x") - col("_p")))
+          .as("_se7"),
+        sum((col("x") - col("_p1")) * (col("x") - col("_p1")))
+          .as("_se1"),
+        sum(when(col("x") + col("_p") > 0, 1L).otherwise(0L))
+          .as("_npos"),
+        sum(when(col("x") + col("_p") > 0,
+          t12(lit(2.0) * abs(col("x") - col("_p")).cast("double")
+            / (col("x") + col("_p")).cast("double")))
+          .otherwise(lit(0).cast("decimal(28,12)"))).as("_sm"))
+      .select(col(keyCol), col("n_days"),
+        round(when(col("_ae1") > 0,
+          col("_ae7").cast("double") / col("_ae1").cast("double")), 6)
+          .as("mase_r"),
+        round(when(col("_npos") > 0,
+          col("_sm").cast("double") / col("_npos").cast("double")), 6)
+          .as("smape_r"),
+        round(when(col("_se1") > 0,
+          sqrt(col("_se7").cast("double")
+            / col("_se1").cast("double"))), 6).as("rmsse_r"))
+  }
 }

@@ -1036,4 +1036,47 @@ object Nonparam {
       round(eyy, 6).as("eyy_r"),
       round(lit(2.0) * exy - exx - eyy, 6).as("energy_r"))
   }
+
+  /** Two-sample Anderson–Darling statistic in the tie-blocked Pettitt
+    * form: A² = (1/(n·m))·Σ_v t_v·(N·C_A(≤v) − n_a·C(≤v))² /
+    * (C(≤v)·(N − C(≤v))) over distinct values below the maximum —
+    * the tail-weighted sibling of [[cramerVonMises]] (the 1/(F(1−F))
+    * weight makes it the most powerful ECDF test against tail
+    * alternatives). Exact integers until the per-block division.
+    * Returns one row: n_a, n_b, a2_r.
+    *
+    * Shape: the two-sample value grid + one banded prefix (counts per
+    * side recovered from the A-side prefix, the twoSampleCore
+    * trick). */
+  def adTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      aVal: String, bVal: String, bandWidth: Double = 16.0): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val per = df.where(col(groupCol).isin(aVal, bVal))
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === aVal, 1L).otherwise(0L)).as("_na"),
+        sum(when(col(groupCol) === bVal, 1L).otherwise(0L)).as("_nb"))
+      .withColumn("_m", col("_na") + col("_nb"))
+    val cumT = Ranks.bandedRunningSum(per.withColumn("_g", lit(0)),
+      "_g", valueCol, "_m", bandWidth)
+      .withColumnRenamed("runsum", "_ct") // inclusive total prefix
+    val cumA = Ranks.bandedRunningSum(cumT.withColumn("_g2", lit(0)),
+      "_g2", valueCol, "_na", bandWidth)
+      .withColumnRenamed("runsum", "_ca") // inclusive A prefix
+    val tot = per.agg(sum(col("_na")).as("n_a"),
+      sum(col("_nb")).as("n_b"))
+    val g = cumA.crossJoin(broadcast(tot))
+      .withColumn("_nn", col("n_a") + col("n_b"))
+      .where(col("_ct") < col("_nn")) // exclude the top block
+    val num = (col("_nn") * col("_ca") - col("n_a") * col("_ct"))
+    val term = (col("_m").cast("double")
+      * (num.cast("double") * num.cast("double"))
+      / (col("_ct").cast("double")
+        * (col("_nn") - col("_ct")).cast("double")))
+    g.groupBy(col("n_a"), col("n_b"))
+      .agg(sum(t12(term)).as("_s"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_s").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("a2_r"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1145,5 +1145,109 @@ object Similarity {
       .select(col("_aid").as("anchor_id"), col("label"), col("pos_id"),
         col("sim_pos_r"), col("neg_id"), col("sim_neg_r"),
         round(col("sim_pos_r") - col("sim_neg_r"), 9).as("margin_r"))
+  }
+
+  /** Linear CKA between two dimension BLOCKS of one embedding table
+    * (e.g. first vs second half): do the two sub-spaces encode the
+    * same example geometry? With column-centered blocks X (n×d₁) and
+    * Y (n×d₂),
+    *   CKA = ‖YᵀX‖²_F / (‖XᵀX‖_F · ‖YᵀY‖_F)
+    * — 1 iff the blocks agree up to rotation+scale. Computed from ONE
+    * O(n·d²) cross-moment pass (the [[topEigen]] posture): the full
+    * d×d second-moment grid S_ij = Σ vᵢvⱼ (12-dp terms) plus the mean
+    * vector, centered as C_ij = S_ij − n·mᵢ·mⱼ, then three
+    * block-Frobenius reductions on the d² grid. Returns one row:
+    * n, cka_r, fxy2_r (‖YᵀX‖²_F), fxx_r, fyy_r. */
+  def linearCkaBlocks(emb: DataFrame, idCol: String, vecCol: String,
+      splitDim: Int): DataFrame = {
+    require(splitDim >= 1)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val dims = emb.select(col(idCol).as("_id"),
+        posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .select(col("_id"), col("_i"), col("_v").cast("double").as("_v"))
+      .localCheckpoint() // consumed by the moment grid AND the means
+    val nF = emb.agg(count(lit(1)).as("_n"))
+    val means = dims.groupBy(col("_i"))
+      .agg(sum(t12(col("_v"))).cast("double").as("_sv"))
+      .crossJoin(broadcast(nF))
+      .select(col("_i"), col("_n"),
+        (col("_sv") / col("_n").cast("double")).as("_m"))
+    val s = dims.select(col("_id"), col("_i"), col("_v"))
+      .join(dims.select(col("_id"), col("_i").as("_j"),
+        col("_v").as("_w")), Seq("_id"))
+      .groupBy(col("_i"), col("_j"))
+      .agg(sum(t12(col("_v") * col("_w"))).cast("double").as("_s"))
+    val c = s
+      .join(broadcast(means), Seq("_i"))
+      .join(broadcast(means.select(col("_i").as("_j"),
+        col("_m").as("_mj"))), Seq("_j"))
+      .select(col("_i"), col("_j"), col("_n"),
+        (col("_s") - col("_n").cast("double") * col("_m")
+          * col("_mj")).as("_c"))
+    val blocks = c.groupBy(col("_n")).agg(
+      sum(t12(when(col("_i") < splitDim && col("_j") >= splitDim,
+        col("_c") * col("_c")).otherwise(lit(0.0))))
+        .cast("double").as("_fxy2"),
+      sum(t12(when(col("_i") < splitDim && col("_j") < splitDim,
+        col("_c") * col("_c")).otherwise(lit(0.0))))
+        .cast("double").as("_fxx2"),
+      sum(t12(when(col("_i") >= splitDim && col("_j") >= splitDim,
+        col("_c") * col("_c")).otherwise(lit(0.0))))
+        .cast("double").as("_fyy2"))
+    blocks.select(col("_n").as("n"),
+      round(col("_fxy2")
+        / (sqrt(col("_fxx2")) * sqrt(col("_fyy2"))), 6).as("cka_r"),
+      round(col("_fxy2"), 6).as("fxy2_r"),
+      round(sqrt(col("_fxx2")), 6).as("fxx_r"),
+      round(sqrt(col("_fyy2")), 6).as("fyy_r"))
+  }
+
+  /** Wang–Isola (2020) alignment/uniformity of an embedding space on
+    * a deterministic md5 sample (the contrastive-representation
+    * quality pair): alignment = mean ‖x−y‖² over SAME-LABEL pairs
+    * (lower = positives collapse together), uniformity =
+    * ln(mean over all pairs of e^{−2‖x−y‖²}) (lower = points spread
+    * over the sphere). Distances are exact 12-dp term sums over the
+    * k²·d pair-dimension grid; exp runs on the pinned distance. The
+    * audit-scale contract: k is constant (default 128); production
+    * shards the sample. Returns one row: k_vecs, n_pairs,
+    * n_pos_pairs, alignment_r, uniformity_r. */
+  def uniformityAlignment(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 128): DataFrame = {
+    require(k >= 2)
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val sample = emb.select(col(idCol).as("_id"),
+        col(vecCol).as("_vec"), col(labelCol).as("_lab"),
+        md5(col(idCol).cast("string")).as("_ord"))
+      .orderBy(col("_ord")).limit(k)
+      .select(col("_id"), col("_vec"), col("_lab"))
+      .localCheckpoint() // k rows; both sides of the pair grid
+    val a = sample.select(col("_id").as("_ia"), col("_vec").as("_va"),
+      col("_lab").as("_la"))
+    val b = sample.select(col("_id").as("_ib"), col("_vec").as("_vb"),
+      col("_lab").as("_lb"))
+    val dx = (col("_x").cast("double")
+      - col("_vb")(col("_i")).cast("double"))
+    val d2 = a.join(b, col("_ia") < col("_ib"))
+      .select(col("_ia"), col("_ib"), col("_la"), col("_lb"),
+        posexplode(col("_va")).as(Seq("_i", "_x")), col("_vb"))
+      .select(col("_ia"), col("_ib"), col("_la"), col("_lb"),
+        t12(dx * dx).as("_t"))
+      .groupBy(col("_ia"), col("_ib"), col("_la"), col("_lb"))
+      .agg(round(sum(col("_t")).cast("double"), 12).as("_d2"))
+    d2.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_la") === col("_lb"), 1L).otherwise(0L))
+          .as("n_pos_pairs"),
+        sum(when(col("_la") === col("_lb"), t12(col("_d2")))
+          .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+          .as("_sal"),
+        sum(t12(exp(lit(-2.0) * col("_d2")))).cast("double")
+          .as("_su"))
+      .select(lit(k).as("k_vecs"), col("n_pairs"), col("n_pos_pairs"),
+        round(when(col("n_pos_pairs") > 0,
+          col("_sal") / col("n_pos_pairs").cast("double")), 6)
+          .as("alignment_r"),
+        round(log(col("_su") / col("n_pairs").cast("double")), 6)
+          .as("uniformity_r"))
   }
 }

@@ -35,7 +35,8 @@ object Registry {
       SequenceQueries.all ++ DensityQueries.all ++
       TendencyQueries.all ++ ClockQueries.all ++ SpreadQueries.all ++
       PosthocQueries.all ++ CalibrationQueries.all ++
-      RichnessQueries.all ++ CapacityQueries.all
+      RichnessQueries.all ++ CapacityQueries.all ++
+      ScorecardQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

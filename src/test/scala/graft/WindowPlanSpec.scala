@@ -192,6 +192,8 @@ object WindowPlanSpec {
       "q488_newsvendor" -> (1, bandLevel1 +
         " (fractile-search banded prefix, constant group folded)"),
       "q490_energy_distance" -> (4, bandLevel1 +
-        " (four banded prefixes: counts + value-sums per side)"))
+        " (four banded prefixes: counts + value-sums per side)"),
+      "q495_ad_two_sample" -> (2, bandLevel1 +
+        " (total + A-side banded prefixes, constant group folded)"))
   }
 }
