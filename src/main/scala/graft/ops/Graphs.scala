@@ -932,4 +932,49 @@ object Graphs {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("support"))
   }
+
+  /** Newman's CATEGORICAL attribute assortativity on an undirected
+    * edge list: with the mixing matrix e_ij (share of symmetrized
+    * edge ends joining class i to class j),
+    *   r = (Σᵢ e_ii − Σᵢ aᵢ²) / (1 − Σᵢ aᵢ²)
+    * — do edges prefer SAME-attribute endpoints beyond what the class
+    * sizes force? The attribute sibling of [[degreeAssortativity]].
+    * Kept as exact integers via r = (T·diag − Σrow²)/(T² − Σrow²)
+    * over raw cell counts (T = 2·|E|). Returns one row: n_edges,
+    * n_classes, diag_share_r, assort_r (null when one class owns
+    * every end).
+    *
+    * Shape: distinct + symmetrize, two attr joins (the node table is
+    * broadcast-class), one hash-agg to the ≤classes² mixing grid —
+    * reads the persisted bucketed edge table exchange-free on the
+    * edge side. */
+  def attributeAssortativity(edges: DataFrame, nodes: DataFrame,
+      idCol: String, attrCol: String): DataFrame = {
+    val uniq = edges.select(col("src"), col("dst")).distinct()
+    val sym = uniq.unionByName(uniq.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val attr = nodes.select(col(idCol), col(attrCol))
+    val e = sym
+      .join(broadcast(attr.select(col(idCol).as("src"),
+        col(attrCol).as("_ai"))), Seq("src"))
+      .join(broadcast(attr.select(col(idCol).as("dst"),
+        col(attrCol).as("_aj"))), Seq("dst"))
+    val cells = e.groupBy(col("_ai"), col("_aj"))
+      .agg(count(lit(1)).as("_c"))
+    val rows = cells.groupBy(col("_ai")).agg(sum(col("_c")).as("_r"))
+      .agg(sum(col("_r")).as("_t"), count(lit(1)).as("n_classes"),
+        sum(col("_r") * col("_r")).as("_r2"))
+    val diag = cells.agg(
+      sum(when(col("_ai") === col("_aj"), col("_c")).otherwise(0L))
+        .as("_diag"))
+    rows.crossJoin(broadcast(diag))
+      .select((col("_t") / 2).cast("long").as("n_edges"),
+        col("n_classes"),
+        round(col("_diag").cast("double") / col("_t").cast("double"),
+          6).as("diag_share_r"),
+        round(when(col("_t") * col("_t") - col("_r2") > 0,
+          (col("_t") * col("_diag") - col("_r2")).cast("double")
+            / (col("_t") * col("_t") - col("_r2")).cast("double")),
+          6).as("assort_r"))
+  }
 }

@@ -1017,4 +1017,139 @@ object Infer {
         coalesce(col("holm_rank") < col("_kfail"), lit(true))
           .as("discovery")): _*)
   }
+
+  /** Per-stratum 2×2 log-odds frame with Haldane +0.5 continuity:
+    * y = ln((a+.5)(d+.5)/((b+.5)(c+.5))), v = Σ 1/(cell+.5) — the
+    * shared input of [[metaDL]] and [[eggerSmallStudy]]. */
+  private def lorFrame(df: DataFrame, strataCol: String,
+      exposedCol: Column, caseCol: Column): DataFrame = {
+    val tab = df.groupBy(col(strataCol))
+      .agg(
+        sum(when(exposedCol && caseCol, 1L).otherwise(0L)).as("_a"),
+        sum(when(exposedCol && !caseCol, 1L).otherwise(0L)).as("_b"),
+        sum(when(!exposedCol && caseCol, 1L).otherwise(0L)).as("_c"),
+        sum(when(!exposedCol && !caseCol, 1L).otherwise(0L)).as("_d"))
+    def h(c: Column) = c.cast("double") + 0.5
+    tab.select(col(strataCol),
+      round(log(h(col("_a")) * h(col("_d"))
+        / (h(col("_b")) * h(col("_c")))), 12).as("_y"),
+      round(lit(1.0) / h(col("_a")) + lit(1.0) / h(col("_b"))
+        + lit(1.0) / h(col("_c")) + lit(1.0) / h(col("_d")), 12)
+        .as("_v"))
+  }
+
+  /** DerSimonian–Laird random-effects meta-analysis of per-stratum
+    * log odds ratios (Haldane-corrected): the fixed-effect pooled
+    * LOR, Cochran's Q, the DL between-stratum variance τ² =
+    * max(0, (Q − (k−1))/(Σw − Σw²/Σw)), the I² heterogeneity share,
+    * and the random-effects pooled LOR under weights 1/(v+τ²). The
+    * question q332's MH pooling begs: how much does the effect VARY
+    * across strata, and what does the pooled effect become once that
+    * variation is priced in? Returns one row: k, fixed_lor_r, q_r,
+    * tau2_r, i2_r, random_lor_r.
+    *
+    * Shape: one hash-agg to the ≤k strata table, one moment pass
+    * (Q via Σwy² − (Σwy)²/Σw — no second data pass), then ONE
+    * re-weighting pass over the k-row frame with τ² broadcast. */
+  def metaDL(df: DataFrame, strataCol: String, exposedCol: Column,
+      caseCol: Column): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val lor = lorFrame(df, strataCol, exposedCol, caseCol)
+      .localCheckpoint() // ≤k rows; both weighting passes
+    val m1 = lor.agg(count(lit(1)).as("k"),
+        sum(t12(lit(1.0) / col("_v"))).cast("double").as("_sw"),
+        sum(t12(col("_y") / col("_v"))).cast("double").as("_swy"),
+        sum(t12(col("_y") * col("_y") / col("_v"))).cast("double")
+          .as("_swy2"),
+        sum(t12(lit(1.0) / (col("_v") * col("_v")))).cast("double")
+          .as("_sw2"))
+      .withColumn("_q", round(col("_swy2")
+        - col("_swy") * col("_swy") / col("_sw"), 12))
+      .withColumn("_tau2", round(greatest(lit(0.0),
+        (col("_q") - (col("k") - 1).cast("double"))
+          / (col("_sw") - col("_sw2") / col("_sw"))), 12))
+    val re = lor.crossJoin(broadcast(m1))
+      .groupBy(col("k"), col("_sw"), col("_swy"), col("_q"),
+        col("_tau2"))
+      .agg(
+        sum(t12(lit(1.0) / (col("_v") + col("_tau2")))).cast("double")
+          .as("_srw"),
+        sum(t12(col("_y") / (col("_v") + col("_tau2"))))
+          .cast("double").as("_srwy"))
+    re.select(col("k"),
+      round(col("_swy") / col("_sw"), 6).as("fixed_lor_r"),
+      round(col("_q"), 6).as("q_r"),
+      round(col("_tau2"), 6).as("tau2_r"),
+      round(when(col("_q") > 0, greatest(lit(0.0),
+        (col("_q") - (col("k") - 1).cast("double")) / col("_q"))), 6)
+        .as("i2_r"),
+      round(col("_srwy") / col("_srw"), 6).as("random_lor_r"))
+  }
+
+  /** Egger's small-study (funnel-plot asymmetry) test on the same
+    * Haldane LOR frame: OLS of the standardized effect z = y/√v on
+    * precision 1/√v — a nonzero INTERCEPT is the asymmetry signal
+    * (small/noisy strata drifting one way). Returns one row: k,
+    * intercept_r, slope_r, r2_r. */
+  def eggerSmallStudy(df: DataFrame, strataCol: String,
+      exposedCol: Column, caseCol: Column): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val pts = lorFrame(df, strataCol, exposedCol, caseCol)
+      .select(round(col("_y") / sqrt(col("_v")), 12).as("_z"),
+        round(lit(1.0) / sqrt(col("_v")), 12).as("_p"))
+    val agg = pts.agg(count(lit(1)).as("k"),
+      sum(t12(col("_p"))).cast("double").as("_sx"),
+      sum(t12(col("_z"))).cast("double").as("_sy"),
+      sum(t12(col("_p") * col("_p"))).cast("double").as("_sxx"),
+      sum(t12(col("_p") * col("_z"))).cast("double").as("_sxy"),
+      sum(t12(col("_z") * col("_z"))).cast("double").as("_syy"))
+    val kD = col("k").cast("double")
+    val cxx = col("_sxx") - col("_sx") * col("_sx") / kD
+    val cxy = col("_sxy") - col("_sx") * col("_sy") / kD
+    val cyy = col("_syy") - col("_sy") * col("_sy") / kD
+    agg.select(col("k"),
+      round(when(cxx > 0,
+        col("_sy") / kD - cxy / cxx * col("_sx") / kD), 6)
+        .as("intercept_r"),
+      round(when(cxx > 0, cxy / cxx), 6).as("slope_r"),
+      round(when(cxx > 0 && cyy > 0, cxy * cxy / (cxx * cyy)), 6)
+        .as("r2_r"))
+  }
+
+  /** Deterministic sign-flip randomization test for "is the paired
+    * daily difference symmetric around zero": with d_i the per-day
+    * difference and B md5-derived ±1 sign patterns (s_ib = parity of
+    * md5(day‖'_'‖b) — reproducible in any engine, no RNG), the
+    * add-one permutation p-value is
+    *   p = (1 + #{b : |Σ s_ib·d_i| ≥ |Σ d_i|}) / (B + 1).
+    * Exact integers throughout. Returns one row: n_days, t_obs, n_b,
+    * p_r.
+    *
+    * Shape: day-grain hash-agg → B-way map-side fan-out (bounded
+    * literal grid) → one (b) hash-agg → one rollup. */
+  def signFlipTest(daily: DataFrame, dayCol: String, diffCol: String,
+      b: Int = 200): DataFrame = {
+    require(b >= 1)
+    val s = daily.sparkSession
+    import s.implicits._
+    val obs = daily.agg(sum(col(diffCol)).as("_tobs"),
+      count(lit(1)).as("n_days"))
+    val flips = daily
+      .crossJoin(broadcast((0 until b).toDF("_b")))
+      .select(col("_b"),
+        (when(conv(substring(md5(concat(col(dayCol).cast("string"),
+          lit("_"), col("_b").cast("string"))), 1, 1), 16, 10)
+          .cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          * col(diffCol)).as("_sd"))
+      .groupBy(col("_b")).agg(sum(col("_sd")).as("_tb"))
+    flips.crossJoin(broadcast(obs))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("_tobs")).as("t_obs"),
+        count(lit(1)).as("n_b"),
+        sum(when(abs(col("_tb")) >= abs(col("_tobs")), 1L)
+          .otherwise(0L)).as("_ge"))
+      .select(col("n_days"), col("t_obs"), col("n_b"),
+        round((col("_ge") + 1).cast("double")
+          / (col("n_b") + 1).cast("double"), 6).as("p_r"))
+  }
 }

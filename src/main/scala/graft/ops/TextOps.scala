@@ -1336,6 +1336,40 @@ object TextOps {
         h / log(col("hill0").cast("double"))), 6).as("pielou_r"))
   }
 
+  /** Chao2 INCIDENCE-based richness: the unseen-vocabulary estimator
+    * from document presence/absence rather than token abundance (the
+    * sampling unit is the DOCUMENT — the right frame when corpus
+    * growth means "more documents", which is how training corpora
+    * grow). With Q₁/Q₂ = types appearing in exactly 1/2 documents and
+    * m documents:
+    *   Ŝ = S_obs + ((m−1)/m)·Q₁²/(2Q₂)   (bias-corrected form when
+    *   Q₂ = 0: ((m−1)/m)·Q₁(Q₁−1)/2).
+    * The abundance sibling is Chao1 (q410). Returns one row: n_docs,
+    * s_obs, q1, q2, chao2_r. */
+  def chao2Incidence(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val inc = docs.select(col(idCol),
+        explode(tokens(normalize(col(textCol)))).as("_tok"))
+      .distinct()
+    val nd = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val perTok = inc.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_q"))
+    val agg = perTok.agg(count(lit(1)).as("s_obs"),
+        sum(when(col("_q") === 1, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("_q") === 2, 1L).otherwise(0L)).as("q2"))
+      .crossJoin(broadcast(nd))
+    val mD = col("n_docs").cast("double")
+    val corr = (mD - 1) / mD
+    agg.select(col("n_docs"), col("s_obs"), col("q1"), col("q2"),
+      round(col("s_obs").cast("double")
+        + when(col("q2") > 0,
+          corr * (col("q1") * col("q1")).cast("double")
+            / (lit(2.0) * col("q2").cast("double")))
+          .otherwise(corr
+            * (col("q1") * (col("q1") - 1)).cast("double") / 2), 6)
+        .as("chao2_r"))
+  }
+
   /** Self-BLEU-2 over a deterministic md5 sample of the corpus: the
     * diversity audit for generated/curated text — HIGH self-BLEU
     * means the corpus repeats itself. For each ordered pair (cand,
