@@ -6,7 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's real core count (capped at 32, the bench
+    // posture): an env-less driver run at local[4] projected to ~an hour
+    // for the full surface and timed out (round-12 t2 came back empty).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,8 +40,25 @@ object Verify {
         SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    // Sharding protocol for a parallel driver: run K Verify processes,
+    // each with SPARK_GRAFT_VERIFY_SHARD=i/K — query names hash-assigned
+    // to shards, all writing the same outDir (disjoint subdirs). Any
+    // single process still dumps oracle_sql.json, which covers the union.
+    val sharded = sys.env.get("SPARK_GRAFT_VERIFY_SHARD") match {
+      case Some(s) =>
+        val Array(i, k) = s.split('/').map(_.trim.toInt)
+        selected.filter { case (n, _) =>
+          math.floorMod(n.hashCode, k) == i }
+      case None => selected
+    }
+    sharded.foreach { case (name, fn) =>
+      // Un-coalesced write: the final total-order sort leaves range-
+      // partitioned output whose part files glob back in global order
+      // (checker reads <name>/*.parquet), and the post-sort stage writes
+      // in parallel instead of serializing wide results through one task
+      // (round-12 VERDICT item 1b). AQE coalesces tiny shuffle reads, so
+      // small results still come out as one or two files.
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

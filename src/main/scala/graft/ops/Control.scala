@@ -51,11 +51,17 @@ object Control {
       (lhs > lit(1000L * k) * col("n") * col("smr")).cast("int")
     val diff = col("n") * col("x") - col("sx")
     val side = when(diff > 0, 1).when(diff < 0, -1).otherwise(0)
+    // rules 2/3 count each side SEPARATELY: a signed sum would let a
+    // beyond-band point on the opposite side cancel a qualifying
+    // same-side pair (e.g. +2σ, +2σ, −2σ sums to 1 yet 2-of-3 same-side
+    // holds) — the round-12 ADVICE mixed-side undercount.
+    val pos = when(diff > 0, 1).otherwise(0)
+    val neg = when(diff < 0, 1).otherwise(0)
     val flagged = withMr.crossJoin(broadcast(tot))
       .select(col("day"), col("x"), col("n"), col("sx"), col("smr"),
         beyond(3).as("_b3"),
-        (beyond(2) * side).as("_b2s"),
-        (beyond(1) * side).as("_b1s"),
+        (beyond(2) * pos).as("_b2p"), (beyond(2) * neg).as("_b2n"),
+        (beyond(1) * pos).as("_b1p"), (beyond(1) * neg).as("_b1n"),
         side.as("_side"))
     def roll(c: Column, k: Int): Column =
       sum(c).over(Window.orderBy(col("day")).rowsBetween(1 - k, 0))
@@ -63,9 +69,9 @@ object Control {
       count(c).over(Window.orderBy(col("day")).rowsBetween(1 - k, 0))
     val runs = flagged
       .withColumn("_r2", (cnt(col("x"), 3) === 3) &&
-        (roll(col("_b2s"), 3) >= 2 || roll(col("_b2s"), 3) <= -2))
+        (roll(col("_b2p"), 3) >= 2 || roll(col("_b2n"), 3) >= 2))
       .withColumn("_r3", (cnt(col("x"), 5) === 5) &&
-        (roll(col("_b1s"), 5) >= 4 || roll(col("_b1s"), 5) <= -4))
+        (roll(col("_b1p"), 5) >= 4 || roll(col("_b1n"), 5) >= 4))
       .withColumn("_r4", (cnt(col("x"), 8) === 8) &&
         (roll(col("_side"), 8) >= 8 || roll(col("_side"), 8) <= -8))
     runs.groupBy(col("n"), col("sx"), col("smr"))

@@ -941,7 +941,6 @@ object Nonparam {
     * then a bounded k²-pair self-join ON THE GRID, never on rows. */
   def jonckheere(df: DataFrame, valueCol: String, groupCol: String,
       bandWidth: Double = 16.0): DataFrame = {
-    val s = df.sparkSession
     val pg = df.groupBy(col(groupCol).as("_grp"), col(valueCol))
       .agg(count(lit(1)).as("_cnt"))
     val groups = pg.select(col("_grp")).distinct()

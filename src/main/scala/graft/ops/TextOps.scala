@@ -1435,9 +1435,14 @@ object TextOps {
             12))).as("_bp"))
     val bleu = when(col("_p1") > 0 && col("_p2") > 0,
       col("_bp") * sqrt(col("_p1") * col("_p2"))).otherwise(lit(0.0))
+    // k_docs is the ACTUAL sampled-doc count — the limit-k sample is
+    // shrunk by the _len >= 2 filter (and by corpora smaller than k),
+    // so lit(k) could overstate the docs scored (round-12 ADVICE).
+    val kd = sample.agg(countDistinct(col("_id")).as("k_docs"))
     scored.agg(count(lit(1)).as("n_pairs"),
         sum(t12(bleu)).as("_sb"))
-      .select(lit(k).as("k_docs"), col("n_pairs"),
+      .crossJoin(broadcast(kd))
+      .select(col("k_docs"), col("n_pairs"),
         round(col("_sb").cast("double") / col("n_pairs").cast("double"),
           6).as("self_bleu_r"))
   }

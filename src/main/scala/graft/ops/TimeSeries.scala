@@ -1229,9 +1229,12 @@ object TimeSeries {
     val daily = events
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("x"))
+    // week cells keyed by the week's Monday (date_trunc), NOT
+    // (weekofyear, calendar year): Dec 29–31 carry ISO week 1 of the
+    // NEXT year, so the calendar-year pair would merge them with
+    // January's week 1 across a year boundary (round-12 ADVICE).
     val cells = daily
-      .groupBy(col(keyCol),
-        weekofyear(col("day")).as("_wk"), year(col("day")).as("_yr"))
+      .groupBy(col(keyCol), date_trunc("week", col("day")).as("_wk"))
       .agg(count(lit(1)).as("_n"), sum(col("x")).as("_s"),
         sum(col("x") * col("x")).as("_s2"))
       .where(col("_n") >= 2)

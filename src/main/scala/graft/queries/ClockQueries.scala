@@ -164,21 +164,25 @@ object ClockQueries {
              |    > 3000 * n * smr THEN 1 ELSE 0 END AS b3,
              |  (CASE WHEN 1128 * (n - 1) * abs(n * x - sx)
              |    > 2000 * n * smr THEN 1 ELSE 0 END)
-             |   * (CASE WHEN n * x - sx > 0 THEN 1
-             |       WHEN n * x - sx < 0 THEN -1 ELSE 0 END) AS b2s,
+             |   * (CASE WHEN n * x - sx > 0 THEN 1 ELSE 0 END) AS b2p,
+             |  (CASE WHEN 1128 * (n - 1) * abs(n * x - sx)
+             |    > 2000 * n * smr THEN 1 ELSE 0 END)
+             |   * (CASE WHEN n * x - sx < 0 THEN 1 ELSE 0 END) AS b2n,
              |  (CASE WHEN 1128 * (n - 1) * abs(n * x - sx)
              |    > 1000 * n * smr THEN 1 ELSE 0 END)
-             |   * (CASE WHEN n * x - sx > 0 THEN 1
-             |       WHEN n * x - sx < 0 THEN -1 ELSE 0 END) AS b1s,
+             |   * (CASE WHEN n * x - sx > 0 THEN 1 ELSE 0 END) AS b1p,
+             |  (CASE WHEN 1128 * (n - 1) * abs(n * x - sx)
+             |    > 1000 * n * smr THEN 1 ELSE 0 END)
+             |   * (CASE WHEN n * x - sx < 0 THEN 1 ELSE 0 END) AS b1n,
              |  CASE WHEN n * x - sx > 0 THEN 1
              |    WHEN n * x - sx < 0 THEN -1 ELSE 0 END AS side
              |  FROM mr, tot),
              |runs AS (SELECT n, sx, smr, b3,
              |  CASE WHEN count(x) OVER w3 = 3 AND
-             |    (sum(b2s) OVER w3 >= 2 OR sum(b2s) OVER w3 <= -2)
+             |    (sum(b2p) OVER w3 >= 2 OR sum(b2n) OVER w3 >= 2)
              |    THEN 1 ELSE 0 END AS r2,
              |  CASE WHEN count(x) OVER w5 = 5 AND
-             |    (sum(b1s) OVER w5 >= 4 OR sum(b1s) OVER w5 <= -4)
+             |    (sum(b1p) OVER w5 >= 4 OR sum(b1n) OVER w5 >= 4)
              |    THEN 1 ELSE 0 END AS r3,
              |  CASE WHEN count(x) OVER w8 = 8 AND
              |    (sum(side) OVER w8 >= 8 OR sum(side) OVER w8 <= -8)
@@ -211,7 +215,7 @@ object ClockQueries {
              |c2 AS (SELECT count(*)::BIGINT AS cn,
              |  sum(x)::BIGINT AS cs, sum(x * x)::BIGINT AS cs2
              |  FROM daily
-             |  GROUP BY event_type, weekofyear(day), year(day)
+             |  GROUP BY event_type, date_trunc('week', day)
              |  HAVING count(*) >= 2),
              |mv AS (SELECT cs::DOUBLE / cn::DOUBLE AS m,
              |  (cn * cs2 - cs * cs)::DOUBLE

@@ -21,7 +21,8 @@ object PosthocQueries {
       |  SELECT ts::DATE AS day, count(*)::BIGINT AS x
       |  FROM events GROUP BY 1),
       |cells AS (
-      |  SELECT (year(day) * 100 + weekofyear(day))::BIGINT AS blk,
+      |  SELECT (year(day + (4 - isodow(day))::INT) * 100
+      |      + weekofyear(day))::BIGINT AS blk,
       |    isodow(day)::INT AS trt, x AS v
       |  FROM daily),
       |kall AS (SELECT count(DISTINCT trt)::BIGINT AS kall FROM cells),
@@ -44,10 +45,15 @@ object PosthocQueries {
     val daily = events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
+    // blk pairs weekofyear with the ISO year (the Thursday trick:
+    // calendar year of day + (4 − isodow)), not the calendar year —
+    // Dec 29–31 belong to ISO week 1 of year N+1 and must not merge
+    // with January-of-N's week 1 (round-12 ADVICE).
+    val iso = ((dayofweek(col("day")) + 5) % 7) + 1
     daily.select(
-      (year(col("day")) * 100 + weekofyear(col("day")))
-        .cast("bigint").as("blk"),
-      (((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("trt"),
+      (year(date_add(col("day"), lit(4) - iso)) * 100
+        + weekofyear(col("day"))).cast("bigint").as("blk"),
+      iso.cast("int").as("trt"),
       col("x").as("v"))
   }
 

@@ -133,7 +133,8 @@ object RichnessQueries {
               |    END AS bp
               |  FROM grid LEFT JOIN c1 USING (cand, ref)
               |  LEFT JOIN c2 USING (cand, ref))
-              |SELECT $BleuK AS k_docs, count(*)::BIGINT AS n_pairs,
+              |SELECT (SELECT count(DISTINCT id) FROM s2) AS k_docs,
+              |  count(*)::BIGINT AS n_pairs,
               |  round(sum(round(CASE WHEN p1 > 0 AND p2 > 0
               |      THEN bp * sqrt(p1 * p2) ELSE 0.0 END, 12)
               |    ::DECIMAL(28,12))::DOUBLE / count(*)::DOUBLE, 6)

@@ -144,7 +144,9 @@ object SpreadQueries {
         "event_type", "click", "error", 1024.0)),
 
     // Mood's MEDIAN test across all five event types: k×2 χ² of
-    // above/not-above the pooled lower median.
+    // above/not-above the pooled upper-middle median (the ⌈(N+1)/2⌉-th
+    // order statistic, Nonparam.moodMedian's documented convention —
+    // the shared 2·C ≥ N+1 predicate selects it).
     Q("q471_mood_median",
       Some("""WITH src AS (
              |  SELECT event_type AS g,

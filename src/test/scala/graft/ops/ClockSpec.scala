@@ -81,6 +81,23 @@ class ClockSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_days") == 20L)
   }
 
+  test("imrChart rule 2 counts each side separately: +2σ, +2σ " +
+      "closing a window that also holds a −2σ point fires even " +
+      "though the signed sum is only 1") {
+    def mk(xs: Seq[Int]) = xs.zipWithIndex.flatMap { case (x, d) =>
+      (0 until x).map(e => (e.toLong, ts(1 + d, 10)))
+    }.toDF("id", "t")
+    // 16 stable days (50/51) pin x̄ and M̄R, then −beyond, +beyond,
+    // +beyond: the trailing-3 window [20, 58, 58] has signed sum
+    // (−1) + 1 + 1 = 1 (the pre-fix undercount) but 2 same-side
+    // +2σ points — textbook rule 2 must fire exactly once. The 20
+    // is also past 3σ → rule1 = 1.
+    val mixed = mk(Seq.fill(8)(Seq(50, 51)).flatten ++ Seq(20, 58, 58))
+    val r = Control.imrChart(mixed, "t").collect()(0)
+    assert(r.getAs[Long]("rule2") == 1, r.toString)
+    assert(r.getAs[Long]("rule1") == 1, r.toString)
+  }
+
   test("taylorLaw: Poisson-like cells (var ≈ mean) fit slope ≈ 1 on " +
       "the synthetic panel") {
     // cells with (mean m, var ≈ m): daily counts m−1, m, m+1 repeated
