@@ -329,10 +329,23 @@ object Dedup {
     * verify. */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
       textCol: String, w: Int, minJaccard: Double,
-      keyLen: Int = 24): DataFrame = {
+      keyLen: Int = 24): DataFrame =
+    sortedNeighborhoodPairsOnShingles(df,
+      shingleTable(df, idCol, textCol), idCol, textCol, w, minJaccard,
+      keyLen)
+
+  /** [[sortedNeighborhoodPairs]] with the Jaccard verify over a
+    * PREBUILT shingle table — the persisted-layout seam. The SNM sort
+    * key is a cheap one-pass prefix scan of the raw corpus, but the
+    * verify previously re-ran the whole normalize→tokenize→shingle→
+    * hash pipeline per query; a production corpus shingles once
+    * (`Tables.docShingleTable`) and SNM verifies against the persisted
+    * bucketed frame. Caller owns the shingle frame's lifecycle. */
+  def sortedNeighborhoodPairsOnShingles(df: DataFrame,
+      shingles: DataFrame, idCol: String, textCol: String, w: Int,
+      minJaccard: Double, keyLen: Int = 24): DataFrame = {
     val cand = snmCandidates(df, idCol, textCol, w, keyLen)
-    jaccardForPairs(shingleTable(df, idCol, textCol),
-        cand.select("doc_a", "doc_b"), idCol)
+    jaccardForPairs(shingles, cand.select("doc_a", "doc_b"), idCol)
       .filter(col("jaccard") >= minJaccard)
       .join(cand, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("rank_gap"),
@@ -892,16 +905,29 @@ object Dedup {
   def simhashRemovals(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sh = simhash(docs, idCol, textCol).cache()
+    // the verified edge set is checkpoint-materialized inside
+    // simhashRemovalsOnTable before this returns, so the unpersist
+    // cannot re-trigger the signature pipeline
+    val removed = simhashRemovalsOnTable(sh, idCol, maxDist)
+    sh.unpersist()
+    removed
+  }
+
+  /** [[simhashRemovals]] over an EXISTING (id, simhash) table — the
+    * persisted-layout seam (q81 reads `Tables.docSimhashTable`; caller
+    * owns the frame's lifecycle). The verified edge set is
+    * localCheckpoint-materialized and counted ONCE, the count serving
+    * both the emptiness short-circuit and nearDupComponents'
+    * union-find-vs-propagation choice. */
+  def simhashRemovalsOnTable(sh: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
     val pairs = simhashNearDupsOnTable(sh, idCol, maxDist)
       .select("doc_a", "doc_b").localCheckpoint()
     val nPairs = pairs.count()
-    val removed =
-      if (nPairs == 0L) pairs.select(col("doc_a").as(idCol)).limit(0)
-      else nearDupComponents(pairs, knownPairCount = Some(nPairs))
-        .filter(col("label") < col("node"))
-        .select(col("node").as(idCol))
-    sh.unpersist()
-    removed
+    if (nPairs == 0L) pairs.select(col("doc_a").as(idCol)).limit(0)
+    else nearDupComponents(pairs, knownPairCount = Some(nPairs))
+      .filter(col("label") < col("node"))
+      .select(col("node").as(idCol))
   }
 
   /** Cross-document duplicated word-k-grams — the exact SUBSTRING-level

@@ -274,10 +274,13 @@ object PipelineQueries {
               | JOIN counts cb ON cb.doc_id = i.doc_b
               |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => {
-        val docs = documents(s, d)
-        val shingles = Dedup.shingleTable(docs, "doc_id", "text").cache()
-        val sig = Dedup.minhashFromShingles(shingles, "doc_id")
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id").cache()
+        // both trunks come from the persisted bucketed layouts (the
+        // round-12 LSH migration): candidates from the band index,
+        // the containment verify from the shingle table — nothing is
+        // re-shingled or re-minhashed per run
+        val shingles = docShingleTable(s, d)
+        val pairs = Dedup.bandJoin(docBandTable(s, d), "doc_id",
+          "doc_a", "doc_b").cache()
         Dedup.jaccardForPairs(shingles, pairs, "doc_id")
           .select(col("doc_a"), col("doc_b"), col("n_inter"),
             col("n_a"), col("n_b"),

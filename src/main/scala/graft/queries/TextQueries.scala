@@ -382,8 +382,7 @@ object TextQueries {
     Q("q31_simhash",
       Some(s"""$simsCte
               |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin),
-      (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")),
+      (s, d) => docSimhashTable(s, d).orderBy("doc_id")),
 
     // SimHash near-dups (hamming ≤ 3) by pigeonhole banding: 60 bits →
     // 4 × 15-bit chunks; pairs within distance 3 must share one exact
@@ -399,7 +398,8 @@ object TextQueries {
               | JOIN sims sb ON sb.doc_id = c.doc_b
               |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin),
-      (s, d) => Dedup.simhashNearDups(documents(s, d), "doc_id", "text", 3)
+      (s, d) => Dedup.simhashNearDupsOnTable(docSimhashTable(s, d),
+          "doc_id", 3)
         .orderBy("doc_a", "doc_b")),
 
     // SimHash END-TO-END dedup (the cheap-dedup pipeline: one wide agg
@@ -426,7 +426,8 @@ object TextQueries {
               |  SELECT node, min(r) AS label FROM reach GROUP BY node)
               |WHERE label < node
               |ORDER BY doc_id""".stripMargin),
-      (s, d) => Dedup.simhashRemovals(documents(s, d), "doc_id", "text", 3)
+      (s, d) => Dedup.simhashRemovalsOnTable(docSimhashTable(s, d),
+          "doc_id", 3)
         .orderBy("doc_id")),
 
     // TF-IDF top terms per doc (SURVEY §2.12's tf-idf): tf × ln(N/df),
@@ -531,9 +532,11 @@ object TextQueries {
               |  JOIN srcm s USING (label)
               |ORDER BY cluster_id""".stripMargin),
       (s, d) => {
-        val docs = documents(s, d)
-        Curation.goldenRecord(docs,
-            Dedup.nearDupComponentsOf(docs, "doc_id", "text", 0.5),
+        // components read the persisted shingle/band index — the base
+        // corpus is never re-shingled (round-12's q61 migration)
+        Curation.goldenRecord(documents(s, d),
+            Dedup.nearDupComponentsOnIndex(docShingleTable(s, d),
+              docBandTable(s, d), "doc_id", 0.5),
             "doc_id", "text", Seq("lang", "source"))
           .orderBy("cluster_id")
       }),
@@ -621,8 +624,8 @@ object TextQueries {
               |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
               |  >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin),
-      (s, d) => Dedup.sortedNeighborhoodPairs(documents(s, d), "doc_id",
-          "text", 10, 0.5)
+      (s, d) => Dedup.sortedNeighborhoodPairsOnShingles(documents(s, d),
+          docShingleTable(s, d), "doc_id", "text", 10, 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // Winnowing fingerprints (MOSS): per-window rightmost-min k-gram

@@ -105,6 +105,22 @@ object Tables {
       sortCols = Seq("bk", "band", "doc_id"),
       freshSince = new java.io.File(s"$d/documents.parquet").lastModified())
 
+  /** The 60-bit SimHash signature table (doc_id, simhash) as a
+    * PERSISTED bucketed(doc_id)+sorted table — the simhash family's
+    * shared trunk ([[docShingleTable]]'s pattern applied to
+    * [[graft.ops.Dedup.simhash]]). q31/q80/q81 previously recomputed
+    * the signature (normalize→tokenize→hash→wide 60-bit agg over the
+    * whole corpus) per query; a production corpus signs ONCE and every
+    * dedup run reads the parquet. Bucketing by doc id makes the exact
+    * hamming verify's two doc-keyed probes exchange-free on the
+    * signature side. */
+  def docSimhashTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graphs.bucketedLayout(s,
+      graft.ops.Dedup.simhash(documents(s, d), "doc_id", "text"),
+      "graft_simhash_" + tableKey(d), buckets = 8, keyCol = "doc_id",
+      sortCols = Seq("doc_id"),
+      freshSince = new java.io.File(s"$d/documents.parquet").lastModified())
+
   /** Runs `body` with subset-key co-partitioning enabled (scoped +
     * restored): lets a join whose keys are a superset of a bucketed
     * table's bucket key reuse the bucket layout instead of

@@ -545,6 +545,36 @@ class PlanSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("r13 simhash/SNM/containment migration: the last re-shingling " +
+      "trunks read the persisted bucketed layouts") {
+    // q31 is a pure scan+sort of the signature table (no join → the
+    // planner rightly disables bucketed reading); the pin is that it
+    // SCANS the persisted table instead of recomputing signatures
+    assert(plan("q31_simhash").contains(".graft_simhash_"),
+      s"q31 must scan the persisted signature table:\n${plan("q31_simhash")}")
+    // q80 probes the signature table through joins; q146's verify and
+    // q156's candidate+verify trunks read the shingle/band tables —
+    // there the bucketed layout must actually engage
+    Seq("q80_simhash_neardup", "q146_sorted_neighborhood",
+        "q156_containment_pairs").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Bucketed: true"),
+        s"$n must read a persisted bucketed table:\n$p")
+    }
+    // the signature/shingle pipelines (normalize → tokenize → hash)
+    // must be GONE from the probes' plans: q31/q80 never touch raw
+    // text, q156 reads only persisted frames. (q146 legitimately
+    // normalizes raw text for its 24-char SNM sort key; q81/q149
+    // execute eagerly inside their builders, so the lazy-plan check
+    // covers the family through q80/q156.)
+    Seq("q31_simhash", "q80_simhash_neardup", "q156_containment_pairs")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.toLowerCase.contains("regexp_replace"),
+          s"$n must not re-run the normalize pipeline:\n$p")
+      }
+  }
+
   test("salted join is row-identical to the plain join") {
     val big = Tables.lineitem(spark, sf())
       .select("l_orderkey", "l_quantity", "l_extendedprice")
