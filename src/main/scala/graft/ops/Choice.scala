@@ -19,12 +19,16 @@ object Choice {
     * Unlike a raw win count, a win over a strong opponent moves p more
     * than a win over a weak one.
     *
-    * Shape: one hash-agg builds the duel matrix; each MM step is a join
-    * on the (items² bounded) pair frame against the items-row strength
-    * frame, localCheckpointed per step (the fixed-step recursion
-    * posture). Determinism: each denominator term n_ij/(p_i+p_j) and
-    * each rescale term is 12-dp-rounded onto DECIMAL(28,12) before its
-    * order-independent sum, so both engines walk the same trajectory.
+    * Shape: one hash-agg builds the duel matrix — the only data-sized
+    * work; the matrix is items²-BOUNDED (the item universe does not
+    * grow with rows), so the MM recursion runs DRIVER-LOCAL on the
+    * collected matrix (the round-13 checkpoint-floor fix: ten steps of
+    * d-row broadcast joins each paid a ~0.35 s localCheckpoint of pure
+    * fixed cost). Determinism: each denominator term n_ij/(p_i+p_j)
+    * and each rescale term is 12-dp-rounded onto DECIMAL(28,12) via
+    * the exact Round/Cast calls Spark codegen executes, summed as
+    * exact decimals (order-independent), so both engines walk the
+    * same trajectory the unrolled oracle CTE chain pins.
     * Items that never win converge to p = 0 (their W_i = 0); an item
     * with no losses at all drives its p toward 1 — both are the true
     * (boundary) MLE direction and stay finite under the rescale.
@@ -33,8 +37,6 @@ object Choice {
   def bradleyTerry(duels: DataFrame, winnerCol: String, loserCol: String,
       iters: Int = 10): DataFrame = {
     require(iters >= 1, "need at least one MM iteration")
-    def t12(c: org.apache.spark.sql.Column) =
-      round(c, 12).cast("decimal(28,12)")
     val w = duels
       .groupBy(col(winnerCol).as("_i"), col(loserCol).as("_j"))
       .agg(count(lit(1)).as("_w"))
@@ -50,31 +52,48 @@ object Choice {
         col("_wij").as("_wji")), Seq("_i", "_j"))
       .select(col("_i"), col("_j"),
         (col("_wij") + col("_wji")).as("_n"))
-      .localCheckpoint() // consumed once per iteration
     val wi = n.groupBy(col("_i")).agg(sum(col("_wij")).as("_wi"))
-      .localCheckpoint() // per-iteration numerator + final output
-    var p = wi.select(col("_i"), lit(1.0).as("_p"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val denom = games
-        .join(broadcast(p.select(col("_i"), col("_p"))), Seq("_i"))
-        .join(broadcast(p.select(col("_i").as("_j"),
-          col("_p").as("_pj"))), Seq("_j"))
-        .groupBy(col("_i"))
-        .agg(sum(t12(col("_n").cast("double")
-          / (col("_p") + col("_pj")))).cast("double").as("_den"))
-      val raw = wi.join(denom, Seq("_i"))
-        .select(col("_i"), (col("_wi").cast("double")
-          / nullif(col("_den"), lit(0.0))).as("_praw"))
-        .select(col("_i"), coalesce(col("_praw"), lit(0.0)).as("_praw"))
-      val s = raw.agg(sum(t12(col("_praw"))).cast("double").as("_s"))
-      p = raw.crossJoin(broadcast(s))
-        .select(col("_i"), (col("_praw") / col("_s")).as("_p"))
-        .localCheckpoint() // items rows; next step reads it twice
+    // collect the bounded matrix and run the MM recursion locally,
+    // replaying Spark's round→cast decimal grid call for call
+    def t12l(x: Double): java.math.BigDecimal = {
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(r)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
     }
-    p.join(wi, Seq("_i"))
-      .select(col("_i").as("item"), col("_wi").as("w"),
-        round(col("_p"), 6).as("p_r"))
+    val wiRows = wi.collect().map(r => r.get(0) -> r.getLong(1))
+    val gRows = games.collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val byI = gRows.groupBy(_._1)
+    var p: Map[Any, Double] = wiRows.map(_._1 -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val praw = wiRows.map { case (i, w0) =>
+        var den = java.math.BigDecimal.ZERO
+        byI.getOrElse(i, Array.empty).foreach { case (_, j, nij) =>
+          den = den.add(t12l(nij.toDouble / (p(i) + p(j))))
+        }
+        val d = den.doubleValue
+        i -> (if (d == 0.0) 0.0 else w0.toDouble / d)
+      }
+      var s = java.math.BigDecimal.ZERO
+      praw.foreach { case (_, x) => s = s.add(t12l(x)) }
+      val sD = s.doubleValue
+      p = praw.map { case (i, x) => i -> x / sD }.toMap
+    }
+    val sp = duels.sparkSession
+    val itemType = duels.schema(winnerCol).dataType
+    val out = wiRows.map { case (i, w0) =>
+      org.apache.spark.sql.Row(i, w0,
+        java.math.BigDecimal.valueOf(p(i))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item", itemType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_r",
+        org.apache.spark.sql.types.DoubleType)))
+    sp.createDataFrame(java.util.Arrays.asList(out: _*), schema)
       .withColumn("rnk", row_number().over(org.apache.spark.sql
         .expressions.Window.orderBy(col("p_r").desc, col("item"))))
   }

@@ -707,45 +707,94 @@ object Similarity {
     * `iters` times; λ is the final Rayleigh quotient vᵀMv.
     *
     * Shape: the ONLY data-sized work is the one [[secondMomentMatrix]]
-    * pass (O(n·d²) products, one hash-agg); every iteration is a
-    * d²-row × d-row broadcast join — free at any corpus size, and the
-    * tiny v frame is localCheckpointed per step so the final plan
-    * doesn't re-execute the chain combinatorially (the mmrRerank
-    * lesson). Determinism: each matrix·vector product term and each
-    * squared-norm term is 12-dp-rounded onto DECIMAL(28,12) before its
-    * order-independent sum, so both engines walk the exact same
-    * trajectory (the sign of v is therefore also identical — no sign
-    * convention needed). Returns d rows: j, loading_r (6 dp),
-    * lambda_r (same value on every row). */
+    * pass (O(n·d²) products, one hash-agg); the iteration itself runs
+    * DRIVER-LOCAL on the collected d²-row matrix ([[powerIterLocal]] —
+    * the MLlib Gramian posture), replacing the former per-step
+    * localCheckpoint chain whose ~0.35 s/step fixed cost dominated the
+    * family's wall time. Determinism: each matrix·vector product term
+    * and each squared-norm term is 12-dp-rounded onto DECIMAL(28,12)
+    * before its order-independent sum — the local replay executes the
+    * same Round/Cast calls Spark codegen would, so both engines walk
+    * the exact same trajectory (the sign of v is therefore also
+    * identical — no sign convention needed). Returns d rows: j,
+    * loading_r (6 dp), lambda_r (same value on every row). */
   def topEigen(collection: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, "need at least one power iteration")
-    def t12(c: org.apache.spark.sql.Column) =
-      round(c, 12).cast("decimal(28,12)")
-    val m = secondMomentMatrix(collection)
-      .localCheckpoint() // d² rows; consumed by every iteration
-    val dims = m.select(col("j")).distinct()
-    val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
-    var v = dims.crossJoin(broadcast(dCnt))
-      .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
-      .localCheckpoint()
-    def mv(vec: DataFrame): DataFrame = m
-      .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
-      .groupBy(col("j"))
-      .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
+    val sp = collection.sparkSession
+    import sp.implicits._
+    val (v, lam) = powerIterLocal(collectMoment(collection), iters)
+    val lamR = round6Local(lam)
+    v.map { case (j, vj) => (j, round6Local(vj), lamR) }.toSeq
+      .toDF("j", "loading_r", "lambda_r")
+  }
+
+  /** Spark's `round(col, 12).cast("decimal(28,12)")` pipeline replayed
+    * on the driver, call for call: Round(double) goes through the
+    * shortest-repr `BigDecimal.valueOf(double)` then HALF_UP setScale
+    * back to double, and the Cast re-parses THAT rounded double the
+    * same way — two steps, not one, because the decimal→double→decimal
+    * round-trip is itself part of the trajectory both engines walk. */
+  private def t12Local(x: Double): java.math.BigDecimal = {
+    val r = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(r)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+  }
+
+  /** Spark's `round(col, 6)` on a double, replayed on the driver. */
+  private def round6Local(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The ONE data-sized pass of the eigen family, collected: d² rows,
+    * bounded by the embedding dimension (64² = 4096 here; ≤ 1M even at
+    * d = 1024), never by the corpus — the MLlib posture
+    * (RowMatrix.computePrincipalComponents collects the Gramian and
+    * eigensolves locally). This collect is deliberate and scale-safe:
+    * at 100 TB the matrix is still d². */
+  private def collectMoment(collection: DataFrame)
+      : Array[(Int, Int, Double)] =
+    secondMomentMatrix(collection).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+
+  /** Driver-local power iteration over the collected moment matrix —
+    * the round-13 replacement for the per-step localCheckpoint chain
+    * (each step was a d-row broadcast join whose ~0.35 s checkpoint
+    * floor dominated the family's wall time; 12+ steps of pure fixed
+    * cost). The trajectory is BIT-IDENTICAL to the distributed form:
+    * every product is 12-dp-rounded through [[t12Local]] (the exact
+    * Round+Cast calls Spark codegen executes), partial sums are exact
+    * decimals (order-independent), norms/divisions are the same IEEE
+    * doubles — so the DuckDB oracle's unrolled 12-dp CTE chain sees
+    * the same values it always did. Returns (sorted (j, v_j), λ). */
+  private def powerIterLocal(m: Array[(Int, Int, Double)], iters: Int)
+      : (Array[(Int, Double)], Double) = {
+    val dims = m.map(_._1).distinct.sorted
+    var v: Map[Int, Double] =
+      dims.map(j => j -> (1.0 / math.sqrt(dims.length.toDouble))).toMap
+    val byJ = m.groupBy(_._1)
+    def mv(vec: Map[Int, Double]): Map[Int, Double] =
+      byJ.map { case (j, rows) =>
+        var acc = java.math.BigDecimal.ZERO
+        rows.foreach { case (_, k, mjk) =>
+          vec.get(k).foreach(vk => acc = acc.add(t12Local(mjk * vk)))
+        }
+        j -> acc.doubleValue
+      }
+    var u: Map[Int, Double] = Map.empty
     for (_ <- 1 to iters) {
-      val u = mv(v)
-      val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
-        .cast("double")).as("_n"))
-      v = u.crossJoin(broadcast(nrm))
-        .select(col("j"), (col("_u") / col("_n")).as("_v"))
-        .localCheckpoint() // d rows; next step + the final Rayleigh
+      u = mv(v)
+      var nacc = java.math.BigDecimal.ZERO
+      u.valuesIterator.foreach(uj => nacc = nacc.add(t12Local(uj * uj)))
+      val nrm = math.sqrt(nacc.doubleValue)
+      v = u.map { case (j, uj) => j -> uj / nrm }
     }
-    val lam = mv(v)
-      .join(v, Seq("j"))
-      .agg(sum(t12(col("_v") * col("_u"))).cast("double").as("_lam"))
-    v.crossJoin(broadcast(lam))
-      .select(col("j"), round(col("_v"), 6).as("loading_r"),
-        round(col("_lam"), 6).as("lambda_r"))
+    val uf = mv(v)
+    var lacc = java.math.BigDecimal.ZERO
+    v.foreach { case (j, vj) =>
+      uf.get(j).foreach(ufj => lacc = lacc.add(t12Local(vj * ufj)))
+    }
+    (dims.map(j => j -> v(j)), lacc.doubleValue)
   }
 
   /** Hubness audit of a kNN graph (Radovanović et al. 2010): the
@@ -855,64 +904,39 @@ object Similarity {
     * WITH DEFLATION — [[topEigen]] extended one axis: after (λ₁, v₁)
     * converges, the rank-one deflation M′ = M − λ₁·v₁v₁ᵀ runs the same
     * iteration for (λ₂, v₂). The d²-row matrix is built ONCE (the one
-    * data-sized pass); deflation and every iteration are d²/d-row
-    * broadcast joins. Same 12-dp-grid trajectory discipline as
-    * [[topEigen]] (the deflated entries are raw doubles computed with
-    * the identical left-associated expression in both engines — their
-    * downstream products re-enter the decimal grid). Returns d rows:
+    * data-sized pass) and collected; deflation and both iteration
+    * chains run driver-local ([[powerIterLocal]]). Same 12-dp-grid
+    * trajectory discipline as [[topEigen]] (the deflated entries are
+    * raw doubles computed with the identical left-associated
+    * expression in both engines — their downstream products re-enter
+    * the decimal grid). Returns d rows:
     * (j, loading1_r, loading2_r, lambda1_r, lambda2_r, dot12_r) —
     * dot12_r ≈ 0 is the built-in orthogonality audit. */
   def topTwoEigen(collection: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1)
-    def t12(c: org.apache.spark.sql.Column) =
-      round(c, 12).cast("decimal(28,12)")
-    val m = secondMomentMatrix(collection).localCheckpoint()
-    def power(mat: DataFrame): (DataFrame, DataFrame) = {
-      val dims = mat.select(col("j")).distinct()
-      val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
-      var v = dims.crossJoin(broadcast(dCnt))
-        .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
-        .localCheckpoint()
-      def mv(vec: DataFrame): DataFrame = mat
-        .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
-        .groupBy(col("j"))
-        .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
-      for (_ <- 1 to iters) {
-        val u = mv(v)
-        val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
-          .cast("double")).as("_n"))
-        v = u.crossJoin(broadcast(nrm))
-          .select(col("j"), (col("_u") / col("_n")).as("_v"))
-          .localCheckpoint()
-      }
-      val lam = mv(v).join(v, Seq("j"))
-        .agg(sum(t12(col("_v") * col("_u"))).cast("double").as("_lam"))
-        .localCheckpoint()
-      (v, lam)
+    val sp = collection.sparkSession
+    import sp.implicits._
+    val m = collectMoment(collection)
+    val (v1, lam1) = powerIterLocal(m, iters)
+    val v1m = v1.toMap
+    // rank-one deflation on the collected matrix: raw doubles with the
+    // identical left-associated expression both engines evaluate
+    // (m − ((λ₁·v_j)·v_k)); downstream products re-enter the 12-dp grid
+    val defl = m.map { case (j, k, mjk) =>
+      (j, k, mjk - lam1 * v1m(j) * v1m(k))
     }
-    val (v1, lam1) = power(m)
-    val defl = m
-      .join(broadcast(v1.select(col("j"), col("_v").as("_vj"))), Seq("j"))
-      .join(broadcast(v1.select(col("j").as("k"), col("_v").as("_vk"))),
-        Seq("k"))
-      .crossJoin(broadcast(lam1))
-      .select(col("j"), col("k"),
-        (col("_m") - col("_lam") * col("_vj") * col("_vk")).as("_m"))
-      .localCheckpoint()
-    val (v2, lam2) = power(defl)
-    val dot = v1.select(col("j"), col("_v").as("_v1"))
-      .join(v2.select(col("j"), col("_v").as("_v2")), Seq("j"))
-      .agg(sum(t12(col("_v1") * col("_v2"))).cast("double").as("_dot"))
-    v1.select(col("j"), col("_v").as("_v1"))
-      .join(v2.select(col("j"), col("_v").as("_v2")), Seq("j"))
-      .crossJoin(broadcast(lam1))
-      .crossJoin(broadcast(lam2.select(col("_lam").as("_lam2"))))
-      .crossJoin(broadcast(dot))
-      .select(col("j"), round(col("_v1"), 6).as("loading1_r"),
-        round(col("_v2"), 6).as("loading2_r"),
-        round(col("_lam"), 6).as("lambda1_r"),
-        round(col("_lam2"), 6).as("lambda2_r"),
-        round(col("_dot"), 6).as("dot12_r"))
+    val (v2, lam2) = powerIterLocal(defl, iters)
+    val v2m = v2.toMap
+    var dacc = java.math.BigDecimal.ZERO
+    v1.foreach { case (j, a) =>
+      v2m.get(j).foreach(b => dacc = dacc.add(t12Local(a * b)))
+    }
+    val (l1R, l2R, dotR) =
+      (round6Local(lam1), round6Local(lam2), round6Local(dacc.doubleValue))
+    v1.map { case (j, a) =>
+      (j, round6Local(a), round6Local(v2m(j)), l1R, l2R, dotR)
+    }.toSeq.toDF("j", "loading1_r", "loading2_r", "lambda1_r",
+      "lambda2_r", "dot12_r")
   }
 
   /** Anisotropy-direction audit: the distribution of cos(x, v₁) over
@@ -927,24 +951,13 @@ object Similarity {
       threshold: Double = 0.5): DataFrame = {
     def t12(c: org.apache.spark.sql.Column) =
       round(c, 12).cast("decimal(28,12)")
-    val m = secondMomentMatrix(collection).localCheckpoint()
-    val dims = m.select(col("j")).distinct()
-    val dCnt = dims.agg(count(lit(1)).cast("double").as("_d"))
-    var v = dims.crossJoin(broadcast(dCnt))
-      .select(col("j"), (lit(1.0) / sqrt(col("_d"))).as("_v"))
-      .localCheckpoint()
-    def mv(vec: DataFrame): DataFrame = m
-      .join(broadcast(vec.select(col("j").as("k"), col("_v"))), Seq("k"))
-      .groupBy(col("j"))
-      .agg(sum(t12(col("_m") * col("_v"))).cast("double").as("_u"))
-    for (_ <- 1 to iters) {
-      val u = mv(v)
-      val nrm = u.agg(sqrt(sum(t12(col("_u") * col("_u")))
-        .cast("double")).as("_n"))
-      v = u.crossJoin(broadcast(nrm))
-        .select(col("j"), (col("_u") / col("_n")).as("_v"))
-        .localCheckpoint()
-    }
+    val sp = collection.sparkSession
+    import sp.implicits._
+    // v₁ comes from the driver-local eigensolve (same exact doubles the
+    // distributed chain produced); only the per-vector cosine pass —
+    // the data-sized work — stays distributed
+    val (v1, _) = powerIterLocal(collectMoment(collection), iters)
+    val v = v1.toSeq.toDF("j", "_v")
     val ex = collection
       .repartition(collection.sparkSession.sessionState.conf
         .numShufflePartitions)
