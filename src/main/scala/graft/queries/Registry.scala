@@ -36,7 +36,8 @@ object Registry {
       TendencyQueries.all ++ ClockQueries.all ++ SpreadQueries.all ++
       PosthocQueries.all ++ CalibrationQueries.all ++
       RichnessQueries.all ++ CapacityQueries.all ++
-      ScorecardQueries.all ++ MetaQueries.all
+      ScorecardQueries.all ++ MetaQueries.all ++
+      ContingencyQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
