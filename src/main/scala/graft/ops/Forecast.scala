@@ -284,4 +284,57 @@ object Forecast {
           sqrt(col("_se7").cast("double")
             / col("_se1").cast("double"))), 6).as("rmsse_r"))
   }
+
+  /** Diebold–Mariano forecaster ADJUDICATION between the seasonal-naïve
+    * (lag `lagDays`) and naïve-1 forecasts of daily counts: per key,
+    * the loss differential d_t = |x−p_lag| − |x−p_1| and its
+    * t-statistic DM = d̄ / √(s²_d / n). q496's scorecard SCORES one
+    * forecaster; this tests whether the two differ at all — the
+    * question a model-selection gate actually asks. The simple iid-
+    * variance form (no HAC kernel), documented: at the daily grain the
+    * one-step loss differentials are near-uncorrelated, and the
+    * cross-engine contract wants exact moments, not kernel weights.
+    * d_t, Σd, Σd² are EXACT integers (absolute count errors); only the
+    * final ratio is a double. DM is null on a zero-variance
+    * differential (identical forecasters). Same evaluation span as
+    * [[forecastScorecard]]: the zero-filled spine days where both lags
+    * exist. Returns per key: n_days, mean_d_r, dm_r. */
+  def dieboldMariano(events: DataFrame, keyCol: String, tsCol: String,
+      lagDays: Int): DataFrame = {
+    require(lagDays >= 2)
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(keyCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val fL = filled.select(col(keyCol),
+      date_add(col("day"), lagDays).as("day"), col("x").as("_p"))
+    val f1 = filled.select(col(keyCol),
+      date_add(col("day"), 1).as("day"), col("x").as("_p1"))
+    val d = filled.join(fL, Seq(keyCol, "day"))
+      .join(f1, Seq(keyCol, "day"))
+      .select(col(keyCol),
+        (abs(col("x") - col("_p")) - abs(col("x") - col("_p1")))
+          .as("_d"))
+    d.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_d")).as("_sd"),
+        sum(col("_d") * col("_d")).as("_sdd"))
+      .select(col(keyCol), col("n_days"),
+        round(col("_sd").cast("double") / col("n_days").cast("double"),
+          6).as("mean_d_r"),
+        round({
+          val nD = col("n_days").cast("double")
+          val varD = ((col("_sdd").cast("double")
+            - col("_sd").cast("double") * col("_sd").cast("double") / nD)
+            / (nD - 1))
+          when(col("n_days") > 1 && varD > 0,
+            (col("_sd").cast("double") / nD) / sqrt(varD / nD))
+        }, 6).as("dm_r"))
+  }
 }

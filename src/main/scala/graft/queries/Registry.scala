@@ -37,7 +37,7 @@ object Registry {
       PosthocQueries.all ++ CalibrationQueries.all ++
       RichnessQueries.all ++ CapacityQueries.all ++
       ScorecardQueries.all ++ MetaQueries.all ++
-      ContingencyQueries.all
+      ContingencyQueries.all ++ RankDistQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -38,6 +38,9 @@ class WindowGrainSpec extends AnyFunSuite {
   /** file (repo-relative) → (site count, the bounded-grain argument
     * that justifies each site in that file). */
   private val Allowed: Map[String, (Int, String)] = Map(
+    "ops/RankDist.scala" -> (2, "the two leaderboard ranks over the " +
+      "bounded item grid (brands/types — corpus already reduced by " +
+      "one hash-agg)"),
     "ops/Behavior.scala" -> (11, "scalar lit(1) roll (1 row) + five " +
       "calendar-bounded day-grain cumulative scans (CUSUM/records) + " +
       "the two Aalen-Johansen and three RMST prefix/lead windows on " +

@@ -113,6 +113,12 @@ object WindowPlanSpec {
       "q146_sorted_neighborhood" -> (8, bandLevel1 +
         " (both SNM sides, rank + offset windows)"),
       "q157_water_filling" -> (1, keyGrid),
+      "q507_footrule" -> (2, keyGrid +
+        " (the two leaderboard ranks over the 25-brand table)"),
+      "q508_rank_turbulence" -> (2, keyGrid +
+        " (the two leaderboard ranks over the 25-brand table)"),
+      "q509_kendall_distance" -> (4, keyGrid +
+        " (the rank pair instantiated on both self-join sides)"),
       "q162_key_skew" -> (2, keyGrid + " + Gini banded prefix"),
       "q173_largest_remainder" -> (1, keyGrid),
       "q175_stride_interleave" -> (1, bandLevel1),
