@@ -88,4 +88,61 @@ object Control {
           / 1.128, 6).as("sigma_r"),
         col("rule1"), col("rule2"), col("rule3"), col("rule4"))
   }
+
+  /** Process-capability audit Cp/Cpk of the daily-count stream against
+    * spec limits LEARNED from its own baseline: the first (7·n div 10)
+    * days fix μ₀ and σ̂₀ = M̄R₀/d₂ (the [[imrChart]] convention) and
+    * the limits μ₀ ± 3σ̂₀; the held-out tail is then scored —
+    * Cp = (USL−LSL)/(6σ̂₁) = σ̂₀/σ̂₁ (spec width over realized spread),
+    * Cpk = min(USL−μ₁, μ₁−LSL)/(3σ̂₁) (capability after de-centering),
+    * and the exact fraction of tail days outside the limits via the
+    * imrChart cross-multiplied integer predicate
+    * (1128·(n₀−1)·|n₀·x − Σx₀| > 3000·n₀·ΣMR₀ — no float boundary).
+    * The drift question q466 alarms point-by-point, asked as one
+    * capability index. Moving ranges are computed WITHIN each segment
+    * (the tail's first day has no cross-boundary MR). Returns one row:
+    * n_base, n_eval, cp_r, cpk_r, frac_out_r (ratios null when either
+    * segment's MR sum is 0 — a constant segment). */
+  def capability(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("_i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .localCheckpoint() // day-grain frame; feeds both segments
+    val n = idx.agg(count(lit(1)).as("_n"))
+    val cut = expr("(7 * _n) div 10")
+    def seg(cond: Column, tag: String) = {
+      val s = idx.crossJoin(broadcast(n)).filter(cond)
+      val w = Window.orderBy(col("day"))
+      s.withColumn("_mr", abs(col("x") - lag(col("x"), 1).over(w)))
+        .agg(count(lit(1)).as(s"n_$tag"), sum(col("x")).as(s"_sx$tag"),
+          sum(col("_mr")).as(s"_smr$tag"))
+    }
+    val base = seg(col("_i") <= cut, "base")
+    val ev = seg(col("_i") > cut, "eval")
+    // exact out-of-limits count against the BASELINE constants
+    val outs = idx.crossJoin(broadcast(n)).filter(col("_i") > cut)
+      .crossJoin(broadcast(base))
+      .agg(sum(when(lit(1128) * (col("n_base") - 1)
+        * abs(col("n_base") * col("x") - col("_sxbase"))
+        > lit(3000L) * col("n_base") * col("_smrbase"), 1L)
+        .otherwise(0L)).as("_nout"))
+    def mu(t: String) = (col(s"_sx$t").cast("double")
+      / col(s"n_$t").cast("double"))
+    def sig(t: String) = (col(s"_smr$t").cast("double")
+      / (col(s"n_$t") - 1).cast("double")) / 1.128
+    val ok = col("_smrbase") > 0 && col("_smreval") > 0 &&
+      col("n_base") > 1 && col("n_eval") > 1
+    broadcast(base).crossJoin(broadcast(ev)).crossJoin(broadcast(outs))
+      .select(col("n_base"), col("n_eval"),
+        round(when(ok, sig("base") / sig("eval")), 6).as("cp_r"),
+        round(when(ok,
+          least(mu("base") + lit(3.0) * sig("base") - mu("eval"),
+            mu("eval") - (mu("base") - lit(3.0) * sig("base")))
+            / (lit(3.0) * sig("eval"))), 6).as("cpk_r"),
+        round(col("_nout").cast("double")
+          / col("n_eval").cast("double"), 6).as("frac_out_r"))
+  }
 }

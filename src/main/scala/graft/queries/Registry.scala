@@ -37,7 +37,8 @@ object Registry {
       PosthocQueries.all ++ CalibrationQueries.all ++
       RichnessQueries.all ++ CapacityQueries.all ++
       ScorecardQueries.all ++ MetaQueries.all ++
-      ContingencyQueries.all ++ RankDistQueries.all
+      ContingencyQueries.all ++ RankDistQueries.all ++
+      RandomnessQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -108,8 +108,12 @@ class WindowGrainSpec extends AnyFunSuite {
     "ops/Circular.scala" -> (1, "Kuiper ECDF cumulative over the " +
       "≤1440-cell clock-bin grid (corpus already reduced by one " +
       "hash-agg)"),
-    "ops/Control.scala" -> (3, "I-MR lag + Western-Electric rolling " +
-      "run windows on the calendar-bounded day grain"),
+    "ops/Control.scala" -> (5, "I-MR lag + Western-Electric rolling " +
+      "run windows on the calendar-bounded day grain; capability's " +
+      "day index + per-segment moving-range lag on the same grain"),
+    "ops/Randomness.scala" -> (6, "runs/diff-sign/Cox-Stuart/RVN: " +
+      "distinct-value-grid cumulative counts (bounded count grid) " +
+      "plus day-grain lag/lead/index scans"),
     "ops/Posthoc.scala" -> (2, "Quade block-range rank over the " +
       "≤|weeks| block grid; Page treatment index over the ≤k " +
       "treatment list"))

@@ -113,6 +113,15 @@ object WindowPlanSpec {
       "q146_sorted_neighborhood" -> (8, bandLevel1 +
         " (both SNM sides, rank + offset windows)"),
       "q157_water_filling" -> (1, keyGrid),
+      "q512_runs_test" -> (2, dayGrain +
+        " + distinct-count-value grid cumulative"),
+      "q513_difference_sign" -> (1, dayGrain),
+      "q515_rank_von_neumann" -> (3, dayGrain +
+        " + distinct-count-value grid cumulative (lead consumed on " +
+        "two branches)"),
+      "q516_capability" -> (3, dayGrain +
+        " (per-segment moving-range lags + baseline day index; the " +
+        "checkpointed index trunk truncates the fourth)"),
       "q507_footrule" -> (2, keyGrid +
         " (the two leaderboard ranks over the 25-brand table)"),
       "q508_rank_turbulence" -> (2, keyGrid +
