@@ -89,7 +89,20 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Atomic publish: under the sharding protocol K processes write this
+    // identical file concurrently; write-to-temp + rename means a checker
+    // can never observe a truncated/partially-written json (round-13
+    // ADVICE). Unique temp per process, ATOMIC_MOVE where the fs has it.
+    val tmp = Paths.get(s"$outDir/.oracle_sql.json.${
+      java.lang.ProcessHandle.current.pid}.tmp")
+    Files.writeString(tmp, json)
+    try Files.move(tmp, Paths.get(s"$outDir/oracle_sql.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, Paths.get(s"$outDir/oracle_sql.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     spark.stop()
   }
 }

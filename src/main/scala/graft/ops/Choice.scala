@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * an item was compared against).
   */
 object Choice {
+  /** Default cap on collected items for the driver-local MM recursion:
+    * the duel matrix is items² by contract (a catalog universe, never
+    * rows); an unbounded caller fails loudly instead of OOMing the
+    * driver. Conf-gated via `spark.graft.driverLocal.itemCap`. */
+  val ItemCap: Int = 1 << 20
 
   /** Bradley–Terry strengths by minorization–maximization (Hunter 2004):
     * given duel outcomes (winner, loser) rows, iterate
@@ -62,6 +67,12 @@ object Choice {
         .setScale(12, java.math.RoundingMode.HALF_UP)
     }
     val wiRows = wi.collect().map(r => r.get(0) -> r.getLong(1))
+    val cap = duels.sparkSession.conf.get(
+      "spark.graft.driverLocal.itemCap", ItemCap.toString).toInt
+    require(wiRows.length <= cap, s"bradleyTerry has ${wiRows.length}" +
+      s" items > cap $cap — the MM recursion is driver-local on the" +
+      " items² duel matrix, which must stay catalog-bounded (not" +
+      " data-sized)")
     val gRows = games.collect()
       .map(r => (r.get(0), r.get(1), r.getLong(2)))
     val byI = gRows.groupBy(_._1)

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
 object Contingency {
   private def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
 
+  /** Default cap on collected grid cells for the driver-local IPF
+    * recursion: the grid is |X|·|Y| by contract (category universes,
+    * never rows); a caller with an unbounded key space fails loudly
+    * here instead of OOMing the driver. Conf-gated via
+    * `spark.graft.driverLocal.gridCap`. */
+  val GridCap: Int = 1 << 20
+
   /** The zero-filled |X|·|Y| grid with marginals: (x, y, _o observed,
     * _nx, _ny, _n, _r, _c) — the shared trunk of every op here. */
   private def grid(df: DataFrame, xCol: String, yCol: String)
@@ -73,7 +80,11 @@ object Contingency {
   /** Standardized (adjusted) Pearson residuals per cell:
     * r = (o − e) / √(e·(1−nx/n)·(1−ny/n)) — asymptotically N(0,1)
     * under independence, so |r| > 2 names WHICH cells drive a
-    * significant χ². Returns the full grid: x, y, n_xy, e_r, resid_r. */
+    * significant χ². Degenerate margins (a single x or y category
+    * spanning the whole table) make the denominator 0 and resid_r is
+    * NULL for those cells — documented convention, identical in both
+    * engines (double ÷0 → NULL), matching the residual's undefined
+    * variance there. Returns the full grid: x, y, n_xy, e_r, resid_r. */
   def pearsonResiduals(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
     val g = grid(df, xCol, yCol)
@@ -116,6 +127,11 @@ object Contingency {
     * Pair counts come from the bounded grid² self-join with strict
     * inequalities in one direction (each unordered pair counted once),
     * as exact DECIMAL(38,0) products — never a row-level pair join.
+    * gamma_r is version-robust by construction: the ratio is computed
+    * as an exact half-up integer division to micro-units
+    * (micro = round((c−d)·10⁶/(c+d))) and only then divided by 10⁶ as
+    * one IEEE double op — no engine `round()` touches a float, so the
+    * value is bit-identical on any Spark/DuckDB version.
     * Returns one row: n, concordant, discordant, gamma_r. */
   def gkGamma(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
@@ -138,10 +154,18 @@ object Contingency {
     broadcast(tot).crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
       .select(col("n"), col("concordant").cast("decimal(38,0)")
           .as("concordant"),
-        col("discordant").cast("decimal(38,0)").as("discordant"),
-        round((col("concordant") - col("discordant")).cast("double")
-          / nullif((col("concordant") + col("discordant"))
-            .cast("double"), lit(0.0)), 6).as("gamma_r"))
+        col("discordant").cast("decimal(38,0)").as("discordant"))
+      .withColumn("_num", expr(
+        "(concordant - discordant) * cast(1000000 as decimal(38,0))"))
+      .withColumn("_den", expr("concordant + discordant"))
+      .withColumn("_micro", expr(
+        """CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT)
+          |WHEN _num >= 0 THEN CAST((_num * 2 + _den) div (_den * 2)
+          |  AS BIGINT)
+          |ELSE -CAST(((-_num) * 2 + _den) div (_den * 2) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n"), col("concordant"), col("discordant"),
+        (col("_micro").cast("double") / lit(1000000.0)).as("gamma_r"))
   }
 
   /** Iterative proportional fitting (raking) of the joint table to
@@ -164,9 +188,28 @@ object Contingency {
       java.math.BigDecimal.valueOf(r)
         .setScale(12, java.math.RoundingMode.HALF_UP)
     }
+    val sp = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(xCol,
+        df.schema(xCol).dataType),
+      org.apache.spark.sql.types.StructField(yCol,
+        df.schema(yCol).dataType),
+      org.apache.spark.sql.types.StructField("n_xy",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fitted_r",
+        org.apache.spark.sql.types.DoubleType)))
     val g = grid(df, xCol, yCol)
     val rows = g.select(col(xCol), col(yCol), col("_o"), col("_n"),
       col("_r"), col("_c")).collect()
+    if (rows.isEmpty)
+      return sp.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+    val cap = sp.conf.get("spark.graft.driverLocal.gridCap",
+      GridCap.toString).toInt
+    require(rows.length <= cap, s"ipfRaking grid has ${rows.length}" +
+      s" cells > cap $cap — the recursion is driver-local on the" +
+      " |X|·|Y| grid, which must stay bounded (not data-sized)")
     val n = rows.head.getLong(3)
     val (nr, nc) = (rows.head.getLong(4), rows.head.getLong(5))
     val (tr, tc) = (n.toDouble / nr.toDouble, n.toDouble / nc.toDouble)
@@ -192,16 +235,6 @@ object Contingency {
         (x, y) -> (if (cs(y) == 0.0) v else v * (tc / cs(y)))
       }
     }
-    val sp = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(xCol,
-        df.schema(xCol).dataType),
-      org.apache.spark.sql.types.StructField(yCol,
-        df.schema(yCol).dataType),
-      org.apache.spark.sql.types.StructField("n_xy",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("fitted_r",
-        org.apache.spark.sql.types.DoubleType)))
     val out = rows.map { r =>
       org.apache.spark.sql.Row(r.get(0), r.get(1), r.getLong(2),
         java.math.BigDecimal.valueOf(m((r.get(0), r.get(1))))

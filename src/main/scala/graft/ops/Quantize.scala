@@ -163,5 +163,9 @@ object Quantize {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("_ad").asc, col(idCol).asc)).cast("long"))
       .select(col("rank"), col(idCol), round(col("_ad"), 6).as("adist_r"))
+      // explicit global sort on the k-row frame: the Verify dump order
+      // contract (multi-row ⇒ top-level Sort) must be plan-visible, not
+      // an accident of the rank window's internal ordering
+      .orderBy(col("rank"))
   }
 }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * (the rank-robust serial-correlation test durbinWatson's raw form
   * is not).
   *
+  * Convention: the battery runs on OBSERVED days only — days with no
+  * events are absent from the series, not zero-filled (unlike
+  * [[Forecast]]'s zero-filled calendar spine). That is the classical
+  * setting for these tests (a run/rank statistic over the realized
+  * sample); a caller auditing a gappy stream for missing days should
+  * zero-fill upstream and pass the spine in.
+  *
   * All statistics are EXACT integers up to the final z ratio: medians
   * use the pooled upper-middle convention (2·C ≥ N+1, the moodMedian
   * predicate), ranks use the doubled-rank integer trick (2·rank is an

@@ -306,6 +306,9 @@ object Retrieval {
       .withColumn("rnk", row_number().over(org.apache.spark.sql
         .expressions.Window.orderBy(col("ql_r").desc, col(idCol).asc)))
       .select(col("rnk"), col(idCol), col("n_terms_hit"), col("ql_r"))
+      // explicit global sort on the k-row frame: the Verify dump order
+      // contract (multi-row ⇒ top-level Sort) must be plan-visible
+      .orderBy(col("rnk"))
   }
 
   /** Rank-Biased Overlap at depth k with extrapolation (Webber, Moffat

@@ -753,9 +753,23 @@ object Similarity {
     * eigensolves locally). This collect is deliberate and scale-safe:
     * at 100 TB the matrix is still d². */
   private def collectMoment(collection: DataFrame)
-      : Array[(Int, Int, Double)] =
-    secondMomentMatrix(collection).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      : Array[(Int, Int, Double)] = {
+    val rows = secondMomentMatrix(collection).collect()
+    val cap = collection.sparkSession.conf.get(
+      "spark.graft.driverLocal.momentCap", MomentCap.toString).toInt
+    require(rows.length <= cap, s"moment matrix has ${rows.length}" +
+      s" entries > cap $cap — the eigen recursion is driver-local" +
+      " on the d² Gramian, which must stay dimension-bounded (not" +
+      " data-sized)")
+    rows.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+  }
+
+  /** Default cap on collected moment-matrix entries for the
+    * driver-local eigen recursions: d² by contract (embedding
+    * dimension, never rows) — 2048² headroom; an unbounded caller
+    * fails loudly here instead of OOMing the driver. Conf-gated via
+    * `spark.graft.driverLocal.momentCap`. */
+  val MomentCap: Int = 1 << 22
 
   /** Driver-local power iteration over the collected moment matrix —
     * the round-13 replacement for the per-step localCheckpoint chain

@@ -135,12 +135,23 @@ object ContingencyQueries {
              |    * b.m::DECIMAL(19,0)), 0)::DECIMAL(38,0) AS discordant
              |  FROM jd a CROSS JOIN jd b
              |  WHERE a.x < b.x AND a.y > b.y),
-             |tot AS (SELECT sum(m)::BIGINT AS n FROM jd)
+             |tot AS (SELECT sum(m)::BIGINT AS n FROM jd),
+             |mc AS (SELECT n, concordant, discordant,
+             |  CASE WHEN (concordant + discordant) = 0
+             |    THEN CAST(NULL AS BIGINT)
+             |  WHEN concordant >= discordant THEN CAST(
+             |    ((concordant - discordant)::HUGEINT * 2000000
+             |      + (concordant + discordant)::HUGEINT)
+             |    // ((concordant + discordant)::HUGEINT * 2) AS BIGINT)
+             |  ELSE -CAST(
+             |    ((discordant - concordant)::HUGEINT * 2000000
+             |      + (concordant + discordant)::HUGEINT)
+             |    // ((concordant + discordant)::HUGEINT * 2) AS BIGINT)
+             |  END AS micro
+             |  FROM tot, conc, disc)
              |SELECT n, concordant, discordant,
-             |  round((concordant - discordant)::DOUBLE
-             |    / nullif((concordant + discordant)::DOUBLE, 0.0), 6)
-             |    AS gamma_r
-             |FROM tot, conc, disc""".stripMargin),
+             |  micro::DOUBLE / 1000000.0 AS gamma_r
+             |FROM mc""".stripMargin),
       (s, d) => Contingency.gkGamma(
         events(s, d).select(
           expr("hour(ts) div 6").as("hq"),

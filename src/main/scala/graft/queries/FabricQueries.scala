@@ -52,9 +52,11 @@ object FabricQueries {
         // the closing semi join too (the e3 scan stays exchange-free);
         // scoped + eager so the conf is live at EXECUTION, restored
         // after — the checkpointed result is the tiny vertex grain
+        // re-sorted after the checkpoint: see q388's dump-order note
         withSubsetCoPartition(s)(
           Graphs.triangleCountsForward(tbl).orderBy("vertex")
             .localCheckpoint())
+          .orderBy("vertex")
       }),
 
     // Second consumer of the SAME persisted bucketed layout: per-edge
@@ -85,11 +87,15 @@ object FabricQueries {
         .stripMargin),
       (s, d) => {
         val tbl = suppEdgeTable(s, d)
+        // re-assert the order on the checkpointed 20-row frame: the
+        // LogicalRDD drops the plan-visible Sort the Verify dump-order
+        // contract pins (the data is already in this order — free)
         withSubsetCoPartition(s)(
           Graphs.edgeSupportForward(tbl)
             .orderBy(col("support").desc, col("src"), col("dst"))
             .limit(20)
             .localCheckpoint())
+          .orderBy(col("support").desc, col("src"), col("dst"))
       })
   )
 }

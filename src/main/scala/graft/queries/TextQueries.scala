@@ -328,6 +328,9 @@ object TextQueries {
         // eager (localCheckpoint) so the plan sees the scoped conf
         Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
           .orderBy("doc_a", "doc_b").localCheckpoint()
+          // re-sorted after the checkpoint: the LogicalRDD drops the
+          // plan-visible Sort the Verify dump-order contract pins
+          .orderBy("doc_a", "doc_b")
       }),
 
     // Exact n-gram Jaccard, verified on the LSH candidates (the full

@@ -34,4 +34,18 @@ class ChoiceSpec extends SparkTestBase {
     // C never wins: its MM numerator is 0, so p_C -> 0 monotonically
     assert(ps(2) < 0.02, ps.toSeq.toString)
   }
+
+  test("bradleyTerry: the conf-gated item cap fails loudly on an " +
+      "over-cap catalog (driver-OOM guard)") {
+    import spark.implicits._
+    val duels = Seq(("A", "B"), ("B", "C"), ("C", "A"))
+      .toDF("winner", "loser")
+    spark.conf.set("spark.graft.driverLocal.itemCap", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Choice.bradleyTerry(duels, "winner", "loser", 2)
+      }
+      assert(e.getMessage.contains("driver-local"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.driverLocal.itemCap")
+  }
 }

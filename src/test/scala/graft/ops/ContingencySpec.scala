@@ -91,4 +91,27 @@ class ContingencySpec extends SparkTestBase {
     val row0 = out((0L, 0L)) + out((0L, 1L))
     assert(math.abs(row0 - n / 2) < 2.0, s"row0=$row0")
   }
+
+  test("ipfRaking: empty input returns an empty frame with the " +
+      "contract schema instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val out = Contingency.ipfRaking(empty, "x", "y")
+    assert(out.columns.toSeq == Seq("x", "y", "n_xy", "fitted_r"))
+    assert(out.count() == 0)
+  }
+
+  test("ipfRaking: the conf-gated grid cap fails loudly on an " +
+      "over-cap key space (driver-OOM guard)") {
+    import spark.implicits._
+    val df = (rep(3, 0, 0) ++ rep(3, 0, 1) ++ rep(3, 1, 0)
+      ++ rep(3, 1, 1)).toDF("x", "y")
+    spark.conf.set("spark.graft.driverLocal.gridCap", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Contingency.ipfRaking(df, "x", "y")
+      }
+      assert(e.getMessage.contains("driver-local"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.driverLocal.gridCap")
+  }
 }

@@ -510,4 +510,17 @@ class SimilaritySpec extends SparkTestBase {
       < 1e-6, r.toString)
     assert(r.getAs[Double]("frac_abs_gt_r") == 1.0)
   }
+
+  test("topEigen: the conf-gated moment cap fails loudly on an " +
+      "over-cap dimensionality (driver-OOM guard)") {
+    import spark.implicits._
+    val emb = Seq(Array(1f, 0f), Array(0f, 1f)).toDF("embedding")
+    spark.conf.set("spark.graft.driverLocal.momentCap", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.topEigen(emb, 2)
+      }
+      assert(e.getMessage.contains("driver-local"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.driverLocal.momentCap")
+  }
 }

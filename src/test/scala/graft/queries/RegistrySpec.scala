@@ -38,11 +38,40 @@ class RegistrySpec extends SparkTestBase {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  /** The Verify dump-order invariant: check_oracle's compare is
+    * strictly row-order-sensitive and the un-coalesced parquet dump
+    * only has a machine-independent order when the plan ends in a
+    * global Sort (range partitioning → part files glob back in order).
+    * Walks through order-preserving wrappers (Project/Limit/alias). */
+  private def topGlobalSort(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case s: Sort => s.global
+      case pr: Project => topGlobalSort(pr.child)
+      case l: GlobalLimit => topGlobalSort(l.child)
+      case l: LocalLimit => topGlobalSort(l.child)
+      case s: SubqueryAlias => topGlobalSort(s.child)
+      case _ => false
+    }
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name}: runs on sf0.001, deterministic across two runs") {
-      val a = q.fn(spark, sf()).collect()
+      val df = q.fn(spark, sf())
+      val a = df.collect()
       val b = q.fn(spark, sf()).collect()
       assert(a.toSeq == b.toSeq, s"${q.name} nondeterministic")
+      // multi-row results must pin their dump order with a plan-visible
+      // global Sort (single-row frames are order-trivial); an
+      // availableProcessors-dependent Verify posture must never change
+      // row order (round-13 ADVICE)
+      if (a.length > 1)
+        assert(topGlobalSort(df.queryExecution.analyzed),
+          s"${q.name} returns ${a.length} rows but its plan does not " +
+            "end in a global Sort — dump row order would be " +
+            "machine-dependent")
     }
   }
 
