@@ -38,7 +38,8 @@ object Registry {
       RichnessQueries.all ++ CapacityQueries.all ++
       ScorecardQueries.all ++ MetaQueries.all ++
       ContingencyQueries.all ++ RankDistQueries.all ++
-      RandomnessQueries.all
+      RandomnessQueries.all ++ SpatialQueries.all ++
+      ForensicsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -116,7 +116,9 @@ class WindowGrainSpec extends AnyFunSuite {
       "plus day-grain lag/lead/index scans"),
     "ops/Posthoc.scala" -> (2, "Quade block-range rank over the " +
       "≤|weeks| block grid; Page treatment index over the ≤k " +
-      "treatment list"))
+      "treatment list"),
+    "ops/Forensics.scala" -> (1, "records-test prefix max/min on the " +
+      "calendar-bounded day grain"))
 
   private def scan(): Map[String, Int] = {
     val root = Paths.get("src/main/scala/graft")
