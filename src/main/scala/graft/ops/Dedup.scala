@@ -203,7 +203,16 @@ object Dedup {
     * [[bandJoin]] (band 0, key = shingle hash), so the hot-bucket valve
     * caps any degenerate boilerplate shingle identically in both
     * engines. Verification reuses the inverted-index Jaccard
-    * ([[jaccardForPairs]]) over candidate docs only. Cache lifecycle:
+    * ([[jaccardForPairs]]) over candidate docs only.
+    *
+    * Audit-vs-production contract (measured, SCALE.md r14): this
+    * LOSSLESS form is the AUDIT — its cost grows with the intrinsic
+    * pair volume (5.8× at a 10× decade on near-uniform doc lengths);
+    * the PRODUCTION recall monitor at 100 TB is the sampled form
+    * (q338's 10 % sample: 1.4× per decade, trunk-dominated — the p²
+    * discount quarters the pair volume per halving of the sample).
+    *
+    * Cache lifecycle:
     * the shingle table is cached here with the same harness-clearCache
     * convention as [[jaccardForPairs]] (it feeds the df counts, sizes,
     * prefixes, and the verify). */
