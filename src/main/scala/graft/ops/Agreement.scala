@@ -170,4 +170,81 @@ object Agreement {
       round(lit(1.0) - col("_nn") * col("_num")
         / nullif(col("_den"), lit(0.0)), 6).as("kappa_w_r"))
   }
+
+  /** Gwet's AC1 (Gwet 2008) on the same ratings frame as
+    * [[fleissKappa]]: identical observed agreement po, but chance
+    * agreement pe = sum_c pi_c(1-pi_c)/(k-1) -- the "agreement by
+    * RANDOM rating" model, not Fleiss' "agreement by prevalence"
+    * model, which is exactly what resolves the kappa paradox (high
+    * observed agreement + skewed prevalence => kappa near 0, AC1
+    * high). All-exact integers: with po = A/B and pe = C/D,
+    * AC1 = (A*D - C*B)/(B*(D - C)) as DECIMAL(38,0) products meeting
+    * in one double division. Returns one row: n_items, po_r, pe_r,
+    * ac1_r. */
+  def gwetAc1(ratings: DataFrame, itemCol: String, catCol: String,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 2 && k >= 2)
+    val grain = ratings.groupBy(col(itemCol).as("_i"),
+      col(catCol).as("_c")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val a = grain.agg(countDistinct(col("_i")).as("n_items"),
+      sum(d38(col("_n")) * (col("_n") - 1)).as("_anum"))
+    val b = grain.groupBy(col("_c")).agg(sum(col("_n")).as("_t"))
+      .crossJoin(broadcast(a.select(col("n_items").as("_ni"))))
+      .agg(sum(d38(col("_t")) * (d38(col("_ni")) * m - col("_t")))
+        .as("_cnum"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_items"),
+        col("_anum").cast("decimal(38,0)").as("_A"),
+        (d38(col("n_items")) * (m.toLong * (m.toLong - 1)))
+          .cast("decimal(38,0)").as("_B"),
+        col("_cnum").cast("decimal(38,0)").as("_C"),
+        (d38(lit(k.toLong - 1)) * (d38(col("n_items")) * m)
+          * (d38(col("n_items")) * m)).cast("decimal(38,0)").as("_D"))
+      .select(col("n_items"),
+        round(col("_A").cast("double") / col("_B").cast("double"), 6)
+          .as("po_r"),
+        round(col("_C").cast("double") / col("_D").cast("double"), 6)
+          .as("pe_r"),
+        round((col("_A").cast("double") * col("_D").cast("double")
+            - col("_C").cast("double") * col("_B").cast("double"))
+          / (col("_B").cast("double")
+            * (col("_D").cast("double") - col("_C").cast("double"))),
+          6).as("ac1_r"))
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989) for paired
+    * integer measures: CCC = 2 s_xy / (s_x^2 + s_y^2 + (mx-my)^2) --
+    * agreement with the 45-degree line, i.e. Pearson r discounted by
+    * the accuracy coefficient Cb that penalizes location/scale shift
+    * (the paired-continuous complement of the categorical kappas in
+    * this file; q321's ICC models grouped raters, not one paired
+    * comparison). n^2-scaled so every term is an exact DECIMAL(38,0)
+    * integer: CCC = 2(n Sxy - SxSy) / (n Sxx - Sx^2 + n Syy - Sy^2
+    * + (Sx - Sy)^2); Pearson r uses the sqrt(A)*sqrt(B) split so no
+    * integer product exceeds 38 digits. Returns one row: n_pairs,
+    * ccc_r, pearson_r, cb_r. */
+  def linCcc(pairs: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val agg = pairs.agg(count(lit(1)).as("n"),
+      sum(d38(col(xCol))).as("_sx"), sum(d38(col(yCol))).as("_sy"),
+      sum(d38(col(xCol)) * col(yCol)).as("_sxy"),
+      sum(d38(col(xCol)) * col(xCol)).as("_sxx"),
+      sum(d38(col(yCol)) * col(yCol)).as("_syy"))
+    val nD = d38(col("n"))
+    val cnum = ((nD * col("_sxy") - col("_sx") * col("_sy")) * 2)
+      .cast("double")
+    val vx = (nD * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (nD * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    val shift = ((col("_sx") - col("_sy"))
+      * (col("_sx") - col("_sy"))).cast("double")
+    agg.select(col("n").as("n_pairs"),
+      round(cnum / (vx + vy + shift), 6).as("ccc_r"),
+      round(when(vx > 0 && vy > 0,
+        (cnum / lit(2.0)) / (sqrt(vx) * sqrt(vy))), 6).as("pearson_r"),
+      round(when(vx > 0 && vy > 0,
+        (cnum / (vx + vy + shift))
+          / ((cnum / lit(2.0)) / (sqrt(vx) * sqrt(vy)))), 6)
+        .as("cb_r"))
+  }
 }

@@ -96,4 +96,38 @@ object Skew {
           6).as("cum_share_r"))
       .orderBy("decile")
   }
+
+  /** Lorenz asymmetry coefficient (Damgaard & Weiner 2000):
+    * S = F(mu) + L(mu), where F(mu) = share of units strictly below
+    * the mean and L(mu) = share of total mass they hold -- WHERE on
+    * the Lorenz curve the slope-1 point sits. S < 1: inequality is
+    * driven by many small units; S > 1: by a few giants -- the
+    * directional reading [[lorenzDeciles]]' Gini (a magnitude)
+    * cannot give. Amounts enter as exact integer cents; below-mean is
+    * the EXACT integer predicate n*x < total (no float mean), and the
+    * boundary convention (ties at the mean count as below neither
+    * share) is documented rather than interpolated. Returns one row:
+    * n, n_below, f_mu_r, l_mu_r, s_r. */
+  def lorenzAsymmetry(df: DataFrame, amountCol: String): DataFrame = {
+    val cents = df
+      .select(expr(s"cast(round($amountCol * 100) as bigint)").as("_c"))
+      .filter(col("_c") > 0)
+      .localCheckpoint()
+    val tot = cents.agg(count(lit(1)).as("n"),
+      sum(col("_c")).as("_tot"))
+    cents.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("_tot"))
+      .agg(sum(when(col("_c") * col("n") < col("_tot"), 1L)
+          .otherwise(0L)).as("n_below"),
+        coalesce(sum(when(col("_c") * col("n") < col("_tot"),
+          col("_c"))), lit(0L)).as("_below_mass"))
+      .select(col("n"), col("n_below"),
+        round(col("n_below").cast("double") / col("n").cast("double"),
+          6).as("f_mu_r"),
+        round(col("_below_mass").cast("double")
+          / col("_tot").cast("double"), 6).as("l_mu_r"),
+        round(col("n_below").cast("double") / col("n").cast("double")
+          + col("_below_mass").cast("double")
+            / col("_tot").cast("double"), 6).as("s_r"))
+  }
 }

@@ -1263,4 +1263,52 @@ object TimeSeries {
       when(col("n_cells") >= 3 && sxx > 0 && syy > 0,
         round(sxy * sxy / (sxx * syy), 6)).as("r2_r"))
   }
+
+  /** Allan variance ladder of the daily count series (Allan 1966 —
+    * the clock-stability statistic applied to a metric stream): for
+    * each averaging window tau, AVAR(tau) = mean squared difference of
+    * ADJACENT tau-day block means / 2. Unlike the plain variance it
+    * converges for drifting/random-walk series, and the SLOPE of
+    * AVAR vs tau names the noise type (white ~ 1/tau, random walk
+    * ~ tau, flicker ~ flat) -- the "is this counter white noise or
+    * drifting" ladder next to [[taylorLaw]]'s cross-cell power law.
+    * Zero-filled calendar spine (the [[Forecast]] convention);
+    * complete blocks only. Exact integers: block SUMS s_b subtract
+    * exactly and AVAR = sum (s_{b+1}-s_b)^2 / (2(M-1) tau^2) is one
+    * double division. Returns one row per tau: tau_days, n_blocks,
+    * avar_r. */
+  def allanVariance(events: DataFrame, tsCol: String,
+      taus: Seq[Int]): DataFrame = {
+    require(taus.nonEmpty && taus.forall(_ >= 1))
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.agg(min(col("day")).as("_d0"),
+        max(col("day")).as("_d1"))
+      .select(col("_d0"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), col("_d0")).as("_t"),
+        coalesce(col("x"), lit(0L)).as("_x"))
+    val tt = taus.toDF("tau_days")
+    val blocks = filled.crossJoin(broadcast(tt))
+      .groupBy(col("tau_days"), (col("_t") / col("tau_days"))
+        .cast("long").as("_b"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_x")).as("_s"))
+      .where(col("_cnt") === col("tau_days"))
+    val w = Window.partitionBy(col("tau_days")).orderBy(col("_b"))
+    blocks
+      .withColumn("_d", col("_s") - lag(col("_s"), 1).over(w))
+      .groupBy(col("tau_days"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum((col("_d") * col("_d")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_num"))
+      .select(col("tau_days"), col("n_blocks"),
+        round(col("_num").cast("double")
+          / (lit(2.0) * (col("n_blocks").cast("double") - lit(1.0))
+            * col("tau_days").cast("double")
+            * col("tau_days").cast("double")), 6).as("avar_r"))
+      .orderBy(col("tau_days"))
+  }
 }

@@ -21,7 +21,7 @@ object AgreementQueries {
 
   /** Three binary heuristic raters over documents — integer-only
     * comparisons so both engines bucket identically. */
-  private val ratersSql =
+  private[queries] val ratersSql =
     s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, n_chars,
        |    len(string_split($normSql, ' '))::BIGINT AS n_tokens
@@ -40,7 +40,7 @@ object AgreementQueries {
        |  SELECT doc_id, cat, count(*)::BIGINT AS n
        |  FROM r GROUP BY 1, 2)""".stripMargin
 
-  private def raters(s: org.apache.spark.sql.SparkSession,
+  private[queries] def raters(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val tok = documents(s, dir).select(col("doc_id"), col("n_chars"),
       size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long")

@@ -39,7 +39,7 @@ object Registry {
       ScorecardQueries.all ++ MetaQueries.all ++
       ContingencyQueries.all ++ RankDistQueries.all ++
       RandomnessQueries.all ++ SpatialQueries.all ++
-      ForensicsQueries.all
+      ForensicsQueries.all ++ LadderQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

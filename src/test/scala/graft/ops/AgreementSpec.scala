@@ -85,4 +85,42 @@ class AgreementSpec extends SparkTestBase {
       .collect()(0)
     assert(r2.getAs[Double]("kappa_w_r") == -1.0, r2.toString)
   }
+
+  test("gwetAc1: the kappa paradox — skewed prevalence with " +
+      "near-perfect agreement gives Fleiss kappa < 0 but AC1 near 1") {
+    import spark.implicits._
+    // 10 items, 3 raters: 9 unanimous '1', one item split 2-1
+    val ratings = ((1 to 9).flatMap(i => Seq((i, 1, 1), (i, 2, 1),
+      (i, 3, 1))) ++ Seq((10, 1, 1), (10, 2, 1), (10, 3, 0)))
+      .toDF("doc_id", "rater", "cat")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("cat"))
+    val ac1 = Agreement.gwetAc1(ratings, "doc_id", "cat", m = 3,
+      k = 2).collect()(0)
+    // A=56 B=60 C=58 D=900: po=0.9333, pe=0.0644, AC1=46920/50520
+    assert(ac1.getAs[Long]("n_items") == 10)
+    assert(math.abs(ac1.getAs[Double]("po_r") - 56.0 / 60) < 1e-6)
+    assert(math.abs(ac1.getAs[Double]("ac1_r") - 46920.0 / 50520)
+      < 1e-6)
+    val fleiss = Agreement.fleissKappa(ratings, "doc_id", "cat", 3)
+      .collect()(0)
+    assert(fleiss.getAs[Double]("kappa_r") < 0.0,
+      "Fleiss must go negative here (the paradox)")
+    assert(ac1.getAs[Double]("ac1_r") > 0.9)
+  }
+
+  test("linCcc: identical pairs give CCC = r = Cb = 1; a pure level " +
+      "shift keeps r = 1 but collapses CCC") {
+    import spark.implicits._
+    val same = (1L to 10L).map(x => (x, x)).toDF("x", "y")
+    val rs = Agreement.linCcc(same, "x", "y").collect()(0)
+    assert(rs.getAs[Double]("ccc_r") == 1.0)
+    assert(rs.getAs[Double]("pearson_r") == 1.0)
+    assert(rs.getAs[Double]("cb_r") == 1.0)
+    val shift = (1L to 10L).map(x => (x, x + 10L)).toDF("x", "y")
+    val rh = Agreement.linCcc(shift, "x", "y").collect()(0)
+    assert(rh.getAs[Double]("pearson_r") == 1.0)
+    // vx = vy = 825, shift = 100^2 -> CCC = 1650/11650
+    assert(math.abs(rh.getAs[Double]("ccc_r") - 1650.0 / 11650) < 1e-6)
+  }
 }

@@ -46,4 +46,21 @@ class SkewAuditSpec extends SparkTestBase {
     val cums = got.map(_.getAs[Double]("cum_share_r")).toSeq
     assert(cums == cums.sorted)
   }
+
+  test("lorenzAsymmetry: one giant among equals pushes S above 1; " +
+      "mean ties count as below neither share") {
+    import spark.implicits._
+    // {1,1,1,1,6}: mean 2 -> F = 0.8, L = 0.4, S = 1.2
+    val giant = Seq(1.0, 1.0, 1.0, 1.0, 6.0).toDF("a")
+    val rg = Skew.lorenzAsymmetry(giant, "a").collect()(0)
+    assert(rg.getAs[Long]("n_below") == 4)
+    assert(rg.getAs[Double]("f_mu_r") == 0.8)
+    assert(rg.getAs[Double]("l_mu_r") == 0.4)
+    assert(rg.getAs[Double]("s_r") == 1.2)
+    // {1,2,3}: mean 2; the exact tie at 2 is NOT below the mean
+    val tie = Seq(1.0, 2.0, 3.0).toDF("a")
+    val rt = Skew.lorenzAsymmetry(tie, "a").collect()(0)
+    assert(rt.getAs[Long]("n_below") == 1)
+    assert(rt.getAs[Double]("s_r") == 0.5)
+  }
 }

@@ -609,4 +609,27 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r2.getAs[Long]("s_stat") == 42L, r2.toString)
     assert(r2.getAs[Double]("z_r") > 0)
   }
+
+  test("allanVariance: a constant stream gives AVAR = 0 at every " +
+      "tau; a linear ramp quadruples AVAR per tau doubling (random-" +
+      "walk signature)") {
+    import spark.implicits._
+    def evs(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        (1 to c).map(i => java.sql.Timestamp.valueOf(
+          f"2026-01-${day + 1}%02d 12:00:${i % 60}%02d"))
+      }.toDF("ts")
+    val const = TimeSeries.allanVariance(evs(Seq.fill(16)(5)), "ts",
+      Seq(1, 2, 4)).collect()
+    assert(const.forall(_.getAs[Double]("avar_r") == 0.0))
+    // x_t = t + 1 over 16 days: block-sum diffs 1, 4, 16 ->
+    // AVAR = 0.5, 2, 8
+    val ramp = TimeSeries.allanVariance(evs((1 to 16)), "ts",
+      Seq(1, 2, 4)).collect()
+      .map(r => r.getAs[Int]("tau_days") -> r.getAs[Double]("avar_r"))
+      .toMap
+    assert(ramp(1) == 0.5, ramp.toString)
+    assert(ramp(2) == 2.0, ramp.toString)
+    assert(ramp(4) == 8.0, ramp.toString)
+  }
 }
