@@ -977,4 +977,39 @@ object Graphs {
             / (col("_t") * col("_t") - col("_r2")).cast("double")),
           6).as("assort_r"))
   }
+
+  /** Small-world sigma (Humphries & Gurney 2008):
+    * sigma = (C/C_rand)/(L/L_rand) with C = the measured average
+    * local clustering ([[localClustering]]), L = the mean sampled
+    * shortest-path length ([[landmarkDistances]] -- the scalable
+    * estimator), and the Erdos-Renyi baselines C_rand = 2m/(n(n-1)),
+    * L_rand = ln(n)/ln(2m/n). sigma >> 1 = small-world (clique-y AND
+    * short) -- the one-number capstone over the clustering/path
+    * families that says whether this co-occurrence graph behaves like
+    * a social network or a grid. All inputs are exact integers or the
+    * ops' pinned 6-dp outputs; the closed form is one shared
+    * expression. Returns one row: n_vertices, n_edges, c_avg_r,
+    * l_mean_r, sigma_r. */
+  def smallWorldSigma(edges: DataFrame, landmarks: Int, maxHops: Int)
+      : DataFrame = {
+    val cAvg = localClustering(edges)
+      .agg(max(col("avg_clustering_r")).as("c_avg_r")) // constant col
+    val nm = edges
+      .select(explode(array(col("src"), col("dst"))).as("_v"))
+      .agg(countDistinct(col("_v")).as("n_vertices"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    val ld = landmarkDistances(edges, landmarks, maxHops)
+      .where(col("d") > 0)
+      .agg(count(lit(1)).as("_np"), sum(col("d")).as("_sd"))
+    val nD = col("n_vertices").cast("double")
+    val mD = col("n_edges").cast("double")
+    val crand = lit(2.0) * mD / (nD * (nD - lit(1.0)))
+    val lmean = col("_sd").cast("double") / col("_np").cast("double")
+    val lrand = log(nD) / log(lit(2.0) * mD / nD)
+    broadcast(nm).crossJoin(broadcast(cAvg)).crossJoin(broadcast(ld))
+      .select(col("n_vertices"), col("n_edges"), col("c_avg_r"),
+        round(lmean, 6).as("l_mean_r"),
+        round((col("c_avg_r") / crand) / (lmean / lrand), 6)
+          .as("sigma_r"))
+  }
 }

@@ -229,4 +229,50 @@ object Markov {
           * (col("m_states") - 1)).as("df"),
         round(lit(2.0) * col("_g"), 6).as("g2_r"))
   }
+
+  /** Entropy production rate of the event-type chain (Schnakenberg
+    * 1976): EP = (1/2) sum over ordered type pairs of
+    * (n_ij - n_ji) * ln(n_ij/n_ji) over within-entity consecutive
+    * transitions -- the time-IRREVERSIBILITY of the process, zero iff
+    * the joint flow satisfies detailed balance. The directional
+    * complement of [[orderTest]] (memory depth) and the entropy-rate
+    * magnitude ([[graft.ops.Behavior.entropyRate]]): a chain can be
+    * first-order and low-entropy yet strongly irreversible
+    * (view->click->purchase flows one way). Pairs with one-sided flow
+    * (n_ij > 0, n_ji = 0) are EXCLUDED (the standard regularization;
+    * their raw term diverges) and reported in n_onesided. Exact
+    * integer counts; one double ratio into ln per pair, 12-dp term
+    * sums. Returns one row: n_transitions, n_pairs, n_onesided,
+    * ep_r, ep_per_step_r. */
+  def entropyProduction(events: DataFrame, entityCol: String,
+      typeCol: String, orderBy: Seq[Column]): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val w = Window.partitionBy(entityCol).orderBy(orderBy: _*)
+    val tr = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("_a"), col("_next").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    // full outer: a pair with flow in only ONE direction must still be
+    // counted as one-sided whichever direction carries the flow
+    val pairs = tr.select(col("_a"), col("_b"), col("_n"))
+      .join(tr.select(col("_b").as("_a"), col("_a").as("_b"),
+        col("_n").as("_nr")), Seq("_a", "_b"), "full_outer")
+      .where(col("_a") < col("_b"))
+    val tot = tr.agg(sum(col("_n")).as("n_transitions"))
+    val both = col("_n").isNotNull && col("_nr").isNotNull
+    val ag = pairs.agg(
+      sum(when(both, 1L).otherwise(0L)).as("n_pairs"),
+      sum(when(!both, 1L).otherwise(0L)).as("n_onesided"),
+      coalesce(sum(when(both,
+        t12((col("_n") - col("_nr")).cast("double")
+          * log(col("_n").cast("double") / col("_nr").cast("double"))))),
+        lit(0).cast("decimal(28,12)")).cast("double").as("_ep"))
+    broadcast(tot).crossJoin(broadcast(ag))
+      .select(col("n_transitions"), col("n_pairs"), col("n_onesided"),
+        round(col("_ep"), 6).as("ep_r"),
+        round(col("_ep") / col("n_transitions").cast("double"), 6)
+          .as("ep_per_step_r"))
+  }
 }

@@ -941,4 +941,62 @@ object Profile {
         round(col("_ge3").cast("double")
           / col("n_groups").cast("double"), 6).as("frac_ge3_r"))
   }
+
+  /** ABC-XYZ inventory segmentation of parts (the planner's 3-by-3):
+    * ABC = cumulative revenue share down the revenue-ranked part list
+    * (A <= 70 %, B <= 90 %, C rest -- INCLUSIVE cumulative, exact
+    * integer cross-multiplied thresholds 10*cum <= 7*T / 9*T), XYZ =
+    * weekly-demand variability (cv <= 0.5 X, <= 1 Y, else Z -- exact:
+    * 4*(W*Sq2 - S*S) <= S*S etc., W = GLOBAL distinct demand weeks so
+    * unobserved weeks count as zero demand). The rank walk uses the
+    * banded prefix machinery ([[graft.ops.Ranks.bandedRunningSum]]) --
+    * no single-task sort at any |parts|. Returns the zero-filled 3-by-3
+    * grid: abc, xyz, n_parts, revenue_cents. */
+  def abcXyz(lineitem: DataFrame, partCol: String, priceCol: String,
+      qtyCol: String, dateCol: String): DataFrame = {
+    val s = lineitem.sparkSession
+    import s.implicits._
+    val base = lineitem.select(col(partCol).as("_p"),
+      expr(s"cast(round($priceCol * 100) as bigint)").as("_cents"),
+      col(qtyCol).cast("long").as("_q"),
+      date_trunc("week", col(dateCol)).as("_wk"))
+      .localCheckpoint()
+    val weeks = base.agg(countDistinct(col("_wk")).as("_w"))
+    val perWeek = base.groupBy(col("_p"), col("_wk"))
+      .agg(sum(col("_q")).as("_wq"))
+    val parts = perWeek.groupBy(col("_p"))
+      .agg(sum(col("_wq")).as("_sq"),
+        sum(col("_wq") * col("_wq")).as("_sq2"))
+      .join(base.groupBy(col("_p"))
+        .agg(sum(col("_cents")).as("_rev")), Seq("_p"))
+      .crossJoin(broadcast(weeks))
+      .localCheckpoint()
+    val tot = parts.agg(sum(col("_rev")).as("_t"))
+    // revenue-descending unique order key (partkey breaks ties);
+    // part keys are < 1e7 by fixture contract, asserted upstream
+    val ordered = parts.withColumn("_ord",
+      -col("_rev") * lit(10000000L) + col("_p"))
+    val cum = graft.ops.Ranks.bandedRunningSum(ordered, "_w", "_ord",
+      "_rev", 1e15)
+    val varq = (col("_w") * col("_sq2") - col("_sq") * col("_sq"))
+    val classed = cum.crossJoin(broadcast(tot))
+      .select(col("_p"), col("_rev"),
+        when(col("runsum") * 10 <= col("_t") * 7, "A")
+          .when(col("runsum") * 10 <= col("_t") * 9, "B")
+          .otherwise("C").as("abc"),
+        when(varq * 4 <= col("_sq") * col("_sq"), "X")
+          .when(varq <= col("_sq") * col("_sq"), "Y")
+          .otherwise("Z").as("xyz"))
+    val grid = Seq("A", "B", "C").flatMap(a =>
+      Seq("X", "Y", "Z").map(x => (a, x))).toDF("abc", "xyz")
+    broadcast(grid)
+      .join(classed.groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("_rev")).as("revenue_cents")),
+        Seq("abc", "xyz"), "left")
+      .select(col("abc"), col("xyz"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .orderBy(col("abc"), col("xyz"))
+  }
 }

@@ -249,4 +249,50 @@ object Sequence {
           + (col("lambda") - lit(1.0)) * col("_slny"), 6).as("ll_r"))
       .orderBy(col("lambda"))
   }
+
+  /** Permutation entropy of the daily count series (Bandt & Pompe
+    * 2002), order 3: classify each consecutive triple by the ordinal
+    * pattern of (value, position) -- position breaks ties, the stable
+    * convention both engines reproduce with pure integer comparisons
+    * -- and take the Shannon entropy of the 6-pattern distribution,
+    * normalized by ln 6. Low H = the stream's LOCAL up-down shapes
+    * repeat (structure [[graft.ops.Randomness]]'s global tests can
+    * miss); H ~ 1 = ordinally white. Observed days only (the
+    * Randomness convention). Pattern codes are
+    * 4*[a<=b] + 2*[a<=c] + [b<=c] (6 of 8 combos are realizable).
+    * Returns 6 rows: pattern, n_p, p_r, h_r, hnorm_r (last two
+    * constant). */
+  def permutationEntropy(events: DataFrame, tsCol: String)
+      : DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("day"))
+    val tri = daily
+      .withColumn("_b", lead(col("x"), 1).over(w))
+      .withColumn("_c", lead(col("x"), 2).over(w))
+      .filter(col("_c").isNotNull)
+      .select((when(col("x") <= col("_b"), 4).otherwise(0)
+        + when(col("x") <= col("_c"), 2).otherwise(0)
+        + when(col("_b") <= col("_c"), 1).otherwise(0)).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_p"))
+    val pats = Seq(1, 3, 4, 6, 7, 0).sorted.toDF("pattern")
+    val grid = broadcast(pats).join(tri, Seq("pattern"), "left")
+      .select(col("pattern"), coalesce(col("n_p"), lit(0L)).as("n_p"))
+      .localCheckpoint()
+    val tot = grid.agg(sum(col("n_p")).as("_n"))
+    val g = grid.crossJoin(broadcast(tot))
+    val p = col("n_p").cast("double") / col("_n").cast("double")
+    val h = g.agg(sum(when(col("n_p") > 0,
+        round(-(col("n_p").cast("double") / col("_n").cast("double"))
+          * log(col("n_p").cast("double") / col("_n").cast("double")),
+          12).cast("decimal(28,12)")).otherwise(
+        lit(0).cast("decimal(28,12)"))).cast("double").as("_h"))
+    g.crossJoin(broadcast(h))
+      .select(col("pattern"), col("n_p"), round(p, 6).as("p_r"),
+        round(col("_h"), 6).as("h_r"),
+        round(col("_h") / log(lit(6.0)), 6).as("hnorm_r"))
+      .orderBy(col("pattern"))
+  }
 }

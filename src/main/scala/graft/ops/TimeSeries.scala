@@ -1311,4 +1311,38 @@ object TimeSeries {
             * col("tau_days").cast("double")), 6).as("avar_r"))
       .orderBy(col("tau_days"))
   }
+
+  /** Spectral flatness (Wiener entropy) of the GLOBAL daily count
+    * series over the literal period basis: geometric / arithmetic
+    * mean of the [[spectralPower]] bins at the given periods --
+    * flatness ~ 1 = white (no period dominates), ~ 0 = one cycle
+    * carries the energy; the peak bin is named alongside. Works on
+    * the ops' pinned 6-dp powers, so both engines fold identical
+    * inputs; ln/exp ride the engine on equal arguments (the g2
+    * precedent). Null flatness when any bin power is 0 (ln
+    * undefined; the degenerate all-flat case). Returns one row:
+    * n_periods, flatness_r, peak_period, peak_power_r. */
+  def spectralFlatness(events: DataFrame, tsCol: String,
+      periods: Seq[Int]): DataFrame = {
+    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
+    val p = spectralPower(events.withColumn("_k", lit(0)), "_k",
+      tsCol, periods).localCheckpoint()
+    val agg = p.agg(count(lit(1)).as("n_periods"),
+      sum(when(col("power_r") > 0, 1L).otherwise(0L)).as("_npos"),
+      coalesce(sum(when(col("power_r") > 0,
+        t12(log(col("power_r"))))), lit(0).cast("decimal(28,12)"))
+        .cast("double").as("_sln"),
+      sum(t12(col("power_r"))).cast("double").as("_sp"))
+    val peak = p.orderBy(col("power_r").desc, col("period"))
+      .limit(1)
+      .select(col("period").as("peak_period"),
+        col("power_r").as("peak_power_r"))
+    val nD = col("n_periods").cast("double")
+    broadcast(agg).crossJoin(broadcast(peak))
+      .select(col("n_periods"),
+        round(when(col("_npos") === col("n_periods"),
+          exp(col("_sln") / nD) / (col("_sp") / nD)), 6)
+          .as("flatness_r"),
+        col("peak_period"), col("peak_power_r"))
+  }
 }

@@ -39,7 +39,8 @@ object Registry {
       ScorecardQueries.all ++ MetaQueries.all ++
       ContingencyQueries.all ++ RankDistQueries.all ++
       RandomnessQueries.all ++ SpatialQueries.all ++
-      ForensicsQueries.all ++ LadderQueries.all
+      ForensicsQueries.all ++ LadderQueries.all ++
+      CapstoneQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

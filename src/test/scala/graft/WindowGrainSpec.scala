@@ -103,8 +103,9 @@ class WindowGrainSpec extends AnyFunSuite {
     "queries/AgreementQueries.scala" -> (3, "three judge ranks over " +
       "the ≤25-nation grid (corpus already reduced by the " +
       "orders⋈customer⋈nation group-by)"),
-    "ops/Sequence.scala" -> (1, "Hoeffding-split prefix scan on the " +
-      "calendar-bounded day grain (the pageHinkley idiom)"),
+    "ops/Sequence.scala" -> (2, "Hoeffding-split prefix scan + " +
+      "permutation-entropy triple leads on the calendar-bounded day " +
+      "grain"),
     "ops/Circular.scala" -> (1, "Kuiper ECDF cumulative over the " +
       "≤1440-cell clock-bin grid (corpus already reduced by one " +
       "hash-agg)"),

@@ -477,4 +477,19 @@ class GraphsSpec extends SparkTestBase {
       s"deltas must be non-increasing: $got")
     assert(got.last < got.head)
   }
+
+  test("smallWorldSigma: K4 has C = 1, L = 1, so sigma collapses to " +
+      "L_rand = ln(4)/ln(3)") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val r = Graphs.smallWorldSigma(k4, landmarks = 4, maxHops = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_vertices") == 4)
+    assert(r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Double]("c_avg_r") == 1.0)
+    assert(r.getAs[Double]("l_mean_r") == 1.0)
+    assert(math.abs(r.getAs[Double]("sigma_r")
+      - math.log(4.0) / math.log(3.0)) < 1e-5, r.toString)
+  }
 }

@@ -101,4 +101,33 @@ class MarkovSpec extends SparkTestBase {
     assert(r.getAs[Long]("df") == 80L)
     assert(math.abs(r.getAs[Double]("g2_r") - 4 * math.log(2)) < 1e-6)
   }
+
+  test("entropyProduction: a reversible shuttle gives EP ~ 0; an " +
+      "asymmetric flow gives the hand value (n-nr)ln(n/nr)") {
+    import spark.implicits._
+    def evs(user: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (user, t,
+        new java.sql.Timestamp(1000L * (i + 1)), i.toLong)
+    }
+    // A,B repeated: A->B 3, B->A 2 -> EP = (3-2) ln(3/2)
+    val df = evs(1L, Seq("A", "B", "A", "B", "A", "B"))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = Markov.entropyProduction(df, "user_id", "event_type",
+      Seq(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))).collect()(0)
+    assert(r.getAs[Long]("n_transitions") == 5)
+    assert(r.getAs[Long]("n_pairs") == 1)
+    assert(r.getAs[Long]("n_onesided") == 0)
+    assert(math.abs(r.getAs[Double]("ep_r") - math.log(1.5)) < 1e-6)
+    // one-way loop A->B->C->A: every pair one-sided, EP = 0 by the
+    // documented exclusion
+    val loop = evs(1L, Seq("A", "B", "C", "A", "B", "C", "A"))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val rl = Markov.entropyProduction(loop, "user_id", "event_type",
+      Seq(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))).collect()(0)
+    assert(rl.getAs[Long]("n_onesided") == 3)
+    assert(rl.getAs[Long]("n_pairs") == 0)
+    assert(rl.getAs[Double]("ep_r") == 0.0)
+  }
 }

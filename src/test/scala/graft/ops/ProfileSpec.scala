@@ -538,4 +538,30 @@ class ProfileSpec extends SparkTestBase {
     assert(r2.isNullAt(r2.fieldIndex("nb_r_r")))
     assert(r2.isNullAt(r2.fieldIndex("nb_p_r")))
   }
+
+  test("abcXyz: hand 3-part frame lands exactly in (A,X), (B,Z), " +
+      "(C,Y) with the 70/90 cumulative cuts inclusive") {
+    import spark.implicits._
+    val mondays = Seq("2026-01-05", "2026-01-12", "2026-01-19",
+      "2026-01-26").map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+    // part 1: $17.50 x 4 weeks, qty 5 each -> rev 7000c (70%), var 0
+    // part 2: $20 once, qty 10 week 1 only -> rev 2000c (cum 90%), Z
+    // part 3: $2.50 x 4, qty 2/8/2/8 -> rev 1000c (cum 100%), Y
+    val rows = mondays.map(w => (1L, 17.50, 5L, w)) ++
+      Seq((2L, 20.0, 10L, mondays.head)) ++
+      mondays.zip(Seq(2L, 8L, 2L, 8L)).map { case (w, q) =>
+        (3L, 2.50, q, w) }
+    val li = rows.toDF("l_partkey", "l_extendedprice", "l_quantity",
+      "l_shipdate")
+    val got = Profile.abcXyz(li, "l_partkey", "l_extendedprice",
+        "l_quantity", "l_shipdate").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_cents")))
+      .toMap
+    assert(got.size == 9)
+    assert(got(("A", "X")) == (1L, 7000L), got.toString)
+    assert(got(("B", "Z")) == (1L, 2000L), got.toString)
+    assert(got(("C", "Y")) == (1L, 1000L), got.toString)
+    assert(got.values.map(_._1).sum == 3)
+  }
 }

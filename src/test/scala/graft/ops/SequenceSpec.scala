@@ -85,4 +85,26 @@ class SequenceSpec extends SparkTestBase {
         r.getAs[Double]("ll_r"))).mkString(", "))
     assert(grid.length == 5)
   }
+
+  test("permutationEntropy: a monotone series concentrates on one " +
+      "pattern (H = 0); a 2-cycle splits over two patterns (H = ln 2)") {
+    import spark.implicits._
+    def evs(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, day) => (1 to c).map(_ => java.sql.Timestamp.valueOf(
+        f"2026-01-${day + 1}%02d 12:00:00"))
+    }.toDF("ts")
+    val mono = Sequence.permutationEntropy(evs(1 to 10), "ts")
+      .collect()
+    assert(mono.map(_.getAs[Long]("n_p")).sum == 8)
+    assert(mono.filter(_.getAs[Int]("pattern") == 7)
+      .head.getAs[Long]("n_p") == 8)
+    assert(mono.head.getAs[Double]("h_r") == 0.0)
+    val cyc = Sequence.permutationEntropy(
+      evs(Seq(1, 2, 1, 2, 1, 2, 1, 2, 1, 2)), "ts").collect()
+    // triples alternate between patterns 6 (1,2,1) and 3 (2,1,2)
+    val h = cyc.head.getAs[Double]("h_r")
+    assert(math.abs(h - math.log(2.0)) < 1e-6, h.toString)
+    assert(math.abs(cyc.head.getAs[Double]("hnorm_r")
+      - math.log(2.0) / math.log(6.0)) < 1e-6)
+  }
 }

@@ -632,4 +632,24 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(ramp(2) == 2.0, ramp.toString)
     assert(ramp(4) == 8.0, ramp.toString)
   }
+
+  test("spectralFlatness: a constant series has zero power in every " +
+      "bin (null flatness); a planted 7-cycle peaks at period 7 with " +
+      "flatness strictly inside (0, 1)") {
+    import spark.implicits._
+    def evs(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, day) => (1 to c).map(i => java.sql.Timestamp.valueOf(
+        f"2026-01-${day + 1}%02d 10:00:${i % 60}%02d"))
+    }.toDF("ts")
+    val const = TimeSeries.spectralFlatness(evs(Seq.fill(28)(5)),
+      "ts", Seq(2, 3, 5, 7)).collect()(0)
+    assert(const.isNullAt(const.fieldIndex("flatness_r")))
+    val mixed = (0 until 28).map(t =>
+      10 + (if (t % 7 == 0) 15 else 0) + t % 3)
+    val r = TimeSeries.spectralFlatness(evs(mixed), "ts",
+      Seq(2, 3, 5, 7)).collect()(0)
+    assert(r.getAs[Int]("peak_period") == 7, r.toString)
+    val f = r.getAs[Double]("flatness_r")
+    assert(f > 0.0 && f < 1.0, r.toString)
+  }
 }
