@@ -1446,4 +1446,80 @@ object TextOps {
         round(col("_sb").cast("double") / col("n_pairs").cast("double"),
           6).as("self_bleu_r"))
   }
+
+  /** Church-Gale term burstiness over a FIXED term list: per term,
+    * df (documents containing it), cf (total occurrences),
+    * burstiness = cf/df (mean within-doc count given presence) and
+    * adaptation = P(tf >= 2 | tf >= 1) (Church 2000: the probability
+    * of a SECOND occurrence, which for real text far exceeds the
+    * Poisson prediction) -- the per-term clumping complement of the
+    * corpus-level [[vocabRichness]] spectrum. The term list is a
+    * literal contract shared with the oracle; unseen terms zero-fill
+    * with null ratios. Exact integer counts, two final divisions.
+    * Returns one row per term: term, df, cf, df_multi, burstiness_r,
+    * adaptation_r. */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val s = df.sparkSession
+    import s.implicits._
+    val dt = df.select(col(idCol),
+        explode(tokens(normalize(col(textCol)))).as("_t"))
+      .filter(col("_t").isin(terms: _*))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val per = dt.groupBy(col("_t").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("_tf")).as("cf"),
+        sum(when(col("_tf") >= 2, 1L).otherwise(0L)).as("df_multi"))
+    broadcast(terms.toDF("term")).join(per, Seq("term"), "left")
+      .select(col("term"), coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("cf"), lit(0L)).as("cf"),
+        coalesce(col("df_multi"), lit(0L)).as("df_multi"))
+      .select(col("term"), col("df"), col("cf"), col("df_multi"),
+        round(when(col("df") > 0,
+          col("cf").cast("double") / col("df").cast("double")), 6)
+          .as("burstiness_r"),
+        round(when(col("df") > 0,
+          col("df_multi").cast("double") / col("df").cast("double")),
+          6).as("adaptation_r"))
+      .orderBy(col("term"))
+  }
+
+  /** Hapax-legomena attribution per source: which slice contributes
+    * the corpus's UNIQUE vocabulary? A global tf = 1 term belongs to
+    * exactly one (source, doc); per source we report its token share,
+    * its hapax share, and the lift (hapax share / token share) -- a
+    * lift >> 1 names the slice whose text is lexically freshest (or
+    * noisiest), the cross-source complement of [[ngramNovelty]]'s
+    * per-document readout. One tokenize pass; exact integers into
+    * two shared ratios. Returns per source: source, n_tokens,
+    * n_hapax, token_share_r, hapax_share_r, lift_r. */
+  def hapaxAttribution(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(tokens(normalize(col(textCol)))).as("_t"))
+      .groupBy(col("source"), col("_t")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val hapax = st.groupBy(col("_t")).agg(sum(col("_n")).as("_tf"))
+      .filter(col("_tf") === 1).select(col("_t"))
+    val perSrc = st.groupBy(col("source"))
+      .agg(sum(col("_n")).as("n_tokens"))
+    val hapSrc = st.join(hapax, Seq("_t"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_hapax"))
+    val joined = perSrc.join(hapSrc, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+    val tot = joined.agg(sum(col("n_tokens")).as("_tt"),
+      sum(col("n_hapax")).as("_th"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("n_hapax"),
+        round(col("n_tokens").cast("double")
+          / col("_tt").cast("double"), 6).as("token_share_r"),
+        round(when(col("_th") > 0, col("n_hapax").cast("double")
+          / col("_th").cast("double")), 6).as("hapax_share_r"),
+        round(when(col("_th") > 0,
+          (col("n_hapax").cast("double") / col("_th").cast("double"))
+            / (col("n_tokens").cast("double")
+              / col("_tt").cast("double"))), 6).as("lift_r"))
+      .orderBy(col("source"))
+  }
 }

@@ -40,7 +40,7 @@ object Registry {
       ContingencyQueries.all ++ RankDistQueries.all ++
       RandomnessQueries.all ++ SpatialQueries.all ++
       ForensicsQueries.all ++ LadderQueries.all ++
-      CapstoneQueries.all
+      CapstoneQueries.all ++ ProvenanceQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

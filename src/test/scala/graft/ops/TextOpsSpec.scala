@@ -684,4 +684,49 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(got.getAs[Double]("coverage_r") - (1 - 2.0 / 7))
       < 1e-5)
   }
+
+  test("termBurstiness: a clumping term gets burstiness > 1 and " +
+      "adaptation > 0; an evenly spread term gets exactly 1 and 0; " +
+      "unseen terms zero-fill with null ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark other"),
+      (2L, "spark plain words here"),
+      (3L, "merge words"),
+      (4L, "merge again")
+    ).toDF("doc_id", "text")
+    val got = TextOps.termBurstiness(docs, "doc_id", "text",
+        Seq("merge", "spark", "zebra")).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    val sp = got("spark") // df 2, cf 4, multi 1
+    assert(sp.getAs[Long]("df") == 2 && sp.getAs[Long]("cf") == 4)
+    assert(sp.getAs[Double]("burstiness_r") == 2.0)
+    assert(sp.getAs[Double]("adaptation_r") == 0.5)
+    val mg = got("merge") // df 2, cf 2, multi 0
+    assert(mg.getAs[Double]("burstiness_r") == 1.0)
+    assert(mg.getAs[Double]("adaptation_r") == 0.0)
+    val zb = got("zebra")
+    assert(zb.getAs[Long]("df") == 0)
+    assert(zb.isNullAt(zb.fieldIndex("burstiness_r")))
+  }
+
+  test("hapaxAttribution: the slice owning all unique vocabulary " +
+      "gets lift > 1; shares sum to 1") {
+    import spark.implicits._
+    // source a: 8 tokens, all repeats of two words (0 hapax)
+    // source b: 4 tokens, 2 of them globally unique
+    val docs = Seq(
+      ("a", "x y x y"), ("a", "x y x y"),
+      ("b", "x qq zz y")
+    ).toDF("source", "text")
+    val got = TextOps.hapaxAttribution(docs, "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("a").getAs[Long]("n_tokens") == 8)
+    assert(got("a").getAs[Long]("n_hapax") == 0)
+    assert(got("b").getAs[Long]("n_hapax") == 2)
+    assert(got("b").getAs[Double]("hapax_share_r") == 1.0)
+    // lift(b) = 1.0 / (4/12) = 3
+    assert(got("b").getAs[Double]("lift_r") == 3.0)
+    assert(got("a").getAs[Double]("lift_r") == 0.0)
+  }
 }
