@@ -51,6 +51,38 @@ object VectorKernels {
   def dot_product(l: Column, r: Column): Column =
     GraftColumn.column(
       DotProduct(GraftColumn.expression(l), GraftColumn.expression(r)))
+
+  /** Join-multiplicity intersection count of two SORTED array<long>
+    * columns (non-null elements): for every value present in both, adds
+    * run_a × run_b — exactly the row count an equi-join of the two
+    * exploded multisets would produce. The row-local kernel that lets
+    * the n-gram Jaccard verify replace its pair×shingle expansion join
+    * + re-aggregation (|pairs|·|set| shuffled rows) with one merge scan
+    * per candidate pair (guide §2.3/§2.4: the decision needs only the
+    * per-doc hash multiset, so ship it once as one array row instead of
+    * one row per element). Both inputs MUST be ascending-sorted
+    * (sort_array(collect_list(h))); a two-pointer merge is then exact. */
+  def sorted_intersect_count(l: Column, r: Column): Column =
+    GraftColumn.column(
+      SortedIntersectCount(GraftColumn.expression(l), GraftColumn.expression(r)))
+
+  /** Two-pointer merge over sorted long arrays; equal runs contribute
+    * the product of their lengths (join multiplicity). */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        var ra = 0L; while (i < na && a.getLong(i) == x) { ra += 1; i += 1 }
+        var rb = 0L; while (j < nb && b.getLong(j) == x) { rb += 1; j += 1 }
+        cnt += ra * rb
+      }
+    }
+    cnt
+  }
 }
 
 abstract class FloatVecBinary extends BinaryExpression {
@@ -102,4 +134,35 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
   override def prettyName: String = "dot_product"
+}
+
+/** See [[VectorKernels.sorted_intersect_count]]: join-multiplicity
+  * intersection count over two ascending-sorted array<long> columns.
+  * LongType output, null-intolerant, whole-stage-codegen friendly. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorKernels.sortedIntersect($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }

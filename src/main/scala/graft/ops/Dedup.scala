@@ -145,18 +145,16 @@ object Dedup {
     * there is a driver OOM at 100 TB. AQE sizes the built side at runtime
     * and picks broadcast exactly when it actually fits. */
   def jaccardForPairs(shingles: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    // the candidate-shingle table feeds THREE consumers (per-doc counts,
-    // and both probe sides of the intersection join) — cache it so the
-    // semi-join against the corpus shingle table runs once, not three
-    // times. Post-LSH it is a small fraction of the corpus. LIFECYCLE:
-    // this cache entry lives until spark.sqlContext.clearCache() (which
-    // Verify/Bench call per query) — library callers who need
-    // deterministic cleanup should use candidateShingles +
-    // jaccardOnCandidates and own the cache, as nearDupRemovals does.
-    jaccardOnCandidates(candidateShingles(shingles, pairs, idCol).cache(),
+      idCol: String): DataFrame =
+    // candidateShingles has ONE consumer now (the per-doc set-row agg
+    // inside jaccardOnCandidates), so it is not cached here; the set
+    // rows — which feed both probe sides — are cached inside
+    // jaccardOnCandidates with the harness-clearCache LIFECYCLE
+    // (Verify/Bench call clearCache per query). Library callers who
+    // need deterministic cleanup should build docShingleSets +
+    // jaccardOnSets and own the cache, as nearDupComponentsOnIndex does.
+    jaccardOnCandidates(candidateShingles(shingles, pairs, idCol),
       pairs, idCol)
-  }
 
   /** The shingle table semi-filtered to docs appearing in `pairs` — the
     * only rows the Jaccard verify touches. Split out so callers can own
@@ -168,22 +166,51 @@ object Dedup {
     shingles.join(candIds, Seq(idCol), "left_semi")
   }
 
-  /** Jaccard verify over a pre-filtered candidate-shingle table (see
-    * [[candidateShingles]]); the caller controls its caching. */
-  def jaccardOnCandidates(sh: DataFrame, pairs: DataFrame,
+  /** Per-doc shingle-hash SET rows: (id, _hs sorted array<long>, n) —
+    * the lightweight per-doc proxy the array-kernel Jaccard verify
+    * joins against ([[jaccardOnSets]]). One hash-agg over the shingle
+    * table; on the persisted doc_id-bucketed layout the groupBy is
+    * exchange-free. Arrays are doc-sized (bounded by document length),
+    * never corpus-sized. */
+  def docShingleSets(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol)).agg(
+      sort_array(collect_list(col("h"))).as("_hs"),
+      count(lit(1)).as("n"))
+
+  /** Jaccard verify over prebuilt per-doc set rows (see
+    * [[docShingleSets]]); the caller controls the sets frame's caching
+    * (it feeds BOTH probe sides). Row-local intersection via the
+    * sorted-merge kernel — join-multiplicity-exact vs the former
+    * pair×shingle expansion join + re-aggregation, at |pairs| rows
+    * shuffled instead of |pairs|·|set| (guide §2.3: shuffle the per-doc
+    * array once, decide row-locally). Pairs with an empty intersection
+    * drop out (the expansion join's inner semantics). */
+  def jaccardOnSets(sets: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col(idCol).as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col(idCol).as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    import graft.expr.VectorKernels.sorted_intersect_count
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"), col("_hs").as("_ha"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), col("_hs").as("_hb"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_inter", sorted_intersect_count(col("_ha"), col("_hb")))
+      .where(col("n_inter") >= 1)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double")
           / (col("n_a") + col("n_b") - col("n_inter")))
   }
+
+  /** Jaccard verify over a pre-filtered candidate-shingle table (see
+    * [[candidateShingles]]); the caller controls its caching. The sets
+    * frame built here feeds both probe sides of [[jaccardOnSets]] —
+    * cached with the same harness-clearCache convention as
+    * [[jaccardForPairs]]' candidate cache; owner-controlled callers
+    * build [[docShingleSets]] themselves. */
+  def jaccardOnCandidates(sh: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    jaccardOnSets(docShingleSets(sh, idCol).cache(), pairs, idCol)
 
   /** EXACT-recall set-similarity self-join via PREFIX FILTERING (the
     * AllPairs/SSJoin family — Chaudhuri et al. ICDE'06, Bayardo et al.
@@ -840,12 +867,14 @@ object Dedup {
   def nearDupComponentsOnIndex(shingles: DataFrame, bands: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
     val cand = bandJoin(bands, idCol, "doc_a", "doc_b").cache()
-    // own the candidate-shingle cache (vs jaccardForPairs' internal one,
-    // which only a harness clearCache reclaims): the verified pairs are
+    // own the candidate SET-row cache (vs jaccardOnCandidates' internal
+    // one, which only a harness clearCache reclaims): the per-doc set
+    // rows feed both probe sides of the verify; the verified pairs are
     // localCheckpoint-materialized by count() below, after which the
     // caches are dead weight and unpersisted deterministically.
-    val candSh = candidateShingles(shingles, cand, idCol).cache()
-    val verified = jaccardOnCandidates(candSh, cand, idCol)
+    val candSets = docShingleSets(
+      candidateShingles(shingles, cand, idCol), idCol).cache()
+    val verified = jaccardOnSets(candSets, cand, idCol)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b").localCheckpoint()
     val nPairs = verified.count()
@@ -855,7 +884,7 @@ object Dedup {
           .limit(0)
       else nearDupComponents(verified, knownPairCount = Some(nPairs))
     cand.unpersist()
-    candSh.unpersist()
+    candSets.unpersist()
     comps
   }
 

@@ -114,9 +114,14 @@ object Graphs {
       .cache()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg, "src").cache()
-    val n = deg.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("src").as("vertex"), (lit(1.0) / col("n")).as("pr"))
+    // the vertex count is ONE bounded scalar — collect it once instead
+    // of re-broadcasting a 1-row aggregate subtree inside every
+    // iteration's checkpoint job (iters fewer broadcast builds; the
+    // driver-local divisions are the identical IEEE ops the per-row
+    // expressions evaluated)
+    val nV = deg.agg(count(lit(1)).cast("double")).first().getDouble(0)
+    var ranks = deg
+      .select(col("src").as("vertex"), lit(1.0 / nV).as("pr"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iters) {
@@ -124,18 +129,19 @@ object Graphs {
         .join(ranks, adj("src") === ranks("vertex"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("_in"))
-        .crossJoin(broadcast(n))
         .select(col("dst").as("vertex"),
-          (lit(1.0 - damping) / col("n") + lit(damping) * col("_in"))
+          (lit((1.0 - damping) / nV) + lit(damping) * col("_in"))
             .as("pr"))
         .localCheckpoint()
+      // the per-iteration L1 row reads two CHECKPOINTED rank frames, so
+      // it needs no checkpoint of its own: the final union executes all
+      // `iters` tiny joins in one job instead of one eager job each
       out += next.select(col("vertex"), round(col("pr"), 9).as("_p1"))
         .join(ranks.select(col("vertex"), round(col("pr"), 9).as("_p0")),
           Seq("vertex"))
         .agg(sum(t12(abs(col("_p1") - col("_p0")))).cast("double")
           .as("_d"))
         .select(lit(i).as("iter"), round(col("_d"), 9).as("l1_delta_r"))
-        .localCheckpoint()
       ranks = next
     }
     out.reduce(_ unionByName _)

@@ -53,6 +53,17 @@ object Similarity {
     cosineTopKUnchecked(collection, queries, k)
   }
 
+  // Shape note (r14 optimization round, measured in tools/KnnProbe at
+  // sf0.1): the row_number window is ALREADY a two-phase top-k in
+  // Spark 4 — the planner inserts WindowGroupLimit(partial) below the
+  // exchange and WindowGroupLimit(final) above it for a `row_number ≤ k`
+  // filter, so the shuffle carries ≤ k rows per (map partition, query),
+  // not the full |queries|·|collection| sim matrix. An explicit
+  // two-level collect_list/sort_array/slice aggregation was tried and
+  // measured 3× SLOWER (17.6 s vs 5.4 s steady: per-group list
+  // buffering + per-group sorts lose to the single radix sort feeding
+  // the group limit). Steady floor is the BNLJ + cosine kernel itself
+  // (2.1 s of the 5.4 s).
   private def cosineTopKUnchecked(collection: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     val q = broadcast(queries

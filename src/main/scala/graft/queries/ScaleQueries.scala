@@ -764,7 +764,20 @@ object ScaleQueries {
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
         val deduped = base.join(keepers, Seq("doc_id"), "left_semi")
-        val removals = Dedup.nearDupRemovals(deduped, "doc_id", "text", 0.5)
+        // near-dup stage on the PERSISTED shingle/band index, semi-
+        // filtered to the quality+exact-dedup survivors: shingles and
+        // band keys are per-doc pure functions of text, so row-filtering
+        // the persisted tables is exactly re-shingling the filtered
+        // corpus (the r13 persisted-layout migration applied to the one
+        // pipeline that still re-shingled; at 100 TB the corpus shingles
+        // once and every stage reads the parquet). The ids frame is
+        // materialized once (eager, tiny) and feeds both semi-joins.
+        val ids = deduped.select("doc_id").localCheckpoint()
+        val removals = withSubsetCoPartition(s)(
+          Dedup.nearDupRemovalsOnIndex(
+            docShingleTable(s, d).join(ids, Seq("doc_id"), "left_semi"),
+            docBandTable(s, d).join(ids, Seq("doc_id"), "left_semi"),
+            "doc_id", 0.5))
         val survivors = deduped.join(removals, Seq("doc_id"), "left_anti")
         Curation.hashSplit(survivors, "doc_id")
           .groupBy(col("split"), col("lang"))

@@ -38,3 +38,53 @@ class VectorExprsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 }
+
+/** sorted_intersect_count: the row-local Jaccard-verify kernel must be
+  * join-multiplicity-exact — equal runs contribute run_a × run_b, the
+  * row count an equi-join of the exploded multisets produces. */
+class SortedIntersectSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.expr.VectorKernels.sorted_intersect_count
+
+  test("hand cases: disjoint=0, subset, duplicates multiply") {
+    val rows = Seq(
+      (1L, Array(1L, 2L, 3L), Array(4L, 5L, 6L), 0L),
+      (2L, Array(1L, 2L, 3L), Array(2L, 3L, 9L), 2L),
+      (3L, Array(1L, 1L, 2L), Array(1L, 2L, 2L), 4L), // 2*1 + 1*2
+      (4L, Array.empty[Long], Array(1L, 2L), 0L),
+      (5L, Array(7L), Array(7L), 1L)
+    ).toDF("id", "a", "b", "want")
+    val got = rows.select(col("id"),
+        sorted_intersect_count(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id=${r.getLong(0)}: got ${r.getLong(1)} want ${r.getLong(2)}"))
+  }
+
+  test("randomized: equals the exploded equi-join count") {
+    val rnd = new scala.util.Random(42)
+    val data = (1 to 50).map { i =>
+      def arr = Array.fill(rnd.nextInt(30))(rnd.nextInt(12).toLong).sorted
+      (i.toLong, arr, arr)
+    }
+    val df = data.toDF("id", "a", "b")
+    val kernel = df.select(col("id"),
+        sorted_intersect_count(col("a"), col("b")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = data.map { case (i, a, b) =>
+      val bc = b.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      i -> a.map(x => bc.getOrElse(x, 0L)).sum
+    }.toMap
+    assert(kernel == joined)
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force interpreted evaluation via the kernel's static method
+    val a = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(1L, 1L, 3L, 5L))
+    val b = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(1L, 3L, 3L, 3L, 5L))
+    assert(VectorKernels.sortedIntersect(a, b) == 2L + 3L + 1L)
+  }
+}
