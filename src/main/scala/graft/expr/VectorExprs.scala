@@ -166,3 +166,51 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_count"
 }
+
+/** 60-bit md5-prefix hash: numerically identical to
+  * conv(substring(md5(s), 1, 15), 16, 10)::long — the first 60 bits of
+  * the md5 digest, i.e. bytes 0..6 and the high nibble of byte 7 — but
+  * computed straight from the digest bytes. The builtin chain
+  * materializes a 32-char hex string, a 15-char substring, and a
+  * string-parsing conv per row; this kernel allocates nothing but the
+  * digest and reuses a thread-local MessageDigest. The hash sits in the
+  * hot path of every shingle/token/gram pipeline. */
+object Hash60Kernel {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+  def hash60col(c: Column): Column =
+    GraftColumn.column(Hash60(GraftColumn.expression(c)))
+}
+
+case class Hash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string arg, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(s: Any): Any =
+    Hash60Kernel.hash60(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Hash60Kernel.hash60($c)")
+  override protected def withNewChildInternal(c: Expression): Hash60 =
+    copy(child = c)
+  override def prettyName: String = "hash60"
+}

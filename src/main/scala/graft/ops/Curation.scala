@@ -327,10 +327,15 @@ object Curation {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       targetCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be > 0")
+    // the token-bucket frame feeds TWO consumers (the bucket-count agg
+    // and the per-doc re-join) — cache it so the tokenize+hash pass
+    // runs once, not once per consumer (harness-clearCache lifecycle,
+    // the jaccardForPairs convention)
     val tok = df.select(col(idCol), col(targetCol).as("_tgt"),
       explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("_w"))
       .withColumn("_bk", TextOps.hash60(col("_w")) % buckets)
       .drop("_w")
+      .cache()
     val counts = tok.groupBy(col("_bk"))
       .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
         count(lit(1)).as("_cr"))

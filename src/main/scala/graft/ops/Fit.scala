@@ -331,8 +331,12 @@ object Fit {
   def psisKhat(weights: DataFrame, wCol: String, idCol: String,
       tailDenom: Int, bandWidth: Double): DataFrame = {
     require(tailDenom >= 2)
+    // the weight frame feeds THREE consumers (banded rank, the count,
+    // and the exceedance scan); its upstream is typically a whole
+    // importance-weighting pipeline — materialize once (doc-sized,
+    // executor-resident) instead of re-running the pipeline per branch
     val w = weights.select(col(idCol).as("_id"),
-      col(wCol).cast("long").as("_w"))
+      col(wCol).cast("long").as("_w")).localCheckpoint()
     val ranked = Ranks.bandedRank(
       w.select(col("_id"), col("_w"), (-col("_w")).cast("double")
         .as("_neg")).withColumn("_g0", lit(0)),

@@ -54,31 +54,50 @@ object Similarity {
   }
 
   // Shape note (r14 optimization round, measured in tools/KnnProbe at
-  // sf0.1): the row_number window is ALREADY a two-phase top-k in
-  // Spark 4 — the planner inserts WindowGroupLimit(partial) below the
-  // exchange and WindowGroupLimit(final) above it for a `row_number ≤ k`
-  // filter, so the shuffle carries ≤ k rows per (map partition, query),
-  // not the full |queries|·|collection| sim matrix. An explicit
-  // two-level collect_list/sort_array/slice aggregation was tried and
-  // measured 3× SLOWER (17.6 s vs 5.4 s steady: per-group list
-  // buffering + per-group sorts lose to the single radix sort feeding
-  // the group limit). Steady floor is the BNLJ + cosine kernel itself
-  // (2.1 s of the 5.4 s).
+  // sf0.1, steady passes): the former row_number window — even with
+  // Spark 4's automatic WindowGroupLimit(partial/final) — sorts every
+  // partition's sim rows before limiting: 5.0–6.3 s on the 4M-row sim
+  // stream whose BNLJ+cosine floor is ~2.0–2.5 s. The typed
+  // [[graft.expr.TopKNeighbors]] aggregate replaces the sort with one
+  // O(k) insertion probe per row (k-slot buffer per group, partial agg
+  // map-side, exchange carries one ≤ k-entry buffer per (task, query)):
+  // 2.7–3.8 s. A two-level collect_list/sort_array/slice form was also
+  // tried and measured WORSE than the window (8–17 s: full-group list
+  // buffering). Ordering is identical to the window — (sim DESC,
+  // neighbor_id ASC) exact-double comparisons — so results match
+  // row-for-row; sim_r is rounded only on output, after ranking.
+  private[graft] def topKFromSims(sims: DataFrame, k: Int): DataFrame = {
+    // TypedImperativeAggregate runs in ObjectHashAggregateExec, which
+    // falls back to SORT-based aggregation after 128 distinct groups
+    // per task (the conservative Spark default) — exactly the sort this
+    // aggregate exists to avoid. Raise the threshold session-wide (the
+    // buffers are k-bounded, so hash-mode memory is groups·k·16 bytes —
+    // nothing like the unbounded collect_list case the default guards).
+    val conf = sims.sparkSession.conf
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (conf.get(key, "128").toLong < (1L << 20))
+      conf.set(key, (1L << 20).toString)
+    sims.groupBy(col("q_id"))
+      .agg(graft.expr.TopKNeighbors.topk_neighbors(
+        col("sim"), col("neighbor_id"), k).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.sim"), 9).as("sim_r"))
+  }
+
   private def cosineTopKUnchecked(collection: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    collection
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(q, col("neighbor_id") =!= col("q_id"))
-      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
-      .filter(col("sim").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("neighbor_id"),
-        round(col("sim"), 9).as("sim_r"))
+    topKFromSims(
+      collection
+        .select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .join(q, col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          cosine_sim(col("embedding"), col("q_emb")).as("sim"))
+        .filter(col("sim").isNotNull),
+      k)
   }
 
   /** Mean pairwise cosine similarity within each label — computed via the
@@ -169,17 +188,15 @@ object Similarity {
       .withColumn("qcrn", row_number().over(wq))
       .filter(col("qcrn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
-    // search only the probed cells
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
-      .filter(col("sim").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 9).as("sim_r"))
+    // search only the probed cells; final rank via the same k-slot
+    // aggregate as cosineTopK (see topKFromSims' shape note)
+    topKFromSims(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosine_sim(col("embedding"), col("q_emb")).as("sim"))
+        .filter(col("sim").isNotNull),
+      k)
   }
 
   /** Valve-aware top-k router: exact brute force ([[cosineTopK]]) while

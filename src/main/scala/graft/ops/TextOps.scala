@@ -21,9 +21,13 @@ object TextOps {
   def tokens(c: Column): Column = split(c, " ")
 
   /** 60-bit hash from the md5 hex prefix — reproducible in any engine
-    * with md5 (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * with md5 (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT). Computed
+    * by the [[graft.expr.Hash60]] codegen kernel straight from the
+    * digest bytes — value-identical to the former
+    * conv(substring(md5(c),1,15),16,10)::long chain without
+    * materializing hex strings per row (Hash60ParitySpec pins the
+    * equivalence). */
+  def hash60(c: Column): Column = graft.expr.Hash60Kernel.hash60col(c)
 
   /** Overlapping token-window chunking — the RAG / context-window
     * preparation step: each document becomes sliding chunks of

@@ -47,6 +47,18 @@ object KnnProbe {
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("rn"), col("neighbor_id"),
             round(col("sim"), 9).as("sim_r"))))
+      // typed top-k aggregate form
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
+      time("topk agg (noop)")(noop(
+        sims.groupBy(col("q_id"))
+          .agg(graft.expr.TopKNeighbors.topk_neighbors(
+            col("sim"), col("neighbor_id"), 10).as("_top"))
+          .select(col("q_id"), posexplode(col("_top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.neighbor_id").as("neighbor_id"),
+            round(col("col.sim"), 9).as("sim_r"))))
       // two-level agg form
       val top = struct((-col("sim")).as("_ns"), col("neighbor_id"))
       val partial = sims

@@ -88,3 +88,31 @@ class SortedIntersectSpec extends SparkTestBase {
     assert(VectorKernels.sortedIntersect(a, b) == 2L + 3L + 1L)
   }
 }
+
+/** Hash60 kernel ≡ the conv(substring(md5,1,15),16,10)::long chain it
+  * replaced — value parity on hand and random strings, incl. empty,
+  * unicode, and long inputs. */
+class Hash60ParitySpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("kernel equals the builtin md5-hex chain on varied strings") {
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "a", "the quick brown fox", "κόσμε ünïcode",
+      "x" * 5000) ++ (1 to 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val bad = df.select(
+        graft.expr.Hash60Kernel.hash60col(col("s")).as("k"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          .as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(bad == 0L)
+  }
+
+  test("null propagates") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(graft.expr.Hash60Kernel.hash60col(col("s"))).head
+    assert(r.isNullAt(0))
+  }
+}
