@@ -256,11 +256,26 @@ object Dedup {
     * consumers here — df counts, sizes, prefixes, verify — are cheap
     * re-scans of a bucketed parquet table). */
   def prefixFilterPairsOnShingles(sh: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    // the per-doc set rows double as the AllPairs SIZE table (n = the
+    // former sizes agg) and both verify probes — built once, cached
+    // with the harness-clearCache convention; owner-controlled callers
+    // (q262's shared-branch audit) build them once for several verifies
+    prefixFilterPairsWithSets(sh, docShingleSets(sh, idCol).cache(),
+      idCol, threshold)
+
+  /** [[prefixFilterPairsOnShingles]] with PREBUILT per-doc set rows
+    * ([[docShingleSets]]) — the seam that lets an audit computing
+    * several Jaccard verifies over the same shingle table (q262: the
+    * LSH branch and the exact branch) build the set rows once. `sets`
+    * supplies both the size filter and the verify probes; the caller
+    * owns its lifecycle. */
+  def prefixFilterPairsWithSets(sh: DataFrame, sets: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0,1]")
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val sizes = sets.select(col(idCol), col("n").as("_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("h"))
     val prefix = sh.join(dfreq, "h")
@@ -269,18 +284,14 @@ object Dedup {
       .where(col("_rn") <=
         col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col(idCol), lit(0).as("band"), col("h").as("bk"))
-    // the candidate set feeds three verify consumers (both semi-join id
-    // projections and the intersection probe) — cache it or the whole
-    // prefix+self-join pipeline re-runs per consumer (same lifecycle
-    // convention as the sh cache above: harness clearCache).
     // Note: the classic AllPairs SIZE filter (prune pairs with
     // min(|A|,|B|) < t·max before verifying) was tried and MEASURED
     // SLOWER here (9.4 s vs 7.9 s at sf0.1): on near-uniform doc
     // lengths it prunes ~24% of candidates but costs two extra joins
     // against the size table. Re-add it for corpora with heavy length
     // skew, where it prunes most of the candidate set.
-    val cand = bandJoin(prefix, idCol, "doc_a", "doc_b").cache()
-    jaccardForPairs(sh, cand, idCol)
+    val cand = bandJoin(prefix, idCol, "doc_a", "doc_b")
+    jaccardOnSets(sets, cand, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -498,7 +509,20 @@ object Dedup {
     val cand = snmCandidates(docs, idCol, textCol, w)
     val meta = docs.select(col(idCol), col("source"), col("lang"),
       col("n_chars"))
-    val pairs = cand
+    // The EM's sufficient statistics are fully determined by the COUNTS
+    // of the 8 possible (f1, f2, f3) agreement patterns — per-pattern g
+    // is constant, and every per-row t12 term is the same decimal
+    // repeated count times. ONE data-sized pass reduces the pair stream
+    // to this ≤ 2³-row contingency; the recursion then runs
+    // DRIVER-LOCAL on it (the round-13 bounded-state posture —
+    // bradleyTerry/powerIterLocal — replacing `iters` checkpoint +
+    // crossJoin + full-pair-rescan jobs with arithmetic on 8 numbers).
+    // Every float op replays the engine expressions exactly: HALF_UP
+    // 12-dp rounds, decimal(28,12) sums via exact BigDecimal × count,
+    // the same left-associated products — the unrolled oracle CTE chain
+    // walks the identical trajectory (FsEmParitySpec pins the old
+    // relational recursion against this port).
+    val combos: Array[(Boolean, Boolean, Boolean, Long)] = cand
       .join(meta.select(col(idCol).as("doc_a"),
         col("source").as("_sa"), col("lang").as("_la"),
         col("n_chars").as("_ca")), Seq("doc_a"))
@@ -508,61 +532,66 @@ object Dedup {
       .select((col("_sa") === col("_sb")).as("f1"),
         (col("_la") === col("_lb")).as("f2"),
         (abs(col("_ca") - col("_cb")) <= 2).as("f3"))
-      .localCheckpoint() // the EM frame; consumed every step
-    def t12(c: Column) = round(c, 12).cast("decimal(28,12)")
-    var par = pairs.sparkSession.range(1).select(
-      lit(p0).as("_p"), lit(m0).as("_m1"), lit(m0).as("_m2"),
-      lit(m0).as("_m3"), lit(u0).as("_u1"), lit(u0).as("_u2"),
-      lit(u0).as("_u3")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      def lik(pcol: String, j: Int): Column =
-        when(col(s"f$j"), col(s"_$pcol$j"))
-          .otherwise(lit(1.0) - col(s"_$pcol$j"))
-      val pm = lik("m", 1) * lik("m", 2) * lik("m", 3)
-      val pu = lik("u", 1) * lik("u", 2) * lik("u", 3)
-      val e = pairs.crossJoin(broadcast(par))
-        .withColumn("_g", round(col("_p") * pm
-          / (col("_p") * pm + (lit(1.0) - col("_p")) * pu), 12))
-      val m = e.agg(count(lit(1)).cast("double").as("_n"),
-        sum(t12(col("_g"))).cast("double").as("_sg"),
-        sum(t12(col("_g") * when(col("f1"), 1.0).otherwise(0.0)))
-          .cast("double").as("_g1"),
-        sum(t12(col("_g") * when(col("f2"), 1.0).otherwise(0.0)))
-          .cast("double").as("_g2"),
-        sum(t12(col("_g") * when(col("f3"), 1.0).otherwise(0.0)))
-          .cast("double").as("_g3"),
-        sum(t12((lit(1.0) - col("_g"))
-          * when(col("f1"), 1.0).otherwise(0.0))).cast("double")
-          .as("_h1"),
-        sum(t12((lit(1.0) - col("_g"))
-          * when(col("f2"), 1.0).otherwise(0.0))).cast("double")
-          .as("_h2"),
-        sum(t12((lit(1.0) - col("_g"))
-          * when(col("f3"), 1.0).otherwise(0.0))).cast("double")
-          .as("_h3"))
-      par = m.select(round(col("_sg") / col("_n"), 12).as("_p"),
-        round(col("_g1") / col("_sg"), 12).as("_m1"),
-        round(col("_g2") / col("_sg"), 12).as("_m2"),
-        round(col("_g3") / col("_sg"), 12).as("_m3"),
-        round(col("_h1") / (col("_n") - col("_sg")), 12).as("_u1"),
-        round(col("_h2") / (col("_n") - col("_sg")), 12).as("_u2"),
-        round(col("_h3") / (col("_n") - col("_sg")), 12).as("_u3"))
-        .localCheckpoint()
+      .groupBy(col("f1"), col("f2"), col("f3"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3)))
+    def r12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    // t12(double) as decimal(28,12): HALF_UP 12-dp round of the double,
+    // then the exact decimal of that value (Similarity.t12Local's form)
+    def t12d(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(r12(x)).setScale(12,
+        java.math.RoundingMode.HALF_UP)
+    val nPairs = combos.map(_._4).sum
+    var p = p0
+    var m3v = Array(m0, m0, m0)
+    var u3v = Array(u0, u0, u0)
+    if (nPairs > 0) for (_ <- 1 to iters) {
+      val zero = java.math.BigDecimal.ZERO
+      var sg = zero
+      val gs = Array(zero, zero, zero)
+      val hs = Array(zero, zero, zero)
+      combos.foreach { case (f1, f2, f3, cnt) =>
+        val fs = Array(f1, f2, f3)
+        def lik(v: Array[Double], j: Int): Double =
+          if (fs(j)) v(j) else 1.0 - v(j)
+        val pm = lik(m3v, 0) * lik(m3v, 1) * lik(m3v, 2)
+        val pu = lik(u3v, 0) * lik(u3v, 1) * lik(u3v, 2)
+        val g = r12(p * pm / (p * pm + (1.0 - p) * pu))
+        val c = java.math.BigDecimal.valueOf(cnt)
+        sg = sg.add(t12d(g).multiply(c))
+        (0 until 3).foreach { j =>
+          if (fs(j)) {
+            gs(j) = gs(j).add(t12d(g).multiply(c))
+            hs(j) = hs(j).add(t12d(1.0 - g).multiply(c))
+          }
+        }
+      }
+      val nD = nPairs.toDouble
+      val sgD = sg.doubleValue()
+      p = r12(sgD / nD)
+      m3v = gs.map(g => r12(g.doubleValue() / sgD))
+      u3v = hs.map(h => r12(h.doubleValue() / (nD - sgD)))
     }
-    val n = pairs.agg(count(lit(1)).as("n_pairs"))
-    val feats = Seq(("f_source", "_m1", "_u1"), ("f_lang", "_m2", "_u2"),
-      ("f_len", "_m3", "_u3")).map { case (f, mc, uc) =>
-      n.crossJoin(broadcast(par))
-        .select(lit(f).as("feature"), col("n_pairs"),
-          round(col("_p"), 6).as("p_match_r"),
-          round(col(mc), 6).as("m_r"), round(col(uc), 6).as("u_r"),
-          round(when(col(mc) > 0 && col(uc) > 0,
-            log(col(mc) / col(uc))), 6).as("w_agree_r"),
-          round(when(col(mc) < 1 && col(uc) < 1,
-            log((lit(1.0) - col(mc)) / (lit(1.0) - col(uc)))), 6)
-            .as("w_disagree_r"))
-    }
-    feats.reduce(_ unionByName _).orderBy("feature")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6opt(cond: Boolean, x: => Double): Option[Double] =
+      if (nPairs > 0 && cond) Some(r6(x)) else None
+    val sp = docs.sparkSession
+    import sp.implicits._
+    Seq(("f_source", 0), ("f_lang", 1), ("f_len", 2)).map {
+      case (f, j) =>
+        val (mj, uj) = (m3v(j), u3v(j))
+        (f, nPairs,
+          if (nPairs > 0) Some(r6(p)) else None,
+          if (nPairs > 0) Some(r6(mj)) else None,
+          if (nPairs > 0) Some(r6(uj)) else None,
+          r6opt(mj > 0 && uj > 0, math.log(mj / uj)),
+          r6opt(mj < 1 && uj < 1, math.log((1.0 - mj) / (1.0 - uj))))
+    }.toDF("feature", "n_pairs", "p_match_r", "m_r", "u_r",
+      "w_agree_r", "w_disagree_r").orderBy("feature")
   }
 
   /** Blocking-quality audit (entity-resolution methodology, Christen

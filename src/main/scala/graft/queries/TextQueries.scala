@@ -226,17 +226,24 @@ object TextQueries {
         val samp = Curation.stratifiedSample(docs, "doc_id", "lang",
           Map.empty, pct)
         val sh = docShingleTable(s, d)
+        // ONE set-row build serves both verifies (the q262 shape): the
+        // stratum's set rows are the corpus set rows semi-filtered
+        // (per-doc arrays are doc-local), so the exact branch reuses
+        // them instead of re-aggregating the filtered shingle table
+        val sets = Dedup.docShingleSets(sh, "doc_id").localCheckpoint()
         val cand = withSubsetCoPartition(s)(
           Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
             .localCheckpoint())
-        val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
+        val lsh = Dedup.jaccardOnSets(sets, cand, "doc_id")
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")
         // the sampled exact side reads the SAME persisted shingles,
         // semi-filtered to the stratum (per-doc shingle sets are
         // doc-local, so the sample's shingle table is exactly this)
-        val exactS = Dedup.prefixFilterPairsOnShingles(
-            sh.join(samp.select("doc_id"), Seq("doc_id"), "left_semi"),
+        val sampIds = samp.select("doc_id")
+        val exactS = Dedup.prefixFilterPairsWithSets(
+            sh.join(sampIds, Seq("doc_id"), "left_semi"),
+            sets.join(sampIds, Seq("doc_id"), "left_semi"),
             "doc_id", 0.5)
           .select("doc_a", "doc_b")
         val flagged = exactS
@@ -884,13 +891,20 @@ object TextQueries {
         // LSH/exact pipeline executes more than once (the q283 lesson).
         // localCheckpoint is eager: one computation, branches read
         // blocks.
+        // ONE set-row build serves both verifies (LSH branch + exact
+        // branch): the per-doc sorted-hash arrays are a pure function
+        // of the shingle table, and the bucketed groupBy is
+        // exchange-free — computing them per branch was the audit's
+        // only duplicated pass.
+        val sets = Dedup.docShingleSets(sh, "doc_id").localCheckpoint()
         val cand = withSubsetCoPartition(s)(
           Dedup.bandJoin(docBandTable(s, d), "doc_id", "doc_a", "doc_b")
             .localCheckpoint())
-        val lsh = Dedup.jaccardForPairs(sh, cand, "doc_id")
+        val lsh = Dedup.jaccardOnSets(sets, cand, "doc_id")
           .where(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b").localCheckpoint()
-        val exact = Dedup.prefixFilterPairsOnShingles(sh, "doc_id", 0.5)
+        val exact = Dedup.prefixFilterPairsWithSets(sh, sets, "doc_id",
+            0.5)
           .select("doc_a", "doc_b").localCheckpoint()
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(exact.join(lsh, Seq("doc_a", "doc_b"))
