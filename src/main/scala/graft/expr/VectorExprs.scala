@@ -191,6 +191,27 @@ object Hash60Kernel {
   }
   def hash60col(c: Column): Column =
     GraftColumn.column(Hash60(GraftColumn.expression(c)))
+
+  /** All overlapping n-gram [[hash60]] values of `s` (codepoint-based
+    * windows, the SQL substring semantics) as one long array. */
+  def gramHashes(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numChars()
+    val cnt = len - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = hash60(s.substring(i, i + n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def gramHashesCol(c: Column, n: Int): Column =
+    GraftColumn.column(Hash60Grams(GraftColumn.expression(c), n))
 }
 
 case class Hash60(child: Expression)
@@ -213,4 +234,37 @@ case class Hash60(child: Expression)
   override protected def withNewChildInternal(c: Expression): Hash60 =
     copy(child = c)
   override def prettyName: String = "hash60"
+}
+
+/** All overlapping character-n-gram [[Hash60]] values of a string in
+  * one pass: value-identical to exploding
+  * transform(sequence(1, length(s) − n + 1), i → substring(s, i, n))
+  * and hashing each gram, but with no per-gram UTF8String row flowing
+  * through a generator — the row stream stays one array<long> per
+  * document until the (much cheaper) long explode. Returns an empty
+  * array for strings shorter than n; null for null input. Substring
+  * semantics are codepoint-based, matching the SQL substring. */
+case class Hash60Grams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string arg, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(s: Any): Any =
+    Hash60Kernel.gramHashes(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.Hash60Kernel.gramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Hash60Grams =
+    copy(child = c)
+  override def prettyName: String = "hash60_grams"
 }

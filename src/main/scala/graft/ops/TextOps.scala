@@ -1028,14 +1028,19 @@ object TextOps {
     // grain and materialized — it feeds both training and apply (the
     // unreduced twin ran the hash pass twice and fanned raw gram
     // instances by |classes|; measured 29 s → the reduced shape below)
+    // gram + hash fused into one array kernel (Hash60Grams): the row
+    // stream between the scan and the explode is one array<long> per
+    // document instead of one UTF8String row per gram — the explode
+    // then fans out 8-byte longs, not string copies (value-identical;
+    // Hash60ParitySpec pins the gram kernel against the
+    // transform+substring+hash chain it replaced)
     val docBuckets = docs
       .select(col(idCol), col(langCol).as("_true"),
         normalize(col(textCol)).as("_t"))
       .select(col(idCol), col("_true"),
-        explode(expr(s"CASE WHEN length(_t) >= $gramN THEN " +
-          s"transform(sequence(1, length(_t) - ${gramN - 1}), " +
-          s"i -> substring(_t, i, $gramN)) ELSE array() END")).as("_g"))
-      .withColumn("_b", hash60(col("_g")) % buckets)
+        explode(graft.expr.Hash60Kernel.gramHashesCol(col("_t"), gramN))
+          .as("_h"))
+      .withColumn("_b", col("_h") % buckets)
       .groupBy(col(idCol), col("_true"), col("_b"))
       .agg(count(lit(1)).as("_n"))
       .localCheckpoint()
@@ -1056,11 +1061,28 @@ object TextOps {
       .select(col("_lang"), col("_b"), col("_lnprior"),
         round(log((coalesce(col("_c"), lit(0L)).cast("double") + 1.0)
           / (col("_tot").cast("double") + buckets)), 12).as("_lp"))
-    val scored = docBuckets
-      .join(broadcast(lpGrid), Seq("_b"))
-      .groupBy(col(idCol), col("_true"), col("_lang"),
-        col("_lnprior"))
-      .agg(sum(t12(col("_lp") * col("_n"))).cast("double").as("_ll"))
+    // score via the WIDE grid: pivoting lpGrid to one row per bucket
+    // (|langs| lp columns) lets the (doc, bucket, n) stream join ONCE
+    // and aggregate |langs| decimal sums per doc instead of fanning out
+    // ×|langs| rows through the join and the hash agg (guide §2.3 —
+    // same t12-decimal terms, summed per column: order-free and
+    // value-identical). The pivot's internal distinct-langs collect is
+    // a |langs|-row job over the checkpointed docBuckets rollup.
+    val lpWide0 = lpGrid.groupBy(col("_b"))
+      .pivot("_lang").agg(first(col("_lp")))
+    val langs = lpWide0.columns.filter(_ != "_b")
+    val lpWide = lpWide0.toDF("_b" +: langs.map(l => s"_lp_$l"): _*)
+    val llCols = langs.map(l =>
+      sum(t12(col(s"_lp_$l") * col("_n"))).cast("double").as(s"_ll_$l"))
+    val scoredWide = docBuckets
+      .join(broadcast(lpWide), Seq("_b"))
+      .groupBy(col(idCol), col("_true"))
+      .agg(llCols.head, llCols.tail: _*)
+    val melted = scoredWide.select(col(idCol), col("_true"),
+      explode(map(langs.flatMap(l =>
+        Seq(lit(l), col(s"_ll_$l"))): _*)).as(Seq("_lang", "_ll")))
+    val scored = melted
+      .join(broadcast(prior), Seq("_lang"))
       .select(col(idCol), col("_true"), col("_lang"),
         round(col("_lnprior") + col("_ll"), 9).as("_score"))
     val w = org.apache.spark.sql.expressions.Window

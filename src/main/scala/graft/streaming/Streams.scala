@@ -298,12 +298,14 @@ object Streams {
 
   /** State-store partition count for these local AvailableNow runs —
     * overridable via `spark.graft.stream.partitions` (a cluster job sizes
-    * this to key cardinality / executor count instead). Local default 4:
-    * state-store checkpoint I/O scales with partitions, not data, and a
-    * measured sweep at sf0.1 (8 → 4 partitions) cut every streaming query
-    * 30-40% with zero result change. */
+    * this to key cardinality / executor count instead). Local default 2:
+    * state-store checkpoint I/O scales with partitions, not data — the
+    * r6 sweep (8 → 4) cut every streaming query 30-40%, and the r14
+    * sweep (4 → 2, nine streaming queries, fresh-JVM best-of-2 at
+    * sf0.1) a further 12% (17.0 → 15.0 s; biggest movers
+    * q408 2.0→1.5 s, q148 3.0→2.3 s), zero result change. */
   private def streamPartitions(spark: SparkSession): String =
-    spark.conf.get("spark.graft.stream.partitions", "4")
+    spark.conf.get("spark.graft.stream.partitions", "2")
 
   /** Streaming order-invariant ingest fingerprint: per key, the running
     * row count and Σ hash60(id) mod 2⁶⁰ — the streaming twin of

@@ -116,3 +116,37 @@ class Hash60ParitySpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 }
+
+/** Hash60Grams kernel ≡ explode(transform(sequence, substring)) +
+  * hash60 — gram-for-gram parity incl. unicode and short strings. */
+class Hash60GramsParitySpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("gram kernel equals the transform+substring+hash chain") {
+    val rnd = new scala.util.Random(11)
+    val strs = Seq("", "ab", "abc", "abcd", "κόσμε ünïcode grams",
+      "the quick brown fox") ++ (1 to 100).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(50)).mkString)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val want = df.select(col("id"),
+        explode(expr("CASE WHEN length(s) >= 3 THEN " +
+          "transform(sequence(1, length(s) - 2), " +
+          "i -> substring(s, i, 3)) ELSE array() END")).as("g"))
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .groupBy("id").agg(sort_array(collect_list("h")).as("hs"))
+    val got = df.select(col("id"),
+        explode(graft.expr.Hash60Kernel.gramHashesCol(col("s"), 3))
+          .as("h"))
+      .groupBy("id").agg(sort_array(collect_list("h")).as("hs"))
+    val bad = want.join(got, Seq("id"))
+      .where(want("hs") =!= got("hs")).count()
+    assert(bad == 0)
+    // row counts must match too (empty-array short strings drop out of
+    // both explodes identically)
+    assert(want.count() == got.count())
+  }
+}
